@@ -1,0 +1,77 @@
+"""Query registry: every operator from SURVEY.md §2 registers a named
+(spark_fn, oracle_sql) pair here; __spark_entry__.py exposes them to
+the driver.
+
+Conventions (see SURVEY.md §6):
+- Every computed column is aliased identically in the Spark plan and
+  the DuckDB oracle (the driver sorts columns by name before hashing).
+- Integer-like computed columns are cast to BIGINT on both sides.
+- Money/float aggregates are compared as cents-bigint
+  (CAST(ROUND(sum*100) AS BIGINT)) so JVM-vs-DuckDB summation order
+  can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {k: v.fn for k, v in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {k: v.oracle for k, v in REGISTRY.items() if v.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports are for their registration side effects.
+    from utility_service_areas_spark.plans import relational_queries  # noqa: F401
+
+    for mod in (
+        "dedup_queries",
+        "text_queries",
+        "ann_queries",
+        "geo_queries",
+        "event_queries",
+    ):
+        try:
+            __import__(f"utility_service_areas_spark.plans.{mod}")
+        except ImportError:
+            pass
+    _LOADED = True

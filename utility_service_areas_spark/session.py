@@ -1,0 +1,35 @@
+"""Tuned SparkSession builder.
+
+Defaults chosen for the local[32] test harness but expressed so the
+same code scales to a multi-executor cluster: AQE handles runtime
+partition coalescing and skew joins, Arrow handles Python<->JVM
+transfer for the pandas-UDF geometry/hash paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "usa-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # One shuffle partition per core locally; on a cluster AQE
+        # coalesces from a larger initial number, so this is a floor.
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Dim tables (region/nation/supplier/part) stay broadcastable
+        # even at 100 TB fact scale; 64 MB is a safe executor budget.
+        .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
