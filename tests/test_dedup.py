@@ -1,0 +1,94 @@
+"""Semantic tests for dedup/similarity operators: planted duplicates
+must be recovered; MinHash estimates track true Jaccard; LSH ANN
+recall is sane vs brute force; SimHash separates near-dups from
+random pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from utility_service_areas_spark.functions.hashing import (
+    hamming64_py,
+    simhash64_py,
+    winnow_fingerprints_py,
+)
+from utility_service_areas_spark.operators.ann import brute_force_topk, lsh_topk
+from utility_service_areas_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank every day"
+NEAR = BASE.replace("lazy", "sleepy")  # one token changed → high Jaccard
+FAR = "completely different words about spark shuffles and parquet column pruning today"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE), (5, "tiny")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = exact_dedup_groups(docs, "doc_id", "text").collect()
+    groups = {r.text_hash: (r.keeper_id, r.n_dups) for r in out}
+    assert len(groups) == 4  # 1&4 collapse
+    assert (1, 2) in groups.values()  # keeper is min id
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard_micros for r in out}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1_000_000  # identical
+    assert (1, 2) in pairs and pairs[(1, 2)] > 500_000  # near-dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    sig = minhash_signatures(docs, "doc_id", "text")
+    out = lsh_candidate_pairs(sig).collect()
+    got = {(r.doc_a, r.doc_b): r.n_matching_minhashes for r in out}
+    assert got[(1, 4)] == 8  # identical docs match all minhashes
+    assert (1, 2) in got and got[(1, 2)] >= 4  # near-dup shares most
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_separates_near_from_far():
+    a, b, c = simhash64_py(BASE), simhash64_py(NEAR), simhash64_py(FAR)
+    assert hamming64_py(a, a) == 0
+    assert hamming64_py(a, b) < hamming64_py(a, c)
+    assert hamming64_py(a, b) <= 16
+
+
+def test_winnow_fingerprint_properties():
+    fp1 = winnow_fingerprints_py(BASE)
+    fp2 = winnow_fingerprints_py(BASE)
+    assert fp1 == fp2 and len(fp1) > 0  # deterministic
+    near = set(winnow_fingerprints_py(NEAR))
+    far = set(winnow_fingerprints_py(FAR))
+    s1 = set(fp1)
+    assert len(s1 & near) / len(s1 | near) > 0.5
+    assert len(s1 & far) / len(s1 | far) < 0.1
+    assert winnow_fingerprints_py("ab") == []  # shorter than k
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, dim=64, k=5, n_planes=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4-plane LSH keeps same-bucket neighbors only; recall is data
+    # dependent but must beat random chance (5/500) by a wide margin.
+    assert recall >= 0.2, f"recall {recall}"
+    # rank-1 neighbor sims must be equal-or-better in exact search
+    exact_best = {r.query_id: r.sim_micros for r in exact if r.rank == 1}
+    approx_best = {r.query_id: r.sim_micros for r in approx if r.rank == 1}
+    for q, s in approx_best.items():
+        assert s <= exact_best[q]

@@ -1,0 +1,63 @@
+"""Text expression helpers shared by the dedup/text operators.
+
+Everything here is a pure Column expression (JVM-side, codegen) —
+the hot path of a 100 TB text pipeline must not cross into Python.
+The expressions are written to be exactly mirrorable in DuckDB SQL
+(same tokenization regex, same 1-based indexing) so the driver's
+oracle gate can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization shared by every text operator: whitespace split of the
+# trimmed text. Mirror in SQL: string_split_regex(trim(text), '\s+').
+TOKEN_SPLIT_RE = r"\s+"
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+# Mirror in SQL: regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]').
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (space-joined), 1-based like SQL.
+
+    SQL mirror:
+      list_distinct([tok[i]||' '||...||tok[i+k-1]
+                     for i in generate_series(1, len(tok)-k+1)])
+    Guarded: < k tokens → empty array (Spark's sequence() would count
+    backwards on a negative range).
+    """
+    n = F.size(tok)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(tok, i + F.lit(j)) for j in range(k)])  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, whitespace-collapsed.
+
+    SQL mirror: trim(regexp_replace(lower(text), '\\s+', ' ', 'g')).
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def minhash_col(shingle: Column, seed: int) -> Column:
+    """One MinHash component: lexicographic min of seeded md5 hex.
+
+    md5 is a JVM builtin on both Spark and DuckDB, so an entire
+    MinHash signature is computed without any Python UDF — the 100 TB
+    hot path stays in whole-stage codegen.
+    SQL mirror: min(md5('<seed>:' || s)).
+    """
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), shingle)))

@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale text pipelines
+(SURVEY.md §2.4): exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale posture (100 TB): no operator here ever cross-joins the corpus.
+Pair generation always goes through a bucketing key (LSH band hash,
+shared shingle with document-frequency cap, SimHash band) so candidate
+volume stays near-linear; exact verification runs only inside buckets.
+Skewed buckets are handled by the df-cap filter + AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from utility_service_areas_spark.functions.hashing import hamming64, simhash64
+from utility_service_areas_spark.functions.textops import (
+    minhash_col,
+    normalized_text,
+    shingles,
+    tokens,
+)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups on normalized text.
+
+    One shuffle (groupBy hash); md5 computed JVM-side in codegen.
+    Returns (text_hash, keeper_id, n_dups) — keeper is min id.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingle_exploded(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, df_cap: int | None = None
+) -> DataFrame:
+    """(id, shingle) long form, distinct per doc; optionally drop
+    shingles whose document frequency exceeds ``df_cap``.
+
+    The df-cap is the scale lever: an ultra-common shingle would
+    otherwise create a quadratic bucket in every pair-generating
+    consumer (same trick as stop-word removal in classic LSH systems).
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(tokens(F.col(text_col)), k)).alias("s")
+    )
+    if df_cap is not None:
+        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ex = (
+            ex.join(freq.filter(F.col("df") <= df_cap).select("s"), "s")
+        )
+    return ex
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 (df-capped) shingle, with exact
+    Jaccard over the capped shingle sets; emitted when ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard_micros). Jaccard reported as
+    micros-bigint so the float never enters a value hash.
+    """
+    ex = shingle_exploded(df, id_col, text_col, k=k, df_cap=df_cap)
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_micros", F.round(jac * 1_000_000).cast("long"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard_micros")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures (doc, h0..h{n-1}) — entirely JVM-side:
+    seeded md5 per shingle, min per doc. One shuffle.
+    """
+    ex = shingle_exploded(df, id_col, text_col, k=k)
+    return ex.groupBy("doc").agg(
+        *[minhash_col(F.col("s"), i).alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a MinHash signature frame.
+
+    Band hash = md5 of the band's concatenated minhashes; docs sharing
+    any band bucket become a candidate pair, then the full signatures
+    estimate similarity (n_matching_minhashes of n_hashes).
+    Returns (doc_a, doc_b, n_matching_minhashes).
+    """
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"h{i * band_size + j}") for j in range(band_size)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "b.band_idx", "b.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)])
+    sigb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)])
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(n_hashes)
+    )
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_matching_minhashes"))
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature (Arrow-batched
+    UDF), bucketed by four 16-bit bands (a pair within hamming ≤ 16/band
+    shares ≥1 band with high probability), exact hamming verify.
+
+    Returns (doc_a, doc_b, hamming).
+    """
+    sig = df.select(
+        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim")
+    )
+    bands = sig.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("sim"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "sim", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,91 @@
+"""SURVEY.md §2.4 — similarity search over the embeddings table.
+
+The oracle mirrors the Spark dot product as the same sequential
+DOUBLE fold (list_sum of a list_transform), so both sides agree
+bitwise before the micros rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from utility_service_areas_spark.operators.ann import (
+    brute_force_topk,
+    embedding_cosine_pairs,
+    lsh_topk,
+)
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the probe queries
+TOP_K = 10
+
+_DOT = """list_sum(list_transform(generate_series(1, len({a})),
+                   i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"""
+
+
+def _cos_micros_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"CAST(round({dot} / (sqrt({na}) * sqrt({nb})) * 1000000) AS BIGINT)"
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  {_cos_micros_sql('q_vec', 'c_vec')} AS sim_micros
+           FROM q JOIN c ON query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim_micros DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k (exact ANN baseline): broadcast query "
+    "set, corpus never shuffled, per-partition TopK fold.",
+    tags=("ann", "bench"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries, k=TOP_K)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by design; recall vs brute force is pytest-verified
+    doc="Random-hyperplane LSH bucketed ANN: candidates limited to the "
+    "query's bucket, exact rerank inside. The 100 TB scale path.",
+    tags=("ann",),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    # 4 planes → 16 buckets: ≈ n/16 candidates per query at any scale,
+    # coarse enough for usable recall on the small test corpus.
+    return lsh_topk(emb, queries, dim=64, k=TOP_K, n_planes=4)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_micros_sql('a.embedding', 'b.embedding')} AS sim_micros
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_micros_sql('a.embedding', 'b.embedding')} >= 400000
+    """,
+    doc="Embedding-cosine near-dup pairs bucketed by label (never a "
+    "full cross join); threshold 0.4 as micros.",
+    tags=("dedup", "ann"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, bucket_col="label", threshold_micros=400_000)

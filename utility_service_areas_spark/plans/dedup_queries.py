@@ -1,0 +1,139 @@
+"""SURVEY.md §2.4 — deduplication queries on the documents table.
+
+Oracle notes: shingling / MinHash / Jaccard are mirrored exactly in
+DuckDB SQL (same tokenizer regex, same seeded-md5 min-hash, same
+df-cap) — the SQL is the specification, the Spark plan is the scale
+implementation. SimHash needs bit-vote accumulation (Arrow UDF) and is
+verified by pytest instead (rows-only for the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from utility_service_areas_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+# Shared SQL fragments (DuckDB) mirroring functions/textops.py.
+_TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS tok FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 3
+                  THEN list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                                      for i in generate_series(1, len(tok)-2)])
+                  ELSE [] END AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id AS doc, unnest(shingles) AS s FROM sh)
+"""
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY text_hash
+    """,
+    doc="Exact dedup groups on normalized text; hash-groupBy, one shuffle.",
+    tags=("dedup",),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    capped AS (
+      SELECT doc, s FROM ex
+      WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100)),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM capped GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(round(n_common * 1000000.0 / (x.n_sh + y.n_sh - n_common)) AS BIGINT)
+               AS jaccard_micros
+    FROM common
+    JOIN sizes x ON doc_a = x.doc
+    JOIN sizes y ON doc_b = y.doc
+    WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.2
+    """,
+    doc="Word-3-gram Jaccard near-dup pairs; pair generation bucketed by "
+    "shared shingle with a document-frequency cap (the 100 TB lever: no "
+    "quadratic buckets from ultra-common shingles).",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2, df_cap=100)
+
+
+def _minhash_sig_sql(n_hashes: int = 8) -> str:
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(n_hashes)
+    )
+    return f"sig AS (SELECT doc, {mins} FROM ex GROUP BY doc)"
+
+
+def _bands_sql(n_bands: int = 4, band_size: int = 2) -> str:
+    selects = [
+        f"SELECT doc, {i} AS band_idx, md5(h{i*band_size} || h{i*band_size+1}) AS band_hash FROM sig"
+        for i in range(n_bands)
+    ]
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                  AND a.doc < b.doc)
+    SELECT doc_a, doc_b,
+           CAST((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
+              + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+              + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT AS BIGINT)
+               AS n_matching_minhashes
+    FROM pairs JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc
+    """,
+    doc="MinHash (8 seeded-md5 hashes, JVM-side) + banded LSH (4 bands × 2): "
+    "candidate pairs share a band bucket; similarity estimated from full "
+    "signatures. The shuffle is on band_hash — near-linear candidates.",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    return lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # bit-vote accumulation is not SQL-expressible; pytest-verified
+    doc="SimHash-64 near-dup candidates: Arrow-batched signature UDF, "
+    "16-bit-band bucketing, exact hamming verify ≤ 8.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)

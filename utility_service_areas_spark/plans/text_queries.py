@@ -1,0 +1,108 @@
+"""SURVEY.md §2.4 — text-analysis queries on the documents table.
+All JVM-side expressions except the winnowing fingerprint (Arrow UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from utility_service_areas_spark.functions.textops import STOPWORDS
+from utility_service_areas_spark.operators.text import (
+    fingerprint_docs,
+    lang_guess,
+    quality_score_micros,
+    stopword_hits,
+    token_counts,
+)
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish-regex token counts, pure codegen.",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws, bpe = token_counts(F.col("text"))
+    return docs.select("doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           stop_hits,
+           CASE WHEN stop_hits * 1.0 / greatest(n_tok, 1) >= 0.08
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL}))) AS BIGINT)
+                 AS stop_hits,
+             len({_TOKS}) AS n_tok
+      FROM documents)
+    """,
+    doc="Language-ID heuristic via stopword density (model-pluggable "
+    "contract: text → label, no shuffle).",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stopword_hits(F.col("text")).alias("stop_hits"),
+        lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(round((0.4 * (alpha / chars)
+                     + 0.3 * least(1.0, n_tok / 100.0)
+                     + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000)
+                AS BIGINT) AS quality_micros
+    FROM (
+      SELECT doc_id,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                 AS alpha,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS chars,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+      FROM documents)
+    """,
+    doc="Composite quality score (alpha ratio, length, repetition) as "
+    "micros-bigint; the cheap pre-filter stage of an LLM data pipeline.",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score_micros(F.col("text")).alias("quality_micros")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=None,  # rolling-window winnowing is not SQL-expressible; pytest-verified
+    doc="Winnowing fingerprints (k=8 char-grams, w=4 windows) per doc; "
+    "Arrow-batched UDF. Shared fingerprints → copy-detection joins.",
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = fingerprint_docs(docs, "doc_id", "text")
+    return out.select("doc_id", "n_fingerprints", "min_fingerprint")
