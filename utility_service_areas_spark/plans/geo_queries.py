@@ -1,0 +1,335 @@
+"""SURVEY.md §2.2 — geospatial queries.
+
+The substrate has no geometry tables, so geometries are derived
+deterministically from the TPC-H keys inside each query (rectangles on
+a grid for nations, fractional-dyadic points for customers); the
+DuckDB oracle verifies the real geometry UDFs against the closed-form
+rectangle arithmetic. Irregular-polygon semantics are covered by
+tests/test_geometry.py.
+
+Derivations (mirrored exactly in SQL):
+  nation rect:  x0 = (key%5)*6, y0 = floor(key/5)*5,
+                w = 5 + (key%3)*2, h = 4 + key%4
+  customer pt:  px = (key%40)*0.75 + 0.375          (dyadic, never integer)
+                py = ((key*7)%25)*0.8125 + 0.3203125 (dyadic, never integer)
+Points are never on rectangle boundaries, so strict-interior SQL
+comparisons equal the ray-cast's half-open semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from utility_service_areas_spark.functions.geometry import (
+    st_area,
+    st_area_multi,
+    st_bbox,
+    st_centroid,
+    st_make_valid,
+    st_plss_cell,
+)
+from utility_service_areas_spark.operators.geo import (
+    grid_union_area,
+    points_in_polygons,
+    polygon_overlap_pairs,
+    rect_geometry,
+)
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+_RECT_SQL = """
+    SELECT n_nationkey, n_regionkey,
+           CAST((n_nationkey % 5) * 6 AS DOUBLE) AS x0,
+           CAST(floor(n_nationkey / 5) * 5 AS DOUBLE) AS y0,
+           CAST(5 + (n_nationkey % 3) * 2 AS DOUBLE) AS w,
+           CAST(4 + n_nationkey % 4 AS DOUBLE) AS h
+    FROM nation
+"""
+
+_POINT_SQL = """
+    SELECT c_custkey,
+           (c_custkey % 40) * 0.75 + 0.375 AS px,
+           ((c_custkey * 7) % 25) * 0.8125 + 0.3203125 AS py
+    FROM customer
+"""
+
+
+def _nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    df = n.select(
+        "n_nationkey",
+        "n_regionkey",
+        ((k % 5) * 6).cast("double").alias("x0"),
+        (F.floor(k / 5) * 5).cast("double").alias("y0"),
+        (5 + (k % 3) * 2).cast("double").alias("w"),
+        (4 + k % 4).cast("double").alias("h"),
+    )
+    return df.withColumn(
+        "geometry", rect_geometry(F.col("x0"), F.col("y0"), F.col("w"), F.col("h"))
+    )
+
+
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        ((k % 40) * 0.75 + 0.375).alias("px"),
+        (((k * 7) % 25) * 0.8125 + 0.3203125).alias("py"),
+    )
+
+
+@query(
+    "geo_area_rank",
+    oracle=f"""
+    SELECT n_nationkey,
+           CAST(round(w * h * 1000) AS BIGINT) AS area_milli,
+           CAST(row_number() OVER (ORDER BY w * h DESC, n_nationkey) AS BIGINT)
+               AS area_rank
+    FROM ({_RECT_SQL})
+    """,
+    doc="st_area ranking (README Q2 'largest/smallest utility'); shoelace "
+    "UDF verified against closed-form w*h.",
+    tags=("geo",),
+)
+def geo_area_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _nation_rects(spark, sf_dir)
+    out = rects.withColumn("area", st_area(F.col("geometry")))
+    w = Window.orderBy(F.col("area").desc(), F.col("n_nationkey"))
+    return out.select(
+        "n_nationkey",
+        F.round(F.col("area") * 1000).cast("long").alias("area_milli"),
+        F.row_number().over(w).cast("long").alias("area_rank"),
+    )
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    SELECT c_custkey, n_nationkey
+    FROM ({_POINT_SQL}) p JOIN ({_RECT_SQL}) r
+      ON p.px > r.x0 AND p.px < r.x0 + r.w
+     AND p.py > r.y0 AND p.py < r.y0 + r.h
+    """,
+    doc="Point-in-polygon spatial join (README Q3 'what utility serves "
+    "this location'): broadcast polygons, JVM bbox prefilter, ray-cast "
+    "verify on candidates only.",
+    tags=("geo", "bench"),
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    rects = _nation_rects(spark, sf_dir).select("n_nationkey", "geometry")
+    return points_in_polygons(pts, rects).select("c_custkey", "n_nationkey")
+
+
+@query(
+    "geo_overlap_pairs",
+    oracle=f"""
+    SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b
+    FROM ({_RECT_SQL}) a JOIN ({_RECT_SQL}) b
+      ON a.n_nationkey < b.n_nationkey
+     AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+     AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h
+    """,
+    doc="Overlap detection self-join (README Q1 'do service areas "
+    "overlap?'): bbox candidates, exact st_intersects verify "
+    "(touching boundaries count, matching inclusive interval oracle).",
+    tags=("geo",),
+)
+def geo_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _nation_rects(spark, sf_dir).select("n_nationkey", "geometry")
+    return polygon_overlap_pairs(rects, "n_nationkey")
+
+
+@query(
+    "geo_bbox_centroid",
+    oracle=f"""
+    SELECT n_nationkey,
+           CAST(round(x0 * 1000) AS BIGINT) AS xmin_milli,
+           CAST(round((x0 + w) * 1000) AS BIGINT) AS xmax_milli,
+           CAST(round((x0 + w / 2) * 1000) AS BIGINT) AS cx_milli,
+           CAST(round((y0 + h / 2) * 1000) AS BIGINT) AS cy_milli
+    FROM ({_RECT_SQL})
+    """,
+    doc="st_bbox + area-weighted centroid UDFs vs closed form.",
+    tags=("geo",),
+)
+def geo_bbox_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _nation_rects(spark, sf_dir)
+    out = rects.withColumn("bb", st_bbox(F.col("geometry"))).withColumn(
+        "c", st_centroid(F.col("geometry"))
+    )
+    return out.select(
+        "n_nationkey",
+        F.round(F.col("bb.xmin") * 1000).cast("long").alias("xmin_milli"),
+        F.round(F.col("bb.xmax") * 1000).cast("long").alias("xmax_milli"),
+        F.round(F.col("c.cx") * 1000).cast("long").alias("cx_milli"),
+        F.round(F.col("c.cy") * 1000).cast("long").alias("cy_milli"),
+    )
+
+
+# PLSS codes derived from part keys; layout mirrors _targets.R:212-233
+# codes like 'S009N067W05'. Boustrophedon section grid: section 1 = NE
+# corner, rows snake west; see functions/geometry.py:plss_cell_rect.
+_PLSS_CODE_SQL = """
+    SELECT p_partkey,
+           concat('S',
+                  lpad(CAST(1 + p_partkey % 20 AS VARCHAR), 3, '0'), 'N',
+                  lpad(CAST(1 + p_partkey % 15 AS VARCHAR), 3, '0'), 'W',
+                  lpad(CAST(1 + p_partkey % 36 AS VARCHAR), 2, '0')) AS code,
+           1 + p_partkey % 20 AS twp,
+           1 + p_partkey % 15 AS rng,
+           1 + p_partkey % 36 AS sec
+    FROM part
+"""
+
+
+@query(
+    "geo_plss_cells",
+    oracle=f"""
+    SELECT p_partkey, code,
+           CAST(round((-rng * 6 + CASE WHEN (CAST(floor((sec-1)/6) AS INT) % 2) = 0
+                                       THEN 5 - ((sec-1) % 6)
+                                       ELSE (sec-1) % 6 END) * 1000) AS BIGINT)
+               AS x0_milli,
+           CAST(round(((twp - 1) * 6 + (5 - CAST(floor((sec-1)/6) AS INT))) * 1000)
+               AS BIGINT) AS y0_milli,
+           CAST(1000 AS BIGINT) AS area_milli
+    FROM ({_PLSS_CODE_SQL})
+    """,
+    doc="PLSS cell-code → 1-sq-mi section geometry (parity: plss_patches "
+    "_targets.R:212-233, format_plss_patches R/functions.R:382-397); "
+    "UDF-parsed boustrophedon layout vs closed-form SQL.",
+    tags=("geo",),
+)
+def geo_plss_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    codes = part.select(
+        "p_partkey",
+        F.concat(
+            F.lit("S"),
+            F.lpad((1 + k % 20).cast("string"), 3, "0"),
+            F.lit("N"),
+            F.lpad((1 + k % 15).cast("string"), 3, "0"),
+            F.lit("W"),
+            F.lpad((1 + k % 36).cast("string"), 2, "0"),
+        ).alias("code"),
+    )
+    out = codes.withColumn("geometry", st_plss_cell(F.col("code")))
+    bb = st_bbox(F.col("geometry"))
+    area = st_area(F.col("geometry"))
+    return out.select(
+        "p_partkey",
+        "code",
+        F.round(bb.getField("xmin") * 1000).cast("long").alias("x0_milli"),
+        F.round(bb.getField("ymin") * 1000).cast("long").alias("y0_milli"),
+        F.round(area * 1000).cast("long").alias("area_milli"),
+    )
+
+
+@query(
+    "geo_union_grid_area",
+    oracle="""
+    SELECT CAST(l_suppkey % 20 AS BIGINT) AS cert,
+           count(DISTINCT concat('S',
+                 lpad(CAST(1 + l_partkey % 20 AS VARCHAR), 3, '0'), 'N',
+                 lpad(CAST(1 + l_partkey % 15 AS VARCHAR), 3, '0'), 'W',
+                 lpad(CAST(1 + l_partkey % 36 AS VARCHAR), 2, '0')))
+               AS n_cells,
+           CAST(count(DISTINCT concat('S',
+                 lpad(CAST(1 + l_partkey % 20 AS VARCHAR), 3, '0'), 'N',
+                 lpad(CAST(1 + l_partkey % 15 AS VARCHAR), 3, '0'), 'W',
+                 lpad(CAST(1 + l_partkey % 36 AS VARCHAR), 2, '0')))
+               AS DOUBLE) AS union_area
+    FROM lineitem
+    GROUP BY cert
+    """,
+    doc="st_union of grid-aligned PLSS cells per certificate (parity: "
+    "save_plss_patches st_union R/functions.R:406): on a shared grid the "
+    "dissolve is a distinct-count — one partial-aggregated shuffle, no "
+    "geometry reduce.",
+    tags=("geo",),
+)
+def geo_union_grid_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_partkey")
+    cells = li.select(
+        (F.col("l_suppkey") % 20).cast("long").alias("cert"),
+        F.concat(
+            F.lit("S"),
+            F.lpad((1 + k % 20).cast("string"), 3, "0"),
+            F.lit("N"),
+            F.lpad((1 + k % 15).cast("string"), 3, "0"),
+            F.lit("W"),
+            F.lpad((1 + k % 36).cast("string"), 2, "0"),
+        ).alias("cell"),
+    )
+    return grid_union_area(cells, "cert", "cell")
+
+
+@query(
+    "geo_make_valid",
+    oracle=f"""
+    SELECT n_nationkey,
+           CAST(5 AS BIGINT) AS n_points_fixed,
+           CAST(round(w * h * 1000) AS BIGINT) AS area_milli
+    FROM ({_RECT_SQL})
+    """,
+    doc="st_make_valid (parity: R/functions.R:182,468): repairs an "
+    "unclosed ring with a duplicated vertex; verified by the fixed "
+    "ring's vertex count and area matching closed form.",
+    tags=("geo",),
+)
+def geo_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _nation_rects(spark, sf_dir)
+    # Build a deliberately broken ring: duplicated first vertex, unclosed.
+    pt = lambda x, y: F.array(x.cast("double"), y.cast("double"))  # noqa: E731
+    x0, y0, w, h = (F.col(c) for c in ("x0", "y0", "w", "h"))
+    broken = F.array(
+        F.array(
+            pt(x0, y0),
+            pt(x0, y0),  # duplicate vertex
+            pt(x0 + w, y0),
+            pt(x0 + w, y0 + h),
+            pt(x0, y0 + h),  # not closed
+        )
+    )
+    fixed = rects.withColumn("geometry", st_make_valid(broken))
+    return fixed.select(
+        "n_nationkey",
+        F.size(F.element_at(F.col("geometry"), 1)).cast("long").alias("n_points_fixed"),
+        F.round(st_area(F.col("geometry")) * 1000).cast("long").alias("area_milli"),
+    )
+
+
+@query(
+    "geo_combine_multipolygon",
+    oracle=f"""
+    SELECT n_regionkey,
+           count(*) AS n_polygons,
+           CAST(round(sum(w * h) * 1000) AS BIGINT) AS total_area_milli
+    FROM ({_RECT_SQL})
+    GROUP BY n_regionkey
+    """,
+    doc="st_combine: group polygons into a MultiPolygon per region "
+    "(parity: R/functions.R:184,471) and compute its area — one "
+    "shuffle on the group key, area via multipolygon UDF.",
+    tags=("geo",),
+)
+def geo_combine_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _nation_rects(spark, sf_dir)
+    combined = rects.groupBy("n_regionkey").agg(
+        F.collect_list("geometry").alias("multipolygon"),
+        F.count(F.lit(1)).alias("n_polygons"),
+    )
+    return combined.select(
+        "n_regionkey",
+        "n_polygons",
+        F.round(st_area_multi(F.col("multipolygon")) * 1000)
+        .cast("long")
+        .alias("total_area_milli"),
+    )

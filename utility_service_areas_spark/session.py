@@ -14,6 +14,14 @@ from pyspark.sql import SparkSession
 
 
 def build_session(app_name: str = "usa-spark", master: str | None = None) -> SparkSession:
+    # Python workers (pandas UDFs) must be able to import this package
+    # regardless of the driver's cwd; on a cluster this would be a
+    # --py-files/pex artifact instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
