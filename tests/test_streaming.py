@@ -1,0 +1,93 @@
+"""Streaming == batch equivalence: each streaming transform drained
+with availableNow must match its batch twin on the same events data,
+modulo append-mode watermark semantics (windows still open at the end
+of input are withheld — those must be the ONLY differences).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from utility_service_areas_spark.plans.event_queries import (
+    events_sessionize,
+    events_tumbling_agg,
+)
+from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.streaming.events import (
+    dedup_users_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sessionize_stateful,
+    tumbling_counts,
+)
+
+
+def _max_ts(spark):
+    return load_table(spark, SMOKE_SF, "events").agg(F.max("ts")).collect()[0][0]
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream = read_events_stream(spark, SMOKE_SF)
+    assert stream.isStreaming
+    run_to_memory(tumbling_counts(stream), "t_tumbling", "append")
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in spark.table("t_tumbling").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in events_tumbling_agg(spark, SMOKE_SF).collect()
+    }
+    # Emitted windows must match the batch twin exactly.
+    assert len(got) > 0 and all(got[k] == want[k] for k in got)
+    # Only still-open windows (past the final watermark) may be missing.
+    cutoff = _max_ts(spark) - dt.timedelta(hours=2)  # watermark + window
+    missing = set(want) - set(got)
+    assert all(hour >= cutoff for hour, _ in missing), missing
+
+
+def test_stream_session_window_equals_batch(spark):
+    stream = read_events_stream(spark, SMOKE_SF)
+    run_to_memory(session_windows(stream), "t_sessions", "append")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table("t_sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in events_sessionize(spark, SMOKE_SF).collect()
+    }
+    assert len(got) > 0 and all(got[k] == want[k] for k in got)
+    # Missing sessions are only the per-user tails still inside the
+    # watermark+gap horizon at end of input.
+    cutoff = _max_ts(spark) - dt.timedelta(hours=2)
+    missing = set(want) - set(got)
+    assert all(start >= cutoff for _, start in missing), missing
+    assert len(got) / len(want) > 0.9  # the bulk was emitted
+
+
+def test_stateful_sessionizer_matches_batch_counts(spark):
+    stream = read_events_stream(spark, SMOKE_SF)
+    run_to_memory(sessionize_stateful(stream), "t_stateful", "update")
+    # Update mode emits upserts incl. in-progress sessions: the final
+    # state covers every (user, session) of the batch twin.
+    got = {}
+    for r in spark.table("t_stateful").collect():
+        got[(r.user_id, r.session_id)] = r.n_events
+    want = {
+        (r.user_id, r.session_id): r.n_events
+        for r in events_sessionize(spark, SMOKE_SF).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_one_per_user(spark):
+    stream = read_events_stream(spark, SMOKE_SF)
+    run_to_memory(dedup_users_within_watermark(stream), "t_dedup", "append")
+    rows = spark.table("t_dedup").collect()
+    users = {r.user_id for r in rows}
+    assert len(rows) == len(users) > 0

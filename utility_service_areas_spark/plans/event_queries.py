@@ -1,0 +1,133 @@
+"""SURVEY.md §2.6 — batch twins of the streaming operators, with
+DuckDB oracles. The streaming variants (streaming/events.py) are
+asserted equal to these in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from utility_service_areas_spark.operators.relational import latest_per_group
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "events_tumbling_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY hour, event_type
+    """,
+    doc="Per-hour per-type aggregate; streaming twin: window('1 hour') "
+    "+ watermark (streaming/events.py:tumbling_counts).",
+    tags=("events", "bench"),
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM marked)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min) via lag+cumsum windows; "
+    "streaming twins: session_window and applyInPandasWithState "
+    "(streaming/events.py).",
+    tags=("events", "bench"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+           event_type AS latest_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    doc="Latest event per user; streaming twin: "
+    "dropDuplicatesWithinWatermark (streaming/events.py).",
+    tags=("events",),
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = latest_per_group(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.col("ts").alias("latest_ts"),
+        F.col("event_type").alias("latest_type"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="Typed extraction from a JSON props column (kept regex-based so "
+    "the oracle avoids DuckDB's JSON extension; production would use "
+    "F.from_json with an explicit schema).",
+    tags=("events",),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+        .cast("long")
+        .alias("k_value"),
+    )

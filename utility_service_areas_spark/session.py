@@ -34,6 +34,9 @@ def build_session(app_name: str = "usa-spark", master: str | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as
+        # long ns-since-epoch and sources/tables.py converts to µs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Dim tables (region/nation/supplier/part) stay broadcastable
         # even at 100 TB fact scale; 64 MB is a safe executor budget.
         .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)

@@ -1,0 +1,175 @@
+"""Structured Streaming operators over the events stream
+(SURVEY.md §2.6): windowed aggregation with watermarks, native
+session windows, stateful sessionization via applyInPandasWithState,
+and stream dedup.
+
+Each streaming transform has a batch twin in plans/event_queries.py
+whose DuckDB oracle is the correctness spec; tests run the stream
+with trigger(availableNow=True) and assert stream == batch.
+
+Scale: watermarks bound state; session state is per-user (keyed state
+scales horizontally with the shuffle on user_id); the parquet source
+is a stand-in for Kafka — the transforms are source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ts arrives as long ns-since-epoch (see sources/tables.py:normalize_event_ts)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP_MIN = 30
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (stand-in for Kafka)."""
+    from utility_service_areas_spark.sources.tables import normalize_event_ts
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(os.path.join(sf_dir))
+    )
+    return normalize_event_ts(raw)
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-hour per-type counts/sums with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Native gap-based session windows (F.session_window)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful sessionizer: assigns 1-based per-user session
+    ids on a 30-min gap, carrying (last_ts, session_id, count) state
+    across micro-batches."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    last_ts, sess_id, n_ev = state.get if state.exists else (None, 0, 0)
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts in pdf["ts"]:
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if last_ts is None or ts_us - last_ts > gap_us:
+                if sess_id > 0:
+                    out_rows.append((key[0], sess_id, n_ev))
+                sess_id += 1
+                n_ev = 0
+            n_ev += 1
+            last_ts = ts_us
+    state.update((last_ts, sess_id, n_ev))
+    # Emit the in-progress session too (idempotent downstream upsert).
+    rows = out_rows + ([(key[0], sess_id, n_ev)] if sess_id > 0 else [])
+    yield pd.DataFrame(rows, columns=["user_id", "session_id", "n_events"])
+
+
+def sessionize_stateful(stream: DataFrame) -> DataFrame:
+    """Sessionization as a custom stateful operator
+    (applyInPandasWithState) — the escape hatch for session semantics
+    session_window can't express (e.g. emitting partial sessions)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def dedup_users_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream dedup: one event per user within the watermark horizon
+    (keeps the first-arrived row — streaming semantics; the batch twin
+    events_latest_per_user keeps the latest by timestamp instead)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a stream with availableNow into an in-memory table; used
+    by tests to compare stream results against the batch twin."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
