@@ -14,13 +14,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline queries: one per SURVEY.md §2 family (extended as families land).
+# Headline queries: one+ per SURVEY.md §2 family.
 HEADLINE = [
     "flagship_service_area_report",
     "agg_stats_by_group",
     "top_revenue_orders",
     "latest_update_per_entity",
     "group_combine_collect",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "geo_point_in_polygon",
+    "geo_union_grid_area",
+    "events_sessionize",
 ]
 
 

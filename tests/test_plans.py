@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the scale guarantees SURVEY.md §6 claims
+(pushdown, broadcast, partial agg, TopK, no cartesian products) must
+be visible in the executed plan, not just intended.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import SMOKE_SF
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_filters_are_pushed_to_scan(spark, queries):
+    plan = plan_of(queries["filter_tag_entities"](spark, SMOKE_SF))
+    assert "PushedFilters" in plan
+    assert "GreaterThan(c_acctbal" in plan  # predicate reached parquet
+
+
+def test_scan_prunes_columns(spark, queries):
+    plan = plan_of(queries["earliest_year_per_entity"](spark, SMOKE_SF))
+    # Only the two needed columns are read from the 6-column table.
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>" in plan
+
+
+def test_dim_joins_broadcast(spark, queries):
+    plan = plan_of(queries["enrich_join_dims"](spark, SMOKE_SF), "simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_dims(spark, queries):
+    plan = plan_of(queries["flagship_service_area_report"](spark, SMOKE_SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_is_partial(spark, queries):
+    plan = plan_of(queries["agg_stats_by_group"](spark, SMOKE_SF))
+    # partial (map-side) + final aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_topk_avoids_full_sort(spark, queries):
+    plan = plan_of(queries["top_revenue_orders"](spark, SMOKE_SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_spatial_join_is_broadcast_not_cartesian(spark, queries):
+    plan = plan_of(queries["geo_point_in_polygon"](spark, SMOKE_SF))
+    # Non-equi range prefilter → broadcast nested loop over the tiny
+    # polygon side; never a cartesian product of the point side.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_anywhere(spark, queries):
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SMOKE_SF), "simple")
+        assert "CartesianProduct" not in plan, name

