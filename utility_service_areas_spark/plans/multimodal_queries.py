@@ -1,0 +1,87 @@
+"""SURVEY.md §2.5 — multimodal pipeline queries on the documents
+table (text bytes stand in for media blobs; see operators/multimodal).
+The md5-derived fake decode is exactly mirrorable in SQL, so the
+whole decode→sample pipeline gets a value-level oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from utility_service_areas_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+_META_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS mime,
+           CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS INT) AS width,
+           CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                     ELSE 1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 60000
+                END AS INT) AS duration_ms
+    FROM documents
+"""
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle=f"SELECT doc_id, mime, width, height, duration_ms FROM ({_META_SQL})",
+    doc="Binary media column + Arrow-batched decode to typed metadata "
+    "(decode stubbed deterministically — md5-derived dims — with the "
+    "real UDF plumbing; swap fake_decode_meta for PIL at deploy).",
+    tags=("multimodal",),
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text")
+    decoded = decode_media(media)
+    return decoded.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, unnest(generate_series(0, duration_ms - 1, 5000)) AS frame_ts_ms
+    FROM ({_META_SQL}) WHERE mime LIKE 'video%'
+    """,
+    doc="Video frame sampling as plan logic (sequence+explode on "
+    "metadata; bytes untouched — Catalyst prunes the binary column).",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_media(docs, "doc_id", "text"))
+    return sample_frames(decoded, every_ms=5000)
+
+
+@query(
+    "multimodal_features",
+    oracle=None,  # byte-level feature loop; determinism pytest-verified
+    doc="Feature extraction: media bytes → fixed-dim embedding column "
+    "(mapInPandas; a model inference batch at deploy).",
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text")
+    out = extract_features(media)
+    return out.select(
+        "doc_id",
+        F.round(F.element_at("features", 1) * 1000).cast("long").alias("f0_milli"),
+        F.size("features").cast("long").alias("dim"),
+    )

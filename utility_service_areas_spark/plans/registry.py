@@ -69,6 +69,7 @@ def _load_all() -> None:
         "ann_queries",
         "geo_queries",
         "event_queries",
+        "multimodal_queries",
     ):
         try:
             __import__(f"utility_service_areas_spark.plans.{mod}")
