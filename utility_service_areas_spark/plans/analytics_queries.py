@@ -1,0 +1,178 @@
+"""SURVEY.md §2 extensions — temporal joins and analytic aggregates:
+as-of attribution, range join, rollup with grouping flags, exact
+percentiles, frame-based moving windows, approx-distinct sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from utility_service_areas_spark.operators.temporal import asof_join, range_join
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+PROMO_WINDOWS = [
+    (1, "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+    (2, "2024-01-08 12:00:00", "2024-01-10 00:00:00"),
+    (3, "2024-01-15 00:00:00", "2024-01-16 00:00:00"),
+    (4, "2024-01-20 06:00:00", "2024-01-27 18:00:00"),
+]
+_PROMO_SQL = ", ".join(
+    f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in PROMO_WINDOWS
+)
+
+
+@query(
+    "events_asof_attribution",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS asof_event_id, c.ts AS asof_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (point-in-time attribution: each purchase matched "
+    "to the user's most recent prior click). Union-marker + one window "
+    "pass — one shuffle, no inequality-join explosion.",
+    tags=("temporal", "bench"),
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    )
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], ts_col="ts", right_value_cols=["event_id", "ts"]
+    )
+    return out.select(
+        "purchase_id", "user_id", F.col("asof_event_id"), F.col("asof_ts")
+    )
+
+
+@query(
+    "events_in_promo_windows",
+    oracle=f"""
+    SELECT promo_id, count(*) AS n_events,
+           CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+    FROM events
+    JOIN (VALUES {_PROMO_SQL}) AS w(promo_id, start_ts, end_ts)
+      ON ts >= start_ts AND ts < end_ts
+    GROUP BY promo_id
+    """,
+    doc="Range join (event-in-window): broadcast the dim-sized window "
+    "table, facts stream through unshuffled; one agg shuffle after.",
+    tags=("temporal",),
+)
+def events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wins = spark.createDataFrame(
+        PROMO_WINDOWS, ["promo_id", "start_ts", "end_ts"]
+    ).select(
+        "promo_id",
+        F.col("start_ts").cast("timestamp"),
+        F.col("end_ts").cast("timestamp"),
+    )
+    joined = range_join(ev, wins, "ts")
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+    )
+
+
+@query(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           CAST(round(sum(c.c_acctbal) * 100) AS BIGINT) AS total_bal_cents,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS grp
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Hierarchical rollup (region → nation → grand total) with "
+    "grouping flags; partial-agg friendly single pass.",
+    tags=("analytics",),
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal") * 100).cast("long").alias("total_bal_cents"),
+        F.grouping_id().cast("long").alias("grp"),
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.5) * 100) AS BIGINT) AS p50_cents,
+           CAST(round(quantile_cont(value, 0.95) * 100) AS BIGINT) AS p95_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+    "== DuckDB quantile_cont). For 100 TB use approx_percentile — the "
+    "exact form is the correctness spec.",
+    tags=("analytics",),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") * 100).cast("long").alias("p50_cents"),
+        F.round(F.expr("percentile(value, 0.95)") * 100).cast("long").alias("p95_cents"),
+    )
+
+
+@query(
+    "events_moving_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) * 100)
+                AS BIGINT) AS moving_sum_cents,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_in_window
+    FROM events
+    """,
+    doc="Frame-based moving aggregate per user (6-row sliding sum).",
+    tags=("analytics",),
+)
+def events_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w) * 100).cast("long").alias("moving_sum_cents"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch; accuracy pytest-verified vs exact
+    doc="HyperLogLog approximate distinct users per event type "
+    "(the 100 TB path for COUNT(DISTINCT); exactness traded for "
+    "mergeable fixed-size sketch state).",
+    tags=("analytics",),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )

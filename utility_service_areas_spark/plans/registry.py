@@ -70,6 +70,7 @@ def _load_all() -> None:
         "geo_queries",
         "event_queries",
         "multimodal_queries",
+        "analytics_queries",
     ):
         try:
             __import__(f"utility_service_areas_spark.plans.{mod}")
