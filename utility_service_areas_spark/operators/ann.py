@@ -138,6 +138,69 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every vector
+    to its nearest centroid cell; queries probe only their n_probe
+    nearest cells and rerank exactly inside them.
+
+    Centroids are a deterministic corpus sample (every
+    ``centroid_stride``-th id, capped at n_centroids) — no RNG, so
+    builds are reproducible. At 100 TB the assignment pass is one
+    broadcast scan (n·C JVM dot products), the probe join shuffles on
+    the cell id, and per-cell candidate lists are ~n/C — the classic
+    IVF trade of recall for a C/n_probe-fold scan reduction.
+    """
+    cents = (
+        vectors.filter(F.col(id_col) % centroid_stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+
+    def assign(df: DataFrame, out_id: str, top: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "cent_sim", cosine_micros(F.col(vec_col), F.col("cent_vec"))
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("cent_sim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= top)
+            .select(out_id, vec_col, F.col("cent_id").alias("cell"))
+        )
+
+    c_assigned = assign(
+        vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id", 1
+    ).select("neighbor_id", F.col(vec_col).alias("c_vec"), "cell")
+    q_assigned = assign(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id", n_probe
+    ).select("query_id", F.col(vec_col).alias("q_vec"), "cell")
+
+    scored = (
+        c_assigned.join(q_assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_micros", cosine_micros(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micros").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim_micros")
+    )
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame,
     bucket_col: str,

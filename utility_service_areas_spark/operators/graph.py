@@ -1,0 +1,85 @@
+"""Iterative graph operators: connected components over candidate
+pairs — the endgame of every dedup family (pairs → clusters →
+canonical keeper per cluster).
+
+Implementation is large-star/small-star-style min-label propagation:
+each iteration joins the current labels across the edge list and
+takes the min neighbor label, until a fixpoint. Iterations are
+O(diameter); dedup graphs are near-clique clusters, so 2-4 rounds
+converge. Each round is one shuffle; intermediate frames are
+checkpointed (localCheckpoint) to cut the growing lineage — the
+standard Spark iterative-algorithm discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Edge list → (node, component) where component = min node id of
+    the connected component. Nodes only in no pair are absent (callers
+    union isolated ids if needed).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over (own, neighbors')
+        neigh = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Full dedup resolution: candidate pairs → connected components →
+    every id mapped to its cluster keeper (min id; singletons keep
+    themselves). Returns (id, keeper_id, cluster_size).
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    joined = all_ids.select(F.col(id_col).alias("node")).join(
+        comp, "node", "left"
+    )
+    resolved = joined.select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("comp"), F.col("node")).alias("keeper_id"),
+    )
+    sizes = resolved.groupBy("keeper_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return resolved.join(sizes, "keeper_id").select(id_col, "keeper_id", "cluster_size")

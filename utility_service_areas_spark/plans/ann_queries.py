@@ -74,6 +74,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design; recall vs brute force pytest-verified
+    doc="IVF ANN: deterministic coarse quantizer (16 cells), queries "
+    "probe 4 cells, exact rerank inside — C/n_probe-fold scan "
+    "reduction at 100 TB.",
+    tags=("ann",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, queries_df, k=TOP_K, n_centroids=16, n_probe=4)
+
+
+@query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding, label FROM embeddings)

@@ -128,6 +128,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint (connected components); pytest-verified
+    doc="Dedup resolution end-to-end: MinHash-LSH candidate pairs → "
+    "connected components (iterative min-label propagation, "
+    "localCheckpoint per round) → every doc mapped to its cluster "
+    "keeper — the dedup endgame: a keep/drop decision per row.",
+    tags=("dedup", "graph"),
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, band_size=2).filter(
+        "n_matching_minhashes >= 6"
+    )
+    return dedup_clusters(pairs, docs, "doc_id")
+
+
+@query(
     "dedup_simhash",
     oracle=None,  # bit-vote accumulation is not SQL-expressible; pytest-verified
     doc="SimHash-64 near-dup candidates: Arrow-batched signature UDF, "

@@ -161,6 +161,39 @@ def dedup_users_within_watermark(stream: DataFrame, watermark: str = "1 hour") -
     )
 
 
+def click_purchase_join(stream: DataFrame, horizon_min: int = 60) -> DataFrame:
+    """Stream-stream inner join: purchases matched to any click by the
+    same user within the preceding ``horizon_min`` minutes. Watermarks
+    on both sides bound the join state buffers (the scale requirement
+    for stream-stream joins: state is dropped once an input falls
+    behind its watermark + horizon).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_min} MINUTES")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a stream with availableNow into an in-memory table; used
     by tests to compare stream results against the batch twin."""
