@@ -164,6 +164,37 @@ def events_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_distinct_cust,
+           count(DISTINCT o_orderstatus) AS n_distinct_status,
+           min(o_orderdate) AS min_date,
+           max(o_orderdate) AS max_date,
+           CAST(round(min(o_totalprice) * 100) AS BIGINT) AS min_price_cents,
+           CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_price_cents,
+           count(*) - count(o_orderpriority) AS n_null_priority
+    FROM orders
+    """,
+    doc="Single-pass data-profiling summary (row counts, distincts, "
+    "ranges, null counts) — the ingest-validation stage of a pipeline.",
+    tags=("analytics",),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_distinct_cust"),
+        F.countDistinct("o_orderstatus").alias("n_distinct_status"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.round(F.min("o_totalprice") * 100).cast("long").alias("min_price_cents"),
+        F.round(F.max("o_totalprice") * 100).cast("long").alias("max_price_cents"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("n_null_priority"),
+    )
+
+
+@query(
     "approx_distinct_users",
     oracle=None,  # HLL sketch; accuracy pytest-verified vs exact
     doc="HyperLogLog approximate distinct users per event type "

@@ -96,6 +96,58 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_top_tokens",
+    oracle=rf"""
+    SELECT token, n FROM (
+      SELECT token, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rk
+      FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+      GROUP BY token)
+    WHERE rk <= 50
+    """,
+    doc="Corpus vocabulary: top-50 token frequencies (tokenizer-vocab "
+    "building block). Explode → partial-agg count → TopK.",
+    tags=("text",),
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+        .select("token", "n")
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id
+    FROM documents
+    WHERE substr(md5(text), 1, 4) < '2000'
+    GROUP BY lang
+    """,
+    doc="Deterministic content-hash sampling (~12.5%) with per-stratum "
+    "counts — reproducible eval-set carving with no RNG state; the "
+    "filter is a pure codegen predicate at any scale.",
+    tags=("text",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter(F.substring(F.md5(F.col("text")), 1, 4) < "2000")
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=None,  # rolling-window winnowing is not SQL-expressible; pytest-verified
     doc="Winnowing fingerprints (k=8 char-grams, w=4 windows) per doc; "
