@@ -1,0 +1,54 @@
+"""Sink tests: partitioned layout must yield partition pruning on
+read-back; bucketed tables must skip the join exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from tests.test_plans import plan_of
+from utility_service_areas_spark.sources.sinks import (
+    write_bucketed_table,
+    write_csv,
+    write_partitioned,
+)
+from utility_service_areas_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    orders = load_table(spark, SMOKE_SF, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    filtered = back.filter(F.col("o_orderstatus") == "F")
+    plan = plan_of(filtered)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    assert filtered.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load_table(spark, SMOKE_SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SMOKE_SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", n_buckets=8)
+    joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    plan = plan_of(joined, "simple")
+    # co-bucketed join: no shuffle exchange on either side
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+
+
+def test_csv_export_round_trip(spark, tmp_path):
+    region = load_table(spark, SMOKE_SF, "region")
+    path = str(tmp_path / "region_csv")
+    write_csv(region, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == region.count()
+    assert set(back.columns) == set(region.columns)

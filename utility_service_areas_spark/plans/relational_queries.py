@@ -493,6 +493,105 @@ def sentinel_date_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kml_description_parse",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(desc_field,
+             'Granted to: ([-A-Za-z0-9#., ]+)<br><br>CHRONOLOGY: (.*)', 1)
+               AS granted_name,
+           regexp_extract(desc_field,
+             'Granted to: ([-A-Za-z0-9#., ]+)<br><br>CHRONOLOGY: (.*)', 2)
+               AS chronology_text,
+           CASE WHEN lower(regexp_extract(desc_field,
+                  'Granted to: ([-A-Za-z0-9#., ]+)<br><br>CHRONOLOGY: (.*)', 1))
+                  = lower(c_name) THEN NULL
+                ELSE regexp_extract(desc_field,
+                  'Granted to: ([-A-Za-z0-9#., ]+)<br><br>CHRONOLOGY: (.*)', 1)
+           END AS alt_name
+    FROM (
+      SELECT c_custkey, c_name,
+             concat('Granted to: ', upper(c_name),
+                    '<br><br>CHRONOLOGY: Updated ', c_mktsegment) AS desc_field
+      FROM customer)
+    """,
+    doc="KML <description> field splitting (parity: separate_wider_regex "
+    "R/functions.R:337-349 and alt_name logic R/functions.R:350-352): "
+    "multi-group regex over a synthesized 'Granted to: X<br><br>"
+    "CHRONOLOGY: Y' field, with the case-insensitive name-match → "
+    "alt_name NULL-out. Pure codegen.",
+    tags=("relational",),
+)
+def kml_description_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    desc = F.concat(
+        F.lit("Granted to: "),
+        F.upper(F.col("c_name")),
+        F.lit("<br><br>CHRONOLOGY: Updated "),
+        F.col("c_mktsegment"),
+    )
+    pat = r"Granted to: ([-A-Za-z0-9#., ]+)<br><br>CHRONOLOGY: (.*)"
+    df = cust.select("c_custkey", "c_name", desc.alias("desc_field"))
+    granted = F.regexp_extract("desc_field", pat, 1)
+    chron = F.regexp_extract("desc_field", pat, 2)
+    alt = F.when(F.lower(granted) == F.lower(F.col("c_name")), None).otherwise(granted)
+    return df.select(
+        "c_custkey",
+        granted.alias("granted_name"),
+        chron.alias("chronology_text"),
+        alt.alias("alt_name"),
+    )
+
+
+@query(
+    "geometry_currency_check",
+    oracle=f"""
+    WITH latest_change AS (
+      SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_change
+      FROM orders
+      WHERE o_orderstatus <> 'P'   -- 'P' ~ non-service-area order types
+      GROUP BY o_custkey),
+    kml AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE DATE '1998-01-01' + CAST(c_custkey % 1000 AS INT)
+             END AS kml_date
+      FROM customer)
+    SELECT k.c_custkey,
+           CASE WHEN k.kml_date IS NULL THEN 'unknown'
+                WHEN l.last_change IS NULL THEN 'up_to_date'
+                WHEN k.kml_date >= l.last_change THEN 'up_to_date'
+                ELSE 'outdated' END AS geometry_cert_sync_status
+    FROM kml k LEFT JOIN latest_change l ON k.c_custkey = l.o_custkey
+    """,
+    doc="KML-currency check (parity: kml_has_newest_service_area_updates "
+    "R/functions.R:287-304): is the geometry's update date at/after the "
+    "newest service-area-affecting chronology entry, with excluded "
+    "order types and the missing-date → 'unknown' path.",
+    tags=("relational",),
+)
+def geometry_currency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    latest_change = (
+        orders.filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").cast("date").alias("last_change"))
+    )
+    kml_date = F.when(F.col("c_custkey") % 7 == 0, None).otherwise(
+        F.date_add(F.lit("1998-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int"))
+    )
+    kml = cust.select("c_custkey", kml_date.alias("kml_date"))
+    joined = kml.join(latest_change, kml.c_custkey == latest_change.o_custkey, "left")
+    status = (
+        F.when(F.col("kml_date").isNull(), "unknown")
+        .when(F.col("last_change").isNull(), "up_to_date")
+        .when(F.col("kml_date") >= F.col("last_change"), "up_to_date")
+        .otherwise("outdated")
+    )
+    return joined.select("c_custkey", status.alias("geometry_cert_sync_status"))
+
+
+@query(
     "chronology_enriched",
     oracle="""
     SELECT o_custkey AS certificate, o_orderkey AS docket,
