@@ -29,8 +29,14 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
 
 
 def test_bucketed_join_skips_exchange(spark, tmp_path):
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a managed-table location left by a previous session survives
+        # the in-memory catalog's DROP — clear it or saveAsTable fails
+        loc = f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/{t}"
+        shutil.rmtree(loc, ignore_errors=True)
     orders = load_table(spark, SMOKE_SF, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, SMOKE_SF, "lineitem").select("l_orderkey", "l_quantity")
     write_bucketed_table(orders, "b_orders", "o_orderkey", n_buckets=8)
