@@ -35,6 +35,7 @@ from utility_service_areas_spark.operators.geo import (
     points_in_polygons,
     polygon_overlap_pairs,
     rect_geometry,
+    with_bbox_cols,
 )
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
@@ -303,6 +304,52 @@ def geo_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.size(F.element_at(F.col("geometry"), 1)).cast("long").alias("n_points_fixed"),
         F.round(st_area(F.col("geometry")) * 1000).cast("long").alias("area_milli"),
+    )
+
+
+# Map-viewport bbox (mirrors the reference UI's bounds.contains /
+# getBounds logic, index.qmd:244-265: render markers inside the view,
+# fly to a feature's bounds).
+VIEWPORT = (4.0, 3.0, 22.0, 16.0)  # xmin, ymin, xmax, ymax
+
+
+@query(
+    "geo_viewport_query",
+    oracle=f"""
+    WITH pts AS ({_POINT_SQL}), rects AS ({_RECT_SQL})
+    SELECT 'point' AS kind, c_custkey AS id FROM pts
+    WHERE px >= {VIEWPORT[0]} AND px <= {VIEWPORT[2]}
+      AND py >= {VIEWPORT[1]} AND py <= {VIEWPORT[3]}
+    UNION ALL
+    SELECT 'area' AS kind, n_nationkey AS id FROM rects
+    WHERE x0 <= {VIEWPORT[2]} AND x0 + w >= {VIEWPORT[0]}
+      AND y0 <= {VIEWPORT[3]} AND y0 + h >= {VIEWPORT[1]}
+    """,
+    doc="Viewport query (parity: the map UI's bounds.contains marker "
+    "culling and feature-bounds fly-to, reference index.qmd:239-276): "
+    "points inside the view plus service areas intersecting it. Pure "
+    "codegen bbox predicates — no geometry UDF needed for the render "
+    "path.",
+    tags=("geo",),
+)
+def geo_viewport_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xmin, ymin, xmax, ymax = VIEWPORT
+    pts = _customer_points(spark, sf_dir).filter(
+        (F.col("px") >= xmin)
+        & (F.col("px") <= xmax)
+        & (F.col("py") >= ymin)
+        & (F.col("py") <= ymax)
+    )
+    rects = with_bbox_cols(_nation_rects(spark, sf_dir)).filter(
+        (F.col("xmin") <= xmax)
+        & (F.col("xmax") >= xmin)
+        & (F.col("ymin") <= ymax)
+        & (F.col("ymax") >= ymin)
+    )
+    return pts.select(
+        F.lit("point").alias("kind"), F.col("c_custkey").alias("id")
+    ).unionByName(
+        rects.select(F.lit("area").alias("kind"), F.col("n_nationkey").cast("long").alias("id"))
     )
 
 
