@@ -85,6 +85,25 @@ def test_stateful_sessionizer_matches_batch_counts(spark):
     assert got == want
 
 
+def test_stream_static_enrichment(spark):
+    from utility_service_areas_spark.streaming.events import enrich_with_dim
+
+    stream = read_events_stream(spark, SMOKE_SF)
+    dim = load_table(spark, SMOKE_SF, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = enrich_with_dim(stream, dim, "user_id", "c_custkey").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    run_to_memory(enriched, "t_enriched", "append")
+    rows = spark.table("t_enriched").collect()
+    n_events = load_table(spark, SMOKE_SF, "events").count()
+    assert len(rows) == n_events  # left join: no event dropped
+    # every matched segment agrees with the static dim
+    seg = {r.c_custkey: r.c_mktsegment for r in dim.collect()}
+    assert all(r.c_mktsegment == seg.get(r.user_id) for r in rows)
+
+
 def test_stream_dedup_one_per_user(spark):
     stream = read_events_stream(spark, SMOKE_SF)
     run_to_memory(dedup_users_within_watermark(stream), "t_dedup", "append")

@@ -1,0 +1,66 @@
+"""CLI entry point — the user-facing way to run any engine query:
+
+    python -m utility_service_areas_spark list
+    python -m utility_service_areas_spark run flagship_service_area_report
+    python -m utility_service_areas_spark run agg_stats_by_group --sf-dir /root/testdata/sf0.1
+    python -m utility_service_areas_spark export top_revenue_orders --out /tmp/top.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="utility_service_areas_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list available queries")
+
+    run = sub.add_parser("run", help="run a query and show rows")
+    run.add_argument("query")
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    run.add_argument("--limit", type=int, default=20)
+
+    exp = sub.add_parser("export", help="run a query and write parquet/csv")
+    exp.add_argument("query")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    exp.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    from utility_service_areas_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+
+    if args.cmd == "list":
+        for name, spec in sorted(REGISTRY.items()):
+            kind = "sql-verified" if spec.oracle else "rows-only"
+            print(f"{name:32s} [{kind}] {spec.doc.splitlines()[0] if spec.doc else ''}")
+        return 0
+
+    if args.query not in REGISTRY:
+        print(f"unknown query {args.query!r}; `list` shows all", file=sys.stderr)
+        return 2
+
+    from utility_service_areas_spark.session import build_session
+
+    spark = build_session(f"usa-cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+
+    if args.cmd == "run":
+        df.show(args.limit, truncate=40)
+        print(f"({df.count()} rows total)")
+    else:
+        if args.out.endswith(".csv"):
+            df.write.mode("overwrite").option("header", True).csv(args.out)
+        else:
+            df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

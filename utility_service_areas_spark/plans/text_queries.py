@@ -96,6 +96,37 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_clean",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 .,!?''-]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean_text,
+           length(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 .,!?''-]', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS clean_len
+    FROM documents
+    """,
+    doc="Text normalization (lowercase, strip non-text chars, collapse "
+    "whitespace) — the first stage of every LLM data pipeline; pure "
+    "codegen regexp chain, no UDF.",
+    tags=("text",),
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 .,!?'-]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id", cleaned.alias("clean_text"), F.length(cleaned).cast("long").alias("clean_len")
+    )
+
+
+@query(
     "text_top_tokens",
     oracle=rf"""
     SELECT token, n FROM (

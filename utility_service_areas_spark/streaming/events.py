@@ -161,6 +161,14 @@ def dedup_users_within_watermark(stream: DataFrame, watermark: str = "1 hour") -
     )
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static enrichment join: the static dim side is broadcast
+    to every micro-batch (re-resolved per batch, so slowly-changing
+    dims refresh on re-read). No stream state is kept — the canonical
+    way to attach reference data to a stream."""
+    return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], "left")
+
+
 def click_purchase_join(stream: DataFrame, horizon_min: int = 60) -> DataFrame:
     """Stream-stream inner join: purchases matched to any click by the
     same user within the preceding ``horizon_min`` minutes. Watermarks
