@@ -70,6 +70,23 @@ def test_frame_sampling_counts(media):
     assert len([r for r in rows if r.doc_id == 2]) == expected
 
 
+def test_pdf_source_stub(spark, tmp_path):
+    from utility_service_areas_spark.sources.pdf import (
+        extract_pdf_text_real,
+        pdf_metadata,
+        read_binary_docs,
+    )
+
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1.4 fake body")
+    (tmp_path / "b.pdf").write_bytes(b"not actually a pdf")
+    df = read_binary_docs(spark, str(tmp_path / "*.pdf"))
+    meta = {r.path.split("/")[-1]: r for r in pdf_metadata(df).collect()}
+    assert meta["a.pdf"].is_pdf == "yes" and meta["b.pdf"].is_pdf == "no"
+    assert meta["a.pdf"].n_bytes == 18 and 1 <= meta["a.pdf"].n_pages <= 40
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        extract_pdf_text_real(b"%PDF-")
+
+
 def test_feature_extraction_shape(media):
     feats = extract_features(media)
     rows = feats.collect()

@@ -71,6 +71,7 @@ def _load_all() -> None:
         "event_queries",
         "multimodal_queries",
         "analytics_queries",
+        "tpch_queries",
     ):
         try:
             __import__(f"utility_service_areas_spark.plans.{mod}")
