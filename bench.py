@@ -28,6 +28,8 @@ HEADLINE = [
     "geo_point_in_polygon",
     "geo_union_grid_area",
     "events_sessionize",
+    "events_asof_attribution",
+    "regional_order_volume",
 ]
 
 
