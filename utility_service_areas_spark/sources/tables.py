@@ -26,9 +26,21 @@ TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries must behave identically under ANY caller-built session
+    (the verification driver constructs its own): events.parquet needs
+    the nanos-as-long legacy read, and timestamp semantics must be
+    UTC so collected values match the (naive) DuckDB oracle. Both are
+    runtime-settable SQL confs; setting them here makes every query
+    self-sufficient."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)
