@@ -1,0 +1,134 @@
+"""SURVEY.md §2 extensions — incremental-refresh ETL shapes: MERGE
+(upsert), PIVOT, UNPIVOT. The reference pipeline fully re-downloads
+its inputs each run; at 100 TB refresh must be incremental, so the
+upsert is a first-class operator here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+
+def merge_upsert(
+    snapshot: DataFrame, changes: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """MERGE semantics without a table format: full outer join on the
+    key; changed rows win, unmatched changes insert, unmatched
+    snapshot rows carry forward. One shuffle on the key (or zero if
+    both sides are co-bucketed on it — see sources/sinks.py)."""
+    s = snapshot.select(key, *[F.col(c).alias(f"s_{c}") for c in cols])
+    c = changes.select(key, *[F.col(ch).alias(f"c_{ch}") for ch in cols])
+    joined = s.join(c, key, "full_outer")
+    merged = [
+        F.coalesce(F.col(f"c_{col}"), F.col(f"s_{col}")).alias(col) for col in cols
+    ]
+    return joined.select(key, *merged)
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, concat('UPDATED-', c_name) AS c_name,
+             round(c_acctbal * 1.1, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0),
+    inserts AS (
+      SELECT c_custkey + 1000000 AS c_custkey, concat('NEW-', c_name) AS c_name,
+             c_acctbal
+      FROM customer WHERE c_custkey % 100 = 0),
+    delta AS (SELECT * FROM changes UNION ALL SELECT * FROM inserts)
+    SELECT s.c_custkey AS merge_key,
+           coalesce(d.c_name, s.c_name) AS c_name,
+           CAST(round(coalesce(d.c_acctbal, s.c_acctbal) * 100) AS BIGINT)
+               AS acctbal_cents
+    FROM customer s LEFT JOIN delta d ON s.c_custkey = d.c_custkey
+    UNION ALL
+    SELECT d.c_custkey AS merge_key, d.c_name,
+           CAST(round(d.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM delta d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+    doc="MERGE/upsert: apply a change-batch (updates + inserts derived "
+    "deterministically from the snapshot) via full-outer join — the "
+    "incremental-refresh primitive the reference's full-redownload "
+    "pipeline needs at scale.",
+    tags=("etl",),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"),
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        "c_acctbal",
+    )
+    delta = changes.unionByName(inserts)
+    merged = merge_upsert(
+        cust.select("c_custkey", "c_name", "c_acctbal"),
+        delta,
+        "c_custkey",
+        ["c_name", "c_acctbal"],
+    )
+    return merged.select(
+        F.col("c_custkey").alias("merge_key"),
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+
+
+@query(
+    "pivot_status_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY order_year
+    """,
+    doc="PIVOT: order counts by year x status as wide columns "
+    "(conditional partial aggregation — one shuffle).",
+    tags=("etl",),
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "order_year",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, CAST(value AS BIGINT) AS value FROM (
+      SELECT p_partkey, 'size' AS metric, p_size AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail_cents' AS metric,
+             CAST(round(p_retailprice * 100) AS INT) AS value FROM part)
+    """,
+    doc="UNPIVOT/melt: wide metrics to long form (stack — no shuffle).",
+    tags=("etl",),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("int").alias("size"),
+        F.round(F.col("p_retailprice") * 100).cast("int").alias("retail_cents"),
+    )
+    return p.unpivot(
+        "p_partkey", ["size", "retail_cents"], "metric", "value"
+    ).select("p_partkey", "metric", F.col("value").cast("long").alias("value"))

@@ -72,6 +72,7 @@ def _load_all() -> None:
         "multimodal_queries",
         "analytics_queries",
         "tpch_queries",
+        "etl_queries",
     ):
         try:
             __import__(f"utility_service_areas_spark.plans.{mod}")
