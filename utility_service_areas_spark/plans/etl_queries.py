@@ -84,6 +84,38 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_hot_key_join",
+    oracle="""
+    SELECT s.s_name,
+           count(*) AS n_lines,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS total_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    doc="Skew-mitigated join (SURVEY §6): every supplier key is hot in "
+    "the substrate (tiny key domain), so the fact side is salted and "
+    "the supplier side replicated n_salts times — each hot key spreads "
+    "over 8 reducers instead of pinning one. Result provably equals "
+    "the plain join (the oracle IS the plain join).",
+    tags=("etl", "skew"),
+)
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(
+        li, sup, "s_suppkey", salt_source=F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice") * 100).cast("long").alias("total_cents"),
+    )
+
+
+@query(
     "pivot_status_by_year",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,

@@ -179,6 +179,51 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top_term",
+    oracle=rf"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
+    SELECT doc_id, token AS top_term, tf, df FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rk
+      FROM tf JOIN df ON tf.token = df.token)
+    WHERE rk = 1
+    """,
+    doc="TF-IDF-style most-distinctive term per doc. Ranking is by "
+    "(tf DESC, df ASC, term) — integer-only ordering so the oracle "
+    "can't flip on float log() ULP differences; the float tf·idf "
+    "variant is pytest-covered. Two shuffles (doc-term agg, df agg "
+    "broadcast back).",
+    tags=("text",),
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tf", "df")
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=None,  # rolling-window winnowing is not SQL-expressible; pytest-verified
     doc="Winnowing fingerprints (k=8 char-grams, w=4 windows) per doc; "
