@@ -38,6 +38,19 @@ def cosine_micros(a: Column, b: Column) -> Column:
     )
 
 
+def _paired_sim_micros() -> Column:
+    """Cosine from a pairwise dot and per-row precomputed norms.
+
+    The norms are evaluated once per row BEFORE the join instead of
+    once per pair — 3× less fold work — and are the same expression
+    tree, so the resulting double (and its micros rounding) is
+    bitwise identical to the inline form the SQL oracle mirrors.
+    """
+    return F.round(
+        dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")) * 1_000_000
+    ).cast("long")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -53,14 +66,18 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, rank, sim_micros).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm2_expr(F.col(vec_col)).alias("q_n"),
     )
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm2_expr(F.col(vec_col)).alias("c_n"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_micros", cosine_micros(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim_micros", _paired_sim_micros())
         .select("query_id", "neighbor_id", "sim_micros")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -116,17 +133,19 @@ def lsh_topk(
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm2_expr(F.col(vec_col)).alias("c_n"),
         bucket.alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm2_expr(F.col(vec_col)).alias("q_n"),
         bucket.alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_micros", cosine_micros(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim_micros", _paired_sim_micros())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_micros").desc(), F.col("neighbor_id").asc()
@@ -181,15 +200,25 @@ def ivf_topk(
 
     c_assigned = assign(
         vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id", 1
-    ).select("neighbor_id", F.col(vec_col).alias("c_vec"), "cell")
+    ).select(
+        "neighbor_id",
+        F.col(vec_col).alias("c_vec"),
+        norm2_expr(F.col(vec_col)).alias("c_n"),
+        "cell",
+    )
     q_assigned = assign(
         queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id", n_probe
-    ).select("query_id", F.col(vec_col).alias("q_vec"), "cell")
+    ).select(
+        "query_id",
+        F.col(vec_col).alias("q_vec"),
+        norm2_expr(F.col(vec_col)).alias("q_n"),
+        "cell",
+    )
 
     scored = (
         c_assigned.join(q_assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_micros", cosine_micros(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim_micros", _paired_sim_micros())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_micros").desc(), F.col("neighbor_id").asc()
@@ -214,15 +243,21 @@ def embedding_cosine_pairs(
     Returns (id_a, id_b, sim_micros) for sim ≥ threshold.
     """
     a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(bucket_col).alias("bk")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("q_vec"),
+        norm2_expr(F.col(vec_col)).alias("q_n"),
+        F.col(bucket_col).alias("bk"),
     )
     b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(bucket_col).alias("bk")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("c_vec"),
+        norm2_expr(F.col(vec_col)).alias("c_n"),
+        F.col(bucket_col).alias("bk"),
     )
     return (
         a.join(b, "bk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim_micros", cosine_micros(F.col("va"), F.col("vb")))
+        .withColumn("sim_micros", _paired_sim_micros())
         .filter(F.col("sim_micros") >= threshold_micros)
         .select("id_a", "id_b", "sim_micros")
     )
