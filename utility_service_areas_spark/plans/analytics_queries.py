@@ -57,7 +57,7 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_in_promo_windows",
     oracle=f"""
     SELECT promo_id, count(*) AS n_events,
-           CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events
     JOIN (VALUES {_PROMO_SQL}) AS w(promo_id, start_ts, end_ts)
       ON ts >= start_ts AND ts < end_ts
@@ -79,7 +79,7 @@ def events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(ev, wins, "ts")
     return joined.groupBy("promo_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
     )
 
 
@@ -88,7 +88,7 @@ def events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name, n.n_name,
            count(*) AS n_customers,
-           CAST(round(sum(c.c_acctbal) * 100) AS BIGINT) AS total_bal_cents,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents,
            CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS grp
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -108,7 +108,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal") * 100).cast("long").alias("total_bal_cents"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("total_bal_cents"),
         F.grouping_id().cast("long").alias("grp"),
     )
 
@@ -138,8 +138,9 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_moving_window",
     oracle="""
     SELECT event_id, user_id,
-           CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) * 100)
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS moving_sum_cents,
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_in_window
@@ -158,7 +159,7 @@ def events_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w) * 100).cast("long").alias("moving_sum_cents"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("moving_sum_cents"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
 

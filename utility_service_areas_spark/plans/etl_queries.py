@@ -88,7 +88,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s.s_name,
            count(*) AS n_lines,
-           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS total_cents
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_name
     """,
@@ -111,7 +111,7 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("s_name").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("l_extendedprice") * 100).cast("long").alias("total_cents"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("total_cents"),
     )
 
 

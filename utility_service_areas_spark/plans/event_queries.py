@@ -21,7 +21,7 @@ SESSION_GAP_MIN = 30
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events,
-           CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY hour, event_type
     """,
     doc="Per-hour per-type aggregate; streaming twin: window('1 hour') "
@@ -34,7 +34,7 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
     )
 
 

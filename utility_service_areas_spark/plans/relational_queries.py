@@ -86,7 +86,7 @@ def _latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN year(l.o_orderdate) >= {CURRENT_YEAR} THEN 'up_to_date'
                 ELSE 'outdated' END AS sync_status,
            count(*) AS n_utilities,
-           CAST(round(sum(a.c_acctbal) * 100) AS BIGINT) AS total_acctbal_cents
+           CAST(sum(CAST(round(a.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
     FROM active a
     LEFT JOIN latest l ON a.c_custkey = l.o_custkey
     JOIN nation n ON a.c_nationkey = n.n_nationkey
@@ -115,7 +115,7 @@ def flagship_service_area_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "sync_status")
         .agg(
             F.count(F.lit(1)).alias("n_utilities"),
-            F.round(F.sum("c_acctbal") * 100).cast("long").alias("total_acctbal_cents"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("total_acctbal_cents"),
         )
     )
 
@@ -408,9 +408,9 @@ def concat_order_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats_by_group",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
-           CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
                AS sum_disc_price_cents,
            count(*) AS count_order
     FROM lineitem
@@ -428,11 +428,11 @@ def agg_stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_cents"),
-            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_price_cents"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
-            .cast("long")
-            .alias("sum_disc_price_cents"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("sum_disc_price_cents"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -442,7 +442,7 @@ def agg_stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_orders",
     oracle="""
     SELECT o_orderkey, o_orderdate,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
                AS revenue_cents
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey, o_orderdate
@@ -463,9 +463,9 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
-            .cast("long")
-            .alias("revenue_cents")
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents")
         )
         .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
         .limit(10)

@@ -18,7 +18,7 @@ from utility_service_areas_spark.sources.tables import load_table
     "regional_order_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
                AS revenue_cents,
            count(*) AS n_lineitems
     FROM customer c
@@ -52,9 +52,9 @@ def regional_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
-            .cast("long")
-            .alias("revenue_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -82,10 +82,118 @@ def max_size_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_cents) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             -- per-row cents, summed as integers: order-independent
+             -- (a double sum of ~300 values/group lands on rounding
+             -- boundaries often enough to flip a hash)
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                 AS volume_cents
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_nationkey <> n2.n_nationkey)
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between nations — "
+    "6-way join with the nation dim broadcast twice under different "
+    "aliases.",
+    tags=("tpch",),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("n1_key") != F.col("n2_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents")
+        )
+    )
+
+
+@query(
+    "supplier_count_by_part_type",
+    oracle="""
+    SELECT p.p_type, count(DISTINCT l.l_suppkey) AS n_suppliers,
+           count(*) AS n_lineitems
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+    GROUP BY p.p_type
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier counts per part type with "
+    "a brand exclusion; distinct-agg expands to a two-phase plan.",
+    tags=("tpch",),
+)
+def supplier_count_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "events_value_quartiles",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS BIGINT) AS quartile
+    FROM events
+    """,
+    doc="Window ntile: per-type value quartile assignment "
+    "(deterministic: ordered on (value, event_id)).",
+    tags=("analytics",),
+)
+def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+@query(
     "customers_above_avg_spend",
     oracle="""
     WITH spend AS (
-      SELECT o_custkey, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM orders GROUP BY o_custkey)
     SELECT o_custkey, total_cents FROM spend
     WHERE total_cents > (SELECT avg(total_cents) FROM spend)
@@ -97,7 +205,7 @@ def max_size_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customers_above_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice") * 100).cast("long").alias("total_cents")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents")
     )
     avg_val = spend.agg(F.avg("total_cents").alias("a"))
     return (

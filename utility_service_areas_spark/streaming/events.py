@@ -64,7 +64,9 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+            # per-row cents summed as integers — order-independent,
+            # matching the batch twin exactly (events_tumbling_agg)
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
         )
         .select(
             F.col("w.start").alias("hour"),
