@@ -493,6 +493,34 @@ def sentinel_date_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(rn AS BIGINT) AS recency_rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Top-N per group (N=3 most recent orders per customer) — the "
+    "general window-filter form of latest-per-group; one shuffle.",
+    tags=("relational",),
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("recency_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("recency_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "recency_rank")
+    )
+
+
+@query(
     "kml_description_parse",
     oracle="""
     SELECT c_custkey,
