@@ -92,3 +92,29 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     approx_best = {r.query_id: r.sim_micros for r in approx if r.rank == 1}
     for q, s in approx_best.items():
         assert s <= exact_best[q]
+
+
+def test_df_cap_filters_hot_shingles_before_collect(spark):
+    """Scale guarantee: a stop-word-grade shingle must be dropped
+    BEFORE any collect_list can materialize its quadratic bucket
+    (VERDICT r1 #1). Checked both functionally (hot shingle absent
+    from the exploded frame) and structurally (the anti-join sits
+    below the collect_list aggregate in the optimized plan)."""
+    from utility_service_areas_spark.operators.dedup import shingle_exploded
+
+    hot = "alpha beta gamma"  # same 3-gram in every doc
+    rows = [(i, f"{hot} unique{i} token{i} filler{i}") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    ex = shingle_exploded(df, "doc_id", "text", k=3, df_cap=4)
+    freqs = ex.groupBy("s").count().collect()
+    assert all(r["count"] <= 4 for r in freqs)
+    assert not any(r.s == "alpha beta gamma" for r in freqs)
+
+    plan = ngram_jaccard_pairs(df, "doc_id", "text", df_cap=4)._jdf.queryExecution().executedPlan().toString()
+    i_collect = plan.index("collect_list")
+    i_anti = plan.index("LeftAnti")
+    # top-down plan print: the consumer (collect_list) appears above
+    # the anti-join that protects it.
+    assert i_collect < i_anti
+    assert "CartesianProduct" not in plan

@@ -95,3 +95,23 @@ def test_stream_stream_join_equals_batch(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured (cluster posture), the loop
+    uses reliable checkpoint() instead of localCheckpoint and still
+    converges on a long chain (worst case for label propagation)."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+        )
+        comp = {r.node: r.comp for r in connected_components(pairs).collect()}
+        assert comp == {i: 1 for i in range(1, n + 1)}
+    finally:
+        # restore: no checkpoint dir for the rest of the suite
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+        assert sc.getCheckpointDir() is None

@@ -75,3 +75,17 @@ def test_no_cartesian_anywhere(spark, queries):
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SMOKE_SF), "simple")
         assert "CartesianProduct" not in plan, name
+
+
+def test_quartiles_have_no_partition_sort(spark, queries):
+    # VERDICT r1: ntile() would sort each event_type's entire row set
+    # in one reducer. The cutoff formulation must show a broadcast
+    # join and NO window/sort over the event rows.
+    plan = plan_of(queries["events_value_quartiles"](spark, SMOKE_SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "ntile(4)" not in plan
+    # the only shuffle is the tiny partial-percentile state exchange;
+    # event rows are never range-partitioned/sorted
+    assert "rangepartitioning" not in plan
+    assert "partial_percentile" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

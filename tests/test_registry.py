@@ -1,0 +1,130 @@
+"""Registry integrity: the exact query key set is pinned so a broken
+plan-module import (which now raises instead of being swallowed) or an
+accidentally dropped registration fails the suite loudly — the driver's
+correctness gate must never silently shrink.
+"""
+
+from __future__ import annotations
+
+EXPECTED_KEYS = {
+    # relational
+    "flagship_service_area_report",
+    "filter_tag_entities",
+    "latest_update_per_entity",
+    "earliest_year_per_entity",
+    "dedup_first_per_key",
+    "regex_extract_fields",
+    "two_digit_year_fix",
+    "enrich_join_dims",
+    "anti_join_missing",
+    "patch_override_join",
+    "sync_status_case",
+    "group_combine_collect",
+    "concat_order_text",
+    "agg_stats_by_group",
+    "top_revenue_orders",
+    "sentinel_date_imputation",
+    "top3_orders_per_customer",
+    "kml_description_parse",
+    "geometry_currency_check",
+    "chronology_enriched",
+    # analytics
+    "events_asof_attribution",
+    "events_in_promo_windows",
+    "agg_rollup_region_nation",
+    "value_percentiles",
+    "events_moving_window",
+    "profile_orders",
+    "approx_distinct_users",
+    # tpch
+    "regional_order_volume",
+    "max_size_parts_per_brand",
+    "nation_trade_volume",
+    "supplier_count_by_part_type",
+    "events_value_quartiles",
+    "customers_above_avg_spend",
+    # etl
+    "merge_upsert_customers",
+    "salted_hot_key_join",
+    "pivot_status_by_year",
+    "unpivot_part_metrics",
+    # multimodal
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    # events
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_latest_per_user",
+    "events_json_extract",
+    # text
+    "text_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_clean",
+    "text_top_tokens",
+    "stratified_sample",
+    "text_tfidf_top_term",
+    "doc_fingerprint",
+    # ann
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    # dedup
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    # geo
+    "geo_area_rank",
+    "geo_point_in_polygon",
+    "geo_overlap_pairs",
+    "geo_bbox_centroid",
+    "geo_plss_cells",
+    "geo_union_grid_area",
+    "geo_make_valid",
+    "geo_viewport_query",
+    "geo_combine_multipolygon",
+}
+
+
+def test_registry_key_set_pinned():
+    import __spark_entry__ as e
+
+    got = set(e.queries())
+    missing = EXPECTED_KEYS - got
+    extra = got - EXPECTED_KEYS
+    assert not missing, f"registry lost queries: {sorted(missing)}"
+    assert not extra, (
+        f"new queries {sorted(extra)} — add them to EXPECTED_KEYS so the "
+        "pin stays exact"
+    )
+
+
+def test_load_all_raises_on_broken_module(monkeypatch):
+    """_load_all must NOT swallow import errors (a broken module would
+    silently drop its family from the driver's correctness gate)."""
+    import builtins
+
+    import pytest
+
+    from utility_service_areas_spark.plans import registry
+
+    monkeypatch.setattr(registry, "_LOADED", False)
+    real_import = builtins.__import__
+
+    def boom(name, *a, **kw):
+        if name.endswith("geo_queries"):
+            raise ImportError("synthetic break")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", boom)
+    with pytest.raises(ImportError):
+        registry._load_all()
+    # Restore so later tests see the fully-loaded registry.
+    monkeypatch.setattr(builtins, "__import__", real_import)
+    registry._LOADED = False
+    registry._load_all()
+    assert registry._LOADED

@@ -48,18 +48,28 @@ def shingle_exploded(
     otherwise create a quadratic bucket in every pair-generating
     consumer (same trick as stop-word removal in classic LSH systems).
     """
-    # Small single-file sources arrive as one partition; spread the
-    # shingle computation across the cluster before the heavy
-    # projection. (Large sources are already multi-partition; the
-    # round-robin repartition is a cheap no-op shuffle of raw text.)
-    ex = df.select(F.col(id_col).alias("doc"), F.col(text_col)).repartition(
-        F.col("doc")
-    ).select("doc", F.explode(shingles(tokens(F.col(text_col)), k)).alias("s"))
+    ids = df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    # Small single-file sources arrive as a handful of input partitions,
+    # which would serialize the heavy shingle projection. Hash-repartition
+    # on the (unique) doc id ONLY in that case: on a real cluster the
+    # scan is already wide and an unconditional repartition would be a
+    # full extra shuffle of the raw corpus text on every dedup call.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < max(2, target // 4):
+        ids = ids.repartition(target, F.col("doc"))
+    ex = ids.select("doc", F.explode(shingles(tokens(F.col(text_col)), k)).alias("s"))
     if df_cap is not None:
+        # Count first, then ANTI-join away hot shingles — the filter
+        # runs BEFORE any downstream collect_list can materialize a
+        # quadratic bucket (df == bucket size since shingles are
+        # distinct per doc). The hot set (df > cap) is tiny by
+        # construction — stop-word-grade shingles — so AQE turns this
+        # into a broadcast anti-join: the exploded corpus never
+        # shuffles or sorts for the filter. (A semi-join against the
+        # non-hot set would sort-merge the whole exploded frame.)
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        ex = (
-            ex.join(freq.filter(F.col("df") <= df_cap).select("s"), "s")
-        )
+        hot = freq.filter(F.col("df") > df_cap).select("s")
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
     return ex
 
 
@@ -91,9 +101,11 @@ def ngram_jaccard_pairs(
     """Candidate pairs sharing ≥1 (df-capped) shingle, with exact
     Jaccard over the capped shingle sets; emitted when ≥ threshold.
 
-    Plan shape (one pass over the corpus): explode shingles →
-    groupBy(shingle) to sorted doc-lists (the df-cap filter drops
-    quadratic buckets) → JVM array-combinations for pairs → count per
+    Plan shape (one pass over the corpus): explode shingles → df-cap
+    semi-join drops hot shingles BEFORE any bucket materializes (a
+    stop-word-grade shingle must never reach collect_list — that would
+    build a corpus-sized array in one reducer) → groupBy(shingle) to
+    sorted doc-lists → JVM array-combinations for pairs → count per
     pair. The doc-list frame is cached because both the pair counts
     and the per-doc set sizes derive from it — at cluster scale this
     is the materialize-signatures step of a classic LSH pipeline.
@@ -101,11 +113,10 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard_micros); micros-bigint keeps floats
     out of value hashes.
     """
-    ex = shingle_exploded(df, id_col, text_col, k=k)
+    ex = shingle_exploded(df, id_col, text_col, k=k, df_cap=df_cap)
     lists = (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter(F.size("docs") <= df_cap)
         .cache()
     )
     sizes = (

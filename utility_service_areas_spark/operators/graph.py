@@ -37,6 +37,12 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    # Reliable checkpointing when the caller configured a checkpoint
+    # dir (cluster posture: survives executor loss; localCheckpoint
+    # would recompute the whole lineage on loss). Local/test runs fall
+    # back to localCheckpoint — same lineage cut, no HDFS round-trip.
+    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    prev_fp = None
     for _ in range(max_iter):
         # candidate label for each node: min over (own, neighbors')
         neigh = (
@@ -47,18 +53,26 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+        new_labels = (
+            new_labels.checkpoint(eager=True)
+            if reliable
+            else new_labels.localCheckpoint(eager=True)
         )
+        # Convergence = labels identical to last round. Min-label
+        # propagation is monotone (labels only decrease), so a 64-bit
+        # XOR fingerprint being unchanged means fixpoint (bit_xor is
+        # order-independent and can't overflow under ANSI mode). One
+        # tiny partial-agg scan of the checkpointed frame — no join,
+        # no extra shuffle (the old per-round join+count was a full
+        # driver action with a shuffle at cluster scale).
+        fp = new_labels.agg(
+            F.expr("bit_xor(xxhash64(node, comp))").alias("fp")
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     return labels.select("node", "comp")
 
 

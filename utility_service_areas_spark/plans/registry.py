@@ -55,27 +55,36 @@ def all_oracles() -> dict[str, str]:
 _LOADED = False
 
 
+# Module load order == registry iteration order == the order the
+# verification driver walks queries. Families whose driver rows were
+# missing in round 1 (analytics/tpch/etl/multimodal) load first so a
+# time-budgeted driver pass reaches them; the slow dedup/geo families
+# load last. Every module is first-party and REQUIRED — an import
+# failure must crash loudly, not silently shrink the registry.
+_PLAN_MODULES = (
+    "relational_queries",
+    "analytics_queries",
+    "tpch_queries",
+    "etl_queries",
+    "multimodal_queries",
+    "event_queries",
+    "text_queries",
+    "ann_queries",
+    "dedup_queries",
+    "geo_queries",
+)
+
+
 def _load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    No try/except: a broken plan module would otherwise silently drop
+    its whole query family from queries() AND oracle_sql(), shrinking
+    the correctness gate with no failure signal.
+    """
     global _LOADED
     if _LOADED:
         return
-    # Imports are for their registration side effects.
-    from utility_service_areas_spark.plans import relational_queries  # noqa: F401
-
-    for mod in (
-        "dedup_queries",
-        "text_queries",
-        "ann_queries",
-        "geo_queries",
-        "event_queries",
-        "multimodal_queries",
-        "analytics_queries",
-        "tpch_queries",
-        "etl_queries",
-    ):
-        try:
-            __import__(f"utility_service_areas_spark.plans.{mod}")
-        except ImportError:
-            pass
+    for mod in _PLAN_MODULES:
+        __import__(f"utility_service_areas_spark.plans.{mod}")
     _LOADED = True

@@ -170,22 +170,44 @@ def supplier_count_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_value_quartiles",
     oracle="""
-    SELECT event_id, event_type,
-           CAST(ntile(4) OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) AS BIGINT) AS quartile
-    FROM events
+    WITH cut AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(CASE WHEN e.value <= c.q1 THEN 1
+                     WHEN e.value <= c.q2 THEN 2
+                     WHEN e.value <= c.q3 THEN 3
+                     ELSE 4 END AS BIGINT) AS quartile
+    FROM events e JOIN cut c USING (event_type)
     """,
-    doc="Window ntile: per-type value quartile assignment "
-    "(deterministic: ordered on (value, event_id)).",
+    doc="Per-type value quartile assignment via broadcast percentile "
+    "cutoffs + CASE. Scale posture: the naive ntile() window would "
+    "sort each event_type's ENTIRE row set in one reducer; here the "
+    "heavy agg emits 3 numbers per type (partial-agged), the cutoffs "
+    "broadcast, and rows never shuffle. Spark's exact percentile() "
+    "interpolates identically to DuckDB quantile_cont. At 100 TB, "
+    "swap percentile→approx_percentile (same plan shape; the agg "
+    "state becomes a constant-size sketch).",
     tags=("analytics",),
 )
 def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return ev.select(
-        "event_id", "event_type", F.ntile(4).over(w).cast("long").alias("quartile")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cut = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.50)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    quartile = (
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return ev.join(F.broadcast(cut), "event_type").select(
+        "event_id", "event_type", quartile.cast("long").alias("quartile")
     )
 
 

@@ -26,24 +26,53 @@ TABLES = (
 )
 
 
+# Sessions already configured (keyed by Spark application id) and
+# loaded-DataFrame memo. DataFrames are immutable plans, so handing the
+# same object to every query is safe; memoizing skips the repeated
+# parquet file-listing + footer/schema read that otherwise costs
+# ~50-150 ms per load under a fresh session (the correctness driver
+# walks 70 queries × 2-3 loads each).
+_CONFIGURED_APPS: set[str] = set()
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Queries must behave identically under ANY caller-built session
     (the verification driver constructs its own): events.parquet needs
     the nanos-as-long legacy read, and timestamp semantics must be
     UTC so collected values match the (naive) DuckDB oracle. Both are
     runtime-settable SQL confs; setting them here makes every query
-    self-sufficient."""
+    self-sufficient.
+
+    On a LOCAL master we additionally right-size shuffle parallelism
+    to the core count — Spark's 200-partition default schedules ~6×
+    more tasks than cores for the small scale factors local mode
+    implies. Cluster sessions are left untouched (their shuffle
+    sizing is a deliberate deployment choice)."""
+    app = spark.sparkContext.applicationId
+    if app in _CONFIGURED_APPS:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.sparkContext.master.startswith("local"):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    _CONFIGURED_APPS.add(app)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_event_ts(df)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = normalize_event_ts(df)
+        _TABLE_MEMO[key] = df
     return df
 
 
