@@ -84,6 +84,7 @@ EXPECTED_KEYS = {
     "geo_bbox_centroid",
     "geo_plss_cells",
     "geo_union_grid_area",
+    "geo_union_overlap_area",
     "geo_make_valid",
     "geo_viewport_query",
     "geo_combine_multipolygon",

@@ -140,6 +140,31 @@ def test_read_kml_rows(spark, kml_dir):
     assert polygon_area(by_name[0].geometry) in (12.0, 4.0)
 
 
+def test_html_wrapped_kml_description(spark, tmp_path):
+    """Doyon-style escaped-HTML description (parity
+    R/functions.R:229-246): sliced to the 'Granted to:' span and
+    unescaped; a plain duplicate field keeps the first occurrence."""
+    d = tmp_path / "kml"
+    d.mkdir()
+    html_desc = (
+        "&lt;html xmlns:fo=&quot;x&quot;&gt; &lt;body&gt; &lt;table&gt; "
+        "&lt;tr&gt; &lt;td&gt;"
+        "Granted to: Doyon Utilities &amp;lt;LLC&amp;gt; "
+        "&lt;/td&gt; &lt;/tr&gt; &lt;/table&gt; "
+        "&lt;/td&gt; &lt;/tr&gt; &lt;/table&gt; "
+        "&lt;/td&gt; &lt;/tr&gt; &lt;/table&gt; &lt;/body&gt; &lt;/html&gt;"
+    )
+    # ET unescapes the XML entities once: the description TEXT starts
+    # with "<html" and contains "&lt;"-escaped runs — the reference's
+    # exact input shape.
+    _write_kml(d / "190-servicearea.kml", "Certificate No. 190", html_desc, [_poly(0, 0, 1, 1)])
+    # plain description passes through untouched
+    _write_kml(d / "8-servicearea.kml", "Certificate No. 8", "Granted to: Chugach", [_poly(0, 0, 1, 1)])
+    rows = {r.placemark_name: r.description for r in read_kml(spark, str(d) + "/*.kml").collect()}
+    assert rows["Certificate No. 190"] == "Granted to: Doyon Utilities <LLC>"
+    assert rows["Certificate No. 8"] == "Granted to: Chugach"
+
+
 def test_raw_layer_keeps_everything(spark, kml_dir, certificates):
     raw = build_raw_service_areas(spark, kml_dir + "/*.kml", certificates)
     got = {r.certificate_number: r.n_source_polygons for r in raw.collect()}

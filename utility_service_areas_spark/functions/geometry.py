@@ -196,6 +196,255 @@ def rect_polygon(x0: float, y0: float, w: float, h: float) -> Polygon:
     ]
 
 
+# ------------------------------------------------- boolean ops (overlay)
+#
+# Real polygon clipping (st_union / st_intersection / st_difference,
+# parity: R/functions.R:406 `st_union` of PLSS cells and
+# R/functions.R:431 `st_union(patched_geom, patch_geom)`), for
+# genuinely OVERLAPPING inputs — not just the grid-aligned dissolve.
+#
+# Method: planar overlay by edge fragmentation + side-point
+# classification. Every boundary edge of A is split at every
+# intersection with B's boundary (including collinear overlaps) and
+# vice versa; a fragment lies on the result boundary iff the result
+# region covers exactly one side of it (sampled a hair off the
+# midpoint), oriented so the result interior is on the left; fragments
+# are then chained into rings by a leftmost-turn face walk. Unlike
+# textbook Greiner-Hormann this has no special-cased vertex
+# degeneracies: shared edges, T-touches and corner-touches all fall
+# out of the same membership rule. O(E_a * E_b) per pair — fine,
+# because the Spark operators only ever invoke it on bbox-prefiltered
+# candidate pairs / small per-group geometry sets, never the corpus
+# cross product.
+
+MultiPolygon = list  # list[Polygon]
+
+
+def _overlay_scale(*mps: MultiPolygon) -> float:
+    m = 1.0
+    for mp in mps:
+        for poly in mp:
+            for ring in poly:
+                for pt in ring:
+                    m = max(m, abs(pt[0]), abs(pt[1]))
+    return m
+
+
+def _edges_of(mp: MultiPolygon) -> list:
+    out = []
+    for poly in mp:
+        for ring in poly:
+            for i in range(len(ring) - 1):
+                p = (float(ring[i][0]), float(ring[i][1]))
+                q = (float(ring[i + 1][0]), float(ring[i + 1][1]))
+                if p != q:
+                    out.append((p, q))
+    return out
+
+
+def _seg_param(p, q, r) -> float:
+    """Param of collinear point r along p→q (dominant-axis projection)."""
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    if abs(dx) >= abs(dy):
+        return (r[0] - p[0]) / dx
+    return (r[1] - p[1]) / dy
+
+
+def _edge_splits(e, other_edges, tol: float) -> list:
+    """(t, point) split positions on edge e caused by other_edges."""
+    p, q = e
+    d1x, d1y = q[0] - p[0], q[1] - p[1]
+    len1 = (d1x * d1x + d1y * d1y) ** 0.5
+    exlo, exhi = min(p[0], q[0]) - tol, max(p[0], q[0]) + tol
+    eylo, eyhi = min(p[1], q[1]) - tol, max(p[1], q[1]) + tol
+    out = []
+    for r, s in other_edges:
+        if (
+            max(r[0], s[0]) < exlo
+            or min(r[0], s[0]) > exhi
+            or max(r[1], s[1]) < eylo
+            or min(r[1], s[1]) > eyhi
+        ):
+            continue
+        d2x, d2y = s[0] - r[0], s[1] - r[1]
+        len2 = (d2x * d2x + d2y * d2y) ** 0.5
+        denom = d1x * d2y - d1y * d2x
+        if abs(denom) > 1e-12 * len1 * len2:
+            t = ((r[0] - p[0]) * d2y - (r[1] - p[1]) * d2x) / denom
+            u = ((r[0] - p[0]) * d1y - (r[1] - p[1]) * d1x) / denom
+            if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+                out.append((t, (p[0] + t * d1x, p[1] + t * d1y)))
+        else:
+            # parallel — collinear iff r is on e's support line
+            if abs((r[0] - p[0]) * d1y - (r[1] - p[1]) * d1x) <= tol * len1:
+                for c in (r, s):
+                    t = _seg_param(p, q, c)
+                    if 1e-12 < t < 1 - 1e-12:
+                        out.append((t, c))
+    return out
+
+
+def _fragment(edges, other_edges, tol: float) -> list:
+    """Split each directed edge at its intersections with other_edges."""
+    frags = []
+    for e in edges:
+        p, q = e
+        pts = [(0.0, p), (1.0, q)]
+        pts.extend(_edge_splits(e, other_edges, tol))
+        pts.sort(key=lambda tp: tp[0])
+        prev_t, prev_p = pts[0]
+        for t, pt in pts[1:]:
+            if t - prev_t > 1e-12:
+                frags.append((prev_p, pt))
+                prev_t, prev_p = t, pt
+    return frags
+
+
+def _point_in_multi(x: float, y: float, mp: MultiPolygon) -> bool:
+    return any(point_in_polygon(x, y, poly) for poly in mp)
+
+
+_KEEP = {
+    "union": lambda a, b: a or b,
+    "intersection": lambda a, b: a and b,
+    "difference": lambda a, b: a and not b,
+}
+
+
+def _snap(pt, tol: float):
+    return (round(pt[0] / tol), round(pt[1] / tol))
+
+
+def _turn(din, a, b) -> float:
+    import math
+
+    dout = (b[0] - a[0], b[1] - a[1])
+    return math.atan2(
+        din[0] * dout[1] - din[1] * dout[0], din[0] * dout[0] + din[1] * dout[1]
+    )
+
+
+def _chain_rings(kept: list, tol: float) -> list:
+    """Directed fragments (result interior on left) → closed rings via
+    leftmost-turn face walk. Kept fragments are Eulerian-balanced, so
+    every walk closes."""
+    from collections import defaultdict
+
+    out_map = defaultdict(list)
+    for i, (a, b) in enumerate(kept):
+        out_map[_snap(a, tol)].append(i)
+    used = [False] * len(kept)
+    rings = []
+    for start in range(len(kept)):
+        if used[start]:
+            continue
+        used[start] = True
+        a0, _ = kept[start]
+        start_key = _snap(a0, tol)
+        ring = [[a0[0], a0[1]]]
+        cur = start
+        for _ in range(len(kept) + 1):
+            a, b = kept[cur]
+            ring.append([b[0], b[1]])
+            key = _snap(b, tol)
+            if key == start_key:
+                rings.append(ring)
+                break
+            cands = [j for j in out_map[key] if not used[j]]
+            if not cands:
+                break  # dangling fragment (numerical orphan) — drop
+            din = (b[0] - a[0], b[1] - a[1])
+            nxt = max(cands, key=lambda j: _turn(din, *kept[j]))
+            used[nxt] = True
+            cur = nxt
+    return rings
+
+
+def _rings_to_multipolygon(rings: list, scale: float) -> MultiPolygon:
+    outers, holes = [], []
+    for ring in rings:
+        if len(ring) < 4:
+            continue
+        sa = ring_area_signed(ring)
+        if abs(sa) < 1e-12 * scale * scale:
+            continue
+        (outers if sa > 0 else holes).append(ring)
+    polys = [[o] for o in outers]
+    for h in holes:
+        hx, hy = h[0][0], h[0][1]
+        best, best_area = None, None
+        for i, o in enumerate(outers):
+            if point_in_ring(hx, hy, o):
+                a = abs(ring_area_signed(o))
+                if best is None or a < best_area:
+                    best, best_area = i, a
+        if best is not None:
+            polys[best].append(h)
+    return polys
+
+
+def overlay(ma: MultiPolygon, mb: MultiPolygon, op: str) -> MultiPolygon:
+    """Boolean overlay of two multipolygons: 'union' | 'intersection'
+    | 'difference'. Rings must be closed; outer CCW, holes CW
+    (make_valid normalizes). Returns a MultiPolygon (possibly empty).
+    """
+    keep = _KEEP[op]
+    scale = _overlay_scale(ma, mb)
+    tol = 1e-9 * scale
+    off = 1e-7 * scale
+    ea, eb = _edges_of(ma), _edges_of(mb)
+    kept, seen = [], set()
+    for frags, mine in ((_fragment(ea, eb, tol), True), (_fragment(eb, ea, tol), False)):
+        for a, b in frags:
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            ln = (dx * dx + dy * dy) ** 0.5
+            if ln <= tol:
+                continue
+            mx, my = (a[0] + b[0]) / 2, (a[1] + b[1]) / 2
+            nx, ny = -dy / ln * off, dx / ln * off
+            lpt, rpt = (mx + nx, my + ny), (mx - nx, my - ny)
+            l_in = keep(_point_in_multi(*lpt, ma), _point_in_multi(*lpt, mb))
+            r_in = keep(_point_in_multi(*rpt, ma), _point_in_multi(*rpt, mb))
+            if l_in == r_in:
+                continue  # both sides in (interior edge) or out (exterior)
+            frag = (a, b) if l_in else (b, a)
+            k = (_snap(frag[0], tol), _snap(frag[1], tol))
+            if k in seen:
+                continue  # shared collinear edge contributed by both inputs
+            seen.add(k)
+            kept.append(frag)
+    return _rings_to_multipolygon(_chain_rings(kept, tol), scale)
+
+
+def union_polygons(a: Polygon, b: Polygon) -> MultiPolygon:
+    return overlay([a], [b], "union")
+
+
+def intersection_polygons(a: Polygon, b: Polygon) -> MultiPolygon:
+    return overlay([a], [b], "intersection")
+
+
+def difference_polygons(a: Polygon, b: Polygon) -> MultiPolygon:
+    return overlay([a], [b], "difference")
+
+
+def multipolygon_area(mp: MultiPolygon) -> float:
+    return sum(polygon_area(p) for p in mp)
+
+
+def union_all(polys: list) -> MultiPolygon:
+    """st_union of N polygons: left fold of pairwise overlay. Intended
+    for per-group geometry sets (a certificate's patches) inside
+    applyInPandas — the distributed reduce happens in Spark, this is
+    the per-group combiner."""
+    mp: MultiPolygon = []
+    for p in polys:
+        if p is None or len(p) == 0:
+            continue
+        mp = overlay(mp, [p], "union") if mp else [make_valid(p)]
+    return mp
+
+
 # ------------------------------------------------------------- PLSS
 
 # PLSS cell code, e.g. 'S009N067W05' (reference _targets.R:212-233):
@@ -304,4 +553,46 @@ def st_area_multi(multis: pd.Series) -> pd.Series:
     """Area of a MultiPolygon (array of polygons) — st_combine + st_area."""
     return multis.map(
         lambda mp: sum(polygon_area(p) for p in mp) if mp is not None else None
+    )
+
+
+MULTIPOLYGON_DTYPE = ArrayType(POLYGON_DTYPE)
+
+
+@F.pandas_udf(DoubleType())
+def st_union_area(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Area of the true union of two polygons (overlap counted once) —
+    st_area(st_union(a, b)), parity R/functions.R:406,431."""
+    return pd.Series(
+        [
+            multipolygon_area(overlay([pa], [pb], "union"))
+            if pa is not None and pb is not None
+            else None
+            for pa, pb in zip(a, b)
+        ]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Area of the intersection of two polygons —
+    st_area(st_intersection(a, b))."""
+    return pd.Series(
+        [
+            multipolygon_area(overlay([pa], [pb], "intersection"))
+            if pa is not None and pb is not None
+            else None
+            for pa, pb in zip(a, b)
+        ]
+    )
+
+
+@F.pandas_udf(MULTIPOLYGON_DTYPE)
+def st_union_multi(multis: pd.Series) -> pd.Series:
+    """Dissolve a MultiPolygon: true st_union of its member polygons
+    (overlaps merged, shared boundaries removed). The per-group reduce
+    for combine-then-union plans (R/functions.R:406 `st_union` of PLSS
+    cells; R/functions.R:431 acquisition-merge union)."""
+    return multis.map(
+        lambda mp: union_all([list(p) for p in mp]) if mp is not None else None
     )

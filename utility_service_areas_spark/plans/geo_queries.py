@@ -27,8 +27,10 @@ from utility_service_areas_spark.functions.geometry import (
     st_area_multi,
     st_bbox,
     st_centroid,
+    st_intersection_area,
     st_make_valid,
     st_plss_cell,
+    st_union_area,
 )
 from utility_service_areas_spark.operators.geo import (
     grid_union_area,
@@ -379,4 +381,60 @@ def geo_combine_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st_area_multi(F.col("multipolygon")) * 1000)
         .cast("long")
         .alias("total_area_milli"),
+    )
+
+
+@query(
+    "geo_union_overlap_area",
+    oracle=f"""
+    SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+           CAST(round((a.w * a.h + b.w * b.h
+                       - greatest(0, least(a.x0 + a.w, b.x0 + b.w)
+                                     - greatest(a.x0, b.x0))
+                         * greatest(0, least(a.y0 + a.h, b.y0 + b.h)
+                                       - greatest(a.y0, b.y0))) * 1000)
+                AS BIGINT) AS union_area_milli,
+           CAST(round(greatest(0, least(a.x0 + a.w, b.x0 + b.w)
+                                  - greatest(a.x0, b.x0))
+                      * greatest(0, least(a.y0 + a.h, b.y0 + b.h)
+                                    - greatest(a.y0, b.y0)) * 1000)
+                AS BIGINT) AS overlap_area_milli
+    FROM ({_RECT_SQL}) a JOIN ({_RECT_SQL}) b
+      ON a.n_nationkey < b.n_nationkey
+     AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+     AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h
+    """,
+    doc="True polygon union/intersection areas for overlapping pairs "
+    "(README Q1 'how MUCH do service areas overlap'; parity "
+    "R/functions.R:406,431 st_union): planar overlay by edge "
+    "fragmentation + side classification (functions/geometry.py "
+    "overlay()), verified against closed-form rectangle clipping. "
+    "Scale posture: JVM bbox join prunes to candidate pairs before "
+    "the Arrow-batched overlay UDF ever runs — the corpus cross "
+    "product never materializes.",
+    tags=("geo",),
+)
+def geo_union_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _nation_rects(spark, sf_dir).select(
+        "n_nationkey", "x0", "y0", "w", "h", "geometry"
+    )
+    a = rects.alias("a")
+    b = rects.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        & (F.col("a.x0") <= F.col("b.x0") + F.col("b.w"))
+        & (F.col("b.x0") <= F.col("a.x0") + F.col("a.w"))
+        & (F.col("a.y0") <= F.col("b.y0") + F.col("b.h"))
+        & (F.col("b.y0") <= F.col("a.y0") + F.col("a.h")),
+    )
+    return pairs.select(
+        F.col("a.n_nationkey").alias("id_a"),
+        F.col("b.n_nationkey").alias("id_b"),
+        F.round(st_union_area(F.col("a.geometry"), F.col("b.geometry")) * 1000)
+        .cast("long")
+        .alias("union_area_milli"),
+        F.round(st_intersection_area(F.col("a.geometry"), F.col("b.geometry")) * 1000)
+        .cast("long")
+        .alias("overlap_area_milli"),
     )

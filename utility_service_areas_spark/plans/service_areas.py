@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from utility_service_areas_spark.functions.geometry import st_make_valid
+from utility_service_areas_spark.functions.geometry import st_make_valid, st_union_multi
 from utility_service_areas_spark.operators.relational import (
     filter_active_utilities,
     latest_per_group,
@@ -133,11 +133,19 @@ def build_service_areas(
     operator_ids: list[int],
     inactive_ids: list[int],
     merge_patches: list[tuple[int, int]],
+    assume_disjoint: bool = True,
 ) -> DataFrame:
     """Cleaned + patched layer (R/functions.R:420-562): filter to
     active utilities, combine KML geometry per certificate, apply
     acquisition merges (cert1 absorbs cert2's geometry), attach
     chronology metadata and the 3-state sync status.
+
+    ``assume_disjoint=True`` (the reference's real data) keeps the
+    acquisition merge as a MultiPolygon concat — union == combine when
+    service areas don't overlap. ``False`` runs a true ``st_union``
+    dissolve (R/functions.R:431 ``st_union(patched_geom, patch_geom)``)
+    over each merged certificate's polygons, so overlapping
+    acquisitions don't double-count area.
     """
     certs = filter_active_utilities(
         tag_entities(certificates, "certificate_number", operator_ids),
@@ -173,6 +181,17 @@ def build_service_areas(
         )
         absorbed = [c2 for _, c2 in merge_patches]
         combined = combined.filter(~F.col("certificate_number").isin(absorbed))
+        if not assume_disjoint:
+            # True dissolve of the merged MultiPolygon — only the
+            # certificates that actually absorbed another one pay the
+            # overlay cost; untouched rows keep their geometry as-is.
+            combined = combined.withColumn(
+                "geometry",
+                F.when(
+                    F.col("certificate_number").isin([c1 for c1, _ in merge_patches]),
+                    st_union_multi(F.col("geometry")),
+                ).otherwise(F.col("geometry")),
+            )
 
     meta = certificate_metadata(certs, enrich_chronology(chronology))
     joined = combined.join(F.broadcast(meta), "certificate_number", "inner")

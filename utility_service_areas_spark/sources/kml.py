@@ -76,10 +76,36 @@ def _polygons_of(elem) -> list[list[list[list[float]]]]:
     return polys
 
 
+# A handful of real KMLs (Doyon Electric) wrap the description in an
+# escaped-HTML blob; the reference slices out the "Granted to: ..."
+# span and unescapes it (read_kml_description, R/functions.R:229-246).
+_HTML_DESC_END = "</td> </tr> </table> </td> </tr> </table>"
+
+
+def normalize_kml_description(desc: str | None) -> str | None:
+    """HTML-wrapped description → the plain 'Granted to: ...' text
+    (parity R/functions.R:232-244): detect the `<html` prefix, slice
+    from "Granted to:" up to the table-close marker, unescape
+    `&lt;`/`&gt;`. Plain descriptions pass through verbatim; a wrapped
+    blob missing the start marker returns None (the reference's
+    safe_read_kml_description → NA path)."""
+    if desc is None or not desc.startswith("<html"):
+        return desc
+    start = desc.find("Granted to:")
+    if start < 0:
+        return None
+    end = desc.find(_HTML_DESC_END, start)
+    sliced = desc[start:end] if end >= 0 else desc[start:]
+    return sliced.replace("&lt;", "<").replace("&gt;", ">").strip()
+
+
 def parse_kml_bytes(path: str, blob: bytes) -> list[dict]:
     """One row per Placemark polygon (a MultiGeometry placemark yields
     several rows; downstream group-by-key + st_combine collapses them,
-    mirroring the reference's bind_rows + group_by flow)."""
+    mirroring the reference's bind_rows + group_by flow). Duplicated
+    description fields keep the FIRST one (R/functions.R:231: Doyon
+    KMLs carry a plain + an HTML duplicate; st_read[1,] takes the
+    first)."""
     rows = []
     try:
         root = ET.fromstring(blob)
@@ -90,10 +116,10 @@ def parse_kml_bytes(path: str, blob: bytes) -> list[dict]:
             continue
         name = desc = None
         for child in pm:
-            if _local(child.tag) == "name":
+            if _local(child.tag) == "name" and name is None:
                 name = (child.text or "").strip()
-            elif _local(child.tag) == "description":
-                desc = (child.text or "").strip()
+            elif _local(child.tag) == "description" and desc is None:
+                desc = normalize_kml_description((child.text or "").strip())
         for poly in _polygons_of(pm):
             rows.append(
                 {
