@@ -34,6 +34,25 @@ def test_asof_inclusive_and_unmatched(spark):
     assert got == {"t1": 100.0, "t2": 105.0, "t3": None, "t4": None}
 
 
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Two right rows with identical (key, ts): the pick must be stable
+    run-to-run (window ordering is a total order via the value-hash
+    tiebreak), not whichever partition happened to sort last."""
+    d = dt.datetime
+    quotes = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 10), 100.0), (1, d(2024, 1, 1, 10), 105.0)],
+        ["sym", "ts", "px"],
+    )
+    trades = spark.createDataFrame([(1, d(2024, 1, 1, 11), "t1")], ["sym", "ts", "tid"])
+    picks = set()
+    for _ in range(3):
+        out = asof_join(
+            trades.repartition(4), quotes.repartition(3), ["sym"], "ts", ["px"]
+        )
+        picks.add(out.collect()[0].asof_px)
+    assert len(picks) == 1  # same winner every run, any partitioning
+
+
 def test_range_join_half_open(spark):
     d = dt.datetime
     ev = spark.createDataFrame(

@@ -50,10 +50,15 @@ def asof_join(
     )
     r2 = r2.withColumn("__lrow", F.lit(None).cast(l2.schema["__lrow"].dataType))
     unioned = l2.unionByName(r2)
-    # right rows sort before left rows at equal ts → inclusive match
+    # Right rows sort before left rows at equal ts → inclusive match.
+    # __tie makes the window ordering a TOTAL order even when two right
+    # rows share (key, ts): the winner is then the row with the largest
+    # value-hash — arbitrary but deterministic run-to-run (and
+    # partitioning-independent, unlike monotonically_increasing_id).
+    tie = F.when(F.col("__src") == 0, F.xxhash64(F.col("__rval"))).otherwise(F.lit(0))
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__src")
+        .orderBy("__ts", "__src", tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumn("__asof", F.last("__rval", ignorenulls=True).over(w))
