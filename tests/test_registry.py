@@ -36,6 +36,8 @@ EXPECTED_KEYS = {
     "events_moving_window",
     "profile_orders",
     "approx_distinct_users",
+    "supplier_balance_rank_dist",
+    "user_first_last_event",
     # tpch
     "regional_order_volume",
     "max_size_parts_per_brand",
@@ -43,6 +45,12 @@ EXPECTED_KEYS = {
     "supplier_count_by_part_type",
     "events_value_quartiles",
     "customers_above_avg_spend",
+    "orders_with_late_items",
+    "customer_order_distribution",
+    "dormant_high_balance_customers",
+    "order_status_priority_cube",
+    "supplier_ship_gap_stats",
+    "customer_retention_setops",
     # etl
     "merge_upsert_customers",
     "salted_hot_key_join",
@@ -66,11 +74,14 @@ EXPECTED_KEYS = {
     "stratified_sample",
     "text_tfidf_top_term",
     "doc_fingerprint",
+    "docs_training_filter",
+    "token_count_histogram",
     # ann
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "embedding_centroid_by_label",
     # dedup
     "dedup_exact_docs",
     "dedup_ngram_jaccard",

@@ -208,3 +208,63 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
+
+
+@query(
+    "supplier_balance_rank_dist",
+    oracle="""
+    SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micros,
+           CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micros
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    doc="Rank-distribution windows (percent_rank + cume_dist) per "
+    "nation. The ORDER BY includes the unique suppkey so ranks are a "
+    "total order (Spark and DuckDB agree on ties); partitioning by "
+    "nation bounds each sort — no global single-reducer window. The "
+    "rank ratios divide identical integers, so the micros rounding is "
+    "bitwise-stable across engines.",
+    tags=("analytics",),
+)
+def supplier_balance_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.round(F.percent_rank().over(w) * 1_000_000).cast("long").alias("pr_micros"),
+        F.round(F.cume_dist().over(w) * 1_000_000).cast("long").alias("cd_micros"),
+    )
+
+
+@query(
+    "user_first_last_event",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value with an explicit unbounded frame "
+    "(entry/exit event per user journey). Total order via (ts, "
+    "event_id); one shuffle on user_id serves all three windows.",
+    tags=("analytics",),
+)
+def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("user_id")
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.count(F.lit(1)).over(wc).alias("n_events"),
+    ).distinct()

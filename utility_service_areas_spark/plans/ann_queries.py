@@ -105,3 +105,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, bucket_col="label", threshold_micros=400_000)
+
+
+@query(
+    "embedding_centroid_by_label",
+    oracle="""
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_micros,
+           count(*) AS n_vecs
+    FROM embeddings,
+         generate_series(1, 64) AS t(i)  -- substrate dim (DuckDB needs a constant)
+    WHERE i <= len(embedding)
+    GROUP BY label, i
+    """,
+    doc="Per-label embedding centroid numerators in long form "
+    "(label, dim, sum, count) — the distributed half of a k-means / "
+    "class-prototype step. posexplode → partial-agged sum per "
+    "(label, dim): the shuffle moves one row per dimension per "
+    "partition, not per vector, and per-dim micros-bigint sums are "
+    "order-independent (exact integer addition on both engines). "
+    "Downstream divides sum/count to get the centroid.",
+    tags=("ann",),
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.col("label"), F.posexplode("embedding").alias("dim", "x")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("x").cast("double") * 1_000_000).cast("long")).alias(
+            "sum_micros"
+        ),
+        F.count(F.lit(1)).alias("n_vecs"),
+    ).select(
+        F.col("label"), F.col("dim").cast("long").alias("dim"), "sum_micros", "n_vecs"
+    )

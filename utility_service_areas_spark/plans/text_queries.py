@@ -234,3 +234,77 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = fingerprint_docs(docs, "doc_id", "text")
     return out.select("doc_id", "n_fingerprints", "min_fingerprint")
+
+
+@query(
+    "docs_training_filter",
+    oracle=rf"""
+    SELECT doc_id, n_ws_tokens, quality_micros FROM (
+      SELECT doc_id,
+             len({_TOKS}) AS n_ws_tokens,
+             CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL})))
+                       AS BIGINT) * 1.0 / greatest(len({_TOKS}), 1) >= 0.08
+                  THEN 'en' ELSE 'other' END AS lang_guess,
+             CAST(round((0.4 * (alpha / chars)
+                       + 0.3 * least(1.0, n_tok / 100.0)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000)
+                  AS BIGINT) AS quality_micros
+      FROM (
+        SELECT doc_id, text,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   AS alpha,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS chars,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+        FROM documents))
+    WHERE lang_guess = 'en' AND quality_micros >= 500000
+      AND n_ws_tokens BETWEEN 5 AND 5000
+    """,
+    doc="The canonical LLM training-data cleaning stage: language "
+    "filter AND quality threshold AND length band in ONE pass — all "
+    "codegen expressions over a single scan, no UDF, no shuffle. At "
+    "100 TB this is a map-only job whose predicates fuse into the "
+    "parquet scan.",
+    tags=("text",),
+)
+def docs_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws, _ = token_counts(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        lang_guess(F.col("text")).alias("lang_guess"),
+        quality_score_micros(F.col("text")).alias("quality_micros"),
+    )
+    return scored.filter(
+        (F.col("lang_guess") == "en")
+        & (F.col("quality_micros") >= 500000)
+        & F.col("n_ws_tokens").between(5, 5000)
+    ).select("doc_id", "n_ws_tokens", "quality_micros")
+
+
+@query(
+    "token_count_histogram",
+    oracle=rf"""
+    SELECT CAST(floor(len({_TOKS}) / 10) * 10 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY bucket
+    """,
+    doc="Token-length histogram (10-token buckets) over the corpus — "
+    "the length-distribution profile that drives training-data length "
+    "bands. One partial-agged shuffle on a tiny key space.",
+    tags=("text",),
+)
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws, _ = token_counts(F.col("text"))
+    return (
+        docs.select((F.floor(ws / 10) * 10).cast("long").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -235,3 +235,217 @@ def customers_above_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_cents") > F.col("a"))
         .select("o_custkey", "total_cents")
     )
+
+
+@query(
+    "orders_with_late_items",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (EXISTS decorrelated to a LEFT SEMI join): "
+    "orders with a lineitem shipped >60 days after order date, counted "
+    "per priority. One shuffle join on orderkey, then a tiny partial "
+    "agg — the semi join never duplicates order rows however many "
+    "lineitems match.",
+    tags=("tpch",),
+)
+def orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS n_customers
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: order-count-per-customer distribution via a "
+    "filtered LEFT OUTER join (customers with zero matches must "
+    "survive with count 0) + two-level aggregation. Both aggs are "
+    "partial; the second one's key space is tiny (distinct counts).",
+    tags=("tpch",),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "dormant_high_balance_customers",
+    oracle="""
+    WITH bal AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer)
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM bal b
+    WHERE bal_cents > (SELECT avg(bal_cents) FROM bal WHERE bal_cents > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "RECENT orders (scalar-agg subquery + NOT EXISTS anti join), "
+    "counted per segment. The threshold is averaged over exact "
+    "cents-bigints so Spark and DuckDB agree bitwise; the date filter "
+    "is pushed to the orders scan before the anti join shuffles.",
+    tags=("tpch",),
+)
+def dormant_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("bal_cents") > 0).agg(F.avg("bal_cents").alias("a"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("bal_cents") > F.col("a"))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("bal_cents").alias("total_bal_cents"),
+    )
+
+
+@query(
+    "order_status_priority_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping-set aggregation (all 4 rollup combinations in "
+    "one pass) with GROUPING flags distinguishing 'ALL' from a real "
+    "value. Single expand+partial-agg plan — no rescan per grouping "
+    "set.",
+    tags=("tpch",),
+)
+def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+@query(
+    "supplier_ship_gap_stats",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_suppkey, l_shipdate FROM lineitem),
+    g AS (
+      SELECT l_suppkey,
+             date_diff('day',
+                       lag(l_shipdate) OVER (PARTITION BY l_suppkey
+                                             ORDER BY l_shipdate),
+                       l_shipdate) AS gap
+      FROM d)
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(max(gap) AS BIGINT) AS max_gap_days,
+           CAST(sum(gap) AS BIGINT) AS span_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY l_suppkey
+    """,
+    doc="LAG window shape: per-supplier gaps between consecutive "
+    "distinct ship dates. The DISTINCT collapse runs before the window "
+    "(deterministic total order per partition: dates are unique after "
+    "it), so the sort handles one row per (supplier, day) — bounded by "
+    "the calendar, not the fact table, at 100 TB.",
+    tags=("tpch",),
+)
+def supplier_ship_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_suppkey", "l_shipdate").distinct()
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate")
+    g = d.withColumn(
+        "gap", F.datediff(F.col("l_shipdate"), F.lag("l_shipdate").over(w))
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+        F.sum("gap").cast("long").alias("span_days"),
+    )
+
+
+@query(
+    "customer_retention_setops",
+    oracle="""
+    SELECT 'retained' AS segment, o_custkey FROM
+      (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    UNION ALL
+    SELECT 'churned' AS segment, o_custkey FROM
+      (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    """,
+    doc="Set-operator breadth (INTERSECT / EXCEPT, both DISTINCT "
+    "semantics): 1995 customers split into retained-in-1997 vs "
+    "churned. Spark plans both as aggregated joins on the dedup key — "
+    "partial-agg shuffles, no row explosion.",
+    tags=("tpch",),
+)
+def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    retained = y95.intersect(y97).select(
+        F.lit("retained").alias("segment"), "o_custkey"
+    )
+    churned = y95.subtract(y97).select(F.lit("churned").alias("segment"), "o_custkey")
+    return retained.unionByName(churned)
