@@ -76,6 +76,7 @@ EXPECTED_KEYS = {
     "doc_fingerprint",
     "docs_training_filter",
     "token_count_histogram",
+    "corpus_clean_sample",
     # ann
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -308,3 +308,71 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "corpus_clean_sample",
+    oracle=rf"""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+    scored AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_ws_tokens,
+             CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL})))
+                       AS BIGINT) * 1.0 / greatest(len({_TOKS}), 1) >= 0.08
+                  THEN 'en' ELSE 'other' END AS lang_guess,
+             CAST(round((0.4 * (alpha / chars)
+                       + 0.3 * least(1.0, n_tok / 100.0)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000)
+                  AS BIGINT) AS quality_micros,
+             substr(md5(text), 1, 4) AS h4
+      FROM (
+        SELECT doc_id, text,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   AS alpha,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS chars,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM keepers)))
+    SELECT doc_id, n_ws_tokens, quality_micros
+    FROM scored
+    WHERE lang_guess = 'en' AND quality_micros >= 400000
+      AND n_ws_tokens BETWEEN 5 AND 5000
+      AND h4 < '8000'
+    """,
+    doc="End-to-end corpus cleaning pipeline in ONE plan — the "
+    "composition a training-data run actually executes: exact dedup "
+    "(keep min doc_id per normalized-text hash) → language/quality/"
+    "length filter → deterministic ~50% content-hash sample. One "
+    "shuffle total (the dedup groupBy); every other stage is a fused "
+    "codegen predicate over the surviving rows. At 100 TB the dedup "
+    "agg is the only network cost and the sample needs no RNG state.",
+    tags=("text", "dedup"),
+)
+def corpus_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy(F.md5(normalized_text(F.col("text"))).alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ws, _ = token_counts(F.col("text"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    scored = kept.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        lang_guess(F.col("text")).alias("lang_guess"),
+        quality_score_micros(F.col("text")).alias("quality_micros"),
+        F.substring(F.md5(F.col("text")), 1, 4).alias("h4"),
+    )
+    return scored.filter(
+        (F.col("lang_guess") == "en")
+        & (F.col("quality_micros") >= 400000)
+        & F.col("n_ws_tokens").between(5, 5000)
+        & (F.col("h4") < "8000")
+    ).select("doc_id", "n_ws_tokens", "quality_micros")
