@@ -89,3 +89,44 @@ def test_quartiles_have_no_partition_sort(spark, queries):
     assert "rangepartitioning" not in plan
     assert "partial_percentile" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark, queries):
+    """Python must only ever appear Arrow-batched (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) — a BatchEvalPython node is
+    a row-at-a-time UDF, the 10-100x-slower path SURVEY §6 bans."""
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SMOKE_SF), "simple")
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_semi_join_for_exists(spark, queries):
+    plan = plan_of(queries["orders_with_late_items"](spark, SMOKE_SF), "simple")
+    assert "LeftSemi" in plan  # EXISTS decorrelates, never duplicates rows
+
+
+def test_dormant_customers_anti_join_and_pushdown(spark, queries):
+    plan = plan_of(queries["dormant_high_balance_customers"](spark, SMOKE_SF))
+    assert "LeftAnti" in plan
+    # recent-order date filter reaches the orders parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_cube_is_single_expand_pass(spark, queries):
+    plan = plan_of(queries["order_status_priority_cube"](spark, SMOKE_SF), "simple")
+    assert "Expand" in plan  # grouping sets expand once
+    assert plan.count("Scan parquet") == 1  # no rescan per grouping set
+
+
+def test_corpus_pipeline_single_shuffle_semi_join(spark, queries):
+    plan = plan_of(queries["corpus_clean_sample"](spark, SMOKE_SF), "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlay_pairs_broadcast_prefilter(spark, queries):
+    plan = plan_of(queries["geo_union_overlap_area"](spark, SMOKE_SF), "simple")
+    # bbox inequality join broadcasts the tiny polygon side; the
+    # Arrow overlay UDF only ever sees candidate pairs
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
