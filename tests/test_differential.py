@@ -59,3 +59,112 @@ def test_dedup_first_matches_pandas(spark, rows):
         for k, g in pdf.groupby("k")
     }
     assert got == want
+
+
+asof_strategy = st.tuples(
+    # left: (key, ts) rows
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=25),
+    # right: (key, ts) pairs made unique per key below, with a value
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 99)),
+             min_size=1, max_size=25),
+)
+
+
+@given(data=asof_strategy)
+@settings(max_examples=8, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    from utility_service_areas_spark.operators.temporal import asof_join
+
+    left_rows, right_raw = data
+    # unique (key, ts) on the right: the operator's documented
+    # determinism precondition (and merge_asof's too)
+    seen = set()
+    right_rows = []
+    for k, ts, v in right_raw:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right_rows.append((k, ts, v))
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left_rows)], ["k", "ts", "lid"]
+    )
+    right = spark.createDataFrame(right_rows, ["k", "ts", "val"])
+    got = {
+        r.lid: r.asof_val
+        for r in asof_join(left, right, ["k"], "ts", ["val"]).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left_rows)], columns=["k", "ts", "lid"]
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "val"]).sort_values(
+        "ts", kind="stable"
+    )
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        int(r.lid): (None if pd.isna(r.val) else int(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=5, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    from utility_service_areas_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+rect_strategy = st.tuples(
+    st.integers(0, 12), st.integers(0, 12), st.integers(1, 6), st.integers(1, 6)
+)
+
+
+@given(ra=rect_strategy, rb=rect_strategy, rc=rect_strategy)
+@settings(max_examples=40, deadline=None)
+def test_union_all_matches_inclusion_exclusion(ra, rb, rc):
+    """union_all over rect TRIPLES vs closed-form inclusion-exclusion —
+    exercises the pairwise-overlay fold beyond what pair identities
+    can (nested overlaps, triple intersections, chained adjacency)."""
+    from utility_service_areas_spark.functions.geometry import (
+        multipolygon_area,
+        rect_polygon,
+        union_all,
+    )
+
+    def inter(*rs):
+        x0 = max(r[0] for r in rs)
+        y0 = max(r[1] for r in rs)
+        x1 = min(r[0] + r[2] for r in rs)
+        y1 = min(r[1] + r[3] for r in rs)
+        return max(0, x1 - x0) * max(0, y1 - y0)
+
+    want = (
+        sum(r[2] * r[3] for r in (ra, rb, rc))
+        - inter(ra, rb) - inter(ra, rc) - inter(rb, rc)
+        + inter(ra, rb, rc)
+    )
+    got = multipolygon_area(union_all([rect_polygon(*r) for r in (ra, rb, rc)]))
+    assert abs(got - want) <= 1e-6
