@@ -118,3 +118,14 @@ def test_df_cap_filters_hot_shingles_before_collect(spark):
     # the anti-join that protects it.
     assert i_collect < i_anti
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_batch_matches_reference_kernel():
+    from utility_service_areas_spark.functions.hashing import (
+        simhash_batch,
+        simhash64_py,
+    )
+
+    texts = ["the quick brown fox", "", "a", "The QUICK brown fox jumps",
+             "lorem ipsum dolor sit " * 10, "x y z w " * 50]
+    assert list(simhash_batch(texts)) == [simhash64_py(t) for t in texts]

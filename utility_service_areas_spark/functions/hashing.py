@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
@@ -21,7 +22,9 @@ def _token_hash64(token: str) -> int:
 
 
 def simhash64_py(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (signed int64 for Spark)."""
+    """64-bit SimHash over whitespace tokens (signed int64 for Spark).
+    Reference kernel — the batch UDF below is the vectorized
+    equivalent (pinned equal by tests/test_dedup.py)."""
     votes = [0] * 64
     for tok in text.lower().split():
         h = _token_hash64(tok)
@@ -35,20 +38,63 @@ def simhash64_py(text: str) -> int:
     return sig - (1 << 64) if sig >= (1 << 63) else sig
 
 
+def _token_bits(token: str, cache: dict) -> np.ndarray:
+    """(64,) uint8 array, index b == (hash >> b) & 1 — md5 cached per
+    batch: real corpora reuse a small vocabulary, so the hash cost
+    amortizes across every repeat of a token in the Arrow batch."""
+    bits = cache.get(token)
+    if bits is None:
+        d8 = hashlib.md5(token.encode()).digest()[:8]
+        # digest is big-endian for int.from_bytes → reverse bytes so
+        # little-endian unpack yields index b == bit b of the int
+        bits = np.unpackbits(
+            np.frombuffer(d8[::-1], dtype=np.uint8), bitorder="little"
+        )
+        cache[token] = bits
+    return bits
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Vectorized SimHash of an iterable of texts → int64 array.
+    Bit-identical to simhash64_py: votes = 2*ones - n, keep bit where
+    votes > 0."""
+    cache: dict[str, np.ndarray] = {}
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        ones = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            ones += _token_bits(tok, cache)
+        keep = (2 * ones - len(toks)) > 0
+        sig_bytes = np.packbits(keep, bitorder="little").tobytes()
+        out[i] = int.from_bytes(sig_bytes, "little", signed=False) - (
+            (1 << 64) if sig_bytes[7] >= 0x80 else 0
+        )
+    return out
+
+
 @F.pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: simhash64_py(t or ""))
+    return pd.Series(simhash_batch(texts.tolist()))
 
 
 def hamming64_py(a: int, b: int) -> int:
     return bin((a ^ b) & _MASK64).count("1")
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 @F.pandas_udf(IntegerType())
 def hamming64(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [hamming64_py(int(x), int(y)) for x, y in zip(a, b)], dtype="int32"
-    )
+    """Vectorized hamming distance: int64 xor, byte-table popcount —
+    no per-row Python on the (large) candidate-pair frame."""
+    x = a.to_numpy(dtype=np.int64) ^ b.to_numpy(dtype=np.int64)
+    counts = _POPCOUNT8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1)
+    return pd.Series(counts.astype(np.int32))
 
 
 def winnow_fingerprints_py(text: str, k: int = 8, w: int = 4) -> list[int]:

@@ -200,12 +200,28 @@ def lsh_candidate_pairs(
     )
 
 
+_SIG_PAIRS_EXPR = """
+    flatten(transform(items, (a, i) ->
+        transform(slice(items, i + 2, size(items) - i - 1),
+                  b -> struct(a.doc AS doc_a, b.doc AS doc_b,
+                              a.sim AS sim_a, b.sim AS sim_b))))
+"""
+
+
 def simhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
 ) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signature (Arrow-batched
-    UDF), bucketed by four 16-bit bands (a pair within hamming ≤ 16/band
-    shares ≥1 band with high probability), exact hamming verify.
+    """SimHash near-dup candidates: 64-bit signature (Arrow-batched,
+    token-hash-cached UDF), bucketed by four 16-bit bands (a pair
+    within hamming ≤ 16/band shares ≥1 band with high probability),
+    exact vectorized hamming verify.
+
+    Plan shape (same as MinHash-LSH): signatures computed ONCE, bands
+    exploded JVM-side, groupBy(band) to sorted (doc, sim) lists, JVM
+    array-combinations for pairs — the signature rides inside the
+    bucket struct, so there is no self-join and no sig rejoin. One
+    shuffle on the band key; a dup-heavy corpus pays in candidate
+    volume (inherent), not in extra passes over the corpus text.
 
     Returns (doc_a, doc_b, hamming).
     """
@@ -213,8 +229,7 @@ def simhash_candidate_pairs(
         F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim")
     )
     bands = sig.select(
-        "doc",
-        "sim",
+        F.struct("doc", "sim").alias("item"),
         F.explode(
             F.array(
                 *[
@@ -228,23 +243,16 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc", "sim", "b.band_idx", "b.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    ).select("item", "b.band_idx", "b.band_val")
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .distinct()
+        buckets.select(F.explode(F.expr(_SIG_PAIRS_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .distinct()  # a close pair shares several bands
     )
     return (
         pairs.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
