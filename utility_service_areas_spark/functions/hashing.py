@@ -97,22 +97,30 @@ def hamming64(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(counts.astype(np.int32))
 
 
+_KR_BASE = np.uint64(1_000_003)  # Karp-Rabin base; hash space = mod 2^64
+
+
 def winnow_fingerprints_py(text: str, k: int = 8, w: int = 4) -> list[int]:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
-    rolling char k-gram hashes, keep the min of each w-window, dedupe.
-    Returns a sorted list of signed int64 fingerprints.
+    Karp-Rabin rolling hashes of char k-grams (vectorized: a
+    sliding-window dot product in uint64, wraparound = mod 2^64), keep
+    the min of each w-window, dedupe. Returns sorted signed int64s.
     """
     s = " ".join((text or "").lower().split())
     if len(s) < k:
         return []
-    hashes = [
-        int.from_bytes(hashlib.md5(s[i : i + k].encode()).digest()[:8], "big")
-        for i in range(len(s) - k + 1)
-    ]
-    picked: set[int] = set()
-    for i in range(max(1, len(hashes) - w + 1)):
-        picked.add(min(hashes[i : i + w]))
-    return sorted(x - (1 << 64) if x >= (1 << 63) else x for x in picked)
+    codes = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    if len(codes) < k:  # multibyte shrink can't happen (utf-8 grows), be safe
+        return []
+    powers = _KR_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(codes, k).astype(np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+    if len(hashes) <= w:
+        picked = hashes.min(keepdims=True)
+    else:
+        picked = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return sorted(int(x) for x in np.unique(picked).astype(np.int64))
 
 
 @F.pandas_udf(ArrayType(LongType()))
