@@ -129,3 +129,25 @@ def test_simhash_batch_matches_reference_kernel():
     texts = ["the quick brown fox", "", "a", "The QUICK brown fox jumps",
              "lorem ipsum dolor sit " * 10, "x y z w " * 50]
     assert list(simhash_batch(texts)) == [simhash64_py(t) for t in texts]
+
+
+def test_kmeans_converges_and_is_deterministic(spark):
+    from utility_service_areas_spark.operators.kmeans import (
+        kmeans_fit_assign,
+        kmeans_cost,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = kmeans_fit_assign(emb, "vec_id", "embedding", k=4, n_iter=1)
+    five = kmeans_fit_assign(emb, "vec_id", "embedding", k=4, n_iter=5)
+    # Lloyd's cost is monotone non-increasing in iterations
+    assert kmeans_cost(five) <= kmeans_cost(one)
+    # deterministic: same assignment on a rerun
+    a = {r.id: r.cluster for r in five.collect()}
+    b = {
+        r.id: r.cluster
+        for r in kmeans_fit_assign(emb, "vec_id", "embedding", k=4, n_iter=5).collect()
+    }
+    assert a == b
+    # every vector assigned to a real cluster
+    assert set(a.values()) <= set(range(4)) and len(a) == emb.count()

@@ -56,6 +56,7 @@ EXPECTED_KEYS = {
     "salted_hot_key_join",
     "pivot_status_by_year",
     "unpivot_part_metrics",
+    "weighted_sample_orders",
     # multimodal
     "multimodal_decode_meta",
     "multimodal_frame_sample",
@@ -83,6 +84,7 @@ EXPECTED_KEYS = {
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "embedding_centroid_by_label",
+    "embedding_kmeans_assign",
     # dedup
     "dedup_exact_docs",
     "dedup_ngram_jaccard",

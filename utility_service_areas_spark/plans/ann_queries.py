@@ -141,3 +141,23 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("label"), F.col("dim").cast("long").alias("dim"), "sum_micros", "n_vecs"
     )
+
+
+@query(
+    "embedding_kmeans_assign",
+    oracle=None,  # iterative algorithm; convergence/stability pytest-verified
+    doc="Distributed Lloyd's k-means (k=8, 5 rounds) over the "
+    "embeddings: broadcast-literal centroids, JVM zip_with distance "
+    "argmin (corpus never shuffles for assignment), posexplode "
+    "partial-agg centroid update — only k x dim doubles ever reach "
+    "the driver per round. Deterministic md5 seeding, min-index "
+    "tiebreaks. The curation/clustering step of a training-data "
+    "pipeline at 100 TB (fit on a sample, one assignment pass over "
+    "the corpus).",
+    tags=("ann",),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.kmeans import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, "vec_id", "embedding", k=8, n_iter=5)

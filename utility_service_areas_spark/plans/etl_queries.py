@@ -164,3 +164,39 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unpivot(
         "p_partkey", ["size", "retail_cents"], "metric", "value"
     ).select("p_partkey", "metric", F.col("value").cast("long").alias("value"))
+
+
+@query(
+    "weighted_sample_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0
+          < o_totalprice / (SELECT max(o_totalprice) FROM orders)
+    """,
+    doc="Deterministic weighted Bernoulli sample: keep probability "
+    "proportional to order value, with the coin flip derived from "
+    "md5(key) instead of RNG state — reproducible on any cluster "
+    "size/partitioning, rerunnable incrementally. The hash-uniform "
+    "is an exact integer/2^32 double and the weight ratio divides "
+    "identical doubles, so Spark and DuckDB agree on every row. "
+    "Pure codegen predicate + one broadcast scalar (the max).",
+    tags=("etl",),
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("mx"))
+    uniform = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    return (
+        o.join(F.broadcast(mx))
+        .filter(uniform < F.col("o_totalprice") / F.col("mx"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
