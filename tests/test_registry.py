@@ -99,6 +99,7 @@ EXPECTED_KEYS = {
     "geo_plss_cells",
     "geo_union_grid_area",
     "geo_union_overlap_area",
+    "geo_dissolve_true_union",
     "geo_make_valid",
     "geo_viewport_query",
     "geo_combine_multipolygon",

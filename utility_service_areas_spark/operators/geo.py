@@ -125,3 +125,44 @@ def grid_union_area(
         F.countDistinct(cell_col).alias("n_cells"),
         (F.countDistinct(cell_col) * F.lit(cell_area)).alias("union_area"),
     )
+
+
+def dissolve_polygons(
+    groups: DataFrame, group_col: str, geom_col: str = "geometry"
+) -> DataFrame:
+    """TRUE st_union dissolve per group: each group's polygons are
+    folded through the planar overlay (functions/geometry.py) inside
+    an applyInPandas pass — the distributed shape of the reference's
+    `st_union` (R/functions.R:406,431) for geometries that are NOT
+    grid-aligned (overlaps merge, shared boundaries vanish).
+
+    Returns (group_col, n_input_polygons, union_geometry). Scale
+    posture: one shuffle on the group key; the O(E^2) overlay cost is
+    per group and bounded by that group's polygon count — keep groups
+    at certificate granularity (dozens of polygons), never corpus
+    granularity. Grid-aligned inputs should use grid_union_area
+    (distinct-count, no geometry reduce at all).
+    """
+    import pandas as pd  # local: executors import lazily
+
+    from utility_service_areas_spark.functions.geometry import union_all
+
+    out_schema = (
+        f"{group_col} long, n_input_polygons long, "
+        "union_geometry array<array<array<array<double>>>>"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[group_col].iloc[0]
+        polys = [[list(map(list, ring)) for ring in poly] for poly in pdf[geom_col]]
+        return pd.DataFrame(
+            {
+                group_col: [key],
+                "n_input_polygons": [len(polys)],
+                "union_geometry": [union_all(polys)],
+            }
+        )
+
+    return groups.select(group_col, geom_col).groupBy(group_col).applyInPandas(
+        fold, out_schema
+    )

@@ -438,3 +438,49 @@ def geo_union_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_area_milli"),
     )
+
+
+@query(
+    "geo_dissolve_true_union",
+    oracle=f"""
+    SELECT CAST(p_partkey % 150 AS BIGINT) AS cert,
+           count(DISTINCT code) AS n_distinct_cells,
+           CAST(count(DISTINCT code) * 1000 AS BIGINT) AS union_area_milli
+    FROM ({_PLSS_CODE_SQL})
+    GROUP BY cert
+    """,
+    doc="TRUE distributed st_union dissolve (R/functions.R:406): each "
+    "certificate's PLSS cells fold through the planar overlay inside "
+    "applyInPandas — shared boundaries vanish, overlaps merge. The "
+    "grid alignment makes the exact union area equal the distinct "
+    "cell count, which is what the DuckDB oracle checks — i.e. the "
+    "real clipping kernel is verified against the closed-form "
+    "dissolve. One shuffle on the certificate key; overlay cost is "
+    "per-group (dozens of cells), never corpus-wide.",
+    tags=("geo",),
+)
+def geo_dissolve_true_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.geo import dissolve_polygons
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    cells = part.select(
+        (k % 150).cast("long").alias("cert"),
+        F.concat(
+            F.lit("S"),
+            F.lpad((1 + k % 20).cast("string"), 3, "0"),
+            F.lit("N"),
+            F.lpad((1 + k % 15).cast("string"), 3, "0"),
+            F.lit("W"),
+            F.lpad((1 + k % 36).cast("string"), 2, "0"),
+        ).alias("code"),
+    ).distinct()
+    geoms = cells.withColumn("geometry", st_plss_cell(F.col("code")))
+    dissolved = dissolve_polygons(geoms, "cert")
+    return dissolved.select(
+        "cert",
+        F.col("n_input_polygons").alias("n_distinct_cells"),
+        F.round(st_area_multi(F.col("union_geometry")) * 1000)
+        .cast("long")
+        .alias("union_area_milli"),
+    )
