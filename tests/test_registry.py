@@ -38,6 +38,8 @@ EXPECTED_KEYS = {
     "approx_distinct_users",
     "supplier_balance_rank_dist",
     "user_first_last_event",
+    "daily_new_users_cumulative",
+    "supplier_daily_running_revenue",
     # tpch
     "regional_order_volume",
     "max_size_parts_per_brand",

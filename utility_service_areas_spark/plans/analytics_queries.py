@@ -268,3 +268,76 @@ def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.count(F.lit(1)).over(wc).alias("n_events"),
     ).distinct()
+
+
+@query(
+    "daily_new_users_cumulative",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+    daily AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT d, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+    doc="User-acquisition funnel: first-seen date per user (one "
+    "partial-agged shuffle over the fact table) → per-day new-user "
+    "counts → running total. The global-order window runs over the "
+    "DATE dimension only — bounded by the calendar, never by event "
+    "volume, so the single-partition window is safe at 100 TB.",
+    tags=("analytics",),
+)
+def daily_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
+@query(
+    "supplier_daily_running_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_suppkey, d)
+    SELECT l_suppkey, d, rev_cents,
+           CAST(sum(rev_cents) OVER (PARTITION BY l_suppkey ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running_cents
+    FROM daily
+    """,
+    doc="Running-revenue time series per supplier: rows collapse to "
+    "(supplier, day) BEFORE the window — the running sum then orders "
+    "a unique key (deterministic, no fact-row tiebreak problem) and "
+    "each partition's window is calendar-bounded. Per-row cents "
+    "rounding keeps the sums order-independent across engines.",
+    tags=("analytics",),
+)
+def supplier_daily_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            "l_suppkey",
+            F.to_date("l_shipdate").alias("d"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey", "d")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "l_suppkey", "d", "rev_cents", F.sum("rev_cents").over(w).alias("running_cents")
+    )
