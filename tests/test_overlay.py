@@ -222,3 +222,29 @@ def test_pipeline_dissolve_on_overlapping_acquisition(spark, overlap_kml_dir):
     (r,) = dissolved
     assert len(r.geometry) == 1
     assert approx(sum(polygon_area(list(p)) for p in r.geometry), 24.0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rects=st.lists(
+        st.tuples(
+            st.integers(0, 10), st.integers(0, 10),
+            st.integers(1, 6), st.integers(1, 6),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_union_fold_matches_raster_count(rects):
+    """Integer-coordinate rects: union area == number of unit cells
+    whose center lies in ≥1 rect (exact, no tolerance). Independent
+    raster oracle for arbitrary N-way folds — nesting, chains,
+    duplicates, full containment."""
+    cells = 0
+    for cx in range(17):
+        for cy in range(17):
+            x, y = cx + 0.5, cy + 0.5
+            if any(x0 < x < x0 + w and y0 < y < y0 + h for x0, y0, w, h in rects):
+                cells += 1
+    got = multipolygon_area(union_all([rect_polygon(*r) for r in rects]))
+    assert abs(got - cells) <= 1e-6

@@ -80,6 +80,7 @@ EXPECTED_KEYS = {
     "docs_training_filter",
     "token_count_histogram",
     "corpus_clean_sample",
+    "docs_unigram_surprisal",
     # ann
     "ann_cosine_topk",
     "ann_lsh_topk",

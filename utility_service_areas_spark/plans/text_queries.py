@@ -376,3 +376,45 @@ def corpus_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_ws_tokens").between(5, 5000)
         & (F.col("h4") < "8000")
     ).select("doc_id", "n_ws_tokens", "quality_micros")
+
+
+@query(
+    "docs_unigram_surprisal",
+    oracle=rf"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CAST(round((log2(n) - log2(c)) * 1000) AS BIGINT)) AS BIGINT)
+               AS surprisal_millibits
+    FROM tok JOIN freq USING (t) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+    doc="Unigram surprisal per document (perplexity-style quality "
+    "filter): corpus token frequencies → per-token -log2 p → per-doc "
+    "sum. The LM-scoring stage of a data pipeline with the LM "
+    "replaced by the corpus unigram model — same plan shape as "
+    "neural scoring (broadcastable freq table, map-side scoring, "
+    "one agg). Per-token MILLIBIT rounding before the integer sum "
+    "keeps the hash stable: log2 on exact integers agrees across "
+    "engines far beyond the 0.0005-bit rounding granularity.",
+    tags=("text",),
+)
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    milli = F.round((F.log2("n") - F.log2("c")) * 1000).cast("long")
+    return (
+        tok.join(freq, "t")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(milli).alias("surprisal_millibits"),
+        )
+    )
