@@ -441,7 +441,12 @@ def union_all(polys: list) -> MultiPolygon:
     for p in polys:
         if p is None or len(p) == 0:
             continue
-        mp = overlay(mp, [p], "union") if mp else [make_valid(p)]
+        if mp:
+            mp = overlay(mp, [p], "union")
+        else:
+            v = make_valid(p)
+            if len(v):  # fully-degenerate polygon: contributes nothing
+                mp = [v]
     return mp
 
 
@@ -482,15 +487,54 @@ def plss_cell_rect(code: str) -> Polygon:
 
 
 # --------------------------------------------------------- Spark UDFs
+#
+# Each public st_* is a thin expression wrapper around a pandas UDF.
+# The wrapper (a) coalesces null geometry to an empty typed array and
+# (b) masks the result back to null — because an Arrow batch whose
+# nested-array column is ENTIRELY null crashes the Python worker in
+# this pyspark/pyarrow combination (EOF before user code runs), and
+# all-null partitions are routine at cluster scale (unmatched left
+# joins). The raw UDFs therefore only ever see non-null (possibly
+# empty) arrays; tests/test_empty_inputs.py pins the behavior.
+
+MULTIPOLYGON_DTYPE = ArrayType(POLYGON_DTYPE)
+
+
+# Built lazily: constructing a Column at module import would require an
+# active SparkSession (same pitfall as DDL-string pandas_udf types).
+def _sentinel_poly() -> F.Column:
+    # NOT empty: the worker segfaults (pyspark arrow_to_pandas) on any
+    # batch whose nested-array column is entirely null OR entirely
+    # empty; mixed batches are fine. A degenerate 2-point ring is
+    # harmless to every kernel (zero area, no crossings, make_valid
+    # drops it) and the wrapper masks the result to null anyway.
+    return F.array(F.array(F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(0.0), F.lit(0.0))))
+
+
+def _sentinel_multi() -> F.Column:
+    # NOT empty: an all-empty depth-4 nested array batch ALSO crashes
+    # the Arrow worker (depth-3 is fine). One degenerate single-point
+    # polygon — every kernel drops it (make_valid: <3 points; area: 0)
+    # and the wrapper masks the result to null anyway.
+    return F.array(F.array(F.array(F.array(F.lit(0.0), F.lit(0.0)))))
+
+
+def _c(col) -> F.Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
 @F.pandas_udf(DoubleType())
-def st_area(polys: pd.Series) -> pd.Series:
-    return polys.map(lambda p: polygon_area(p) if p is not None else None)
+def _st_area_raw(polys: pd.Series) -> pd.Series:
+    return polys.map(lambda p: polygon_area(p) if p is not None and len(p) else None)
+
+
+def st_area(poly) -> F.Column:
+    poly = _c(poly)
+    return F.when(poly.isNotNull(), _st_area_raw(F.coalesce(poly, _sentinel_poly())))
 
 
 @F.pandas_udf(BBOX_DTYPE)
-def st_bbox(polys: pd.Series) -> pd.DataFrame:
+def _st_bbox_raw(polys: pd.Series) -> pd.DataFrame:
     out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
     for p in polys:
         if p is None or not len(p):
@@ -502,10 +546,15 @@ def st_bbox(polys: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def st_bbox(poly) -> F.Column:
+    poly = _c(poly)
+    return F.when(poly.isNotNull(), _st_bbox_raw(F.coalesce(poly, _sentinel_poly())))
+
+
 @F.pandas_udf(
     StructType([StructField("cx", DoubleType()), StructField("cy", DoubleType())])
 )
-def st_centroid(polys: pd.Series) -> pd.DataFrame:
+def _st_centroid_raw(polys: pd.Series) -> pd.DataFrame:
     cx, cy = [], []
     for p in polys:
         if p is None or not len(p):
@@ -518,81 +567,169 @@ def st_centroid(polys: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"cx": cx, "cy": cy})
 
 
+def st_centroid(poly) -> F.Column:
+    poly = _c(poly)
+    return F.when(poly.isNotNull(), _st_centroid_raw(F.coalesce(poly, _sentinel_poly())))
+
+
 @F.pandas_udf(BooleanType())
-def st_contains_point(polys: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+def _st_contains_point_raw(
+    polys: pd.Series, xs: pd.Series, ys: pd.Series
+) -> pd.Series:
     return pd.Series(
         [
-            point_in_polygon(float(x), float(y), p) if p is not None else False
+            point_in_polygon(float(x), float(y), p) if p is not None and len(p) else False
             for p, x, y in zip(polys, xs, ys)
         ]
     )
 
 
+def st_contains_point(poly, x, y) -> F.Column:
+    poly = _c(poly)
+    return F.coalesce(
+        F.when(
+            poly.isNotNull(),
+            _st_contains_point_raw(F.coalesce(poly, _sentinel_poly()), _c(x), _c(y)),
+        ),
+        F.lit(False),
+    )
+
+
 @F.pandas_udf(BooleanType())
-def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+def _st_intersects_raw(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [
-            polygons_intersect(pa, pb) if pa is not None and pb is not None else False
+            polygons_intersect(pa, pb)
+            if pa is not None and len(pa) and pb is not None and len(pb)
+            else False
             for pa, pb in zip(a, b)
         ]
     )
 
 
+def st_intersects(a, b) -> F.Column:
+    a, b = _c(a), _c(b)
+    return F.coalesce(
+        F.when(
+            a.isNotNull() & b.isNotNull(),
+            _st_intersects_raw(F.coalesce(a, _sentinel_poly()), F.coalesce(b, _sentinel_poly())),
+        ),
+        F.lit(False),
+    )
+
+
 @F.pandas_udf(POLYGON_DTYPE)
-def st_make_valid(polys: pd.Series) -> pd.Series:
+def _st_make_valid_raw(polys: pd.Series) -> pd.Series:
     return polys.map(lambda p: make_valid(p) if p is not None else None)
+
+
+def st_make_valid(poly) -> F.Column:
+    poly = _c(poly)
+    return F.when(poly.isNotNull(), _st_make_valid_raw(F.coalesce(poly, _sentinel_poly())))
 
 
 @F.pandas_udf(POLYGON_DTYPE)
 def st_plss_cell(codes: pd.Series) -> pd.Series:
+    # string input: the all-null Arrow crash only affects nested arrays
     return codes.map(plss_cell_rect)
 
 
 @F.pandas_udf(DoubleType())
-def st_area_multi(multis: pd.Series) -> pd.Series:
+def _st_area_multi_raw(multis: pd.Series) -> pd.Series:
     """Area of a MultiPolygon (array of polygons) — st_combine + st_area."""
     return multis.map(
         lambda mp: sum(polygon_area(p) for p in mp) if mp is not None else None
     )
 
 
-MULTIPOLYGON_DTYPE = ArrayType(POLYGON_DTYPE)
+def st_area_multi(multi) -> F.Column:
+    multi = _c(multi)
+    # null AND empty inputs are replaced by the sentinel (an all-empty
+    # depth-4 batch crashes the worker just like an all-null one); the
+    # sentinel's area is 0.0, which is also the correct empty-multi
+    # answer, and null inputs are masked back to null.
+    safe_in = F.when(
+        multi.isNull() | (F.size(multi) == 0), _sentinel_multi()
+    ).otherwise(multi)
+    return F.when(multi.isNotNull(), _st_area_multi_raw(safe_in))
 
 
 @F.pandas_udf(DoubleType())
-def st_union_area(a: pd.Series, b: pd.Series) -> pd.Series:
+def _st_union_area_raw(a: pd.Series, b: pd.Series) -> pd.Series:
     """Area of the true union of two polygons (overlap counted once) —
     st_area(st_union(a, b)), parity R/functions.R:406,431."""
     return pd.Series(
         [
             multipolygon_area(overlay([pa], [pb], "union"))
-            if pa is not None and pb is not None
+            if pa is not None and len(pa) and pb is not None and len(pb)
             else None
             for pa, pb in zip(a, b)
         ]
     )
 
 
+def st_union_area(a, b) -> F.Column:
+    a, b = _c(a), _c(b)
+    return F.when(
+        a.isNotNull() & b.isNotNull(),
+        _st_union_area_raw(F.coalesce(a, _sentinel_poly()), F.coalesce(b, _sentinel_poly())),
+    )
+
+
 @F.pandas_udf(DoubleType())
-def st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
+def _st_intersection_area_raw(a: pd.Series, b: pd.Series) -> pd.Series:
     """Area of the intersection of two polygons —
     st_area(st_intersection(a, b))."""
     return pd.Series(
         [
             multipolygon_area(overlay([pa], [pb], "intersection"))
-            if pa is not None and pb is not None
+            if pa is not None and len(pa) and pb is not None and len(pb)
             else None
             for pa, pb in zip(a, b)
         ]
     )
 
 
+def st_intersection_area(a, b) -> F.Column:
+    a, b = _c(a), _c(b)
+    return F.when(
+        a.isNotNull() & b.isNotNull(),
+        _st_intersection_area_raw(
+            F.coalesce(a, _sentinel_poly()), F.coalesce(b, _sentinel_poly())
+        ),
+    )
+
+
 @F.pandas_udf(MULTIPOLYGON_DTYPE)
-def st_union_multi(multis: pd.Series) -> pd.Series:
+def _st_union_multi_raw(multis: pd.Series) -> pd.Series:
     """Dissolve a MultiPolygon: true st_union of its member polygons
     (overlaps merged, shared boundaries removed). The per-group reduce
     for combine-then-union plans (R/functions.R:406 `st_union` of PLSS
     cells; R/functions.R:431 acquisition-merge union)."""
-    return multis.map(
-        lambda mp: union_all([list(p) for p in mp]) if mp is not None else None
+    def dissolve(mp):
+        if mp is None:
+            return None
+        res = union_all([list(p) for p in mp])
+        # Never return an empty depth-4 value — an all-empty output
+        # batch crashes the Arrow writer the same way an all-empty
+        # input batch crashes the reader. The wrapper strips the
+        # sentinel (a 1-point polygon no valid result can contain).
+        return res if len(res) else [[[[0.0, 0.0]]]]
+
+    return multis.map(dissolve)
+
+
+def st_union_multi(multi) -> F.Column:
+    multi = _c(multi)
+    safe_in = F.when(
+        multi.isNull() | (F.size(multi) == 0), _sentinel_multi()
+    ).otherwise(multi)
+    raw = _st_union_multi_raw(safe_in)
+    # strip sentinel polygons (single ring of a single point) JVM-side;
+    # valid rings are closed with >= 4 points, so this never removes
+    # real geometry. Empty/degenerate inputs thus dissolve to [].
+    cleaned = F.filter(
+        raw,
+        lambda p: ~((F.size(p) == 1) & (F.size(F.element_at(p, 1)) == 1)),
     )
+    return F.when(multi.isNotNull(), cleaned)
