@@ -53,6 +53,8 @@ EXPECTED_KEYS = {
     "order_status_priority_cube",
     "supplier_ship_gap_stats",
     "customer_retention_setops",
+    "small_lot_revenue_by_brand",
+    "large_volume_orders",
     # etl
     "merge_upsert_customers",
     "salted_hot_key_join",

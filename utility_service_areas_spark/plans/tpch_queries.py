@@ -449,3 +449,77 @@ def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     churned = y95.subtract(y97).select(F.lit("churned").alias("segment"), "o_custkey")
     return retained.unionByName(churned)
+
+
+@query(
+    "small_lot_revenue_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS small_lot_cents,
+           count(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q17 shape (correlated scalar subquery): lineitems below "
+    "20% of their part's average quantity. Planned as a window avg "
+    "over l_partkey + filter — ONE pass over lineitem instead of the "
+    "correlated rescan. The quantities are integer-valued doubles, so "
+    "the window average is exact and order-independent on both "
+    "engines.",
+    tags=("tpch",),
+)
+def small_lot_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = Window.partitionBy("l_partkey")
+    small = li.withColumn("avg_q", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_q")
+    )
+    return (
+        small.join(p, small.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "small_lot_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    SELECT o.o_orderkey, o.o_custkey, big.total_qty,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+    """,
+    doc="TPC-H Q18 shape (HAVING-filtered agg subquery join): orders "
+    "whose total lineitem quantity exceeds a threshold. The agg runs "
+    "partial → HAVING prunes BEFORE the join (tiny build side, AQE "
+    "can broadcast it); quantities sum exactly as integer-valued "
+    "doubles.",
+    tags=("tpch",),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey", F.col("q").cast("long").alias("total_qty"))
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "total_qty",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
