@@ -110,3 +110,31 @@ def test_stream_dedup_one_per_user(spark):
     rows = spark.table("t_dedup").collect()
     users = {r.user_id for r in rows}
     assert len(rows) == len(users) > 0
+
+
+def test_first_seen_daily_matches_batch(spark):
+    from utility_service_areas_spark.sources.tables import load_table
+    from utility_service_areas_spark.streaming.events import (
+        first_seen_daily_counts,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, SMOKE_SF)
+    run_to_memory(first_seen_daily_counts(stream), "t_first_seen", "complete")
+    got = {
+        r.d: r["count"] for r in spark.sql("SELECT * FROM t_first_seen").collect()
+    }
+    ev = load_table(spark, SMOKE_SF, "events")
+    want = {
+        r.d: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # stream dedup keeps the first-ARRIVED row per user; with a single
+    # availableNow pass over ordered parquet that is the earliest ts,
+    # so per-day first-seen counts must match the batch derivation.
+    assert got == want

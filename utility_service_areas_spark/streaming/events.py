@@ -216,3 +216,16 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination(120)
     return q
+
+
+def first_seen_daily_counts(stream: DataFrame) -> DataFrame:
+    """Streaming twin of daily_new_users_cumulative's heavy half: a
+    user's FIRST event survives a global stream dedup on user_id
+    (state = one row per user; no watermark column, so the dedup key
+    set is the retained state — at 100 TB scope it per app-defined
+    cohort or use dropDuplicatesWithinWatermark for a bounded
+    horizon), then new-user counts aggregate per day. The running
+    cumulative sum stays a batch-side window over the tiny per-day
+    output, exactly as in the batch query."""
+    firsts = stream.dropDuplicates(["user_id"])
+    return firsts.groupBy(F.to_date("ts").alias("d")).count()
