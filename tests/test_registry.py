@@ -55,6 +55,9 @@ EXPECTED_KEYS = {
     "customer_retention_setops",
     "small_lot_revenue_by_brand",
     "large_volume_orders",
+    "promo_revenue_share_by_month",
+    "nation_market_share_inputs",
+    "disjunctive_bracket_revenue",
     # etl
     "merge_upsert_customers",
     "salted_hot_key_join",

@@ -523,3 +523,146 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_qty",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
     )
+
+
+@query(
+    "promo_revenue_share_by_month",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS y,
+           CAST(month(l.l_shipdate) AS BIGINT) AS m,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                         * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY y, m
+    """,
+    doc="TPC-H Q14 shape: promo revenue share per month — conditional "
+    "aggregation inside one partial-agged pass. The share is emitted "
+    "as exact integer numerator/denominator (divide downstream); no "
+    "float ratio ever enters the result.",
+    tags=("tpch",),
+)
+def promo_revenue_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("y"),
+            F.month("l_shipdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
+                "promo_cents"
+            ),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "nation_market_share_inputs",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS y,
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                         * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS region_cents
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN nation n1   ON n1.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s.s_nationkey
+    GROUP BY y
+    """,
+    doc="TPC-H Q8 shape: a supplier nation's market share inside one "
+    "region per year — 7-way join, three broadcast dims (nation "
+    "twice), share emitted as exact integer numerator/denominator. "
+    "The region filter rides the broadcast build side, pruning the "
+    "probe early.",
+    tags=("tpch",),
+)
+def nation_market_share_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("n1_region"))
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n2), F.col("n2_key") == s.s_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", cents).otherwise(0)
+            ).alias("nation_cents"),
+            F.sum(cents).alias("region_cents"),
+        )
+    )
+
+
+@query(
+    "disjunctive_bracket_revenue",
+    oracle="""
+    SELECT count(*) AS n_lineitems,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-bracket predicate across "
+    "both join sides. Catalyst extracts the common single-side "
+    "conjuncts (brand/size brackets prune the part scan; quantity "
+    "bounds prune lineitem) before the join evaluates the full OR.",
+    tags=("tpch",),
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(10, 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#5") & sz.between(25, 50) & q.between(25, 50))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents"),
+        )
+    )
