@@ -248,3 +248,28 @@ def test_union_fold_matches_raster_count(rects):
                 cells += 1
     got = multipolygon_area(union_all([rect_polygon(*r) for r in rects]))
     assert abs(got - cells) <= 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ax=_coord, ay=_coord, aw=_size, ah=_size,
+    bx=_coord, by=_coord, bw=_size, bh=_size,
+    sub=st.integers(0, 3),
+    scale=st.sampled_from([0.25, 1.0, 1e3, 1e6]),
+)
+def test_rect_overlay_fractional_and_large_magnitude(
+    ax, ay, aw, ah, bx, by, bw, bh, sub, scale
+):
+    """Non-integer offsets and coordinate magnitudes from 0.25 to 1e6:
+    the overlay tolerances are scale-relative, so the closed form must
+    hold at any magnitude (catches absolute-epsilon bugs)."""
+    f = sub * 0.25
+    ra = rect_polygon((ax + f) * scale, (ay + f) * scale, aw * scale, ah * scale)
+    rb = rect_polygon(bx * scale, by * scale, bw * scale, bh * scale)
+    ov = max(0.0, min((ax + f + aw) * scale, (bx + bw) * scale) - max((ax + f) * scale, bx * scale)) * max(
+        0.0, min((ay + f + ah) * scale, (by + bh) * scale) - max((ay + f) * scale, by * scale)
+    )
+    area_a, area_b = aw * ah * scale * scale, bw * bh * scale * scale
+    tol = 1e-6 * scale * scale
+    assert abs(multipolygon_area(intersection_polygons(ra, rb)) - ov) <= tol
+    assert abs(multipolygon_area(union_polygons(ra, rb)) - (area_a + area_b - ov)) <= tol

@@ -21,10 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-from utility_service_areas_spark.functions.geometry import (
-    st_contains_point,
-    st_intersects,
-)
+from utility_service_areas_spark.functions.geometry import st_contains_point
 
 
 def rect_geometry(x0: Column, y0: Column, w: Column, h: Column) -> Column:
@@ -120,11 +117,28 @@ def polygon_overlap_pairs(
     """Self-join overlap detection (README Q1: 'do service areas
     overlap?'). bbox candidate pairs (broadcast), exact st_intersects
     verify. Returns (id_a, id_b) with id_a < id_b.
+
+    As in points_in_polygons, candidate rows carry only the two ids —
+    the vertex arrays travel once per executor in a broadcast dict
+    (the polygon side is dim-sized by design), so the Arrow batch per
+    candidate pair is two longs instead of two nested arrays.
     """
+    from utility_service_areas_spark.functions.geometry import polygons_intersect
+
     p = with_bbox_cols(polygons, geom_col)
+    geom_map = {
+        row[id_col]: [[list(pt) for pt in ring] for ring in row[geom_col]]
+        for row in polygons.select(id_col, geom_col).collect()
+    }
+    bc = polygons.sparkSession.sparkContext.broadcast(geom_map)
+
+    @F.pandas_udf(BooleanType())
+    def _intersects_by_id(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        m = bc.value
+        return pd.Series([polygons_intersect(m[x], m[y]) for x, y in zip(ia, ib)])
+
     a = p.select(
         F.col(id_col).alias("id_a"),
-        F.col(geom_col).alias("geom_a"),
         F.col("xmin").alias("axmin"),
         F.col("xmax").alias("axmax"),
         F.col("ymin").alias("aymin"),
@@ -132,7 +146,6 @@ def polygon_overlap_pairs(
     )
     b = p.select(
         F.col(id_col).alias("id_b"),
-        F.col(geom_col).alias("geom_b"),
         F.col("xmin").alias("bxmin"),
         F.col("xmax").alias("bxmax"),
         F.col("ymin").alias("bymin"),
@@ -146,7 +159,7 @@ def polygon_overlap_pairs(
         & (F.col("aymin") <= F.col("bymax"))
         & (F.col("bymin") <= F.col("aymax")),
     )
-    return cand.filter(st_intersects(F.col("geom_a"), F.col("geom_b"))).select(
+    return cand.filter(_intersects_by_id(F.col("id_a"), F.col("id_b"))).select(
         "id_a", "id_b"
     )
 
