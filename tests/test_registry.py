@@ -58,6 +58,7 @@ EXPECTED_KEYS = {
     "promo_revenue_share_by_month",
     "nation_market_share_inputs",
     "disjunctive_bracket_revenue",
+    "order_fulfillment_latency",
     # etl
     "merge_upsert_customers",
     "salted_hot_key_join",

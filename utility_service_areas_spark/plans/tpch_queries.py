@@ -666,3 +666,44 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "order_fulfillment_latency",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(f.first_ship AS DATE))) AS BIGINT)
+               AS total_latency_days,
+           CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(f.first_ship AS DATE))) AS BIGINT)
+               AS max_latency_days
+    FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Fulfillment latency per priority: per-order min ship date "
+    "(partial-agged) joined back to orders, day-difference aggregated "
+    "as exact integers (divide sum/count downstream for the average). "
+    "Two shuffles total; the per-order agg output is orders-sized, "
+    "joined on the same key it was grouped by — AQE reuses the "
+    "partitioning.",
+    tags=("tpch",),
+)
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    lat = F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate"))
+    return (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(lat).cast("long").alias("total_latency_days"),
+            F.max(lat).cast("long").alias("max_latency_days"),
+        )
+    )
