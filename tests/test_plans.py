@@ -130,3 +130,52 @@ def test_overlay_pairs_broadcast_prefilter(spark, queries):
     # Arrow overlay UDF only ever sees candidate pairs
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_fully_pushed_single_scan(spark, queries):
+    plan = plan_of(queries["simple_revenue_delta"](spark, SMOKE_SF))
+    # every predicate reaches the parquet scan; no join, no wide shuffle
+    assert "PushedFilters" in plan and "LessThan(l_quantity,24.0)" in plan
+    assert "Join" not in plan
+    simple = plan_of(queries["simple_revenue_delta"](spark, SMOKE_SF), "simple")
+    assert simple.count("Scan parquet") == 1
+
+
+def test_q10_topk_and_broadcast_nation(spark, queries):
+    plan = plan_of(queries["returned_item_report"](spark, SMOKE_SF))
+    assert "TakeOrderedAndProject" in plan  # never a full sort for LIMIT 20
+    assert "BroadcastHashJoin" in plan
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q11_total_is_broadcast_not_window(spark, queries):
+    df = queries["part_revenue_concentration"](spark, SMOKE_SF)
+    # global total joins back as a one-row broadcast; the per-part agg
+    # is never window-sorted in a single partition
+    plan = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    # the scalar-total branch must REUSE the per-part agg's shuffle at
+    # runtime (exchange reuse), not rescan lineitem
+    df.collect()
+    final = plan_of(df, "simple")
+    assert "ReusedExchange" in final
+
+
+def test_q15_scalar_max_broadcast(spark, queries):
+    plan = plan_of(queries["top_revenue_supplier"](spark, SMOKE_SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q20_semi_join_before_agg(spark, queries):
+    plan = plan_of(queries["excess_quantity_suppliers"](spark, SMOKE_SF), "simple")
+    assert "LeftSemi" in plan  # part-name IN(...) never duplicates fact rows
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelates_to_one_agg(spark, queries):
+    # the EXISTS/NOT EXISTS pair must not rescan lineitem per side
+    plan = plan_of(queries["supplier_order_exclusivity"](spark, SMOKE_SF), "simple")
+    assert plan.count("Scan parquet") <= 2

@@ -59,6 +59,13 @@ EXPECTED_KEYS = {
     "nation_market_share_inputs",
     "disjunctive_bracket_revenue",
     "order_fulfillment_latency",
+    "simple_revenue_delta",
+    "returned_item_report",
+    "profit_by_nation_year",
+    "part_revenue_concentration",
+    "top_revenue_supplier",
+    "excess_quantity_suppliers",
+    "supplier_order_exclusivity",
     # etl
     "merge_upsert_customers",
     "salted_hot_key_join",

@@ -707,3 +707,332 @@ def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lat).cast("long").alias("max_latency_days"),
         )
     )
+
+
+@query(
+    "simple_revenue_delta",
+    oracle="""
+    SELECT count(*) AS n_lineitems,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS delta_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure predicate aggregate — the whole WHERE "
+    "clause (date range, discount band, quantity cap) is pushed to the "
+    "parquet scan, the agg is one map-side partial + a single-row "
+    "reduce. No join, no wide shuffle; the cheapest possible full-scan "
+    "query at 100 TB.",
+    tags=("tpch",),
+)
+def simple_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("delta_cents"),
+        )
+    )
+
+
+@query(
+    "returned_item_report",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS lost_revenue_cents
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to returns "
+    "in a year. Nation dim broadcast; the final ranking plans as "
+    "TakeOrderedAndProject (per-partition top-20 heap + driver merge), "
+    "never a full sort. Tie-break on c_custkey keeps the LIMIT "
+    "boundary deterministic across engines.",
+    tags=("tpch",),
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("lost_revenue_cents")
+        )
+        .orderBy(F.col("lost_revenue_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)
+                    - CAST(round(p.p_retailprice) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+               AS profit_proxy_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE contains(p.p_name, 'red')
+    GROUP BY n.n_name, o_year
+    """,
+    doc="TPC-H Q9 shape (profit by supplier nation and year, part name "
+    "filtered by color). The substrate has no partsupp, so unit cost "
+    "is proxied by round(p_retailprice) cents/unit — the point is the "
+    "plan shape: the p_name filter prunes the broadcast part dim "
+    "BEFORE the fact join, nation rides broadcast, and the per-row "
+    "amount is exact integer cents (quantity is an integer-valued "
+    "double).",
+    tags=("tpch",),
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        - F.round(F.col("p_retailprice")).cast("long") * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(amount).cast("long").alias("profit_proxy_cents"))
+    )
+
+
+@query(
+    "part_revenue_concentration",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS part_cents
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_cents
+    FROM per_part
+    WHERE part_cents * (SELECT count(*) FROM per_part) * 4
+          > 5 * (SELECT sum(part_cents) FROM per_part)
+    """,
+    doc="TPC-H Q11 shape (group share above a global-total fraction): "
+    "parts whose revenue exceeds 1.25× the mean part share — a "
+    "scale-invariant cut (Q11's literal fraction degenerates as the "
+    "part count grows). The global total+count is a one-row broadcast "
+    "joined against the per-part agg — no second scan of lineitem, no "
+    "window over a single partition. The share test is pure integer "
+    "arithmetic (cents*n_parts*4 > 5*total), so no float ratio can "
+    "flip "
+    "the boundary between engines.",
+    tags=("tpch",),
+)
+def part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("part_cents")
+    )
+    total = per_part.agg(
+        F.sum("part_cents").alias("__total"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_cents") * F.col("__n") * 4 > 5 * F.col("__total"))
+        .select("l_partkey", "part_cents")
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (view + scalar max): the supplier(s) with the "
+    "highest revenue in 1996Q1. The quarterly agg is computed once and "
+    "reused for both the scalar max (one-row broadcast) and the "
+    "equality filter — no rescan, no single-partition window. Ties "
+    "all surface (same semantics as Q15's spec).",
+    tags=("tpch",),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("total_cents")
+        )
+    )
+    mx = rev.agg(F.max("total_cents").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("__mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@query(
+    "excess_quantity_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_excess_parts
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN (
+      SELECT l_suppkey, l_partkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE contains(p_name, 'red'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 50
+    ) ex ON ex.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
+    """,
+    doc="TPC-H Q20 shape (nested IN + agg-HAVING subquery): suppliers "
+    "who moved more than 50 units of any single red part in 1996. The "
+    "part-name filter is a broadcast LEFT SEMI against lineitem, the "
+    "(supplier, part) agg prunes with HAVING before touching the "
+    "supplier dim, and nation rides broadcast. The inner agg's output "
+    "is bounded by (suppliers × red parts), far below the fact table.",
+    tags=("tpch",),
+)
+def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    ex = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        ex.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", F.col("n_excess_parts").cast("long"))
+    )
+
+
+@query(
+    "supplier_order_exclusivity",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l.l_suppkey,
+           CAST(sum(CASE WHEN p.n_supps = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_solo_orders,
+           CAST(sum(CASE WHEN p.n_supps > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_orders
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l
+    JOIN per_order p ON p.l_orderkey = l.l_orderkey
+    GROUP BY l.l_suppkey
+    """,
+    doc="TPC-H Q21 shape (correlated EXISTS on the fact table itself): "
+    "per supplier, how many orders they served alone vs alongside "
+    "other suppliers. The EXISTS(other supplier in same order) / NOT "
+    "EXISTS pair decorrelates into ONE per-order distinct-supplier "
+    "count joined back on the same key — two shuffles on l_orderkey "
+    "(AQE reuses the partitioning), never a per-row rescan.",
+    tags=("tpch",),
+)
+def supplier_order_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps")
+    )
+    return (
+        pairs.join(per_order, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("n_supps") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_solo_orders"),
+            F.sum(F.when(F.col("n_supps") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_orders"),
+        )
+    )
