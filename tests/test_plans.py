@@ -179,3 +179,32 @@ def test_q21_decorrelates_to_one_agg(spark, queries):
     # the EXISTS/NOT EXISTS pair must not rescan lineitem per side
     plan = plan_of(queries["supplier_order_exclusivity"](spark, SMOKE_SF), "simple")
     assert plan.count("Scan parquet") <= 2
+
+
+def test_chunk_split_is_map_only(spark, queries):
+    plan = plan_of(queries["docs_chunk_split"](spark, SMOKE_SF), "simple")
+    # doc → chunks expands in place: no shuffle, no join, no Python
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_pack_sequences_single_window_pass(spark, queries):
+    plan = plan_of(queries["docs_pack_sequences"](spark, SMOKE_SF), "simple")
+    # one shuffle on the shard key feeds the one window pass
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_redact_pii_is_map_only(spark, queries):
+    plan = plan_of(queries["text_redact_pii"](spark, SMOKE_SF), "simple")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_benchmark_overlap_broadcasts_bench_side(spark, queries):
+    plan = plan_of(queries["docs_benchmark_overlap"](spark, SMOKE_SF), "simple")
+    # the benchmark gram set builds the broadcast side; the corpus is
+    # never shuffled on the gram key for the join itself
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

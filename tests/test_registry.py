@@ -66,6 +66,11 @@ EXPECTED_KEYS = {
     "top_revenue_supplier",
     "excess_quantity_suppliers",
     "supplier_order_exclusivity",
+    "docs_chunk_split",
+    "docs_pack_sequences",
+    "text_redact_pii",
+    "docs_benchmark_overlap",
+    "docs_block_dedup",
     # etl
     "merge_upsert_customers",
     "salted_hot_key_join",

@@ -1,0 +1,308 @@
+"""LLM training-data pipeline queries (SURVEY.md §2.4 extension):
+chunking, sequence packing, PII redaction, benchmark-contamination
+checks, and C4-style block-level dedup — the operators a 100 TB
+curation pipeline runs between raw ingest and tokenization.
+
+All pure JVM expressions (split/slice/sequence/md5/regexp — no Python
+in any hot path); every query is DuckDB-oracle-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from utility_service_areas_spark.plans.registry import query
+from utility_service_areas_spark.sources.tables import load_table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+# Chunk geometry: 32-token windows advancing by a 24-token stride
+# (8-token overlap), the standard long-document → context-window split.
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "docs_chunk_split",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, i * {_STRIDE} + 1,
+                               i * {_STRIDE} + {_CHUNK})) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(toks, i * {_STRIDE} + 1, i * {_STRIDE} + {_CHUNK}),
+               ' ')) AS chunk_md5
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         unnest(range(64)) AS t(i)
+    WHERE i * {_STRIDE} < len(toks)
+    """,
+    doc="Document → overlapping context-window chunks (32-token "
+    "windows, 24-token stride). Spark: split once, explode a "
+    "`sequence` of chunk starts, `slice` per chunk — all codegen, no "
+    "UDF, no shuffle (map-only: each doc expands in place). At 100 TB "
+    "the expansion factor is bounded by stride/window choice, never "
+    "by a join.",
+    tags=("pipeline", "text"),
+)
+def docs_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.floor((F.size("toks") - F.lit(1)) / _STRIDE) + 1
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=rf"""
+    WITH sized AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 8
+                 AS shard,
+             len({_TOKS}) AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tok AS start_off
+      FROM sized)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(start_off // 2048 AS BIGINT) AS seq_idx,
+           CAST(start_off % 2048 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+    doc="Sequence packing for training (concat-and-split): docs are "
+    "sharded by an md5 hash bucket, concatenated in deterministic "
+    "doc_id order within each shard, and split into 2048-token "
+    "training sequences — each doc gets (shard, seq_idx, offset). ONE "
+    "window pass per shard; shards are the parallelism unit, so the "
+    "running sum never funnels into a single reducer (at 100 TB raise "
+    "the shard count, same plan).",
+    tags=("pipeline", "text"),
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        % 8
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sized = docs.select(
+        "doc_id", shard.alias("shard"), n_tok.cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("long"),
+        "n_tok",
+        F.floor(F.col("start_off") / 2048).cast("long").alias("seq_idx"),
+        (F.col("start_off") % 2048).cast("long").alias("seq_offset"),
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): plain character classes, no lookaround.
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "text_redact_pii",
+    oracle=rf"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com at 10.0.'
+                  || doc_id % 256 || '.' || doc_id % 100 || ' or 907-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+               regexp_replace(t, '{_RE_EMAIL}', '<EMAIL>', 'g'), '{_RE_IP}'))
+               AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(
+               t, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                  '{_RE_IP}', '<IP>', 'g'),
+                  '{_RE_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+    doc="PII redaction (emails, IPv4, phone numbers) — the compliance "
+    "stage of a training-data pipeline. Deterministic synthetic PII is "
+    "appended per row (the substrate has none), then removed by a "
+    "codegen regexp_replace chain; counts are emitted so a 100 TB run "
+    "can audit redaction volume per source. Map-only, no shuffle, no "
+    "UDF. IP matching runs on the email-redacted text so an address's "
+    "host part is never double-counted.",
+    tags=("pipeline", "text"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" or 907-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    no_email = F.regexp_replace(synth, _RE_EMAIL, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _RE_IP, "<IP>")
+    redacted = F.regexp_replace(no_ip, _RE_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(_RE_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_RE_IP)).cast("long").alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+@query(
+    "docs_benchmark_overlap",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i + 1, i + 4), ' ') AS gram
+      FROM toks, unnest(range(128)) AS t(i)
+      WHERE i + 4 <= len(toks)),
+    bench AS (
+      SELECT DISTINCT doc_id AS bench_id, gram FROM grams
+      WHERE doc_id % 97 = 0)
+    SELECT g.doc_id,
+           count(DISTINCT g.gram) AS n_shared_grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM grams g JOIN bench b ON b.gram = g.gram
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+    doc="Benchmark-contamination check: flags corpus documents sharing "
+    "any word 4-gram with a held-out benchmark set (here doc_id%97=0, "
+    "standing in for an eval suite). The benchmark gram set is tiny "
+    "by construction → broadcast build side; corpus grams stream "
+    "through map-side and only matching grams reach the per-doc agg. "
+    "At 100 TB the corpus is never self-joined and never shuffled on "
+    "the gram key.",
+    tags=("pipeline", "text"),
+)
+def docs_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 4)
+    grams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - 4)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("toks"), F.col("i") + 1, 4), " ").alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "gram")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@query(
+    "docs_block_dedup",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    blocks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+                 AS block
+      FROM toks, unnest(range(64)) AS t(i)
+      WHERE i * 10 < len(toks)),
+    ranked AS (
+      SELECT doc_id, pos, block,
+             row_number() OVER (PARTITION BY block ORDER BY doc_id, pos)
+                 AS rn
+      FROM blocks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(array_to_string(
+               list(CASE WHEN rn = 1 THEN block END ORDER BY pos)
+                   FILTER (rn = 1), ' ')) AS rebuilt_md5
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    doc="C4/RefinedWeb-style block-level dedup: documents split into "
+    "10-token blocks, each block kept only at its globally-first "
+    "occurrence (ordered by doc_id, then position), documents rebuilt "
+    "from surviving blocks. One shuffle on the block text (the dedup "
+    "key), one on doc_id to rebuild — block keys are md5-groupable so "
+    "a hot block (boilerplate) is one reducer key with count state, "
+    "never a collected list.",
+    tags=("pipeline", "text"),
+)
+def docs_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_blocks = F.floor((F.size("toks") - F.lit(1)) / 10) + 1
+    block = F.array_join(F.slice(F.col("toks"), F.col("pos") * 10 + 1, 10), " ")
+    blocks = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("pos"),
+        )
+        .select("doc_id", "pos", block.alias("block"))
+    )
+    w = Window.partitionBy("block").orderBy("doc_id", "pos")
+    ranked = blocks.withColumn("rn", F.row_number().over(w))
+    kept_join = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") == 1, F.struct("pos", "block"))
+                )
+            ),
+            lambda s: s["block"],
+        ),
+        " ",
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.when(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)) > 0, F.md5(kept_join)
+        ).alias("rebuilt_md5"),
+    )

@@ -66,6 +66,7 @@ _PLAN_MODULES = (
     "analytics_queries",
     "tpch_queries",
     "etl_queries",
+    "pipeline_queries",
     "multimodal_queries",
     "event_queries",
     "text_queries",
