@@ -40,6 +40,7 @@ EXPECTED_KEYS = {
     "user_first_last_event",
     "daily_new_users_cumulative",
     "supplier_daily_running_revenue",
+    "tdigest_value_quantiles",
     # tpch
     "regional_order_volume",
     "max_size_parts_per_brand",

@@ -1,0 +1,100 @@
+"""t-digest sketch: accuracy (rank error vs exact), mergeability,
+determinism, and plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SMOKE_SF
+from utility_service_areas_spark.operators.sketch import (
+    digest_quantile,
+    merge_digest,
+    tdigest_quantiles,
+)
+
+
+def test_merge_digest_compresses_and_preserves_weight():
+    rng = np.random.RandomState(7)
+    v = rng.exponential(3.0, 50_000)
+    m, w = merge_digest(v, np.ones_like(v))
+    assert len(m) <= 220  # ~delta centroids
+    assert w.sum() == pytest.approx(50_000)
+    assert np.all(np.diff(m) >= 0)  # sorted centroids
+
+
+@pytest.mark.parametrize("q", [0.01, 0.25, 0.5, 0.75, 0.95, 0.99])
+def test_rank_error_bound(q):
+    rng = np.random.RandomState(11)
+    v = rng.normal(100, 25, 80_000)
+    m, w = merge_digest(v, np.ones_like(v))
+    est = digest_quantile(m, w, q)
+    rank = np.searchsorted(np.sort(v), est) / len(v)
+    assert abs(rank - q) < 0.005
+
+
+def test_merge_is_associative_within_tolerance():
+    """Digest(all) and merge(digest(half1), digest(half2)) must agree —
+    the property that makes per-partition build + per-group merge valid."""
+    rng = np.random.RandomState(3)
+    v = rng.gamma(2.0, 10.0, 60_000)
+    m_all, w_all = merge_digest(v, np.ones_like(v))
+    m1, w1 = merge_digest(v[:30_000], np.ones(30_000))
+    m2, w2 = merge_digest(v[30_000:], np.ones(30_000))
+    m_m, w_m = merge_digest(np.concatenate([m1, m2]), np.concatenate([w1, w2]))
+    srt = np.sort(v)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        r_all = np.searchsorted(srt, digest_quantile(m_all, w_all, q)) / len(v)
+        r_m = np.searchsorted(srt, digest_quantile(m_m, w_m, q)) / len(v)
+        assert abs(r_all - q) < 0.005
+        assert abs(r_m - q) < 0.01  # merged digest: slightly looser
+
+
+def test_single_and_empty_inputs():
+    m, w = merge_digest(np.array([42.0]), np.array([1.0]))
+    assert digest_quantile(m, w, 0.5) == 42.0
+    m0, w0 = merge_digest(np.array([]), np.array([]))
+    assert np.isnan(digest_quantile(m0, w0, 0.5))
+
+
+def test_spark_tdigest_matches_exact_percentile(spark):
+    from utility_service_areas_spark.sources.tables import load_table
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    got = {
+        (r["group"], r["q"]): r["estimate"]
+        for r in tdigest_quantiles(ev, "event_type", "value").collect()
+    }
+    pdf = ev.select("event_type", "value").toPandas()
+    for g, vals in pdf.groupby("event_type")["value"]:
+        v = np.sort(vals.to_numpy(dtype=float))
+        for q in (0.25, 0.5, 0.75, 0.95):
+            est = got[(g, q)]
+            rank = np.searchsorted(v, est) / len(v)
+            assert abs(rank - q) < 0.02, (g, q, est)
+
+
+def test_spark_tdigest_deterministic(spark):
+    from utility_service_areas_spark.sources.tables import load_table
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    a = sorted(map(tuple, tdigest_quantiles(ev, "event_type", "value").collect()))
+    b = sorted(map(tuple, tdigest_quantiles(ev, "event_type", "value").collect()))
+    assert a == b
+
+
+def test_plan_is_arrow_batched_two_level(spark):
+    import contextlib
+    import io
+
+    from utility_service_areas_spark.sources.tables import load_table
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    df = tdigest_quantiles(ev, "event_type", "value")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan  # level 1: per-partition digests
+    assert "FlatMapGroupsInPandas" in plan  # level 2: per-group merge
+    assert "BatchEvalPython" not in plan

@@ -341,3 +341,21 @@ def supplier_daily_running_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     return daily.select(
         "l_suppkey", "d", "rev_cents", F.sum("rev_cents").over(w).alias("running_cents")
     )
+
+
+@query(
+    "tdigest_value_quantiles",
+    oracle=None,  # sketch estimates; rank-error pytest-verified vs exact
+    doc="Per-event-type value quantiles via distributed t-digest "
+    "(operators/sketch.py): per-partition digests built map-side, "
+    "merged associatively per group — the mergeable-sketch shape that "
+    "replaces exact percentile's all-rows-in-one-place requirement at "
+    "100 TB. Shuffle carries O(δ) centroids per partition-group, "
+    "never values. Deterministic (no RNG; merge order sorted).",
+    tags=("analytics", "sketch"),
+)
+def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.sketch import tdigest_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return tdigest_quantiles(ev, "event_type", "value")
