@@ -126,3 +126,56 @@ def test_pip_interior_exterior_property(x0, y0, w, h, fx, fy):
     assert point_in_polygon(x0 + fx * w, y0 + fy * h, r)
     assert not point_in_polygon(x0 - 1.0, y0 + fy * h, r)
     assert not point_in_polygon(x0 + fx * w, y0 + h + 1.0, r)
+
+
+# ------------------------------------------------------- st_simplify
+
+
+def test_simplify_removes_collinear_only_at_tol_zero():
+    from utility_service_areas_spark.functions.geometry import (
+        polygon_area,
+        simplify_polygon,
+    )
+
+    # L-shape with collinear midpoints injected on every edge
+    ring = [
+        [0, 0], [2, 0], [4, 0], [4, 1.5], [4, 3], [3, 3],
+        [2, 3], [2, 4.5], [2, 6], [1, 6], [0, 6], [0, 3], [0, 0],
+    ]
+    out = simplify_polygon([ring], 0.0)
+    assert len(out) == 1
+    # only the 6 true corners + closing vertex survive
+    assert len(out[0]) == 7
+    assert polygon_area(out[0:1]) == polygon_area([ring])
+
+
+def test_simplify_tolerance_removes_jitter():
+    import math
+
+    from utility_service_areas_spark.functions.geometry import (
+        polygon_area,
+        simplify_polygon,
+    )
+
+    # square with small zigzag jitter along the bottom edge
+    jitter = [[x / 10, 0.02 * (1 if (x % 2) else -1)] for x in range(1, 100)]
+    ring = [[0, 0], *jitter, [10, 0], [10, 10], [0, 10], [0, 0]]
+    out = simplify_polygon([ring], 0.05)
+    assert len(out[0]) <= 6  # jitter gone
+    assert math.isclose(polygon_area(out), 100.0, rel_tol=0.01)
+
+
+def test_simplify_idempotent():
+    from utility_service_areas_spark.functions.geometry import simplify_polygon
+
+    ring = [[0, 0], [5, 0.3], [10, 0], [9, 5], [10, 10], [4, 9.5], [0, 10], [0, 0]]
+    once = simplify_polygon([ring], 0.5)
+    twice = simplify_polygon(once, 0.5)
+    assert once == twice
+
+
+def test_simplify_degenerate_ring_drops():
+    from utility_service_areas_spark.functions.geometry import simplify_polygon
+
+    # all points collinear → ring collapses, polygon becomes empty
+    assert simplify_polygon([[[0, 0], [1, 0], [2, 0], [0, 0]]], 0.0) == []

@@ -125,6 +125,7 @@ EXPECTED_KEYS = {
     "geo_make_valid",
     "geo_viewport_query",
     "geo_combine_multipolygon",
+    "geo_simplify",
 }
 
 

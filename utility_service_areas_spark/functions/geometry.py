@@ -17,6 +17,8 @@ pairs, never the raw cross product.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -181,6 +183,77 @@ def make_valid(poly: Polygon) -> Polygon:
             pts = pts[::-1]
         fixed.append(pts)
     return fixed
+
+
+def _perp_dist(px, py, ax, ay, bx, by) -> float:
+    """Distance from point p to segment a-b (endpoint distance if the
+    projection falls outside the segment)."""
+    dx, dy = bx - ax, by - ay
+    d2 = dx * dx + dy * dy
+    if d2 == 0.0:
+        return math.hypot(px - ax, py - ay)
+    t = ((px - ax) * dx + (py - ay) * dy) / d2
+    t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def _dp_chain(pts: list, lo: int, hi: int, tol: float, keep: set) -> None:
+    """Douglas-Peucker over the open chain pts[lo..hi] (iterative —
+    ring sizes are unbounded in principle)."""
+    stack = [(lo, hi)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        ax, ay = pts[i]
+        bx, by = pts[j]
+        best, best_d = -1, -1.0
+        for k in range(i + 1, j):
+            d = _perp_dist(pts[k][0], pts[k][1], ax, ay, bx, by)
+            if d > best_d:
+                best, best_d = k, d
+        if best_d > tol:
+            keep.add(best)
+            stack.append((i, best))
+            stack.append((best, j))
+
+
+def simplify_ring(ring: Ring, tol: float) -> Ring | None:
+    """st_simplify (Douglas-Peucker) on a closed ring: split at the
+    first vertex and the vertex farthest from it, simplify both chains,
+    re-close. tol=0 removes exactly the collinear/duplicate vertices.
+    The two anchor vertices always survive (standard ring-DP caveat);
+    returns None if the ring degenerates below a triangle."""
+    pts = [(float(p[0]), float(p[1])) for p in ring]
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    ded = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+    if len(ded) < 3:
+        return None
+    far = max(
+        range(1, len(ded)),
+        key=lambda i: (ded[i][0] - ded[0][0]) ** 2 + (ded[i][1] - ded[0][1]) ** 2,
+    )
+    keep: set[int] = {0, far}
+    _dp_chain(ded, 0, far, tol, keep)
+    closed = ded + [ded[0]]
+    _dp_chain(closed, far, len(closed) - 1, tol, keep)
+    out = [[ded[i][0], ded[i][1]] for i in sorted(keep)]
+    if len(out) < 3:
+        return None
+    out.append([out[0][0], out[0][1]])
+    return out
+
+
+def simplify_polygon(poly: Polygon, tol: float) -> Polygon:
+    """Per-ring Douglas-Peucker; degenerate rings drop (like
+    st_simplify with preserveTopology=FALSE for collapsed rings)."""
+    out: Polygon = []
+    for ring in poly:
+        s = simplify_ring(ring, tol)
+        if s is not None and abs(ring_area_signed(s)) > 0:
+            out.append(s)
+    return out
 
 
 def rect_polygon(x0: float, y0: float, w: float, h: float) -> Polygon:
@@ -626,6 +699,27 @@ def _st_make_valid_raw(polys: pd.Series) -> pd.Series:
 def st_make_valid(poly) -> F.Column:
     poly = _c(poly)
     return F.when(poly.isNotNull(), _st_make_valid_raw(F.coalesce(poly, _sentinel_poly())))
+
+
+@F.pandas_udf(POLYGON_DTYPE)
+def _st_simplify_raw(polys: pd.Series, tols: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            simplify_polygon(p, float(t)) if p is not None and len(p) else None
+            for p, t in zip(polys, tols)
+        ]
+    )
+
+
+def st_simplify(poly, tol) -> F.Column:
+    """Douglas-Peucker vertex reduction (sf::st_simplify parity in
+    spirit; the reference never simplifies, but any consumer rendering
+    its GeoJSON at map zoom levels needs this)."""
+    poly = _c(poly)
+    tol = F.lit(tol) if not isinstance(tol, F.Column) else tol
+    return F.when(
+        poly.isNotNull(), _st_simplify_raw(F.coalesce(poly, _sentinel_poly()), tol)
+    )
 
 
 @F.pandas_udf(POLYGON_DTYPE)

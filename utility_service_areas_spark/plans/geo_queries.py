@@ -484,3 +484,49 @@ def geo_dissolve_true_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("union_area_milli"),
     )
+
+
+@query(
+    "geo_simplify",
+    oracle=f"""
+    SELECT n_nationkey,
+           CAST(9 AS BIGINT) AS n_points_in,
+           CAST(5 AS BIGINT) AS n_points_out,
+           CAST(round(w * h * 1000) AS BIGINT) AS area_milli
+    FROM ({_RECT_SQL})
+    """,
+    doc="st_simplify (Douglas-Peucker): rectangles densified with a "
+    "collinear midpoint per edge (9-point closed ring) must simplify "
+    "back to the 5-point ring at tolerance 0, area unchanged — the "
+    "closed-form oracle; irregular-shape behavior (tolerance sweeps, "
+    "idempotence) is pytest-covered. Map-only Arrow UDF: geometry "
+    "never shuffles, vertex reduction happens where the data sits — "
+    "exactly how a 100 TB tile-rendering pass would run it.",
+    tags=("geo",),
+)
+def geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.geometry import st_simplify
+
+    rects = _nation_rects(spark, sf_dir)
+    pt = lambda x, y: F.array(x.cast("double"), y.cast("double"))  # noqa: E731
+    x0, y0, w, h = (F.col(c) for c in ("x0", "y0", "w", "h"))
+    dense = F.array(
+        F.array(
+            pt(x0, y0),
+            pt(x0 + w / 2, y0),  # collinear midpoint
+            pt(x0 + w, y0),
+            pt(x0 + w, y0 + h / 2),  # collinear midpoint
+            pt(x0 + w, y0 + h),
+            pt(x0 + w / 2, y0 + h),  # collinear midpoint
+            pt(x0, y0 + h),
+            pt(x0, y0 + h / 2),  # collinear midpoint
+            pt(x0, y0),
+        )
+    )
+    simplified = rects.withColumn("geometry", st_simplify(dense, 0.0))
+    return simplified.select(
+        "n_nationkey",
+        F.lit(9).cast("long").alias("n_points_in"),
+        F.size(F.element_at(F.col("geometry"), 1)).cast("long").alias("n_points_out"),
+        F.round(st_area(F.col("geometry")) * 1000).cast("long").alias("area_milli"),
+    )
