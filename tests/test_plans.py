@@ -208,3 +208,20 @@ def test_benchmark_overlap_broadcasts_bench_side(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_fold_no_per_stage_rescan(spark, queries):
+    plan = plan_of(queries["event_funnel_conversion"](spark, SMOKE_SF), "simple")
+    # one collect+fold pass, not three correlated joins: events scanned
+    # at most twice (fold + distinct-users), never per funnel stage
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan  # fold is a JVM higher-order aggregate
+
+
+def test_fuzzy_match_is_blocked_join(spark, queries):
+    plan = plan_of(queries["fuzzy_match_part_names"](spark, SMOKE_SF), "simple")
+    # blocking key join (equi on first char + length band), then
+    # levenshtein only on candidates — never an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan

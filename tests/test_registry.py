@@ -41,6 +41,8 @@ EXPECTED_KEYS = {
     "daily_new_users_cumulative",
     "supplier_daily_running_revenue",
     "tdigest_value_quantiles",
+    "event_funnel_conversion",
+    "cohort_retention",
     # tpch
     "regional_order_volume",
     "max_size_parts_per_brand",
@@ -78,6 +80,7 @@ EXPECTED_KEYS = {
     "pivot_status_by_year",
     "unpivot_part_metrics",
     "weighted_sample_orders",
+    "fuzzy_match_part_names",
     # multimodal
     "multimodal_decode_meta",
     "multimodal_frame_sample",

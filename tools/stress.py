@@ -1,0 +1,138 @@
+"""Stress harness: scale the heavy tables past sf0.1 and profile the
+operators whose cost is data-shaped (pair generation, ANN, sketches) —
+the bottlenecks sf0.1 bench can't expose.
+
+Builds an expanded substrate in --out (default /tmp/stress):
+  - documents / embeddings / events replicated --factor times via
+    DuckDB (ids shifted to stay unique; replica docs get one prepended
+    marker token so replicas are NEAR-duplicates — deliberately
+    stressing the candidate-pair volume of the dedup family);
+  - every other table symlinked from --base.
+
+Then runs the named queries (default: the pair-generating + sketch
+set) against it and prints one JSON line, bench.py-style.
+
+Usage:
+    python tools/stress.py [--factor 10] [--out /tmp/stress]
+                           [--base /root/testdata/sf0.1] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALED = ("documents", "embeddings", "events")
+LINKED = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+DEFAULT_QUERIES = [
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "docs_block_dedup",
+    "docs_benchmark_overlap",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "tdigest_value_quantiles",
+]
+
+_EXPAND_SQL = {
+    "documents": """
+        SELECT doc_id + i * (SELECT max(doc_id) + 1 FROM src) AS doc_id,
+               CASE WHEN i = 0 THEN text ELSE 'r' || i || ' ' || text END AS text,
+               lang, source, n_chars
+        FROM src, range({factor}) AS t(i)
+    """,
+    "embeddings": """
+        SELECT vec_id + i * (SELECT max(vec_id) + 1 FROM src) AS vec_id,
+               embedding, label
+        FROM src, range({factor}) AS t(i)
+    """,
+    "events": """
+        SELECT event_id + i * (SELECT max(event_id) + 1 FROM src) AS event_id,
+               ts, user_id, event_type, value, props
+        FROM src, range({factor}) AS t(i)
+    """,
+}
+
+
+def build_substrate(base: str, out: str, factor: int) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    for t in LINKED:
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(os.path.join(base, f"{t}.parquet"), dst)
+    con = duckdb.connect()
+    for t in SCALED:
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(dst):
+            os.remove(dst)
+        con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}'")
+        q = _EXPAND_SQL[t].format(factor=factor)
+        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/stress")
+    ap.add_argument("--keep", action="store_true", help="reuse existing --out")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    if not args.keep:
+        if os.path.isdir(args.out):
+            shutil.rmtree(args.out)
+        build_substrate(args.base, args.out, args.factor)
+
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.session import build_session
+
+    spark = build_session("usa-spark-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    names = args.names or [n for n in DEFAULT_QUERIES if n in qs]
+
+    # Warm the JVM/session on the smallest SF so the first timed query
+    # doesn't absorb startup cost (same convention as bench.py).
+    qs[names[0]](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.time()
+        n = qs[name](spark, args.out).count()
+        timings[name] = round(time.time() - t0, 2)
+        rows[name] = n
+    print(
+        json.dumps(
+            {
+                "metric": "stress_total",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "factor": args.factor,
+                "base": args.base,
+                "queries": timings,
+                "rows": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

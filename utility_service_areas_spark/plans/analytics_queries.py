@@ -359,3 +359,128 @@ def tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return tdigest_quantiles(ev, "event_type", "value")
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    tv AS (SELECT u.user_id,
+                  (SELECT min(ts) FROM events e WHERE e.user_id = u.user_id
+                    AND e.event_type = 'view') AS t_view
+           FROM u),
+    tc AS (SELECT tv.user_id, tv.t_view,
+                  (SELECT min(ts) FROM events e WHERE e.user_id = tv.user_id
+                    AND e.event_type = 'click' AND e.ts > tv.t_view) AS t_click
+           FROM tv),
+    tp AS (SELECT tc.user_id, tc.t_view, tc.t_click,
+                  (SELECT min(ts) FROM events e WHERE e.user_id = tc.user_id
+                    AND e.event_type = 'purchase' AND e.ts > tc.t_click)
+                      AS t_purchase
+           FROM tc)
+    SELECT user_id,
+           CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                     WHEN t_click IS NOT NULL THEN 2
+                     WHEN t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM tp
+    """,
+    doc="Ordered funnel (view → click-after-view → "
+    "purchase-after-click) per user: ONE shuffle collects each user's "
+    "events, a sorted JVM `aggregate` fold walks them in time order — "
+    "no per-stage rescan, no correlated re-join (the oracle spells "
+    "the same semantics as three correlated min-subqueries). The fold "
+    "state is three timestamps per user regardless of event count.",
+    tags=("analytics",),
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    zero = F.lit(None).cast("timestamp")
+    folded = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
+        .select(
+            "user_id",
+            F.aggregate(
+                "evs",
+                F.struct(
+                    zero.alias("tv"), zero.alias("tc"), zero.alias("tp")
+                ),
+                lambda s, e: F.struct(
+                    F.when(
+                        s["tv"].isNull() & (e["event_type"] == "view"), e["ts"]
+                    )
+                    .otherwise(s["tv"])
+                    .alias("tv"),
+                    F.when(
+                        s["tc"].isNull()
+                        & s["tv"].isNotNull()
+                        & (e["event_type"] == "click")
+                        & (e["ts"] > s["tv"]),
+                        e["ts"],
+                    )
+                    .otherwise(s["tc"])
+                    .alias("tc"),
+                    F.when(
+                        s["tp"].isNull()
+                        & s["tc"].isNotNull()
+                        & (e["event_type"] == "purchase")
+                        & (e["ts"] > s["tc"]),
+                        e["ts"],
+                    )
+                    .otherwise(s["tp"])
+                    .alias("tp"),
+                ),
+            ).alias("st"),
+        )
+    )
+    # users with no view/click/purchase events at all still count (stage 0)
+    allu = ev.select("user_id").distinct()
+    return (
+        allu.join(folded, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("st.tp").isNotNull(), 3)
+            .when(F.col("st.tc").isNotNull(), 2)
+            .when(F.col("st.tv").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("funnel_stage"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+               AS day_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: users grouped by first-activity "
+    "day, activity counted per day offset (the substrate spans one "
+    "month; at production scale swap day→month, same plan). The first-seen agg is "
+    "user-sized (partial-agged), re-joined on the SAME user_id "
+    "partitioning the groupBy produced (AQE reuses it), then one "
+    "distinct-agg — the fact table is scanned twice but shuffled on "
+    "one key only.",
+    tags=("analytics",),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    offset = F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long")
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy("cohort_day", offset.alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

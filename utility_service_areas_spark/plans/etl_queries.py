@@ -200,3 +200,72 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
         )
     )
+
+
+@query(
+    "fuzzy_match_part_names",
+    oracle="""
+    WITH variants AS (
+      SELECT p_partkey AS src_key,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+             || substr(p_name,
+                       CAST(p_partkey % length(p_name) AS INT) + 2) AS variant,
+             substr(p_name, 1, 1) AS blk_c,
+             length(p_name) AS blk_len
+      FROM part),
+    cands AS (
+      SELECT v.src_key, v.variant, p.p_partkey AS match_key
+      FROM variants v
+      JOIN part p ON substr(p.p_name, 1, 1) = v.blk_c
+                 AND length(p.p_name) BETWEEN v.blk_len - 1 AND v.blk_len
+      WHERE levenshtein(v.variant, p.p_name) <= 1)
+    SELECT src_key,
+           count(*) AS n_candidates,
+           min(match_key) AS best_match_key,
+           CAST(max(CASE WHEN match_key = src_key THEN 1 ELSE 0 END) AS BIGINT)
+               AS self_recovered
+    FROM cands
+    GROUP BY src_key
+    """,
+    doc="Record-linkage fuzzy join: part names corrupted by one "
+    "deleted character are matched back within edit distance 1. "
+    "Blocking on (first char, length band) turns the quadratic "
+    "all-pairs levenshtein into per-block candidate sets — the same "
+    "bucket-then-verify posture as the dedup family; levenshtein is "
+    "the JVM built-in, evaluated only on blocked candidates. "
+    "self_recovered audits that the true source survives blocking.",
+    tags=("etl",),
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cut = (F.col("p_partkey") % F.length("p_name")).cast("int")
+    variants = p.select(
+        F.col("p_partkey").alias("src_key"),
+        F.concat(
+            F.expr("substr(p_name, 1, cast(p_partkey % length(p_name) as int))"),
+            F.expr("substr(p_name, cast(p_partkey % length(p_name) as int) + 2)"),
+        ).alias("variant"),
+        F.substring("p_name", 1, 1).alias("blk_c"),
+        F.length("p_name").alias("blk_len"),
+    )
+    canon = p.select(
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_name").alias("canon_name"),
+        F.substring("p_name", 1, 1).alias("c_blk_c"),
+        F.length("p_name").alias("c_blk_len"),
+    )
+    cands = (
+        variants.join(
+            canon,
+            (F.col("c_blk_c") == F.col("blk_c"))
+            & (F.col("c_blk_len").between(F.col("blk_len") - 1, F.col("blk_len"))),
+        )
+        .filter(F.levenshtein("variant", "canon_name") <= 1)
+    )
+    return cands.groupBy("src_key").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.min("match_key").alias("best_match_key"),
+        F.max(F.when(F.col("match_key") == F.col("src_key"), 1).otherwise(0))
+        .cast("long")
+        .alias("self_recovered"),
+    )
