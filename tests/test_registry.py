@@ -43,6 +43,7 @@ EXPECTED_KEYS = {
     "tdigest_value_quantiles",
     "event_funnel_conversion",
     "cohort_retention",
+    "rolling_7d_active_users",
     # tpch
     "regional_order_volume",
     "max_size_parts_per_brand",
@@ -85,6 +86,7 @@ EXPECTED_KEYS = {
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "multimodal_features",
+    "multimodal_dedup_bytes",
     # events
     "events_tumbling_agg",
     "events_sessionize",

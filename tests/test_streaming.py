@@ -138,3 +138,33 @@ def test_first_seen_daily_matches_batch(spark):
     # availableNow pass over ordered parquet that is the earliest ts,
     # so per-day first-seen counts must match the batch derivation.
     assert got == want
+
+
+def test_stream_tdigest_matches_exact_quantiles(spark):
+    import numpy as np
+
+    from utility_service_areas_spark.sources.tables import load_table
+    from utility_service_areas_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        tdigest_stream,
+    )
+
+    stream = read_events_stream(spark, SMOKE_SF)
+    run_to_memory(tdigest_stream(stream), "t_tdigest", "update")
+    # update mode: last emission per (event_type, q) is the final state
+    rows = spark.table("t_tdigest").collect()
+    final = {}
+    for r in rows:  # memory sink preserves emission order
+        final[(r.event_type, r.q)] = r.estimate
+    pdf = (
+        load_table(spark, SMOKE_SF, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for g, vals in pdf.groupby("event_type")["value"]:
+        v = np.sort(vals.to_numpy(dtype=float))
+        for q in (0.25, 0.5, 0.75, 0.95):
+            est = final[(g, q)]
+            rank = np.searchsorted(v, est) / len(v)
+            assert abs(rank - q) < 0.02, (g, q, est)

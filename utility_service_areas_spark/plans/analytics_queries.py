@@ -484,3 +484,39 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", offset.alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT days.d,
+           count(DISTINCT e.user_id) AS active_7d
+    FROM days
+    JOIN events e ON CAST(e.ts AS DATE) BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    doc="Rolling 7-day distinct active users per day. Sliding-window "
+    "COUNT(DISTINCT) can't partial-agg through a frame window, so the "
+    "plan broadcasts the tiny day dimension (calendar-bounded) against "
+    "the fact table — each event lands in ≤7 day buckets, then one "
+    "distinct-agg per day. The fact table is scanned once and never "
+    "self-joined; at 100 TB swap the exact distinct for per-day HLL "
+    "sketches merged across the 7-day frame (approx_distinct_users "
+    "shows the sketch path).",
+    tags=("analytics",),
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("e_day"), "user_id"
+    )
+    days = ev.select(F.col("e_day").alias("d")).distinct()
+    return (
+        ev.join(
+            F.broadcast(days),
+            (F.col("e_day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("e_day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )

@@ -85,3 +85,43 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1) * 1000).cast("long").alias("f0_milli"),
         F.size("features").cast("long").alias("dim"),
     )
+
+
+@query(
+    "multimodal_dedup_bytes",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS mime,
+           md5(text) AS byte_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_dups,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY mime, byte_hash
+    """,
+    doc="Binary-content dedup per modality: md5 of the media bytes "
+    "(computed JVM-side on the binary column — bytes never reach "
+    "Python), grouped within mime type; keeper = min id, byte volume "
+    "audited. The md5-groupBy is one shuffle of (hash, id, size) "
+    "tuples — blob bytes stay at the scan and never shuffle, the "
+    "property that makes image-corpus dedup feasible at 100 TB.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text")
+    return (
+        media.select(
+            "doc_id",
+            "mime",
+            F.md5("media_bytes").alias("byte_hash"),
+            F.octet_length("media_bytes").alias("nbytes"),
+        )
+        .groupBy("mime", "byte_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sum("nbytes").cast("long").alias("total_bytes"),
+        )
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -229,3 +230,70 @@ def first_seen_daily_counts(stream: DataFrame) -> DataFrame:
     output, exactly as in the batch query."""
     firsts = stream.dropDuplicates(["user_id"])
     return firsts.groupBy(F.to_date("ts").alias("d")).count()
+
+
+_TDIGEST_STATE_SCHEMA = StructType(
+    [
+        StructField("means", ArrayType(DoubleType())),
+        StructField("weights", ArrayType(DoubleType())),
+    ]
+)
+
+_TDIGEST_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("q", DoubleType()),
+        StructField("estimate", DoubleType()),
+    ]
+)
+
+_TDIGEST_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def _tdigest_fn(key, pdfs, state):
+    """Streaming t-digest per event_type: the keyed state IS the digest
+    (≤ δ centroids, constant size) — new values merge in per batch,
+    current quantile estimates emit every trigger (update semantics:
+    downstream upserts by (event_type, q))."""
+    import numpy as np
+
+    from utility_service_areas_spark.operators.sketch import (
+        digest_quantile,
+        merge_digest,
+    )
+
+    if state.exists:
+        m_list, w_list = state.get
+        means = np.asarray(m_list, dtype=np.float64)
+        weights = np.asarray(w_list, dtype=np.float64)
+    else:
+        means = np.array([], dtype=np.float64)
+        weights = np.array([], dtype=np.float64)
+    for pdf in pdfs:
+        v = pdf["value"].dropna().to_numpy(dtype=np.float64)
+        if len(v):
+            means = np.concatenate([means, v])
+            weights = np.concatenate([weights, np.ones_like(v)])
+            means, weights = merge_digest(means, weights)
+    state.update((means.tolist(), weights.tolist()))
+    yield pd.DataFrame(
+        [(key[0], q, digest_quantile(means, weights, q)) for q in _TDIGEST_QS],
+        columns=["event_type", "q", "estimate"],
+    )
+
+
+def tdigest_stream(stream: DataFrame) -> DataFrame:
+    """Streaming quantile estimates (t-digest keyed state) — the
+    streaming twin of plans/analytics_queries.tdigest_value_quantiles.
+    State per key is O(δ) forever, regardless of stream length."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _tdigest_fn,
+            outputStructType=_TDIGEST_OUT_SCHEMA,
+            stateStructType=_TDIGEST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
