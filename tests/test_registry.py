@@ -82,6 +82,7 @@ EXPECTED_KEYS = {
     "unpivot_part_metrics",
     "weighted_sample_orders",
     "fuzzy_match_part_names",
+    "scd2_customer_history",
     # multimodal
     "multimodal_decode_meta",
     "multimodal_frame_sample",
@@ -105,6 +106,7 @@ EXPECTED_KEYS = {
     "token_count_histogram",
     "corpus_clean_sample",
     "docs_unigram_surprisal",
+    "heavy_hitter_tokens",
     # ann
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -131,6 +133,7 @@ EXPECTED_KEYS = {
     "geo_viewport_query",
     "geo_combine_multipolygon",
     "geo_simplify",
+    "geo_morton_order",
 }
 
 

@@ -98,3 +98,43 @@ def test_plan_is_arrow_batched_two_level(spark):
     assert "MapInPandas" in plan  # level 1: per-partition digests
     assert "FlatMapGroupsInPandas" in plan  # level 2: per-group merge
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------- SpaceSaving
+
+
+def test_spacesaving_guarantees_on_skewed_stream():
+    from utility_service_areas_spark.operators.sketch import SpaceSaving
+
+    # zipf-ish: token i appears ~ 10000/i times
+    stream = []
+    for i in range(1, 200):
+        stream += [f"t{i}"] * (10_000 // i)
+    ss = SpaceSaving(32)
+    for tok in stream:
+        ss.add(tok)
+    n = len(stream)
+    true = {f"t{i}": 10_000 // i for i in range(1, 200)}
+    for tok, c in true.items():
+        if c >= n / 32:  # every true heavy hitter must be tracked
+            assert tok in ss.count
+            assert ss.count[tok] >= c  # count overestimates
+            assert ss.count[tok] - ss.error[tok] <= c  # lb underestimates
+
+
+def test_spark_heavy_hitters_bracket_exact_counts(spark):
+    from utility_service_areas_spark.operators.sketch import heavy_hitter_tokens
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    got = {r["token"]: (r["count_lb"], r["count_ub"])
+           for r in heavy_hitter_tokens(docs, "text", k=64).collect()}
+    pdf = docs.select("text").toPandas()
+    exact = pdf["text"].str.lower().str.split().explode().value_counts()
+    n = int(exact.sum())
+    for tok, c in exact.items():
+        if c >= n / 64:
+            assert tok in got, f"heavy hitter {tok} missing"
+        if tok in got:
+            lb, ub = got[tok]
+            assert lb <= c <= ub, (tok, lb, c, ub)

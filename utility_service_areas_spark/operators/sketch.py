@@ -153,3 +153,107 @@ def tdigest_quantiles(
         )
 
     return partials.groupBy("group").applyInPandas(merge_group, out_schema)
+
+
+# ---------------------------------------------------- heavy hitters
+#
+# SpaceSaving (Metwally et al., "Efficient computation of frequent and
+# top-k elements in data streams") with the mergeable-summaries
+# combination rule (Agarwal et al., PODS 2012): per-partition k-bounded
+# counter sets, merged with per-partition eviction floors so the
+# upper/lower bounds stay sound. Guarantee: any item with true count
+# >= N/k survives, and lb <= true <= ub for every reported item.
+
+
+class SpaceSaving:
+    """k-bounded counter summary. `add(item, by)` amortizes over
+    value_counts batches — evictions replace the min counter and
+    inherit its value as error."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.count: dict[str, int] = {}
+        self.error: dict[str, int] = {}
+
+    def add(self, item: str, by: int = 1) -> None:
+        if item in self.count:
+            self.count[item] += by
+        elif len(self.count) < self.k:
+            self.count[item] = by
+            self.error[item] = 0
+        else:
+            victim = min(self.count, key=self.count.__getitem__)
+            floor = self.count.pop(victim)
+            self.error.pop(victim)
+            self.count[item] = floor + by
+            self.error[item] = floor
+
+    @property
+    def floor(self) -> int:
+        """Max possible count of any UNtracked item (eviction floor)."""
+        return min(self.count.values()) if len(self.count) >= self.k else 0
+
+
+def heavy_hitter_tokens(
+    df: DataFrame, text_col: str, k: int = 64
+) -> DataFrame:
+    """Approximate heavy-hitter tokens with deterministic bounds.
+
+    Level 1 (mapInPandas): one SpaceSaving(k) summary per partition —
+    state is k counters regardless of partition size. Level 2 (plain
+    DataFrame algebra, no second UDF): counts sum per token; a token
+    absent from a partition's summary could have appeared up to that
+    partition's eviction floor times, so
+        ub(t) = Σ_present count_p(t) + (Σ_all floor_p − Σ_present floor_p)
+        lb(t) = Σ_present (count_p(t) − error_p(t))
+    Returns (token, count_lb, count_ub); any token with true frequency
+    ≥ N/k is guaranteed present.
+    """
+    schema = StructType(
+        [
+            StructField("pid", StringType()),
+            StructField("token", StringType()),
+            StructField("cnt", DoubleType()),
+            StructField("err", DoubleType()),
+            StructField("floor", DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        import uuid
+
+        ss = SpaceSaving(k)
+        pid = uuid.uuid4().hex  # partition-local label, never collides
+        seen = False
+        for pdf in batches:
+            seen = True
+            toks = pdf[text_col].str.lower().str.split().explode()
+            for tok, c in toks.value_counts().items():
+                ss.add(tok, int(c))
+        if not seen or not ss.count:
+            return
+        fl = float(ss.floor)
+        yield pd.DataFrame(
+            [(pid, t, float(c), float(ss.error[t]), fl) for t, c in ss.count.items()],
+            columns=["pid", "token", "cnt", "err", "floor"],
+        )
+
+    p = df.select(text_col).mapInPandas(partials, schema)
+    # Σ floor over all partitions — one tiny distinct-agg, broadcast back.
+    floors = p.select("pid", "floor").distinct()
+    total_floor = floors.agg(F.sum("floor").alias("__total_floor"))
+    per_token = p.groupBy("token").agg(
+        F.sum("cnt").alias("__cnt"),
+        F.sum(F.col("cnt") - F.col("err")).alias("__lb"),
+        F.sum("floor").alias("__present_floor"),
+    )
+    return (
+        per_token.join(F.broadcast(total_floor))
+        .select(
+            "token",
+            F.col("__lb").cast("long").alias("count_lb"),
+            (F.col("__cnt") + F.col("__total_floor") - F.col("__present_floor"))
+            .cast("long")
+            .alias("count_ub"),
+        )
+    )

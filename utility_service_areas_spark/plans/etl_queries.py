@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
@@ -268,4 +269,40 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("match_key") == F.col("src_key"), 1).otherwise(0))
         .cast("long")
         .alias("self_recovered"),
+    )
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    SELECT o_custkey,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+               AS valid_to,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS attr_cents,
+           CAST(CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey)
+                          IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM orders
+    """,
+    doc="SCD Type-2 history build: a change stream (orders standing in "
+    "for attribute changes) becomes validity intervals per key — "
+    "valid_from/valid_to via one lead() window, is_current flag on the "
+    "open interval. ONE shuffle on the key; the window sort is bounded "
+    "per key (change counts, not fact volume). The standard "
+    "warehouse-dimension maintenance op.",
+    tags=("etl",),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("attr_cents"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
     )

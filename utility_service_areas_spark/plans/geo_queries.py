@@ -530,3 +530,46 @@ def geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.element_at(F.col("geometry"), 1)).cast("long").alias("n_points_out"),
         F.round(st_area(F.col("geometry")) * 1000).cast("long").alias("area_milli"),
     )
+
+
+@query(
+    "geo_morton_order",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey % 40) AS BIGINT) AS gx,
+             CAST(((c_custkey * 7) % 25) AS BIGINT) AS gy
+      FROM customer)
+    SELECT c_custkey, gx, gy,
+           CAST((
+             ((gx & 1))       | ((gy & 1) << 1) |
+             ((gx & 2) << 1)  | ((gy & 2) << 2) |
+             ((gx & 4) << 2)  | ((gy & 4) << 3) |
+             ((gx & 8) << 3)  | ((gy & 8) << 4) |
+             ((gx & 16) << 4) | ((gy & 16) << 5) |
+             ((gx & 32) << 5) | ((gy & 32) << 6)
+           ) AS BIGINT) AS morton
+    FROM pts
+    """,
+    doc="Z-order (Morton) locality code for point data: interleaves "
+    "the 6-bit grid coordinates with pure JVM bit arithmetic (no UDF). "
+    "Writing geo data range-partitioned/sorted by this key clusters "
+    "spatial neighbors into the same files, so bbox queries prune "
+    "parquet row groups by min/max stats — the Delta/Iceberg Z-ORDER "
+    "technique, expressed as a plain column. Map-only; ordering is the "
+    "writer's choice downstream.",
+    tags=("geo",),
+)
+def geo_morton_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    gx = (F.col("c_custkey") % 40).cast("long")
+    gy = ((F.col("c_custkey") * 7) % 25).cast("long")
+    bits = None
+    for b in range(6):
+        x_part = F.shiftleft(gx.bitwiseAND(1 << b), b)
+        y_part = F.shiftleft(gy.bitwiseAND(1 << b), b + 1)
+        term = x_part.bitwiseOR(y_part)
+        bits = term if bits is None else bits.bitwiseOR(term)
+    return c.select(
+        "c_custkey", gx.alias("gx"), gy.alias("gy"), bits.cast("long").alias("morton")
+    )

@@ -418,3 +418,25 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(milli).alias("surprisal_millibits"),
         )
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=None,  # sketch bounds; soundness pytest-verified vs exact
+    doc="Heavy-hitter tokens via per-partition SpaceSaving summaries "
+    "merged with eviction-floor bounds (operators/sketch.py) — the "
+    "mergeable-sketch replacement for exact explode→count when the "
+    "vocabulary doesn't fit anywhere: state is k counters per "
+    "partition, shuffle is k rows per partition. Guarantees: every "
+    "token with true frequency ≥ N/k is present; lb ≤ true ≤ ub.",
+    tags=("text", "sketch"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.sketch import (
+        heavy_hitter_tokens as hh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hh(docs, "text", k=64)
+    # keep the plausible hitters (ub could still be below the N/k bar)
+    return out.filter(F.col("count_lb") > 0)
