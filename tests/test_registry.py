@@ -44,6 +44,8 @@ EXPECTED_KEYS = {
     "event_funnel_conversion",
     "cohort_retention",
     "rolling_7d_active_users",
+    "qty_price_covariance_components",
+    "event_type_transitions",
     # tpch
     "regional_order_volume",
     "max_size_parts_per_brand",
@@ -70,11 +72,15 @@ EXPECTED_KEYS = {
     "top_revenue_supplier",
     "excess_quantity_suppliers",
     "supplier_order_exclusivity",
+    "min_cost_supplier_per_part",
+    "unshipped_order_revenue",
+    "priority_counts_by_returnflag",
     "docs_chunk_split",
     "docs_pack_sequences",
     "text_redact_pii",
     "docs_benchmark_overlap",
     "docs_block_dedup",
+    "reservoir_sample_docs",
     # etl
     "merge_upsert_customers",
     "salted_hot_key_join",
@@ -83,6 +89,7 @@ EXPECTED_KEYS = {
     "weighted_sample_orders",
     "fuzzy_match_part_names",
     "scd2_customer_history",
+    "bloom_new_customer_orders",
     # multimodal
     "multimodal_decode_meta",
     "multimodal_frame_sample",

@@ -520,3 +520,72 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
+
+
+@query(
+    "qty_price_covariance_components",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS sum_qty_sq,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Distributed statistics without float drift: the exact integer "
+    "moment sums (n, Σx, Σx², Σy, Σxy) that define covariance / "
+    "correlation / OLS slope between quantity and price, per return "
+    "flag. Each term is per-row integer arithmetic followed by a "
+    "partial agg (map-side combine) — summation order can't flip a "
+    "bit, unlike sum(double) which diverges between engines. The "
+    "driver-side finish (cov = (nΣxy − ΣxΣy)/n²) is O(groups). At "
+    "100 TB this is one scan, one tiny shuffle of 5 longs per group.",
+    tags=("analytics",),
+)
+def qty_price_covariance_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sum_qty"),
+        F.sum(qty * qty).alias("sum_qty_sq"),
+        F.sum(cents).alias("sum_price_cents"),
+        F.sum(qty * cents).alias("sum_qty_price_cents"),
+    )
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc="First-order Markov transition counts over per-user event "
+    "sequences (the session-path building block behind funnel and "
+    "next-action models). One shuffle on user_id for the lag window "
+    "(event_id tiebreak keeps the order total), then a partial agg "
+    "onto ≤|types|² keys — the transition matrix is tiny no matter "
+    "the corpus size.",
+    tags=("analytics",),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

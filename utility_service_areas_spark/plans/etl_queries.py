@@ -306,3 +306,46 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("attr_cents"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
     )
+
+
+@query(
+    "bloom_new_customer_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND NOT EXISTS (
+        SELECT 1 FROM orders h
+        WHERE h.o_orderdate < TIMESTAMP '1999-01-01'
+          AND h.o_custkey = o.o_custkey)
+    """,
+    doc="Incremental-ingest membership test: orders in the new period "
+    "whose customer was never seen in the history period — computed "
+    "as a bloom-prefiltered exact anti join (operators/bloom.py). The "
+    "bloom pass (JVM hash positions, one distinct over at most m "
+    "bits) lets rows with a missed bit skip the join entirely; only "
+    "candidates pay the exact confirmation, so the result is exactly "
+    "NOT EXISTS while the join sees |members| + fpp*|probe| rows. "
+    "Models the reference's cached-certificate skip "
+    "(R/functions.R:84-100) at corpus scale.",
+    tags=("etl",),
+)
+def bloom_new_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.bloom import bloom_anti_join
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    history = o.filter(F.col("o_orderdate") < cutoff).select("o_custkey")
+    incoming = o.filter(F.col("o_orderdate") >= cutoff)
+    return bloom_anti_join(
+        incoming,
+        history,
+        probe_key="o_custkey",
+        build_key="o_custkey",
+        probe_id="o_orderkey",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+    )

@@ -306,3 +306,39 @@ def docs_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)) > 0, F.md5(kept_join)
         ).alias("rebuilt_md5"),
     )
+
+
+@query(
+    "reservoir_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 20
+    """,
+    doc="Exact-k uniform sample per stratum (reservoir-sampling "
+    "semantics, RNG-free): bottom-k by a salted content-independent "
+    "hash == a uniform k-reservoir, but deterministic and re-runnable "
+    "— the property a training-data pipeline needs for reproducible "
+    "corpus draws. Complements stratified_sample (Bernoulli, "
+    "fraction-based): this one guarantees exactly k per group. One "
+    "shuffle on the stratum key; at 100 TB swap row_number for a "
+    "per-partition top-k heap + merge (same result, bounded memory) "
+    "— the hash ordering makes that refactor a pure plan change.",
+    tags=("pipeline",),
+)
+def reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )

@@ -1036,3 +1036,150 @@ def supplier_order_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shared_orders"),
         )
     )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, l_suppkey, cost,
+             min(cost) OVER (PARTITION BY l_partkey) AS best_cost
+      FROM costs)
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           CAST(round(b.cost * 100) AS BIGINT) AS cost_cents
+    FROM best b
+    JOIN part p     ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE b.cost = b.best_cost
+      AND p.p_size <= 10 AND p.p_type = 'PROMO'
+      AND r.r_name = 'EUROPE'
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part, correlated min "
+    "subquery over a join): the correlated `cost = (SELECT min ...)` "
+    "decorrelates into one groupBy + one window-min over the same "
+    "partitioning (back-to-back, no extra shuffle), then broadcast "
+    "joins against the filtered part/supplier/nation/region dims. The "
+    "fact table is scanned once; min() is order-insensitive so the "
+    "cents value is hash-stable.",
+    tags=("tpch",),
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("best_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("best_cost")
+    )
+    dims = (
+        F.broadcast(s)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n.n_regionkey == r.r_regionkey,
+        )
+    )
+    return (
+        best.join(
+            F.broadcast(p.filter((F.col("p_size") <= 10) & (F.col("p_type") == "PROMO"))),
+            best.l_partkey == p.p_partkey,
+        )
+        .join(dims, best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round(F.col("cost") * 100).cast("long").alias("cost_cents"),
+        )
+    )
+
+
+@query(
+    "unshipped_order_revenue",
+    oracle="""
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping-priority top-N): orders placed "
+    "before the cutoff with lineitems still unshipped after it, "
+    "ranked by outstanding revenue. Both date predicates push to the "
+    "scans; the final ORDER BY ... LIMIT plans as "
+    "TakeOrderedAndProject (per-partition top-10 heaps merged on the "
+    "driver — no cluster-wide sort). l_orderkey tiebreak keeps the "
+    "LIMIT boundary deterministic for the oracle hash.",
+    tags=("tpch", "bench"),
+)
+def unshipped_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    return (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .join(li.filter(F.col("l_shipdate") > cutoff), o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "priority_counts_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape (conditional two-bucket counts per group): "
+    "urgent-vs-other order counts per return flag for a one-year ship "
+    "window. The CASE buckets fold into one partial agg (map-side "
+    "combine on ~3 keys); the ship-date range pushes to the lineitem "
+    "scan so the join only sees the window.",
+    tags=("tpch",),
+)
+def priority_counts_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
