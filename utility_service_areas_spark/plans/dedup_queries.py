@@ -129,7 +129,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint (connected components); pytest-verified
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                  AND a.doc < b.doc),
+    scored AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc
+      WHERE (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
+          + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+          + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT >= 6),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM scored
+      UNION ALL SELECT doc_b, doc_a FROM scored),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a)
+    SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keeper_id,
+           count(*) OVER (PARTITION BY coalesce(c.comp, d.doc_id)) AS cluster_size
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
     doc="Dedup resolution end-to-end: MinHash-LSH candidate pairs → "
     "connected components (iterative min-label propagation, "
     "localCheckpoint per round) → every doc mapped to its cluster "
