@@ -3,8 +3,9 @@
 Oracle notes: shingling / MinHash / Jaccard are mirrored exactly in
 DuckDB SQL (same tokenizer regex, same seeded-md5 min-hash, same
 df-cap) — the SQL is the specification, the Spark plan is the scale
-implementation. SimHash needs bit-vote accumulation (Arrow UDF) and is
-verified by pytest instead (rows-only for the driver).
+implementation. Even SimHash's bit-vote accumulation (an Arrow UDF on
+the Spark side) is mirrored in SQL via per-bit vote sums, so every
+dedup query here is hash-verified by the driver.
 """
 
 from __future__ import annotations
@@ -175,7 +176,48 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # bit-vote accumulation is not SQL-expressible; pytest-verified
+    # Mirrors the UDF kernel bit-for-bit in SQL: same md5-top-8-byte
+    # token hash, same bit-vote majority (2*ones > n), same 16-bit
+    # bands, same hamming cut — the UBIGINT/HUGEINT dance reproduces
+    # the signed-int64 signature two's complement exactly.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    th AS (
+      SELECT doc, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+      FROM toks WHERE tok <> ''),
+    bits AS (
+      SELECT doc, b,
+             sum(((h >> b) & 1)::BIGINT) AS ones,
+             count(*) AS n
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+      GROUP BY doc, b),
+    usig AS (
+      SELECT doc,
+             sum(CASE WHEN 2 * ones > n THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS u
+      FROM bits GROUP BY doc),
+    ssig AS (
+      SELECT d.doc_id AS doc,
+             coalesce(u.u, 0) AS u,
+             CAST(CASE WHEN coalesce(u.u, 0) >= 9223372036854775808::HUGEINT
+                       THEN coalesce(u.u, 0) - 18446744073709551616::HUGEINT
+                       ELSE coalesce(u.u, 0) END AS BIGINT) AS sim
+      FROM documents d LEFT JOIN usig u ON d.doc_id = u.doc),
+    bands AS (
+      SELECT doc, i AS band_idx, (u >> (16 * i)) & 65535 AS band_val
+      FROM ssig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc < b.doc)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
+    FROM cand JOIN ssig sa ON doc_a = sa.doc JOIN ssig sb ON doc_b = sb.doc
+    WHERE bit_count(xor(sa.sim, sb.sim)) <= 8
+    """,
     doc="SimHash-64 near-dup candidates: Arrow-batched signature UDF, "
     "16-bit-band bucketing, exact hamming verify ≤ 8.",
     tags=("dedup",),

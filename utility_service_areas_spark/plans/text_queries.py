@@ -223,11 +223,59 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Karp-Rabin constants mirroring functions/hashing.py: hash of an
+# 8-char gram = Σ byte_j · B^(7-j) mod 2^64. DuckDB UBIGINT raises on
+# overflow instead of wrapping, so the SQL does the arithmetic in
+# HUGEINT and applies the 2^64 modulus explicitly; unicode(ch) ==
+# utf-8 byte for the ASCII substrate (multibyte text would need a
+# byte-level unnest). The 4096 series cap bounds gram positions — far
+# above the substrate's 577-char max document.
+_KR_POWS = [pow(1_000_003, 7 - j, 1 << 64) for j in range(8)]
+_KR_TERMS = " + ".join(
+    f"unicode(substr(s, i + {j}, 1))::HUGEINT * {_KR_POWS[j]}::HUGEINT"
+    for j in range(8)
+)
+
+
 @query(
     "doc_fingerprint",
-    oracle=None,  # rolling-window winnowing is not SQL-expressible; pytest-verified
+    oracle=rf"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      FROM documents),
+    pos AS (
+      SELECT doc_id, s, i
+      FROM norm CROSS JOIN (SELECT unnest(generate_series(1, 4096)) AS i) ii
+      WHERE i <= len(s) - 7),
+    kr AS (
+      SELECT doc_id, i,
+             CAST(({_KR_TERMS}) % 18446744073709551616::HUGEINT AS UBIGINT) AS h,
+             len(s) - 7 AS n_grams
+      FROM pos),
+    win AS (
+      SELECT doc_id, i, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS picked
+      FROM kr),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             CAST(CASE WHEN picked >= 9223372036854775808::UBIGINT
+                       THEN picked::HUGEINT - 18446744073709551616::HUGEINT
+                       ELSE picked::HUGEINT END AS BIGINT) AS f
+      FROM win WHERE i <= greatest(n_grams - 3, 1)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_fingerprints, min(f) AS min_fingerprint
+      FROM fp GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+           a.min_fingerprint
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
     doc="Winnowing fingerprints (k=8 char-grams, w=4 windows) per doc; "
-    "Arrow-batched UDF. Shared fingerprints → copy-detection joins.",
+    "Arrow-batched UDF. Shared fingerprints → copy-detection joins. "
+    "The Karp-Rabin rolling hash + window minimum is mirrored exactly "
+    "in the DuckDB oracle (HUGEINT arithmetic with explicit 2^64 "
+    "modulus), so even this UDF kernel is hash-verified.",
     tags=("text",),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
