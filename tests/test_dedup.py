@@ -120,6 +120,47 @@ def test_df_cap_filters_hot_shingles_before_collect(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_lsh_band_bucket_cap_star_pairs(spark):
+    """Scale guarantee (VERDICT r2 #1): an over-cap band bucket must
+    never reach collect_list — its members emit O(B) star pairs from
+    the min-doc keeper instead of O(B²) combinations, and
+    connectivity survives (one cluster, same keeper set).
+
+    Planted corpus: 40 identical docs (every band bucket size 40 >
+    cap 10) + one unrelated doc. All-pairs would be 780; star is 39.
+    """
+    from utility_service_areas_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+    from utility_service_areas_spark.operators.graph import dedup_clusters
+
+    boiler = "identical boilerplate sentence repeated across the crawl corpus"
+    rows = [(i, boiler) for i in range(1, 41)] + [(99, FAR)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sig = minhash_signatures(df, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, bucket_cap=10)
+    got = pairs.collect()
+    assert len(got) == 39  # star from keeper=1, not C(40,2)=780
+    assert all(r.doc_a == 1 and r.n_matching_minhashes == 8 for r in got)
+    assert not any(99 in (r.doc_a, r.doc_b) for r in got)
+    # no collect_list bucket ever exceeds the cap in the executed plan:
+    # the hot band keys are anti-joined away before the aggregate
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "CartesianProduct" not in plan
+
+    # connectivity: all 40 docs still collapse into ONE cluster
+    clusters = dedup_clusters(pairs, df, "doc_id").collect()
+    comp = {r.doc_id: r.keeper_id for r in clusters}
+    assert {comp[i] for i in range(1, 41)} == {1}
+    assert comp[99] == 99
+
+    sim_pairs = simhash_candidate_pairs(df, "doc_id", "text", bucket_cap=10)
+    got_sim = sim_pairs.collect()
+    assert len(got_sim) == 39
+    assert all(r.doc_a == 1 and r.hamming == 0 for r in got_sim)
+
+
 def test_simhash_batch_matches_reference_kernel():
     from utility_service_areas_spark.functions.hashing import (
         simhash_batch,

@@ -152,7 +152,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, n_hashes: int = 8, band_size: int = 2
+    sig: DataFrame, n_hashes: int = 8, band_size: int = 2, bucket_cap: int = 100
 ) -> DataFrame:
     """Banded-LSH candidate pairs from a MinHash signature frame.
 
@@ -160,6 +160,19 @@ def lsh_candidate_pairs(
     any band bucket become a candidate pair, then the full signatures
     estimate similarity (n_matching_minhashes of n_hashes).
     Returns (doc_a, doc_b, n_matching_minhashes).
+
+    Scale lever — ``bucket_cap``: a boilerplate-heavy corpus (thousands
+    of near-identical docs surviving exact dedup) would otherwise put
+    one giant doc array in a single reducer and expand O(B²) pairs from
+    one row. Bucket sizes are counted FIRST; a bucket over the cap never
+    reaches collect_list — its members emit STAR pairs instead
+    (keeper = min doc, paired with every other member): O(B) pairs,
+    deterministic, and connectivity-preserving for the downstream
+    connected-components clustering (every member still reaches the
+    keeper, so clusters cannot split). The hot-bucket set is tiny by
+    construction (≤ n_bands·N/cap keys), so both the anti-join and the
+    member join broadcast it — the band frame never shuffles for the
+    split. Same pattern as the shingle df-cap in shingle_exploded.
     """
     n_bands = n_hashes // band_size
     # Signatures feed both the band buckets and the similarity
@@ -184,10 +197,30 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select("doc", "b.band_idx", "b.band_hash")
-    buckets = bands.groupBy("band_idx", "band_hash").agg(
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc").alias("keeper"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band_idx", "band_hash", "keeper")
+    )
+    cold = bands.join(
+        F.broadcast(hot.select("band_idx", "band_hash")),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    )
+    buckets = cold.groupBy("band_idx", "band_hash").agg(
         F.sort_array(F.collect_list("doc")).alias("docs")
     )
-    pairs = _bucket_pairs(buckets.filter(F.size("docs") >= 2)).distinct()
+    hot_pairs = (
+        bands.join(F.broadcast(hot), ["band_idx", "band_hash"])
+        .filter(F.col("doc") != F.col("keeper"))
+        .select(F.col("keeper").alias("doc_a"), F.col("doc").alias("doc_b"))
+    )
+    pairs = (
+        _bucket_pairs(buckets.filter(F.size("docs") >= 2))
+        .unionByName(hot_pairs)
+        .distinct()
+    )
     siga = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)])
     sigb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)])
     n_match = sum(
@@ -209,7 +242,8 @@ _SIG_PAIRS_EXPR = """
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
+    bucket_cap: int = 100,
 ) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature (Arrow-batched,
     token-hash-cached UDF), bucketed by four 16-bit bands (a pair
@@ -222,6 +256,11 @@ def simhash_candidate_pairs(
     bucket struct, so there is no self-join and no sig rejoin. One
     shuffle on the band key; a dup-heavy corpus pays in candidate
     volume (inherent), not in extra passes over the corpus text.
+
+    ``bucket_cap`` mirrors lsh_candidate_pairs: bucket sizes are
+    counted before any collect_list; an over-cap bucket emits O(B)
+    STAR pairs (keeper = min doc) through broadcast joins instead of
+    materializing a corpus-sized array and O(B²) pairs in one reducer.
 
     Returns (doc_a, doc_b, hamming).
     """
@@ -244,14 +283,38 @@ def simhash_candidate_pairs(
             )
         ).alias("b"),
     ).select("item", "b.band_idx", "b.band_val")
-    buckets = (
+    # min(struct) orders by the struct's first field (doc), so the
+    # keeper is the min-doc member and its signature rides along.
+    hot = (
         bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("item").alias("keeper"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band_idx", "band_val", "keeper")
+    )
+    cold = bands.join(
+        F.broadcast(hot.select("band_idx", "band_val")),
+        ["band_idx", "band_val"],
+        "left_anti",
+    )
+    buckets = (
+        cold.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list("item")).alias("items"))
         .filter(F.size("items") >= 2)
+    )
+    hot_pairs = (
+        bands.join(F.broadcast(hot), ["band_idx", "band_val"])
+        .filter(F.col("item.doc") != F.col("keeper.doc"))
+        .select(
+            F.col("keeper.doc").alias("doc_a"),
+            F.col("item.doc").alias("doc_b"),
+            F.col("keeper.sim").alias("sim_a"),
+            F.col("item.sim").alias("sim_b"),
+        )
     )
     pairs = (
         buckets.select(F.explode(F.expr(_SIG_PAIRS_EXPR)).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .unionByName(hot_pairs)
         .distinct()  # a close pair shares several bands
     )
     return (

@@ -99,17 +99,37 @@ def _bands_sql(n_bands: int = 4, band_size: int = 2) -> str:
     return "bands AS (" + " UNION ALL ".join(selects) + ")"
 
 
+def _lsh_pairs_sql(name: str, bucket_cap: int = 100) -> str:
+    """Candidate-pair CTE mirroring lsh_candidate_pairs' bucket cap:
+    buckets ≤ cap yield all pairs; over-cap buckets yield star pairs
+    from the min-doc keeper (O(B), connectivity-preserving)."""
+    return f"""
+    bsz AS (
+      SELECT band_idx, band_hash, count(*) AS n, min(doc) AS keeper
+      FROM bands GROUP BY 1, 2),
+    {name} AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                    AND a.doc < b.doc
+        JOIN bsz s ON a.band_idx = s.band_idx AND a.band_hash = s.band_hash
+        WHERE s.n <= {bucket_cap}
+        UNION ALL
+        SELECT s.keeper AS doc_a, b.doc AS doc_b
+        FROM bands b
+        JOIN bsz s ON b.band_idx = s.band_idx AND b.band_hash = s.band_hash
+        WHERE s.n > {bucket_cap} AND b.doc <> s.keeper) u)
+    """
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
     {_minhash_sig_sql()},
     {_bands_sql()},
-    pairs AS (
-      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                  AND a.doc < b.doc)
+    {_lsh_pairs_sql("pairs")}
     SELECT doc_a, doc_b,
            CAST((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
               + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
@@ -119,7 +139,9 @@ def _bands_sql(n_bands: int = 4, band_size: int = 2) -> str:
     """,
     doc="MinHash (8 seeded-md5 hashes, JVM-side) + banded LSH (4 bands × 2): "
     "candidate pairs share a band bucket; similarity estimated from full "
-    "signatures. The shuffle is on band_hash — near-linear candidates.",
+    "signatures. The shuffle is on band_hash — near-linear candidates. "
+    "Band buckets over the frequency cap (100) emit O(B) star pairs "
+    "instead of O(B²) combinations (counted BEFORE collect_list).",
     tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,11 +156,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_SHINGLES_CTE},
     {_minhash_sig_sql()},
     {_bands_sql()},
-    cand AS (
-      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                  AND a.doc < b.doc),
+    {_lsh_pairs_sql("cand")},
     scored AS (
       SELECT doc_a, doc_b
       FROM cand JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc
@@ -208,18 +226,30 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       SELECT doc, i AS band_idx, (u >> (16 * i)) & 65535 AS band_val
       FROM ssig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
+    bsz AS (
+      SELECT band_idx, band_val, count(*) AS n, min(doc) AS keeper
+      FROM bands GROUP BY 1, 2),
     cand AS (
-      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                  AND a.doc < b.doc)
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                    AND a.doc < b.doc
+        JOIN bsz s ON a.band_idx = s.band_idx AND a.band_val = s.band_val
+        WHERE s.n <= 100
+        UNION ALL
+        SELECT s.keeper AS doc_a, b.doc AS doc_b
+        FROM bands b
+        JOIN bsz s ON b.band_idx = s.band_idx AND b.band_val = s.band_val
+        WHERE s.n > 100 AND b.doc <> s.keeper) u)
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
     FROM cand JOIN ssig sa ON doc_a = sa.doc JOIN ssig sb ON doc_b = sb.doc
     WHERE bit_count(xor(sa.sim, sb.sim)) <= 8
     """,
     doc="SimHash-64 near-dup candidates: Arrow-batched signature UDF, "
-    "16-bit-band bucketing, exact hamming verify ≤ 8.",
+    "16-bit-band bucketing, exact hamming verify ≤ 8; over-cap band "
+    "buckets emit star pairs (same cap pattern as MinHash-LSH).",
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,16 +77,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet; with
-    spark.sql.legacy.parquet.nanosAsLong it arrives as ns-since-epoch.
-    Convert to a proper timestamp (µs, matching DuckDB's truncation).
-    Integer `div` — a double division would lose precision at 1e18 ns.
+    """Normalize events.ts to a session-tz TIMESTAMP no matter how the
+    substrate parquet was written (the driver regenerates it between
+    rounds and has used BOTH encodings):
+
+    - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong it
+      arrives as ns-since-epoch LONG → convert to µs timestamp
+      (integer `div` — double division loses precision at 1e18 ns).
+    - TIMESTAMP(isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ under
+      Spark's default NTZ inference → cast to TIMESTAMP. Spark 4
+      forbids casting NTZ straight to numeric, so every downstream
+      `ts.cast(long)` would fail without this; with the session tz
+      pinned to UTC (_ensure_session_confs) the wall-clock values are
+      unchanged and match the naive DuckDB oracle exactly.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
