@@ -23,6 +23,32 @@ from pyspark.sql.types import BooleanType
 
 from utility_service_areas_spark.functions.geometry import st_contains_point
 
+# Polygon frames above this row count stop being "dim-sized by design":
+# the driver-collected vertex dict would risk driver memory, so the
+# operators below fall back to shipping vertices in candidate rows
+# (and at that cardinality the bbox join should become grid-bucketed).
+BROADCAST_DICT_MAX_ROWS = 100_000
+
+
+def _polygon_geom_map(polygons: DataFrame, id_col: str, geom_col: str):
+    """Collect the polygon side to a {id: rings} dict for executor
+    broadcast, or return None when the collect would be unsound:
+    over BROADCAST_DICT_MAX_ROWS rows (driver-memory guard) or
+    duplicate/null ids (two geometries would silently collapse onto
+    one key and candidates would verify against the wrong polygon).
+    Cheap: one pass over rows the broadcast join ships anyway.
+    """
+    rows = polygons.select(id_col, geom_col).limit(BROADCAST_DICT_MAX_ROWS + 1).collect()
+    if len(rows) > BROADCAST_DICT_MAX_ROWS:
+        return None
+    geom_map = {
+        row[id_col]: [[list(p) for p in ring] for ring in row[geom_col]]
+        for row in rows
+    }
+    if len(geom_map) != len(rows) or None in geom_map:
+        return None
+    return geom_map
+
 
 def rect_geometry(x0: Column, y0: Column, w: Column, h: Column) -> Column:
     """Closed CCW rectangle polygon built entirely JVM-side (no UDF)."""
@@ -70,7 +96,10 @@ def points_in_polygons(
     a broadcast join; the dict is the same data the join broadcasts).
     ``ship_geometry_rows=True`` keeps vertices in the rows instead —
     for callers whose polygon side outgrows driver memory (then the
-    bbox join should become a grid-bucketed join anyway).
+    bbox join should become a grid-bucketed join anyway). The row path
+    is also taken AUTOMATICALLY when the dict would be unsound: over
+    BROADCAST_DICT_MAX_ROWS polygons, or duplicate/null ids (which
+    would silently collapse two geometries onto one dict key).
     """
     polys = with_bbox_cols(polygons, geom_col)
     bbox_pred = (
@@ -79,7 +108,12 @@ def points_in_polygons(
         & (F.col(py) >= F.col("ymin"))
         & (F.col(py) <= F.col("ymax"))
     )
-    if ship_geometry_rows:
+    if id_col is None:
+        id_col = next(c for c in polygons.columns if c != geom_col)
+    geom_map = None
+    if not ship_geometry_rows:
+        geom_map = _polygon_geom_map(polygons, id_col, geom_col)
+    if geom_map is None:  # requested, oversized, or ids not unique
         candidates = points.join(F.broadcast(polys), bbox_pred)
         return candidates.filter(
             st_contains_point(F.col(geom_col), F.col(px), F.col(py))
@@ -87,12 +121,6 @@ def points_in_polygons(
 
     from utility_service_areas_spark.functions.geometry import point_in_polygon
 
-    if id_col is None:
-        id_col = next(c for c in polygons.columns if c != geom_col)
-    geom_map = {
-        row[id_col]: [[list(p) for p in ring] for ring in row[geom_col]]
-        for row in polygons.select(id_col, geom_col).collect()
-    }
     bc = points.sparkSession.sparkContext.broadcast(geom_map)
 
     @F.pandas_udf(BooleanType())
@@ -121,24 +149,46 @@ def polygon_overlap_pairs(
     As in points_in_polygons, candidate rows carry only the two ids —
     the vertex arrays travel once per executor in a broadcast dict
     (the polygon side is dim-sized by design), so the Arrow batch per
-    candidate pair is two longs instead of two nested arrays.
+    candidate pair is two longs instead of two nested arrays. When the
+    dict would be unsound (over BROADCAST_DICT_MAX_ROWS rows, or
+    duplicate/null ids that would collapse geometries onto one key),
+    vertices ship inside the candidate rows instead.
     """
     from utility_service_areas_spark.functions.geometry import polygons_intersect
 
     p = with_bbox_cols(polygons, geom_col)
-    geom_map = {
-        row[id_col]: [[list(pt) for pt in ring] for ring in row[geom_col]]
-        for row in polygons.select(id_col, geom_col).collect()
-    }
-    bc = polygons.sparkSession.sparkContext.broadcast(geom_map)
+    geom_map = _polygon_geom_map(polygons, id_col, geom_col)
 
-    @F.pandas_udf(BooleanType())
-    def _intersects_by_id(ia: pd.Series, ib: pd.Series) -> pd.Series:
-        m = bc.value
-        return pd.Series([polygons_intersect(m[x], m[y]) for x, y in zip(ia, ib)])
+    def _nested(g):
+        return [[list(pt) for pt in ring] for ring in g]
+
+    if geom_map is None:
+        geom_cols_a = [F.col(geom_col).alias("geom_a")]
+        geom_cols_b = [F.col(geom_col).alias("geom_b")]
+
+        @F.pandas_udf(BooleanType())
+        def _intersects_rows(ga: pd.Series, gb: pd.Series) -> pd.Series:
+            return pd.Series(
+                [polygons_intersect(_nested(x), _nested(y)) for x, y in zip(ga, gb)]
+            )
+
+        verify = _intersects_rows(F.col("geom_a"), F.col("geom_b"))
+    else:
+        geom_cols_a, geom_cols_b = [], []
+        bc = polygons.sparkSession.sparkContext.broadcast(geom_map)
+
+        @F.pandas_udf(BooleanType())
+        def _intersects_by_id(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            m = bc.value
+            return pd.Series(
+                [polygons_intersect(m[x], m[y]) for x, y in zip(ia, ib)]
+            )
+
+        verify = _intersects_by_id(F.col("id_a"), F.col("id_b"))
 
     a = p.select(
         F.col(id_col).alias("id_a"),
+        *geom_cols_a,
         F.col("xmin").alias("axmin"),
         F.col("xmax").alias("axmax"),
         F.col("ymin").alias("aymin"),
@@ -146,6 +196,7 @@ def polygon_overlap_pairs(
     )
     b = p.select(
         F.col(id_col).alias("id_b"),
+        *geom_cols_b,
         F.col("xmin").alias("bxmin"),
         F.col("xmax").alias("bxmax"),
         F.col("ymin").alias("bymin"),
@@ -159,9 +210,7 @@ def polygon_overlap_pairs(
         & (F.col("aymin") <= F.col("bymax"))
         & (F.col("bymin") <= F.col("aymax")),
     )
-    return cand.filter(_intersects_by_id(F.col("id_a"), F.col("id_b"))).select(
-        "id_a", "id_b"
-    )
+    return cand.filter(verify).select("id_a", "id_b")
 
 
 def grid_union_area(
