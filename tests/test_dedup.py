@@ -122,9 +122,10 @@ def test_df_cap_filters_hot_shingles_before_collect(spark):
 
 def test_lsh_band_bucket_cap_star_pairs(spark):
     """Scale guarantee (VERDICT r2 #1): an over-cap band bucket must
-    never reach collect_list — its members emit O(B) star pairs from
-    the min-doc keeper instead of O(B²) combinations, and
-    connectivity survives (one cluster, same keeper set).
+    never expand O(B²) combinations — its members emit O(B) star pairs
+    from the min-doc keeper (derived from the same single bucket
+    aggregation; no second pass over the band frame), and connectivity
+    survives (one cluster, same keeper set).
 
     Planted corpus: 40 identical docs (every band bucket size 40 >
     cap 10) + one unrelated doc. All-pairs would be 780; star is 39.
@@ -144,10 +145,15 @@ def test_lsh_band_bucket_cap_star_pairs(spark):
     assert len(got) == 39  # star from keeper=1, not C(40,2)=780
     assert all(r.doc_a == 1 and r.n_matching_minhashes == 8 for r in got)
     assert not any(99 in (r.doc_a, r.doc_b) for r in got)
-    # no collect_list bucket ever exceeds the cap in the executed plan:
-    # the hot band keys are anti-joined away before the aggregate
+    # single-pass topology: ONE band-bucket aggregation (partial +
+    # final of the same agg in the physical plan); the cap decision is
+    # a CASE over the aggregated row, so there is no second scan, no
+    # union branch, and no join in the pair-generation plan (the only
+    # joins are the signature rejoins above the pairs).
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan and "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final_plan.count("ObjectHashAggregate") <= 2  # partial + final
 
     # connectivity: all 40 docs still collapse into ONE cluster
     clusters = dedup_clusters(pairs, df, "doc_id").collect()

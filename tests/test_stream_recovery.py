@@ -9,13 +9,13 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from utility_service_areas_spark.sources.tables import load_table
-from utility_service_areas_spark.streaming.events import EVENTS_RAW_SCHEMA
+from utility_service_areas_spark.sources.tables import load_table, raw_table_schema
 
 
 def _drain(spark, src_dir, ckpt, out_name):
+    schema = raw_table_schema(spark, "/root/testdata/sf0.001", "events")
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .parquet(src_dir)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -168,3 +168,24 @@ def test_stream_tdigest_matches_exact_quantiles(spark):
             est = final[(g, q)]
             rank = np.searchsorted(v, est) / len(v)
             assert abs(rank - q) < 0.02, (g, q, est)
+
+
+def test_stream_ts_schema_matches_batch(spark):
+    """Pinned encoding-drift guard: the stream reader must see the SAME
+    normalized timestamps as the batch reader regardless of how the
+    driver encoded events.ts (long-nanos vs TIMESTAMP_NTZ). A desync
+    here silently lands every stream timestamp in Jan 1970."""
+    stream = read_events_stream(spark, SMOKE_SF)
+    batch = load_table(spark, SMOKE_SF, "events")
+    assert stream.schema["ts"].dataType == batch.schema["ts"].dataType
+    run_to_memory(
+        stream.groupBy().agg(
+            F.max("ts").alias("mx"), F.min("ts").alias("mn")
+        ),
+        "t_ts_guard",
+        output_mode="complete",
+    )
+    got = spark.table("t_ts_guard").collect()[0]
+    want = batch.agg(F.max("ts").alias("mx"), F.min("ts").alias("mn")).collect()[0]
+    assert got.mx == want.mx and got.mn == want.mn
+    assert got.mx.year >= 2020  # not collapsed to the epoch

@@ -112,6 +112,43 @@ def point_in_polygon(x: float, y: float, poly: Polygon) -> bool:
     return not any(point_in_ring(x, y, hole) for hole in poly[1:])
 
 
+def _ring_contains_sql(ring, x, y):
+    """JVM-side ray cast over one ring: a fold (F.aggregate) over edge
+    indices — no UDF, no Arrow transfer, evaluated inside the stage
+    that produced the candidate row. Bit-identical to the scalar
+    point_in_ring: same half-open semantics, same IEEE op order in the
+    x-crossing expression (try_divide == IEEE divide whenever the
+    scalar path divides at all, because y1 == y2 skips the edge)."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(1), n - F.lit(1))
+
+    def step(acc, i):
+        p1 = F.try_element_at(ring, i)
+        p2 = F.try_element_at(ring, i + F.lit(1).cast("int"))
+        x1, y1 = F.try_element_at(p1, F.lit(1)), F.try_element_at(p1, F.lit(2))
+        x2, y2 = F.try_element_at(p2, F.lit(1)), F.try_element_at(p2, F.lit(2))
+        cross = (y1 > y) != (y2 > y)
+        xc = x1 + F.try_divide((y - y1) * (x2 - x1), y2 - y1)
+        return F.when(cross & (x < xc), ~acc).otherwise(acc)
+
+    return F.when(n >= F.lit(2), F.aggregate(idx, F.lit(False), step)).otherwise(
+        F.lit(False)
+    )
+
+
+def st_contains_point_sql(geom, x, y):
+    """point_in_polygon as a pure Spark SQL expression (higher-order
+    functions): outer-ring ray cast AND NOT any hole ray cast. The
+    whole spatial-join verify stays JVM-side — the plan for a
+    points-in-polygons join is broadcast-join + filter in ONE
+    codegen'd stage, nothing crosses into Python. Null/empty
+    geometries contain nothing (matches st_contains_point)."""
+    outer = _ring_contains_sql(F.try_element_at(geom, F.lit(1)), _c(x), _c(y))
+    holes = F.slice(geom, 2, F.greatest(F.size(geom) - F.lit(1), F.lit(0)))
+    in_hole = F.exists(holes, lambda r: _ring_contains_sql(r, _c(x), _c(y)))
+    return F.coalesce(outer & ~in_hole, F.lit(False))
+
+
 def _orient(ax, ay, bx, by, cx, cy) -> int:
     v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     return 0 if v == 0 else (1 if v > 0 else -1)

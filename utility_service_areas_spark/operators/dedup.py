@@ -80,6 +80,20 @@ _PAIRS_EXPR = """
 """
 
 
+# Star pairs for an over-cap bucket: keeper (min doc — the list is
+# sorted) paired with every other member. O(B) instead of O(B²).
+_STAR_PAIRS_EXPR = """
+    transform(slice(docs, 2, size(docs) - 1),
+              b -> struct(docs[0] AS doc_a, b AS doc_b))
+"""
+
+_STAR_SIG_PAIRS_EXPR = """
+    transform(slice(items, 2, size(items) - 1),
+              b -> struct(items[0].doc AS doc_a, b.doc AS doc_b,
+                          items[0].sim AS sim_a, b.sim AS sim_b))
+"""
+
+
 def _bucket_pairs(lists: DataFrame) -> DataFrame:
     """All ordered (doc_a < doc_b) pairs within each bucket's sorted
     `docs` array, generated JVM-side (no self-join: the bucket list is
@@ -162,17 +176,22 @@ def lsh_candidate_pairs(
     Returns (doc_a, doc_b, n_matching_minhashes).
 
     Scale lever — ``bucket_cap``: a boilerplate-heavy corpus (thousands
-    of near-identical docs surviving exact dedup) would otherwise put
-    one giant doc array in a single reducer and expand O(B²) pairs from
-    one row. Bucket sizes are counted FIRST; a bucket over the cap never
-    reaches collect_list — its members emit STAR pairs instead
+    of near-identical docs surviving exact dedup) would otherwise
+    expand O(B²) pairs from one hot bucket. Buckets aggregate ONCE
+    (groupBy band → sorted doc list); a bucket at or under the cap
+    emits all pairs, an over-cap bucket emits STAR pairs instead
     (keeper = min doc, paired with every other member): O(B) pairs,
-    deterministic, and connectivity-preserving for the downstream
-    connected-components clustering (every member still reaches the
-    keeper, so clusters cannot split). The hot-bucket set is tiny by
-    construction (≤ n_bands·N/cap keys), so both the anti-join and the
-    member join broadcast it — the band frame never shuffles for the
-    split. Same pattern as the shingle df-cap in shingle_exploded.
+    deterministic, derived from the same aggregated row — no second
+    pass over the band frame, no count-prefilter joins. The reducer
+    holds an O(B) doc array for a hot bucket (memory, not compute —
+    ~8 MB per million members); a corpus degenerate enough to overflow
+    that should raise the shingle df-cap, the analogous lever one
+    stage earlier. Connectivity note: star pairs preserve candidate
+    connectivity only at THIS stage — a downstream similarity filter
+    (e.g. n_matching_minhashes threshold) may drop a keeper–member
+    edge whose suppressed member–member edge would have passed, so an
+    over-cap bucket is an approximation relative to uncapped behavior
+    (oracle and impl share it).
     """
     n_bands = n_hashes // band_size
     # Signatures feed both the band buckets and the similarity
@@ -197,28 +216,22 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select("doc", "b.band_idx", "b.band_hash")
-    hot = (
+    buckets = (
         bands.groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("doc").alias("keeper"))
-        .filter(F.col("n") > bucket_cap)
-        .select("band_idx", "band_hash", "keeper")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    cold = bands.join(
-        F.broadcast(hot.select("band_idx", "band_hash")),
-        ["band_idx", "band_hash"],
-        "left_anti",
-    )
-    buckets = cold.groupBy("band_idx", "band_hash").agg(
-        F.sort_array(F.collect_list("doc")).alias("docs")
-    )
-    hot_pairs = (
-        bands.join(F.broadcast(hot), ["band_idx", "band_hash"])
-        .filter(F.col("doc") != F.col("keeper"))
-        .select(F.col("keeper").alias("doc_a"), F.col("doc").alias("doc_b"))
-    )
+    # One pipeline: the cap decision is a CASE over the aggregated row,
+    # so hot and cold buckets flow through the same single shuffle+agg.
     pairs = (
-        _bucket_pairs(buckets.filter(F.size("docs") >= 2))
-        .unionByName(hot_pairs)
+        buckets.select(
+            F.explode(
+                F.when(F.size("docs") <= bucket_cap, F.expr(_PAIRS_EXPR)).otherwise(
+                    F.expr(_STAR_PAIRS_EXPR)
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     siga = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)])
@@ -257,10 +270,10 @@ def simhash_candidate_pairs(
     shuffle on the band key; a dup-heavy corpus pays in candidate
     volume (inherent), not in extra passes over the corpus text.
 
-    ``bucket_cap`` mirrors lsh_candidate_pairs: bucket sizes are
-    counted before any collect_list; an over-cap bucket emits O(B)
-    STAR pairs (keeper = min doc) through broadcast joins instead of
-    materializing a corpus-sized array and O(B²) pairs in one reducer.
+    ``bucket_cap`` mirrors lsh_candidate_pairs: the bucket aggregates
+    once to a sorted (doc, sim) list; at or under the cap it emits all
+    pairs, over the cap it emits O(B) STAR pairs (keeper = min doc,
+    signatures ride inside the structs) from the same aggregated row.
 
     Returns (doc_a, doc_b, hamming).
     """
@@ -283,38 +296,23 @@ def simhash_candidate_pairs(
             )
         ).alias("b"),
     ).select("item", "b.band_idx", "b.band_val")
-    # min(struct) orders by the struct's first field (doc), so the
-    # keeper is the min-doc member and its signature rides along.
-    hot = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("item").alias("keeper"))
-        .filter(F.col("n") > bucket_cap)
-        .select("band_idx", "band_val", "keeper")
-    )
-    cold = bands.join(
-        F.broadcast(hot.select("band_idx", "band_val")),
-        ["band_idx", "band_val"],
-        "left_anti",
-    )
+    # sort_array orders structs by first field, so items[0] is the
+    # min-doc member — the star keeper — with its signature alongside.
     buckets = (
-        cold.groupBy("band_idx", "band_val")
+        bands.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list("item")).alias("items"))
         .filter(F.size("items") >= 2)
     )
-    hot_pairs = (
-        bands.join(F.broadcast(hot), ["band_idx", "band_val"])
-        .filter(F.col("item.doc") != F.col("keeper.doc"))
-        .select(
-            F.col("keeper.doc").alias("doc_a"),
-            F.col("item.doc").alias("doc_b"),
-            F.col("keeper.sim").alias("sim_a"),
-            F.col("item.sim").alias("sim_b"),
-        )
-    )
+    # One pipeline, cap decision as a CASE over the aggregated row.
     pairs = (
-        buckets.select(F.explode(F.expr(_SIG_PAIRS_EXPR)).alias("p"))
+        buckets.select(
+            F.explode(
+                F.when(
+                    F.size("items") <= bucket_cap, F.expr(_SIG_PAIRS_EXPR)
+                ).otherwise(F.expr(_STAR_SIG_PAIRS_EXPR))
+            ).alias("p")
+        )
         .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
-        .unionByName(hot_pairs)
         .distinct()  # a close pair shares several bands
     )
     return (

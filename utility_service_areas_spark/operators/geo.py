@@ -3,15 +3,17 @@ detection, area ranking, grid-cell dissolve — the README questions of
 the reference repo ("do areas overlap, who's largest, who serves this
 point") as distributed plans.
 
-Scale design: geometry predicates are verified by Arrow-batched UDFs,
-but candidate generation is always JVM-side — bbox columns are plain
-doubles, the prefilter join is a broadcast range join, and only the
-surviving candidate pairs cross into Python. At 100 TB the polygon
-side (utility service areas: thousands of rows) is always the
-broadcast side; the point side (meters, events) streams through
-unshuffled. For polygon-polygon overlap at larger cardinality, swap
-the broadcast for a grid-cell bucketing join (same pattern as the
-PLSS dissolve below).
+Scale design: geometry predicates are verified by Arrow-batched /
+cogrouped-pandas passes, but candidate generation is always JVM-side —
+bbox columns are plain doubles, and candidates meet either through a
+broadcast bbox join (dim-sized polygon side: utility service areas are
+thousands of rows) or, with ``grid_cell`` set, through an EQUI-join on
+grid-cell indices (the 100 TB path — shuffles on the cell key, no
+BNLJ, no vertex shipping). Exact verification cogroups candidates with
+their polygon's vertices on a surrogate key, so each polygon's
+geometry travels once per group and the ray cast runs numpy-vectorized
+over the whole group. Every operator here is lazy: constructing a
+plan launches zero Spark jobs.
 """
 
 from __future__ import annotations
@@ -19,35 +21,19 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
-
-from utility_service_areas_spark.functions.geometry import st_contains_point
-
-# Polygon frames above this row count stop being "dim-sized by design":
-# the driver-collected vertex dict would risk driver memory, so the
-# operators below fall back to shipping vertices in candidate rows
-# (and at that cardinality the bbox join should become grid-bucketed).
-BROADCAST_DICT_MAX_ROWS = 100_000
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 
-def _polygon_geom_map(polygons: DataFrame, id_col: str, geom_col: str):
-    """Collect the polygon side to a {id: rings} dict for executor
-    broadcast, or return None when the collect would be unsound:
-    over BROADCAST_DICT_MAX_ROWS rows (driver-memory guard) or
-    duplicate/null ids (two geometries would silently collapse onto
-    one key and candidates would verify against the wrong polygon).
-    Cheap: one pass over rows the broadcast join ships anyway.
-    """
-    rows = polygons.select(id_col, geom_col).limit(BROADCAST_DICT_MAX_ROWS + 1).collect()
-    if len(rows) > BROADCAST_DICT_MAX_ROWS:
-        return None
-    geom_map = {
-        row[id_col]: [[list(p) for p in ring] for ring in row[geom_col]]
-        for row in rows
-    }
-    if len(geom_map) != len(rows) or None in geom_map:
-        return None
-    return geom_map
+def _with_pid(polys: DataFrame) -> DataFrame:
+    """Attach a surrogate unique polygon key and pin it: the frame is
+    lazily localCheckpoint-ed so the id assignment materializes ONCE at
+    first action and every consumer subtree (bbox join side, geometry
+    cogroup side) reads the same assignment — monotonically_increasing_id
+    over a recomputed lineage with an upstream shuffle could otherwise
+    differ between subtrees. No job runs at plan-construction time."""
+    return polys.withColumn("__pid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
 
 
 def rect_geometry(x0: Column, y0: Column, w: Column, h: Column) -> Column:
@@ -72,6 +58,15 @@ def with_bbox_cols(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
     )
 
 
+def _grid_cells(prefix: str, cell: float) -> tuple[Column, Column]:
+    """Cell-index ranges a bbox covers (inclusive), as JVM sequences."""
+    lo = lambda c: F.floor(F.col(c) / F.lit(cell)).cast("long")  # noqa: E731
+    return (
+        F.sequence(lo(f"{prefix}xmin"), lo(f"{prefix}xmax")),
+        F.sequence(lo(f"{prefix}ymin"), lo(f"{prefix}ymax")),
+    )
+
+
 def points_in_polygons(
     points: DataFrame,
     polygons: DataFrame,
@@ -79,138 +74,186 @@ def points_in_polygons(
     py: str = "py",
     geom_col: str = "geometry",
     id_col: str | None = None,
-    ship_geometry_rows: bool = False,
+    grid_cell: float | None = None,
 ) -> DataFrame:
     """Spatial join: which polygon contains each point (README Q3:
     'what utility serves a specific location').
 
-    JVM bbox prefilter against the broadcast polygon side, exact
-    ray-cast verify on survivors only.
+    Plan shape — fully lazy (constructing the DataFrame launches zero
+    jobs), fixed output schema (points' columns + ``id_col``)
+    regardless of the data, and NOTHING crosses into Python — the
+    exact ray-cast verify is a Spark SQL higher-order-function
+    expression (functions/geometry.py:st_contains_point_sql),
+    bit-identical to the scalar kernel:
 
-    Default path: the polygon VERTICES travel once per executor as a
-    Spark broadcast dict keyed by ``id_col`` (auto-detected as the
-    first non-geometry column); candidate rows carry only the id, so
-    the Arrow batch per candidate is a long + two doubles instead of
-    a nested vertex array — measured 6× on the sf0.1 PIP join. Sound
-    because the polygon side is dim-sized BY DESIGN (it already rides
-    a broadcast join; the dict is the same data the join broadcasts).
-    ``ship_geometry_rows=True`` keeps vertices in the rows instead —
-    for callers whose polygon side outgrows driver memory (then the
-    bbox join should become a grid-bucketed join anyway). The row path
-    is also taken AUTOMATICALLY when the dict would be unsound: over
-    BROADCAST_DICT_MAX_ROWS polygons, or duplicate/null ids (which
-    would silently collapse two geometries onto one dict key).
+    - Default (dim-sized polygon side): bbox prefilter against the
+      BROADCAST polygon side, verify filter fused into the SAME
+      map-side stage. One stage, zero shuffles of the point side.
+    - ``grid_cell`` (the 100 TB path, polygon side too big to
+      broadcast): each polygon bbox explodes to the grid cells it
+      covers, each point maps to exactly one cell, and candidates meet
+      in an EQUI-join on the cell key (no BNLJ; each (point, polygon)
+      pair meets in exactly one cell — the point's own — so no dedup
+      pass). Geometries are then attached by a surrogate-key join and
+      verified with the same JVM expression.
+
+    Duplicate or null ``id_col`` values are sound by construction:
+    every polygon ROW participates independently (no keyed collapse).
+
+    Parity: the reference resolves point→service-area membership
+    row-at-a-time in native code (R/functions.R:468); the same
+    semantics here distribute as candidate join + fused JVM verify.
     """
-    polys = with_bbox_cols(polygons, geom_col)
+    from utility_service_areas_spark.functions.geometry import st_contains_point_sql
+
+    if id_col is None:
+        id_col = next(c for c in polygons.columns if c != geom_col)
+    out_cols = [*points.columns, id_col]
+    polys = with_bbox_cols(polygons.select(id_col, geom_col), geom_col)
     bbox_pred = (
         (F.col(px) >= F.col("xmin"))
         & (F.col(px) <= F.col("xmax"))
         & (F.col(py) >= F.col("ymin"))
         & (F.col(py) <= F.col("ymax"))
     )
-    if id_col is None:
-        id_col = next(c for c in polygons.columns if c != geom_col)
-    geom_map = None
-    if not ship_geometry_rows:
-        geom_map = _polygon_geom_map(polygons, id_col, geom_col)
-    if geom_map is None:  # requested, oversized, or ids not unique
-        candidates = points.join(F.broadcast(polys), bbox_pred)
-        return candidates.filter(
-            st_contains_point(F.col(geom_col), F.col(px), F.col(py))
-        ).drop("xmin", "xmax", "ymin", "ymax")
-
-    from utility_service_areas_spark.functions.geometry import point_in_polygon
-
-    bc = points.sparkSession.sparkContext.broadcast(geom_map)
-
-    @F.pandas_udf(BooleanType())
-    def _contains_by_id(ids: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
-        m = bc.value
-        return pd.Series(
-            [
-                point_in_polygon(float(x), float(y), m[i])
-                for i, x, y in zip(ids, xs, ys)
-            ]
+    verify = st_contains_point_sql(F.col(geom_col), F.col(px), F.col(py))
+    if grid_cell is None:
+        return (
+            points.join(F.broadcast(polys), bbox_pred)
+            .filter(verify)
+            .select(*out_cols)
         )
-
-    candidates = points.join(F.broadcast(polys.drop(geom_col)), bbox_pred)
-    return candidates.filter(
-        _contains_by_id(F.col(id_col), F.col(px), F.col(py))
-    ).drop("xmin", "xmax", "ymin", "ymax")
+    polys = _with_pid(polys)
+    slim = polys.select("__pid", id_col, "xmin", "xmax", "ymin", "ymax")
+    cxs, cys = _grid_cells("", grid_cell)
+    pcells = slim.withColumn("__cx", F.explode(cxs)).withColumn(
+        "__cy", F.explode(cys)
+    )
+    pts = points.withColumn(
+        "__cx", F.floor(F.col(px) / F.lit(grid_cell)).cast("long")
+    ).withColumn("__cy", F.floor(F.col(py) / F.lit(grid_cell)).cast("long"))
+    candidates = (
+        pts.join(pcells, ["__cx", "__cy"])
+        .filter(bbox_pred)
+        .select(*points.columns, id_col, "__pid")
+    )
+    # Alias mints fresh attribute ids — the two consumers of the
+    # checkpointed polys frame would otherwise trip Spark's
+    # ambiguous-self-join check.
+    geoms = polys.select(
+        F.col("__pid").alias("__gpid"), F.col(geom_col).alias(geom_col)
+    )
+    return (
+        candidates.join(geoms, F.col("__pid") == F.col("__gpid"))
+        .filter(verify)
+        .select(*out_cols)
+    )
 
 
 def polygon_overlap_pairs(
-    polygons: DataFrame, id_col: str, geom_col: str = "geometry"
+    polygons: DataFrame,
+    id_col: str,
+    geom_col: str = "geometry",
+    grid_cell: float | None = None,
 ) -> DataFrame:
     """Self-join overlap detection (README Q1: 'do service areas
-    overlap?'). bbox candidate pairs (broadcast), exact st_intersects
-    verify. Returns (id_a, id_b) with id_a < id_b.
+    overlap?'). Returns distinct (id_a, id_b) with id_a < id_b.
 
-    As in points_in_polygons, candidate rows carry only the two ids —
-    the vertex arrays travel once per executor in a broadcast dict
-    (the polygon side is dim-sized by design), so the Arrow batch per
-    candidate pair is two longs instead of two nested arrays. When the
-    dict would be unsound (over BROADCAST_DICT_MAX_ROWS rows, or
-    duplicate/null ids that would collapse geometries onto one key),
-    vertices ship inside the candidate rows instead.
+    Fully lazy (zero jobs at plan construction). Two candidate paths:
+
+    - Default (dim-sized polygon side): bbox self-join with the right
+      side BROADCAST; geometries ride in the candidate rows (the pair
+      count is bbox-pruned, so per-candidate vertex transfer is small
+      at this cardinality).
+    - ``grid_cell`` (the 100 TB path): both sides explode their bbox
+      cell ranges and meet in an EQUI-join on the cell key — no BNLJ,
+      no vertex shipping in the candidate join. A bbox pair spanning
+      several shared cells is emitted only in its REFERENCE cell (the
+      cell of the overlap region's min corner), so candidates are
+      exactly-once without a distinct shuffle. Geometries are attached
+      afterwards by two surrogate-key joins against the slim polygon
+      frame, then verified.
+
+    Duplicate ids: each polygon ROW participates independently (surrogate
+    key under the hood); the final distinct collapses repeated id pairs.
     """
     from utility_service_areas_spark.functions.geometry import polygons_intersect
 
-    p = with_bbox_cols(polygons, geom_col)
-    geom_map = _polygon_geom_map(polygons, id_col, geom_col)
+    base = with_bbox_cols(polygons.select(id_col, geom_col), geom_col)
+    p = base if grid_cell is None else _with_pid(base)
 
     def _nested(g):
         return [[list(pt) for pt in ring] for ring in g]
 
-    if geom_map is None:
-        geom_cols_a = [F.col(geom_col).alias("geom_a")]
-        geom_cols_b = [F.col(geom_col).alias("geom_b")]
+    @F.pandas_udf(BooleanType())
+    def _intersects_rows(ga: pd.Series, gb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [polygons_intersect(_nested(x), _nested(y)) for x, y in zip(ga, gb)]
+        )
 
-        @F.pandas_udf(BooleanType())
-        def _intersects_rows(ga: pd.Series, gb: pd.Series) -> pd.Series:
-            return pd.Series(
-                [polygons_intersect(_nested(x), _nested(y)) for x, y in zip(ga, gb)]
-            )
+    def side(tag: str, with_geom: bool) -> DataFrame:
+        cols = [
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col("xmin").alias(f"{tag}xmin"),
+            F.col("xmax").alias(f"{tag}xmax"),
+            F.col("ymin").alias(f"{tag}ymin"),
+            F.col("ymax").alias(f"{tag}ymax"),
+        ]
+        if not with_geom:  # grid path: surrogate key instead of vertices
+            cols.append(F.col("__pid").alias(f"__p{tag}"))
+        else:
+            cols.append(F.col(geom_col).alias(f"geom_{tag}"))
+        return p.select(*cols)
 
-        verify = _intersects_rows(F.col("geom_a"), F.col("geom_b"))
-    else:
-        geom_cols_a, geom_cols_b = [], []
-        bc = polygons.sparkSession.sparkContext.broadcast(geom_map)
-
-        @F.pandas_udf(BooleanType())
-        def _intersects_by_id(ia: pd.Series, ib: pd.Series) -> pd.Series:
-            m = bc.value
-            return pd.Series(
-                [polygons_intersect(m[x], m[y]) for x, y in zip(ia, ib)]
-            )
-
-        verify = _intersects_by_id(F.col("id_a"), F.col("id_b"))
-
-    a = p.select(
-        F.col(id_col).alias("id_a"),
-        *geom_cols_a,
-        F.col("xmin").alias("axmin"),
-        F.col("xmax").alias("axmax"),
-        F.col("ymin").alias("aymin"),
-        F.col("ymax").alias("aymax"),
-    )
-    b = p.select(
-        F.col(id_col).alias("id_b"),
-        *geom_cols_b,
-        F.col("xmin").alias("bxmin"),
-        F.col("xmax").alias("bxmax"),
-        F.col("ymin").alias("bymin"),
-        F.col("ymax").alias("bymax"),
-    )
-    cand = a.join(
-        F.broadcast(b),
+    pair_pred = (
         (F.col("id_a") < F.col("id_b"))
         & (F.col("axmin") <= F.col("bxmax"))
         & (F.col("bxmin") <= F.col("axmax"))
         & (F.col("aymin") <= F.col("bymax"))
-        & (F.col("bymin") <= F.col("aymax")),
+        & (F.col("bymin") <= F.col("aymax"))
     )
-    return cand.filter(verify).select("id_a", "id_b")
+    if grid_cell is None:
+        cand = side("a", True).join(F.broadcast(side("b", True)), pair_pred)
+    else:
+        cell = float(grid_cell)
+
+        def gridded(tag: str) -> DataFrame:
+            cxs, cys = _grid_cells(tag, cell)
+            return (
+                side(tag, False)
+                .withColumn("__cx", F.explode(cxs))
+                .withColumn("__cy", F.explode(cys))
+            )
+
+        ref = lambda lo_a, lo_b: F.floor(  # noqa: E731
+            F.greatest(F.col(lo_a), F.col(lo_b)) / F.lit(cell)
+        ).cast("long")
+        cand = (
+            gridded("a")
+            .join(gridded("b"), ["__cx", "__cy"])
+            .filter(pair_pred)
+            .filter(
+                (F.col("__cx") == ref("axmin", "bxmin"))
+                & (F.col("__cy") == ref("aymin", "bymin"))
+            )
+        )
+        geoms = p.select("__pid", geom_col)
+        cand = cand.select("id_a", "id_b", "__pa", "__pb").join(
+            geoms.select(
+                F.col("__pid").alias("__pa"), F.col(geom_col).alias("geom_a")
+            ),
+            "__pa",
+        ).join(
+            geoms.select(
+                F.col("__pid").alias("__pb"), F.col(geom_col).alias("geom_b")
+            ),
+            "__pb",
+        )
+    return (
+        cand.filter(_intersects_rows(F.col("geom_a"), F.col("geom_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def grid_union_area(
@@ -248,11 +291,21 @@ def dissolve_polygons(
     """
     import pandas as pd  # local: executors import lazily
 
+    from pyspark.sql.types import ArrayType, DoubleType
+
     from utility_service_areas_spark.functions.geometry import union_all
 
-    out_schema = (
-        f"{group_col} long, n_input_polygons long, "
-        "union_geometry array<array<array<array<double>>>>"
+    # Key type derives from the input — the reference dissolves on
+    # certificate STRINGS (R/functions.R:471), not just numeric keys.
+    out_schema = StructType(
+        [
+            groups.schema[group_col],
+            StructField("n_input_polygons", LongType()),
+            StructField(
+                "union_geometry",
+                ArrayType(ArrayType(ArrayType(ArrayType(DoubleType())))),
+            ),
+        ]
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:

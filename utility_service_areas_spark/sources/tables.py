@@ -76,6 +76,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def raw_table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """The on-disk schema of a substrate table, exactly as a batch read
+    would see it (same session confs, e.g. nanosAsLong). Streaming file
+    sources need an explicit schema; deriving it HERE — from the same
+    footer read the batch path uses — guarantees batch and stream can
+    never disagree about encodings (the driver regenerates the substrate
+    between rounds and has switched events.ts encodings twice)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _TABLE_MEMO.get(key)
+    if df is not None and name != "events":
+        return df.schema
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize events.ts to a session-tz TIMESTAMP no matter how the
     substrate parquet was written (the driver regenerates it between

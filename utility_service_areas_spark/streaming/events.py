@@ -28,30 +28,27 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
-)
-
-# ts arrives as long ns-since-epoch (see sources/tables.py:normalize_event_ts)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
 )
 
 SESSION_GAP_MIN = 30
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (stand-in for Kafka)."""
-    from utility_service_areas_spark.sources.tables import normalize_event_ts
+    """File-source stream of the events table (stand-in for Kafka).
+
+    Streaming file sources require an explicit schema; it is derived
+    from the substrate's parquet footer via the SAME resolution path
+    the batch reader uses (raw_table_schema + normalize_event_ts), so
+    the two readers cannot desync when the driver switches events.ts
+    encodings (long-nanos vs TIMESTAMP_NTZ).
+    """
+    from utility_service_areas_spark.sources.tables import (
+        normalize_event_ts,
+        raw_table_schema,
+    )
 
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_table_schema(spark, sf_dir, "events"))
         .option("pathGlobFilter", "events.parquet")
         .parquet(os.path.join(sf_dir))
     )
