@@ -60,3 +60,28 @@ def test_bloom_generated_rid_fallback(spark):
     got = bloom_anti_join(probe.drop("rid"), build, "key", "key")
     assert got.count() == 1000
     assert got.filter(F.col("key") % 2 == 0).count() == 0
+
+
+def test_bloom_duplicate_probe_id_fails_loudly(spark):
+    """ADVICE r4 probe-side guard: a non-unique probe_id would silently
+    misattribute verdicts through the rejoin — it must raise instead."""
+    import pytest
+
+    build = spark.createDataFrame([(1,)], "key long")
+    probe = spark.createDataFrame(
+        [(7, 1), (7, 2)], "rid long, key long"  # duplicate rid
+    )
+    with pytest.raises(Exception, match="probe_id.*unique"):
+        bloom_membership(probe, build, "key", "key", probe_id="rid").collect()
+
+
+def test_bloom_single_null_probe_id_keeps_row(spark):
+    """A single null rid must not vanish in the verdict rejoin."""
+    build = spark.createDataFrame([(2,)], "key long")
+    probe = spark.createDataFrame(
+        [(1, 2), (None, 3)], "rid long, key long"
+    )
+    out = bloom_membership(probe, build, "key", "key", probe_id="rid").collect()
+    assert len(out) == 2
+    by_key = {r.key: r["__maybe_member"] for r in out}
+    assert by_key[2] is True  # true member flagged

@@ -28,8 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCALED = ("documents", "embeddings", "events")
-LINKED = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+SCALED = ("documents", "embeddings", "events", "customer")
+LINKED = ("region", "nation", "supplier", "part", "orders", "lineitem")
 
 DEFAULT_QUERIES = [
     "dedup_exact_docs",
@@ -44,6 +44,11 @@ DEFAULT_QUERIES = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "tdigest_value_quantiles",
+    # geo kernels: customer is SCALED, so the point side of the spatial
+    # join grows with --factor (the polygon side stays dim-sized, as at
+    # cluster scale).
+    "geo_point_in_polygon",
+    "geo_viewport_query",
 ]
 
 _EXPAND_SQL = {
@@ -61,6 +66,11 @@ _EXPAND_SQL = {
     "events": """
         SELECT event_id + i * (SELECT max(event_id) + 1 FROM src) AS event_id,
                ts, user_id, event_type, value, props
+        FROM src, range({factor}) AS t(i)
+    """,
+    "customer": """
+        SELECT c_custkey + i * (SELECT max(c_custkey) + 1 FROM src) AS c_custkey,
+               c_name, c_nationkey, c_acctbal, c_mktsegment
         FROM src, range({factor}) AS t(i)
     """,
 }

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -136,13 +137,91 @@ def _ring_contains_sql(ring, x, y):
     )
 
 
+def _flat_rings_mask(xs, ys, flat, n_verts):
+    """Vectorized point_in_polygon over a FLAT polygon encoding:
+    ``flat`` is every vertex coordinate ([x0,y0,x1,y1,...], rings
+    concatenated) and ``n_verts`` the per-ring vertex counts. One
+    numpy pass per polygon EDGE over the whole batch of points (the
+    hot shape in the spatial join's verify stage). Bit-identical to
+    the scalar point_in_ring — same half-open ray cast, same IEEE op
+    order in the x-crossing expression; y1 == y2 edges are skipped
+    exactly as the scalar's (y1>y)!=(y2>y) test does."""
+    if flat is None or n_verts is None or len(n_verts) == 0:
+        return np.zeros(len(xs), dtype=bool)
+    pts = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+    out = None
+    start = 0
+    for nv in n_verts:
+        ring = pts[start : start + int(nv)]
+        start += int(nv)
+        inside = np.zeros(len(xs), dtype=bool)
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i, 0], ring[i, 1]
+            x2, y2 = ring[i + 1, 0], ring[i + 1, 1]
+            if y1 == y2:
+                continue
+            cross = (y1 > ys) != (y2 > ys)
+            x_cross = x1 + (ys - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= cross & (xs < x_cross)
+        if out is None:
+            out = inside  # outer ring
+        else:
+            out &= ~inside  # hole
+    return out if out is not None else np.zeros(len(xs), dtype=bool)
+
+
+@F.pandas_udf(BooleanType())
+def _st_contains_point_grouped_raw(
+    ghash: pd.Series, flat: pd.Series, n_verts: pd.Series, xs: pd.Series, ys: pd.Series
+) -> pd.Series:
+    """Arrow-batched verify for the spatial join: candidate rows arrive
+    with their polygon's FLAT vertex encoding attached (single-level
+    arrays — cheap Arrow conversion, no nested-object churn); within
+    each batch the rows are grouped by the JVM-computed geometry hash
+    so the numpy ray cast runs ONCE per distinct polygon over all its
+    points — vectorized across rows, never per row."""
+    out = np.zeros(len(ghash), dtype=bool)
+    x = xs.to_numpy(dtype=np.float64, na_value=np.nan)
+    y = ys.to_numpy(dtype=np.float64, na_value=np.nan)
+    codes, _ = pd.factorize(ghash, use_na_sentinel=False)
+    for code in np.unique(codes):
+        pos = np.nonzero(codes == code)[0]
+        first = pos[0]
+        out[pos] = _flat_rings_mask(x[pos], y[pos], flat.iloc[first], n_verts.iloc[first])
+    return pd.Series(out)
+
+
+def flat_geometry_cols(geom) -> tuple[F.Column, F.Column, F.Column]:
+    """JVM-side flat encoding of a polygon column, for the grouped
+    verify: (hash, flat coords, per-ring vertex counts). Compute these
+    on the POLYGON side *below* the join so the per-polygon flatten
+    runs once per polygon row, not once per candidate."""
+    g = _c(geom)
+    return (
+        F.xxhash64(g),
+        F.flatten(F.flatten(g)),
+        F.transform(g, lambda r: F.size(r)),
+    )
+
+
+def st_contains_point_grouped(ghash, flat, n_verts, x, y) -> F.Column:
+    return _st_contains_point_grouped_raw(
+        _c(ghash), _c(flat), _c(n_verts), _c(x), _c(y)
+    )
+
+
 def st_contains_point_sql(geom, x, y):
     """point_in_polygon as a pure Spark SQL expression (higher-order
     functions): outer-ring ray cast AND NOT any hole ray cast. The
     whole spatial-join verify stays JVM-side — the plan for a
     points-in-polygons join is broadcast-join + filter in ONE
     codegen'd stage, nothing crosses into Python. Null/empty
-    geometries contain nothing (matches st_contains_point)."""
+    geometries contain nothing (matches st_contains_point).
+
+    Measured caveat: HOFs are interpreted, not codegen'd — at high
+    candidate volume the grouped Arrow verify
+    (st_contains_point_grouped) wins; this stays the zero-Python
+    option for small/medium joins."""
     outer = _ring_contains_sql(F.try_element_at(geom, F.lit(1)), _c(x), _c(y))
     holes = F.slice(geom, 2, F.greatest(F.size(geom) - F.lit(1), F.lit(0)))
     in_hole = F.exists(holes, lambda r: _ring_contains_sql(r, _c(x), _c(y)))

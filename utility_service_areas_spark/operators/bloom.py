@@ -85,13 +85,36 @@ def bloom_membership(
         .join(F.broadcast(bits), "__bit", "left")
         .groupBy(rid)
         .agg(
-            (
-                F.count(F.lit(1))
-                == F.sum(F.when(F.col("__set"), 1).otherwise(0))
-            ).alias("__maybe_member")
+            F.count(F.lit(1)).alias("__n_bits"),
+            F.sum(F.when(F.col("__set"), 1).otherwise(0)).alias("__n_set"),
         )
+        # Probe-side guard: a unique non-null rid contributes exactly k
+        # exploded bit rows. More means the caller's probe_id is NOT
+        # unique (or several nulls collapsed into the null group) — the
+        # verdict rejoin would then silently misattribute rows, so fail
+        # loudly instead.
+        .withColumn(
+            "__maybe_member",
+            F.when(
+                F.col("__n_bits") == F.lit(k),
+                F.col("__n_bits") == F.col("__n_set"),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "bloom_membership: probe_id values must be unique "
+                        "and non-null (duplicate id detected)"
+                    )
+                )
+            ),
+        )
+        .select(F.col(rid).alias("__hrid"), "__maybe_member")
     )
-    return probed.join(hits, rid).drop("__pos", "__rid")
+    # Null-safe rejoin: a single null rid row still gets its verdict
+    # (a plain equi-join would silently drop it).
+    return (
+        probed.join(hits, probed[rid].eqNullSafe(F.col("__hrid")))
+        .drop("__pos", "__rid", "__hrid")
+    )
 
 
 def bloom_anti_join(

@@ -71,60 +71,65 @@ _LOADED = False
 # time-budgeted driver pass reaches them; the slow dedup/geo families
 # load last. Every module is first-party and REQUIRED — an import
 # failure must crash loudly, not silently shrink the registry.
-# Queries with no green CORRECTNESS_r{N} row in any prior round (r1+r2
-# drivers attested 80/124; VERDICT_r2 §Coverage lists these 44 as
-# local-mirror-pass / pytest-only). They are hoisted to the front of
-# the registry walk so the round-3 driver pass attests them; newly
-# added round-3 queries are appended below them, keeping the prefix
-# ≤ the driver's 50-row budget.
+# Round-5 rotation (VERDICT r4 #5): the r3/r4 driver passes sampled the
+# SAME 50-key prefix twice, so the modules edited in r4/r5 (dedup, geo,
+# doc_fingerprint) had no driver row newer than r1. This round they go
+# first; the remaining slots hold the stalest other keys (newest driver
+# row r1/r2). Keep the prefix ≤ the driver's 50-row budget and rotate
+# again each round — the driver attests a bounded prefix per round.
 _DRIVER_PRIORITY = (
-    # never-driver-verified, local mirror PASS (41)
-    "merge_upsert_customers",
-    "pivot_status_by_year",
-    "unpivot_part_metrics",
-    "salted_hot_key_join",
-    "weighted_sample_orders",
-    "fuzzy_match_part_names",
-    "scd2_customer_history",
-    "bloom_new_customer_orders",
-    "docs_chunk_split",
-    "docs_pack_sequences",
-    "text_redact_pii",
-    "docs_benchmark_overlap",
-    "docs_block_dedup",
-    "reservoir_sample_docs",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_dedup_bytes",
-    "large_volume_orders",
-    "promo_revenue_share_by_month",
-    "nation_market_share_inputs",
-    "disjunctive_bracket_revenue",
-    "order_fulfillment_latency",
-    "simple_revenue_delta",
-    "returned_item_report",
-    "profit_by_nation_year",
-    "part_revenue_concentration",
-    "top_revenue_supplier",
-    "excess_quantity_suppliers",
-    "supplier_order_exclusivity",
-    "min_cost_supplier_per_part",
-    "unshipped_order_revenue",
-    "priority_counts_by_returnflag",
-    "docs_training_filter",
-    "token_count_histogram",
-    "corpus_clean_sample",
-    "docs_unigram_surprisal",
-    "embedding_centroid_by_label",
+    # modules edited in r4/r5 — re-attest first (19)
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "geo_area_rank",
+    "geo_point_in_polygon",
+    "geo_overlap_pairs",
+    "geo_bbox_centroid",
+    "geo_plss_cells",
+    "geo_union_grid_area",
+    "geo_make_valid",
+    "geo_viewport_query",
+    "geo_combine_multipolygon",
     "geo_union_overlap_area",
     "geo_dissolve_true_union",
     "geo_simplify",
     "geo_morton_order",
-    # never-driver-verified, declared rows-only (3)
-    "embedding_kmeans_assign",
-    "tdigest_value_quantiles",
-    "heavy_hitter_tokens",
-    # round-3 additions (keep total prefix ≤ 50)
+    # stalest remaining keys — newest driver row r1/r2 (31)
+    "two_digit_year_fix",
+    "enrich_join_dims",
+    "anti_join_missing",
+    "patch_override_join",
+    "sync_status_case",
+    "group_combine_collect",
+    "concat_order_text",
+    "agg_stats_by_group",
+    "top_revenue_orders",
+    "sentinel_date_imputation",
+    "top3_orders_per_customer",
+    "kml_description_parse",
+    "geometry_currency_check",
+    "chronology_enriched",
+    "events_asof_attribution",
+    "events_in_promo_windows",
+    "agg_rollup_region_nation",
+    "value_percentiles",
+    "events_moving_window",
+    "profile_orders",
+    "approx_distinct_users",
+    "supplier_balance_rank_dist",
+    "user_first_last_event",
+    "daily_new_users_cumulative",
+    "supplier_daily_running_revenue",
+    "event_funnel_conversion",
+    "cohort_retention",
+    "rolling_7d_active_users",
+    "qty_price_covariance_components",
+    "event_type_transitions",
+    "regional_order_volume",
 )
 
 _PLAN_MODULES = (

@@ -114,7 +114,9 @@ def fetch_assets(
             out = []
             for _, row in pdf.iterrows():
                 key, url = row["key"], row["url"]
-                if bool(row["__cached"]):
+                # Arrow may surface the nullable boolean as pd.NA
+                # (bool(pd.NA) raises); treat any non-True as uncached.
+                if pd.notna(row["__cached"]) and bool(row["__cached"]):
                     out.append((key, url, "cached", 0, None, None))
                     continue
                 blob, attempts, err = _retrying(fetcher, url, max_retries, backoff_s)
