@@ -198,3 +198,33 @@ def test_kmeans_converges_and_is_deterministic(spark):
     assert a == b
     # every vector assigned to a real cluster
     assert set(a.values()) <= set(range(4)) and len(a) == emb.count()
+
+
+def test_embedding_cosine_pairs_edge_semantics(spark):
+    """The blocked numpy kernel must reproduce the JVM fold's edge
+    semantics: null vectors drop, unequal-length pairs drop (zip_with
+    nulls the sum), tie ids pair with nothing (id_a < id_b)."""
+    from utility_service_areas_spark.operators.ann import embedding_cosine_pairs
+
+    rows = [
+        (1, [1.0, 0.0], "g"),
+        (2, [1.0, 0.0], "g"),       # identical to 1 -> sim 1.0
+        (3, None, "g"),             # null vector: dropped
+        (4, [1.0, 0.0, 0.0], "g"),  # length mismatch: pairs with nobody
+        (5, [1.0, 0.0], "h"),       # other bucket
+        (6, [1.0, 0.0], "h"),       # ... pairs with 5 only
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.sim_micros
+        for r in embedding_cosine_pairs(df, "label").collect()
+    }
+    assert got == {(1, 2): 1_000_000, (5, 6): 1_000_000}
+
+    dup = spark.createDataFrame(
+        [(7, [1.0, 0.0], "g"), (7, [1.0, 0.0], "g")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    assert embedding_cosine_pairs(dup, "label").collect() == []

@@ -240,24 +240,92 @@ def embedding_cosine_pairs(
     """Near-duplicate pairs by cosine within a bucketing column (e.g.
     a cluster label or LSH bucket) — never a full cross join.
 
-    Returns (id_a, id_b, sim_micros) for sim ≥ threshold.
+    Plan: one shuffle on the bucket key, then a BLOCKED all-pairs
+    numpy kernel per bucket (applyInPandas). The kernel accumulates
+    the dot product SEQUENTIALLY over dimensions (vectorized over
+    pairs), so every double — and its micros rounding — is bitwise
+    identical to the JVM left-to-right fold (dot_expr) the SQL oracle
+    mirrors. The earlier per-pair JVM fold was interpreted expression
+    evaluation: O(pairs·dim) interpreter steps, measured 176 s at 10×
+    substrate (tools/stress.py, BENCH_TREND.md); the blocked kernel
+    does the same arithmetic as ~dim numpy array ops per block.
+
+    Scale posture: work is O(B²·d) per bucket — inherent to the exact
+    all-pairs semantics — at numpy speed, with O(block·B) memory. A
+    bucket too hot for one task should be sub-bucketed upstream
+    (hyperplane_lsh_bucket as the bucket_col), trading exactness for
+    recall like every ANN path. Pairs whose vectors differ in length
+    or contain nulls are dropped, matching the JVM fold's null
+    semantics.
+
+    Returns (id_a, id_b, sim_micros) for sim ≥ threshold, id_a < id_b.
     """
-    a = vectors.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("q_vec"),
-        norm2_expr(F.col(vec_col)).alias("q_n"),
-        F.col(bucket_col).alias("bk"),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", vectors.schema[id_col].dataType),
+            StructField("id_b", vectors.schema[id_col].dataType),
+            StructField("sim_micros", LongType()),
+        ]
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("c_vec"),
-        norm2_expr(F.col(vec_col)).alias("c_n"),
-        F.col(bucket_col).alias("bk"),
-    )
+
+    def _half_up(v: "np.ndarray") -> "np.ndarray":
+        # F.round / DuckDB round: HALF_UP away from zero (numpy's
+        # default round is banker's — wrong at .5 boundaries).
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[vec_col].notna()]
+        out_a, out_b, out_s = [], [], []
+        # JVM zip_with over unequal lengths nulls the sum → such pairs
+        # are filtered; grouping by length reproduces that exactly.
+        for _, sub in pdf.groupby(pdf[vec_col].map(len)):
+            ids = sub[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            X = np.stack(sub[vec_col].to_numpy()[order]).astype(np.float64)
+            n, d = X.shape
+            if n < 2:
+                continue
+            norms = np.zeros(n)
+            for k in range(d):  # sequential over dims == the JVM fold
+                norms = norms + X[:, k] * X[:, k]
+            norms = np.sqrt(norms)
+            block = max(1, min(1024, 10_000_000 // max(n, 1)))
+            for i0 in range(0, n, block):
+                i1 = min(i0 + block, n)
+                dot = np.zeros((i1 - i0, n))
+                for k in range(d):
+                    dot += X[i0:i1, k][:, None] * X[:, k][None, :]
+                v = dot / (norms[i0:i1][:, None] * norms[None, :]) * 1_000_000.0
+                with np.errstate(invalid="ignore"):
+                    sim = _half_up(v)
+                    # id-based upper triangle == the JVM id_a < id_b
+                    # filter (tie ids pair with nothing, as there).
+                    ii, jj = np.nonzero(
+                        (sim >= threshold_micros)
+                        & (ids[None, :] > ids[i0:i1][:, None])
+                    )
+                out_a.append(ids[ii + i0])
+                out_b.append(ids[jj])
+                out_s.append(sim[ii, jj].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim_micros": []}).astype(
+                {"sim_micros": "int64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim_micros": np.concatenate(out_s),
+            }
+        )
+
     return (
-        a.join(b, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim_micros", _paired_sim_micros())
-        .filter(F.col("sim_micros") >= threshold_micros)
-        .select("id_a", "id_b", "sim_micros")
+        vectors.select(F.col(id_col), F.col(vec_col), F.col(bucket_col))
+        .groupBy(bucket_col)
+        .applyInPandas(pairs_in_bucket, out_schema)
     )
