@@ -58,3 +58,38 @@ def test_csv_export_round_trip(spark, tmp_path):
     back = spark.read.option("header", True).csv(path)
     assert back.count() == region.count()
     assert set(back.columns) == set(region.columns)
+
+
+def test_leaflet_map_sink_self_contained(spark, tmp_path):
+    """Map presentation layer (reference index.qmd): one HTML file,
+    FeatureCollection inlined and parseable, leaflet from CDN, every
+    non-geometry column a popup property."""
+    import json
+    import re
+
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.geo import rect_geometry
+    from utility_service_areas_spark.sources.geojson import write_leaflet_map
+
+    df = spark.createDataFrame(
+        [("CERT-1", "Alpha Utility", 0.0), ("CERT-2", "Beta Co", 10.0)],
+        ["certificate_number", "name", "x0"],
+    ).select(
+        "certificate_number",
+        "name",
+        rect_geometry(F.col("x0"), F.lit(0.0), F.lit(5.0), F.lit(4.0)).alias(
+            "geometry"
+        ),
+    )
+    out = str(tmp_path / "map.html")
+    assert write_leaflet_map(df, out) == out
+    html = open(out).read()
+    assert "unpkg.com/leaflet@1.9.4" in html and "L.geoJSON" in html
+    m = re.search(r"const areas = (\{.*?\});\n", html, re.DOTALL)
+    fc = json.loads(m.group(1))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+    props = {f["properties"]["certificate_number"] for f in fc["features"]}
+    assert props == {"CERT-1", "CERT-2"}
+    ring = fc["features"][0]["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]  # closed ring survives the round trip

@@ -97,3 +97,100 @@ def write_geojson(
             first = False
         f.write("\n]}\n")
     return out_path
+
+
+_LEAFLET_HTML_HEAD = """<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8"/>
+<meta name="viewport" content="width=device-width, initial-scale=1.0"/>
+<title>{title}</title>
+<link rel="stylesheet"
+      href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+<style>
+  html, body {{ margin: 0; height: 100%; }}
+  #map {{ height: 100%; }}
+  .legend {{ background: white; padding: 6px 10px; border-radius: 4px;
+             box-shadow: 0 1px 4px rgba(0,0,0,.3); font: 13px sans-serif; }}
+</style>
+</head>
+<body>
+<div id="map"></div>
+<script>
+const areas = """
+
+_LEAFLET_HTML_TAIL = """;
+const map = L.map('map');
+L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png', {
+  maxZoom: 19,
+  attribution: '&copy; OpenStreetMap contributors',
+}).addTo(map);
+// deterministic per-feature hue from the first property value
+function hue(s) {
+  let h = 0;
+  for (let i = 0; i < s.length; i++) h = (h * 31 + s.charCodeAt(i)) >>> 0;
+  return h % 360;
+}
+const layer = L.geoJSON(areas, {
+  style: f => {
+    const key = JSON.stringify(Object.values(f.properties)[0] ?? '');
+    return { color: `hsl(${hue(key)},70%,40%)`, weight: 1, fillOpacity: 0.35 };
+  },
+  onEachFeature: (f, l) => {
+    const rows = Object.entries(f.properties)
+      .map(([k, v]) => `<tr><td><b>${k}</b></td><td>${v}</td></tr>`)
+      .join('');
+    l.bindPopup(`<table>${rows}</table>`);
+  },
+}).addTo(map);
+if (layer.getBounds().isValid()) map.fitBounds(layer.getBounds());
+</script>
+</body>
+</html>
+"""
+
+
+def write_leaflet_map(
+    df: DataFrame,
+    out_path: str,
+    geom_col: str = "geometry",
+    multi: bool = False,
+    title: str = "Utility service areas",
+) -> str:
+    """Presentation sink: the reference's interactive service-area map
+    (index.qmd leaflet output) as ONE self-contained HTML file — the
+    FeatureCollection is inlined, leaflet/OSM tiles load from their
+    public CDNs at VIEW time, so building the file needs no network
+    and no extra libraries.
+
+    Every non-geometry column becomes a popup property; polygon color
+    derives deterministically from the first property (certificate
+    number in the reference layer). Streams features through
+    toLocalIterator like write_geojson — the deliberate driver-side
+    funnel at the very end of a pipeline, on the dim-sized exported
+    layer only.
+    """
+    prop_cols = [c for c in df.columns if c != geom_col]
+    with open(out_path, "w") as f:
+        f.write(_LEAFLET_HTML_HEAD.format(title=json.dumps(title)[1:-1]))
+        f.write('{"type": "FeatureCollection", "features": [\n')
+        first = True
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            geom = d.pop(geom_col)
+            feat = {
+                "type": "Feature",
+                "properties": {k: d[k] for k in prop_cols},
+                "geometry": {
+                    "type": "MultiPolygon" if multi else "Polygon",
+                    "coordinates": geom,
+                },
+            }
+            if not first:
+                f.write(",\n")
+            f.write(json.dumps(feat, default=str))
+            first = False
+        f.write("\n]}")
+        f.write(_LEAFLET_HTML_TAIL)
+    return out_path
