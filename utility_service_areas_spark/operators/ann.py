@@ -177,20 +177,42 @@ def ivf_topk(
     broadcast scan (n·C JVM dot products), the probe join shuffles on
     the cell id, and per-cell candidate lists are ~n/C — the classic
     IVF trade of recall for a C/n_probe-fold scan reduction.
+
+    Assignment ranks by dot/|centroid| — |v| is constant across a
+    vector's centroid comparisons, so the argmax is identical to full
+    cosine at a third of the fold work — and the corpus top-1 cell is
+    a partial-aggregatable max_by, not a per-vector window sort (the
+    window shuffled+sorted n·C rows; max_by combines map-side).
     """
     cents = (
         vectors.filter(F.col(id_col) % centroid_stride == 0)
         .orderBy(id_col)
         .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            norm2_expr(F.col(vec_col)).alias("cent_n"),
+        )
     )
+    cent_score = dot_expr(F.col(vec_col), F.col("cent_vec")) / F.col("cent_n")
+
+    def assign_top1(df: DataFrame, out_id: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn("cent_score", cent_score)
+        # argmax by (score desc, cent_id asc) == max_by over the
+        # lexicographic struct (score, -cent_id)
+        return scored.groupBy(out_id).agg(
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("cent_score"), -F.col("cent_id"))
+            ).alias("cell"),
+        )
 
     def assign(df: DataFrame, out_id: str, top: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "cent_sim", cosine_micros(F.col(vec_col), F.col("cent_vec"))
-        )
+        if top == 1:
+            return assign_top1(df, out_id)
+        scored = df.crossJoin(F.broadcast(cents)).withColumn("cent_score", cent_score)
         w = Window.partitionBy(out_id).orderBy(
-            F.col("cent_sim").desc(), F.col("cent_id").asc()
+            F.col("cent_score").desc(), F.col("cent_id").asc()
         )
         return (
             scored.withColumn("cell_rank", F.row_number().over(w))
