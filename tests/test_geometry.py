@@ -179,3 +179,42 @@ def test_simplify_degenerate_ring_drops():
 
     # all points collinear → ring collapses, polygon becomes empty
     assert simplify_polygon([[[0, 0], [1, 0], [2, 0], [0, 0]]], 0.0) == []
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-50, 50).map(lambda v: round(v, 3)),
+            st.floats(-50, 50).map(lambda v: round(v, 3)),
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.floats(-60, 60), st.floats(-60, 60)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_flat_mask_bit_identical_to_scalar(verts, pts):
+    """The spatial join's batched kernel (_flat_rings_mask over the
+    flat vertex encoding) must agree with the scalar point_in_ring on
+    ARBITRARY (even self-intersecting) closed rings — bit-identical
+    ray cast, not approximately equal."""
+    import numpy as np
+
+    from utility_service_areas_spark.functions.geometry import (
+        _flat_rings_mask,
+        point_in_polygon,
+    )
+
+    ring = [list(p) for p in verts] + [list(verts[0])]  # close it
+    poly = [ring]
+    flat = np.asarray([c for p in ring for c in p])
+    n_verts = np.asarray([len(ring)])
+    xs = np.asarray([p[0] for p in pts])
+    ys = np.asarray([p[1] for p in pts])
+    got = _flat_rings_mask(xs, ys, flat, n_verts)
+    want = [point_in_polygon(x, y, poly) for x, y in pts]
+    assert list(got) == want
