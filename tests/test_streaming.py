@@ -189,3 +189,44 @@ def test_stream_ts_schema_matches_batch(spark):
     want = batch.agg(F.max("ts").alias("mx"), F.min("ts").alias("mn")).collect()[0]
     assert got.mx == want.mx and got.mn == want.mn
     assert got.mx.year >= 2020  # not collapsed to the epoch
+
+
+def test_stateful_sessionizer_state_survives_micro_batches(spark, tmp_path):
+    """The real stateful contract: with maxFilesPerTrigger=1 the events
+    arrive as THREE time-ordered micro-batches, so sessions spanning a
+    batch boundary only come out right if (last_ts, session_id, count)
+    state carries across triggers. Final upserts must equal the batch
+    twin exactly (update mode: take the max count per session key)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utility_service_areas_spark.plans.event_queries import events_sessionize
+    from utility_service_areas_spark.sources.tables import (
+        normalize_event_ts,
+        raw_table_schema,
+    )
+
+    src = pq.read_table(SMOKE_SF + "/events.parquet")
+    order = pa.compute.sort_indices(src, sort_keys=[("ts", "ascending")])
+    src = src.take(order)
+    third = max(1, src.num_rows // 3)
+    for i in range(3):
+        lo = i * third
+        hi = src.num_rows if i == 2 else (i + 1) * third
+        pq.write_table(src.slice(lo, hi - lo), str(tmp_path / f"b{i}.parquet"))
+
+    raw = (
+        spark.readStream.schema(raw_table_schema(spark, SMOKE_SF, "events"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    run_to_memory(sessionize_stateful(normalize_event_ts(raw)), "t_mb", "update")
+    got = {}
+    for r in spark.table("t_mb").collect():
+        key = (r.user_id, r.session_id)
+        got[key] = max(got.get(key, 0), r.n_events)
+    want = {
+        (r.user_id, r.session_id): r.n_events
+        for r in events_sessionize(spark, SMOKE_SF).collect()
+    }
+    assert got == want
