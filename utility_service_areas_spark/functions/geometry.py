@@ -216,7 +216,7 @@ def st_contains_point_sql(geom, x, y):
     whole spatial-join verify stays JVM-side — the plan for a
     points-in-polygons join is broadcast-join + filter in ONE
     codegen'd stage, nothing crosses into Python. Null/empty
-    geometries contain nothing (matches st_contains_point).
+    geometries contain nothing (matches the scalar kernel).
 
     Measured caveat: HOFs are interpreted, not codegen'd — at high
     candidate volume the grouped Arrow verify
@@ -759,29 +759,6 @@ def _st_centroid_raw(polys: pd.Series) -> pd.DataFrame:
 def st_centroid(poly) -> F.Column:
     poly = _c(poly)
     return F.when(poly.isNotNull(), _st_centroid_raw(F.coalesce(poly, _sentinel_poly())))
-
-
-@F.pandas_udf(BooleanType())
-def _st_contains_point_raw(
-    polys: pd.Series, xs: pd.Series, ys: pd.Series
-) -> pd.Series:
-    return pd.Series(
-        [
-            point_in_polygon(float(x), float(y), p) if p is not None and len(p) else False
-            for p, x, y in zip(polys, xs, ys)
-        ]
-    )
-
-
-def st_contains_point(poly, x, y) -> F.Column:
-    poly = _c(poly)
-    return F.coalesce(
-        F.when(
-            poly.isNotNull(),
-            _st_contains_point_raw(F.coalesce(poly, _sentinel_poly()), _c(x), _c(y)),
-        ),
-        F.lit(False),
-    )
 
 
 @F.pandas_udf(BooleanType())
