@@ -49,6 +49,10 @@ DEFAULT_QUERIES = [
     # cluster scale).
     "geo_point_in_polygon",
     "geo_viewport_query",
+    # events/window family over the scaled events table
+    "events_sessionize",
+    "events_asof_attribution",
+    "rolling_7d_active_users",
 ]
 
 _EXPAND_SQL = {
