@@ -232,3 +232,28 @@ def test_html_table_source(spark, tmp_path):
         ["169", "AVEC"],
     ]
     assert df.filter(F.col("table_class") == "other").count() == 1
+
+
+def test_leaflet_map_from_pipeline(spark, kml_dir, certificates, chronology, tmp_path):
+    """End of the reference pipeline (index.qmd): the cleaned layer
+    exports to one self-contained interactive map whose inlined
+    FeatureCollection matches the GeoJSON export exactly."""
+    import re
+
+    from utility_service_areas_spark.sources.geojson import write_leaflet_map
+
+    out = build_service_areas(
+        spark, kml_dir + "/*.kml", certificates, chronology, [520], [59], [(169, 61)]
+    )
+    path = str(tmp_path / "service-areas.html")
+    write_leaflet_map(out, path, multi=True)
+    html = open(path).read()
+    m = re.search(r"const areas = (\{.*?\});\n", html, re.DOTALL)
+    fc = json.loads(m.group(1))
+    assert {f["properties"]["certificate_number"] for f in fc["features"]} == {
+        8.0,
+        169.0,
+    }
+    # popup properties carry the chronology metadata the map displays
+    props = fc["features"][0]["properties"]
+    assert "geometry_cert_sync_status" in props
