@@ -242,35 +242,70 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("etl",),
 )
 def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy join restructured around NAME-LEVEL dedup: the quadratic
+    lev≤1 matching runs on DISTINCT (variant string, canonical name)
+    pairs, never on rows. The corpus has a tiny name vocabulary
+    replicated across keys (sf0.1: 64 names over 20k rows), so the
+    row-level blocked join exploded duplicate-name work ~(rows/names)²
+    — measured 27.4M candidate levenshteins and 40 s; name-level it is
+    a few hundred. Per-canon-name stats (key count, min key) fold the
+    row multiplicity back in after the match, so the output —
+    identical to the oracle's row-level semantics — needs only
+    broadcast joins against the tiny matched-name table. Corpora with
+    fully distinct names degrade gracefully to the plain blocked join
+    (the dedup is then a no-op).
+    """
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     cut = (F.col("p_partkey") % F.length("p_name")).cast("int")
-    variants = p.select(
-        F.col("p_partkey").alias("src_key"),
-        F.concat(
-            F.expr("substr(p_name, 1, cast(p_partkey % length(p_name) as int))"),
-            F.expr("substr(p_name, cast(p_partkey % length(p_name) as int) + 2)"),
-        ).alias("variant"),
-        F.substring("p_name", 1, 1).alias("blk_c"),
-        F.length("p_name").alias("blk_len"),
+    # name-level canon stats: how many keys share a name, and its min
+    cstats = (
+        p.groupBy(F.col("p_name").alias("canon_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("p_partkey").alias("min_key"),
+        )
+        .select(
+            "canon_name",
+            "n_keys",
+            "min_key",
+            F.substring("canon_name", 1, 1).alias("c_blk_c"),
+            F.length("canon_name").alias("c_blk_len"),
+        )
     )
-    canon = p.select(
-        F.col("p_partkey").alias("match_key"),
-        F.col("p_name").alias("canon_name"),
-        F.substring("p_name", 1, 1).alias("c_blk_c"),
-        F.length("p_name").alias("c_blk_len"),
+    # distinct (name, cut-position) → distinct variant strings
+    vdist = (
+        p.select("p_name", cut.alias("cut"))
+        .distinct()
+        .select(
+            "p_name",
+            "cut",
+            F.concat(
+                F.expr("substr(p_name, 1, cut)"),
+                F.expr("substr(p_name, cut + 2)"),
+            ).alias("variant"),
+            F.substring("p_name", 1, 1).alias("blk_c"),
+            F.length("p_name").alias("blk_len"),
+        )
     )
-    cands = (
-        variants.join(
-            canon,
+    # the oracle's blocking + lev≤1 verify, at name granularity (tiny)
+    name_pairs = (
+        vdist.join(
+            F.broadcast(cstats),
             (F.col("c_blk_c") == F.col("blk_c"))
             & (F.col("c_blk_len").between(F.col("blk_len") - 1, F.col("blk_len"))),
         )
         .filter(F.levenshtein("variant", "canon_name") <= 1)
+        .select("p_name", "cut", "canon_name", "n_keys", "min_key")
     )
-    return cands.groupBy("src_key").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.min("match_key").alias("best_match_key"),
-        F.max(F.when(F.col("match_key") == F.col("src_key"), 1).otherwise(0))
+    # fold row multiplicity back in: each src row matches every key of
+    # each matched name; match_key == src_key ⟺ own name matched
+    per_src = p.select(
+        F.col("p_partkey").alias("src_key"), "p_name", cut.alias("cut")
+    ).join(F.broadcast(name_pairs), ["p_name", "cut"])
+    return per_src.groupBy("src_key").agg(
+        F.sum("n_keys").cast("long").alias("n_candidates"),
+        F.min("min_key").alias("best_match_key"),
+        F.max(F.when(F.col("canon_name") == F.col("p_name"), 1).otherwise(0))
         .cast("long")
         .alias("self_recovered"),
     )
