@@ -90,6 +90,35 @@ def test_output_schema_fixed_and_construction_lazy(spark):
     assert over.columns == ["id_a", "id_b"]
 
 
+def test_broadcast_guard_rejects_fact_sized_polygon_side(spark):
+    """ADVICE r5: a fact-sized polygon side on the default (broadcast)
+    path must fail EARLY with a message pointing at grid_cell, not OOM
+    mid-broadcast. The guard is Catalyst's driver-side size estimate —
+    no Spark job — and is off when grid_cell or guard=None is passed."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    big = spark.range(30_000_000).select(
+        F.col("id").alias("pid"),
+        rect_geometry(
+            F.col("id").cast("double"), F.lit(0.0), F.lit(1.0), F.lit(1.0)
+        ).alias("geometry"),
+    )
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], ["point_id", "px", "py"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    with pytest.raises(ValueError, match="grid_cell"):
+        points_in_polygons(pts, big, id_col="pid")
+    with pytest.raises(ValueError, match="grid_cell"):
+        polygon_overlap_pairs(big, "pid")
+    # the guard itself launches no jobs, and both escapes still construct
+    points_in_polygons(pts, big, id_col="pid", broadcast_guard_bytes=None)
+    points_in_polygons(pts, big, id_col="pid", grid_cell=2.0)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+
+
 def test_grid_path_equals_broadcast_path(spark):
     # Irregular layout incl. negative coords and multi-cell bboxes.
     rows = [
@@ -123,6 +152,40 @@ def test_grid_path_equals_broadcast_path(spark):
         for r in polygon_overlap_pairs(polys, "pid", grid_cell=4.0).collect()
     }
     assert grid_pairs == base_pairs and len(base_pairs) > 0
+
+
+def test_salted_grid_path_equals_unsalted_under_pathological_skew(spark):
+    """Skew lever (SURVEY §6 / VERDICT r5 #4): 90% of points in ONE
+    grid cell. The salted plan must (a) keep the equi-join (salt key
+    included, no BNLJ), and (b) return exactly the unsalted result."""
+    from pyspark.sql import functions as F
+
+    polys = _rects(spark, [(i, float(2 * (i % 5)), float(2 * (i // 5)), 1.9, 1.9)
+                           for i in range(25)])
+    # 90% of points crammed into polygon 0's cell, rest spread out
+    hot = spark.range(1800).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") % 19 * 0.1).alias("px"),
+        (F.col("id") % 17 * 0.1).alias("py"),
+    )
+    cold = spark.range(1800, 2000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 5) * 2.0 + 0.5).alias("px"),
+        ((F.col("id") % 25) / 5 * 2.0 + 0.5).alias("py"),
+    )
+    pts = hot.unionByName(cold)
+    base = {
+        (r.point_id, r.pid)
+        for r in points_in_polygons(pts, polys, id_col="pid", grid_cell=2.0).collect()
+    }
+    salted_df = points_in_polygons(
+        pts, polys, id_col="pid", grid_cell=2.0, salt=8
+    )
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "__salt" in plan  # the salt key made it into the join
+    salted = {(r.point_id, r.pid) for r in salted_df.collect()}
+    assert salted == base and len(base) > 0
 
 
 def test_grid_path_plans_equi_join_no_bnlj(spark):

@@ -93,3 +93,38 @@ def test_leaflet_map_sink_self_contained(spark, tmp_path):
     assert props == {"CERT-1", "CERT-2"}
     ring = fc["features"][0]["geometry"]["coordinates"][0]
     assert ring[0] == ring[-1]  # closed ring survives the round trip
+    # presentation parity (index.qmd): base-layer switcher + scale bar
+    assert "L.control.layers" in html and "L.control.scale" in html
+
+
+def test_leaflet_map_escapes_untrusted_properties(spark, tmp_path):
+    """Stored-XSS guard (ADVICE r5): property values come from untrusted
+    KML/HTML fetches. A '</script>' value must not terminate the inlined
+    script block, and popup HTML must be built via textContent, never
+    string-interpolated innerHTML."""
+    import json
+    import re
+
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.geo import rect_geometry
+    from utility_service_areas_spark.sources.geojson import write_leaflet_map
+
+    payload = "</script><script>alert(1)</script><img src=x onerror=alert(2)>"
+    df = spark.createDataFrame([("CERT-1", payload)], ["certificate_number", "name"]).select(
+        "certificate_number",
+        "name",
+        rect_geometry(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0)).alias("geometry"),
+    )
+    out = str(tmp_path / "map.html")
+    write_leaflet_map(df, out, title="<script>bad</script>")
+    html = open(out).read()
+    # the raw close-tag must never appear inside the inlined JSON/title
+    body = html.split("const areas = ", 1)[1]
+    assert "</script><script>" not in html
+    assert "<script>bad" not in html  # title is HTML-escaped
+    # the payload survives escaped and round-trips intact
+    m = re.search(r"const areas = (\{.*?\});\n", html, re.DOTALL)
+    assert json.loads(m.group(1))["features"][0]["properties"]["name"] == payload
+    # popups are DOM-built: no template-string innerHTML of property values
+    assert "textContent" in body and "innerHTML" not in body

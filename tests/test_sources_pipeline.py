@@ -257,3 +257,5 @@ def test_leaflet_map_from_pipeline(spark, kml_dir, certificates, chronology, tmp
     # popup properties carry the chronology metadata the map displays
     props = fc["features"][0]["properties"]
     assert "geometry_cert_sync_status" in props
+    # presentation parity (index.qmd:140-192): base-layer control + scale bar
+    assert "L.control.layers" in html and "L.control.scale" in html

@@ -7,6 +7,7 @@ of input are withheld — those must be the ONLY differences).
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -210,17 +211,29 @@ def test_stateful_sessionizer_state_survives_micro_batches(spark, tmp_path):
     order = pa.compute.sort_indices(src, sort_keys=[("ts", "ascending")])
     src = src.take(order)
     third = max(1, src.num_rows // 3)
+    t0 = int(os.path.getmtime(SMOKE_SF + "/events.parquet"))
     for i in range(3):
         lo = i * third
         hi = src.num_rows if i == 2 else (i + 1) * third
-        pq.write_table(src.slice(lo, hi - lo), str(tmp_path / f"b{i}.parquet"))
+        path = str(tmp_path / f"b{i}.parquet")
+        pq.write_table(src.slice(lo, hi - lo), path)
+        # FileStreamSource orders files by modification time; back-to-back
+        # writes can tie at filesystem mtime resolution under suite load and
+        # deliver micro-batches out of time order, which the stateful
+        # sessionizer (correctly) rejects. Pin the order explicitly.
+        os.utime(path, (t0 + i, t0 + i))
 
     raw = (
         spark.readStream.schema(raw_table_schema(spark, SMOKE_SF, "events"))
         .option("maxFilesPerTrigger", 1)
         .parquet(str(tmp_path))
     )
-    run_to_memory(sessionize_stateful(normalize_event_ts(raw)), "t_mb", "update")
+    q = run_to_memory(sessionize_stateful(normalize_event_ts(raw)), "t_mb", "update")
+    # Guard against the test silently degenerating to one batch: each of the
+    # three files must have arrived as its own non-empty micro-batch, or the
+    # cross-boundary state carry isn't being exercised at all.
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 3, f"expected 3 non-empty micro-batches, saw {len(fed)}"
     got = {}
     for r in spark.table("t_mb").collect():
         key = (r.user_id, r.session_id)

@@ -100,14 +100,118 @@ def build_substrate(base: str, out: str, factor: int) -> None:
         con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
 
 
+def run_geo_grid(spark, factor: int) -> tuple[dict[str, float], dict[str, int]]:
+    """The >100k-polygon grid_cell stress (VERDICT r5 #3/#4): synthetic
+    rect polygons on a 1000-wide lattice (each overlaps its right/down
+    neighbor → overlap pairs stay linear in n), points spread over the
+    same extent, plus a pathological-skew run (90% of points in ONE
+    grid cell) with and without the salt lever.
+
+    factor 10 → 100k polygons / 1M points; 30 → 300k / 3M. Asserts the
+    candidate joins are grid-cell EQUI-joins (no BNLJ / cartesian)."""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.geo import (
+        points_in_polygons,
+        polygon_overlap_pairs,
+        rect_geometry,
+    )
+
+    ncols = 1000
+    n_polys = 10_000 * factor
+    n_points = 100_000 * factor
+    yext = 2.0 * (n_polys // ncols)
+    polys = spark.range(n_polys).select(
+        F.col("id").alias("pid"),
+        rect_geometry(
+            (F.col("id") % ncols).cast("double") * 2.0,
+            F.floor(F.col("id") / ncols).cast("double") * 2.0,
+            F.lit(2.5),
+            F.lit(2.5),
+        ).alias("geometry"),
+    )
+    uniform = spark.range(n_points).select(
+        F.col("id").alias("point_id"),
+        (F.pmod(F.hash("id"), F.lit(ncols * 2000)) / 1000.0).alias("px"),
+        (F.pmod(F.hash("id", F.lit(1)), F.lit(int(yext * 1000))) / 1000.0).alias("py"),
+    )
+    # 90% of points inside grid cell (0,0), the rest uniform
+    skewed = spark.range(n_points).select(
+        F.col("id").alias("point_id"),
+        F.when(
+            F.col("id") % 10 < 9, F.pmod(F.hash("id"), F.lit(1900)) / 1000.0
+        )
+        .otherwise(F.pmod(F.hash("id"), F.lit(ncols * 2000)) / 1000.0)
+        .alias("px"),
+        F.when(
+            F.col("id") % 10 < 9, F.pmod(F.hash("id", F.lit(1)), F.lit(1900)) / 1000.0
+        )
+        .otherwise(F.pmod(F.hash("id", F.lit(1)), F.lit(int(yext * 1000))) / 1000.0)
+        .alias("py"),
+    )
+
+    runs = {
+        "pip_grid_uniform": lambda: points_in_polygons(
+            uniform, polys, id_col="pid", grid_cell=2.0
+        ),
+        "pip_grid_skew_nosalt": lambda: points_in_polygons(
+            skewed, polys, id_col="pid", grid_cell=2.0
+        ),
+        "pip_grid_skew_salt16": lambda: points_in_polygons(
+            skewed, polys, id_col="pid", grid_cell=2.0, salt=16
+        ),
+        "overlap_grid": lambda: polygon_overlap_pairs(
+            polys, "pid", grid_cell=2.0
+        ),
+    }
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, build in runs.items():
+        df = build()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ in plan"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian in plan"
+        t0 = time.time()
+        rows[name] = df.count()
+        timings[name] = round(time.time() - t0, 2)
+    return timings, rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/stress")
     ap.add_argument("--keep", action="store_true", help="reuse existing --out")
+    ap.add_argument(
+        "--geo-grid",
+        action="store_true",
+        help="run the synthetic >100k-polygon grid_cell stress instead",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.geo_grid:
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-spark-stress-geo")
+        spark.sparkContext.setLogLevel("ERROR")
+        timings, rows = run_geo_grid(spark, args.factor)
+        print(
+            json.dumps(
+                {
+                    "metric": "stress_geo_grid",
+                    "value": round(sum(timings.values()), 2),
+                    "unit": "sec",
+                    "factor": args.factor,
+                    "n_polys": 10_000 * args.factor,
+                    "n_points": 100_000 * args.factor,
+                    "queries": timings,
+                    "rows": rows,
+                }
+            )
+        )
+        return
 
     if not args.keep:
         if os.path.isdir(args.out):

@@ -193,6 +193,10 @@ def ivf_topk(
             F.col(vec_col).alias("cent_vec"),
             norm2_expr(F.col(vec_col)).alias("cent_n"),
         )
+        # A zero-norm sampled centroid would make cent_score NaN, and
+        # Spark sorts NaN greatest — max_by would hand EVERY vector to
+        # the degenerate cell, silently collapsing recall.
+        .filter(F.col("cent_n") > 0)
     )
     cent_score = dot_expr(F.col(vec_col), F.col("cent_vec")) / F.col("cent_n")
 
@@ -348,6 +352,9 @@ def embedding_cosine_pairs(
 
     return (
         vectors.select(F.col(id_col), F.col(vec_col), F.col(bucket_col))
+        # SQL join-on-key semantics: a NULL bucket matches nothing, but
+        # groupBy would happily pair the whole NULL group with itself.
+        .filter(F.col(bucket_col).isNotNull())
         .groupBy(bucket_col)
         .applyInPandas(pairs_in_bucket, out_schema)
     )

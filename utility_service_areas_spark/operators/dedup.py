@@ -94,14 +94,20 @@ _STAR_SIG_PAIRS_EXPR = """
 """
 
 
-def _bucket_pairs(lists: DataFrame) -> DataFrame:
-    """All ordered (doc_a < doc_b) pairs within each bucket's sorted
-    `docs` array, generated JVM-side (no self-join: the bucket list is
-    grouped once and pairs come from an array-combinations expression).
-    """
-    return lists.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p")).select(
-        "p.doc_a", "p.doc_b"
-    )
+# Pairs over sorted (doc, n) items with the SIZE PREFILTER fused in:
+# Jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose size ratio
+# is below the threshold can never pass the final filter — drop it
+# BEFORE it reaches the count shuffle. The 1e-9 slack keeps the guard a
+# strict superset of the exact `jac >= t` acceptance under any double
+# rounding (n are small integers; the final filter stays authoritative).
+_SIZED_PAIRS_EXPR = """
+    filter(
+      flatten(transform(items, (a, i) ->
+          transform(slice(items, i + 2, size(items) - i - 1),
+                    b -> struct(a.doc AS doc_a, b.doc AS doc_b,
+                                a.n AS n_a, b.n AS n_b)))),
+      p -> least(p.n_a, p.n_b) + 1e-9 >= {t} * greatest(p.n_a, p.n_b))
+"""
 
 
 def ngram_jaccard_pairs(
@@ -116,38 +122,41 @@ def ngram_jaccard_pairs(
     Jaccard over the capped shingle sets; emitted when ≥ threshold.
 
     Plan shape (one pass over the corpus): explode shingles → df-cap
-    semi-join drops hot shingles BEFORE any bucket materializes (a
+    anti-join drops hot shingles BEFORE any bucket materializes (a
     stop-word-grade shingle must never reach collect_list — that would
-    build a corpus-sized array in one reducer) → groupBy(shingle) to
-    sorted doc-lists → JVM array-combinations for pairs → count per
-    pair. The doc-list frame is cached because both the pair counts
-    and the per-doc set sizes derive from it — at cluster scale this
-    is the materialize-signatures step of a classic LSH pipeline.
+    build a corpus-sized array in one reducer) → per-doc capped set
+    size attached by a window count over the doc key (no self-join,
+    no cached second pass) → groupBy(shingle) to sorted (doc, n)
+    lists → JVM array-combinations with the SIZE PREFILTER fused into
+    the pair expression (_SIZED_PAIRS_EXPR: a pair whose size ratio
+    caps Jaccard below the threshold never leaves the bucket — at
+    t=0.2 that's every pair longer/shorter than 5×) → count per pair.
+    Sizes ride in the pair structs, so no post-aggregation size joins
+    (the r5 plan joined sizes onto the distinct-pair frame twice).
 
     Returns (doc_a, doc_b, jaccard_micros); micros-bigint keeps floats
     out of value hashes.
     """
+    from pyspark.sql.window import Window
+
     ex = shingle_exploded(df, id_col, text_col, k=k, df_cap=df_cap)
-    lists = (
-        ex.groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .cache()
+    ex = ex.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    lists = ex.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("items")
     )
-    sizes = (
-        lists.select(F.explode("docs").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        lists.select(
+            F.explode(F.expr(_SIZED_PAIRS_EXPR.format(t=float(threshold)))).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        # n_a/n_b are functionally determined by the doc ids, so the
+        # widened grouping key makes the same groups as (doc_a, doc_b).
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    common = _bucket_pairs(lists).groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("n_common")
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard_micros", F.round(jac * 1_000_000).cast("long"))
+        common.withColumn("jaccard_micros", F.round(jac * 1_000_000).cast("long"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard_micros")
     )

@@ -24,6 +24,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 
+BROADCAST_GUARD_BYTES = 128 << 20
+"""Default ceiling for the broadcast polygon side's CATALYST ESTIMATE
+(ADVICE r5). Catalyst sizes array columns at element defaultSize, so
+vertex-heavy rows estimate ~12 bytes: a dim-sized service-area layer
+(thousands of rows) estimates ~1 MiB, while 128 MiB ≈ 10M+ rows —
+unambiguously a fact table that belongs on the grid_cell path."""
+
+
+def _broadcast_size_guard(df: DataFrame, op: str, guard_bytes: int | None) -> None:
+    """Catalyst plan-size heuristic: the default candidate paths
+    broadcast the polygon side, so a caller with a fact-sized polygon
+    frame who forgets ``grid_cell`` should get a clear, early error
+    pointing at it instead of an executor OOM mid-broadcast. Uses the
+    optimizer's driver-side size estimate only — launches no Spark job,
+    preserving the zero-jobs-at-construction contract. Best-effort:
+    unknown/sentinel estimates never block."""
+    if guard_bytes is None:
+        return
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return
+    # The upper bound skips "unknown" estimates: a LogicalRDD leaf (any
+    # createDataFrame/.rdd-derived frame) reports defaultSizeInBytes =
+    # Long.MaxValue, which Project ratio-scaling leaves in the EiB
+    # range. >1 PiB is no real polygon layer — treat as no-stats.
+    if guard_bytes < est < (1 << 50):
+        raise ValueError(
+            f"{op}: polygon side estimated at ~{est >> 20} MiB, above the "
+            f"{guard_bytes >> 20} MiB broadcast guard. Pass grid_cell=<size> to "
+            "switch to the grid-cell equi-join path (no broadcast), or raise "
+            "broadcast_guard_bytes / pass None if the estimate is wrong."
+        )
+
+
 def _with_pid(polys: DataFrame) -> DataFrame:
     """Attach a surrogate unique polygon key and pin it: the frame is
     lazily localCheckpoint-ed so the id assignment materializes ONCE at
@@ -75,6 +110,8 @@ def points_in_polygons(
     geom_col: str = "geometry",
     id_col: str | None = None,
     grid_cell: float | None = None,
+    broadcast_guard_bytes: int | None = BROADCAST_GUARD_BYTES,
+    salt: int | None = None,
 ) -> DataFrame:
     """Spatial join: which polygon contains each point (README Q3:
     'what utility serves a specific location').
@@ -137,6 +174,9 @@ def points_in_polygons(
         F.col("__ghash"), F.col("__flat"), F.col("__nverts"), F.col(px), F.col(py)
     )
     if grid_cell is None:
+        _broadcast_size_guard(
+            polygons.select(id_col, geom_col), "points_in_polygons", broadcast_guard_bytes
+        )
         return (
             points.join(F.broadcast(polys), bbox_pred)
             .filter(verify)
@@ -151,8 +191,26 @@ def points_in_polygons(
     pts = points.withColumn(
         "__cx", F.floor(F.col(px) / F.lit(grid_cell)).cast("long")
     ).withColumn("__cy", F.floor(F.col(py) / F.lit(grid_cell)).cast("long"))
+    cell_keys = ["__cx", "__cy"]
+    if salt is not None and salt > 1:
+        # Skew lever (SURVEY §6): a hot cell — a dense point cluster in
+        # one grid cell — funnels all its candidates through ONE reducer
+        # of the equi-join. Salting splits the point side of every cell
+        # k ways by a deterministic point hash and replicates each
+        # polygon cell row k× (cost: k× the exploded polygon frame,
+        # which is the SMALL side), so a hot cell fans across k tasks.
+        # The alternative is AQE's skew-join split, which also fires on
+        # this join at scale (sort-merge side); salt= is the
+        # deterministic, plannable form of the same mitigation.
+        pts = pts.withColumn(
+            "__salt", F.pmod(F.hash(F.col(px), F.col(py)), F.lit(salt))
+        )
+        pcells = pcells.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        cell_keys = ["__cx", "__cy", "__salt"]
     candidates = (
-        pts.join(pcells, ["__cx", "__cy"])
+        pts.join(pcells, cell_keys)
         .filter(bbox_pred)
         .select(*points.columns, id_col, "__pid")
     )
@@ -177,6 +235,7 @@ def polygon_overlap_pairs(
     id_col: str,
     geom_col: str = "geometry",
     grid_cell: float | None = None,
+    broadcast_guard_bytes: int | None = BROADCAST_GUARD_BYTES,
 ) -> DataFrame:
     """Self-join overlap detection (README Q1: 'do service areas
     overlap?'). Returns distinct (id_a, id_b) with id_a < id_b.
@@ -235,6 +294,11 @@ def polygon_overlap_pairs(
         & (F.col("bymin") <= F.col("aymax"))
     )
     if grid_cell is None:
+        _broadcast_size_guard(
+            polygons.select(id_col, geom_col),
+            "polygon_overlap_pairs",
+            broadcast_guard_bytes,
+        )
         cand = side("a", True).join(F.broadcast(side("b", True)), pair_pred)
     else:
         cell = float(grid_cell)

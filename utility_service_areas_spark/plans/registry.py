@@ -71,65 +71,69 @@ _LOADED = False
 # time-budgeted driver pass reaches them; the slow dedup/geo families
 # load last. Every module is first-party and REQUIRED — an import
 # failure must crash loudly, not silently shrink the registry.
-# Round-5 rotation (VERDICT r4 #5): the r3/r4 driver passes sampled the
-# SAME 50-key prefix twice, so the modules edited in r4/r5 (dedup, geo,
-# doc_fingerprint) had no driver row newer than r1. This round they go
-# first; the remaining slots hold the stalest other keys (newest driver
-# row r1/r2). Keep the prefix ≤ the driver's 50-row budget and rotate
-# again each round — the driver attests a bounded prefix per round.
+# Round-6 rotation (VERDICT r5 #2): `multimodal_features` leads — the
+# only key with zero driver attestation in five rounds — then the
+# rows-only family (newest rows r4), then the modules edited this round
+# (ngram length filter, geo broadcast guard/salting, ann null-bucket +
+# centroid guards), then the stalest keys (newest driver row r1, then
+# r2, then r4). The 50 keys the r5 driver just attested go last. Keep
+# the prefix ≤ the driver's 50-row budget and rotate again each round.
 _DRIVER_PRIORITY = (
-    # modules edited in r4/r5 — re-attest first (19)
-    "dedup_exact_docs",
+    # never driver-sampled (1) + rows-only family, newest rows r4 (5)
+    "multimodal_features",
+    "tdigest_value_quantiles",
+    "embedding_kmeans_assign",
+    "heavy_hitter_tokens",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # modules edited in r6 — re-attest (5)
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "geo_area_rank",
     "geo_point_in_polygon",
     "geo_overlap_pairs",
-    "geo_bbox_centroid",
-    "geo_plss_cells",
-    "geo_union_grid_area",
-    "geo_make_valid",
-    "geo_viewport_query",
-    "geo_combine_multipolygon",
-    "geo_union_overlap_area",
-    "geo_dissolve_true_union",
-    "geo_simplify",
-    "geo_morton_order",
-    # stalest remaining keys — newest driver row r1/r2 (31)
-    "two_digit_year_fix",
-    "enrich_join_dims",
-    "anti_join_missing",
-    "patch_override_join",
-    "sync_status_case",
-    "group_combine_collect",
-    "concat_order_text",
-    "agg_stats_by_group",
-    "top_revenue_orders",
-    "sentinel_date_imputation",
-    "top3_orders_per_customer",
-    "kml_description_parse",
-    "geometry_currency_check",
-    "chronology_enriched",
-    "events_asof_attribution",
-    "events_in_promo_windows",
-    "agg_rollup_region_nation",
-    "value_percentiles",
-    "events_moving_window",
-    "profile_orders",
-    "approx_distinct_users",
-    "supplier_balance_rank_dist",
-    "user_first_last_event",
-    "daily_new_users_cumulative",
-    "supplier_daily_running_revenue",
-    "event_funnel_conversion",
-    "cohort_retention",
-    "rolling_7d_active_users",
-    "qty_price_covariance_components",
-    "event_type_transitions",
-    "regional_order_volume",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    # stalest: newest driver row r1 (11)
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_latest_per_user",
+    "events_json_extract",
+    "text_top_tokens",
+    "stratified_sample",
+    "text_clean",
+    "text_tfidf_top_term",
+    # stalest: newest driver row r2 (12)
+    "max_size_parts_per_brand",
+    "customers_above_avg_spend",
+    "nation_trade_volume",
+    "supplier_count_by_part_type",
+    "events_value_quartiles",
+    "orders_with_late_items",
+    "customer_order_distribution",
+    "dormant_high_balance_customers",
+    "order_status_priority_cube",
+    "supplier_ship_gap_stats",
+    "customer_retention_setops",
+    "small_lot_revenue_by_brand",
+    # stalest: newest driver row r4 (16)
+    "flagship_service_area_report",
+    "filter_tag_entities",
+    "latest_update_per_entity",
+    "earliest_year_per_entity",
+    "dedup_first_per_key",
+    "regex_extract_fields",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "merge_upsert_customers",
+    "pivot_status_by_year",
+    "unpivot_part_metrics",
+    "salted_hot_key_join",
+    "embedding_centroid_by_label",
+    "docs_training_filter",
+    "token_count_histogram",
+    "corpus_clean_sample",
 )
 
 _PLAN_MODULES = (

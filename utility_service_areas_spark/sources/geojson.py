@@ -122,33 +122,62 @@ const areas = """
 
 _LEAFLET_HTML_TAIL = """;
 const map = L.map('map');
-L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png', {
+// Base layers (parity: index.qmd's OSM / ESRI topo / imagery trio);
+// only OSM starts enabled, the rest are picked from the layers control.
+const osm = L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png', {
   maxZoom: 19,
   attribution: '&copy; OpenStreetMap contributors',
 }).addTo(map);
+const esriTopo = L.tileLayer(
+  'https://server.arcgisonline.com/ArcGIS/rest/services/World_Topo_Map/MapServer/tile/{z}/{y}/{x}',
+  { maxZoom: 19, attribution: 'Tiles &copy; Esri' });
+const esriImagery = L.tileLayer(
+  'https://server.arcgisonline.com/ArcGIS/rest/services/World_Imagery/MapServer/tile/{z}/{y}/{x}',
+  { maxZoom: 19, attribution: 'Tiles &copy; Esri' });
 // deterministic per-feature hue from the first property value
 function hue(s) {
   let h = 0;
   for (let i = 0; i < s.length; i++) h = (h * 31 + s.charCodeAt(i)) >>> 0;
   return h % 360;
 }
+// Popup content is built via DOM nodes + textContent (never raw HTML
+// markup): property values come from untrusted KML/HTML fetches.
+function popupTable(props) {
+  const table = document.createElement('table');
+  for (const [k, v] of Object.entries(props)) {
+    const tr = table.insertRow();
+    const th = document.createElement('b');
+    th.textContent = k;
+    tr.insertCell().appendChild(th);
+    tr.insertCell().textContent = v === null ? '' : String(v);
+  }
+  return table;
+}
 const layer = L.geoJSON(areas, {
   style: f => {
     const key = JSON.stringify(Object.values(f.properties)[0] ?? '');
     return { color: `hsl(${hue(key)},70%,40%)`, weight: 1, fillOpacity: 0.35 };
   },
-  onEachFeature: (f, l) => {
-    const rows = Object.entries(f.properties)
-      .map(([k, v]) => `<tr><td><b>${k}</b></td><td>${v}</td></tr>`)
-      .join('');
-    l.bindPopup(`<table>${rows}</table>`);
-  },
+  onEachFeature: (f, l) => { l.bindPopup(popupTable(f.properties)); },
 }).addTo(map);
+L.control.layers(
+  { OpenStreetMap: osm, 'ESRI Topo': esriTopo, 'ESRI Imagery': esriImagery },
+  { 'Service areas': layer }
+).addTo(map);
+L.control.scale({ maxWidth: 200 }).addTo(map);
 if (layer.getBounds().isValid()) map.fitBounds(layer.getBounds());
 </script>
 </body>
 </html>
 """
+
+
+def _json_for_script(obj) -> str:
+    """json.dumps safe for inlining inside a <script> block: '<' is
+    escaped to \\u003c so a property value containing '</script>' (or
+    an HTML comment opener) cannot terminate the script context —
+    pipeline properties originate from untrusted KML/HTML fetches."""
+    return json.dumps(obj, default=str).replace("<", "\\u003c")
 
 
 def write_leaflet_map(
@@ -172,8 +201,10 @@ def write_leaflet_map(
     layer only.
     """
     prop_cols = [c for c in df.columns if c != geom_col]
+    import html as _html
+
     with open(out_path, "w") as f:
-        f.write(_LEAFLET_HTML_HEAD.format(title=json.dumps(title)[1:-1]))
+        f.write(_LEAFLET_HTML_HEAD.format(title=_html.escape(title)))
         f.write('{"type": "FeatureCollection", "features": [\n')
         first = True
         for row in df.toLocalIterator():
@@ -189,7 +220,7 @@ def write_leaflet_map(
             }
             if not first:
                 f.write(",\n")
-            f.write(json.dumps(feat, default=str))
+            f.write(_json_for_script(feat))
             first = False
         f.write("\n]}")
         f.write(_LEAFLET_HTML_TAIL)
