@@ -150,31 +150,75 @@ def run_geo_grid(spark, factor: int) -> tuple[dict[str, float], dict[str, int]]:
         .alias("py"),
     )
 
-    runs = {
-        "pip_grid_uniform": lambda: points_in_polygons(
-            uniform, polys, id_col="pid", grid_cell=2.0
+    # The regime where salting matters: the hot cell ALSO holds many
+    # polygons (200 tiny stacked rects), so the single-key join stream
+    # is points×polys in ONE reducer; tiny extents keep the verified
+    # output small so the measurement isolates join-stream cost.
+    hotpolys = spark.range(200).select(
+        F.col("id").alias("pid"),
+        rect_geometry(
+            F.lit(0.9) + (F.col("id") % 20).cast("double") * 0.001,
+            F.lit(0.9),
+            F.lit(0.002),
+            F.lit(0.002),
+        ).alias("geometry"),
+    )
+
+    # With a broadcast-able polygon side the grid join is a broadcast
+    # hash join and skew is structurally impossible (the point side
+    # never shuffles) — measured: a 180M-candidate hot cell clears in
+    # <1 s. The at-scale regime (polygon side too big to broadcast →
+    # shuffle join → hot cell serializes one reducer) is emulated by
+    # disabling auto-broadcast for the hotpoly runs; `skew` reports
+    # whether AQE's skew-join split fired on the final plan.
+    runs: dict[str, tuple] = {
+        "pip_grid_uniform": (
+            lambda: points_in_polygons(uniform, polys, id_col="pid", grid_cell=2.0),
+            False,
         ),
-        "pip_grid_skew_nosalt": lambda: points_in_polygons(
-            skewed, polys, id_col="pid", grid_cell=2.0
+        "pip_grid_skew_nosalt": (
+            lambda: points_in_polygons(skewed, polys, id_col="pid", grid_cell=2.0),
+            False,
         ),
-        "pip_grid_skew_salt16": lambda: points_in_polygons(
-            skewed, polys, id_col="pid", grid_cell=2.0, salt=16
+        "pip_hotpoly_bcast": (
+            lambda: points_in_polygons(skewed, hotpolys, id_col="pid", grid_cell=2.0),
+            False,
         ),
-        "overlap_grid": lambda: polygon_overlap_pairs(
-            polys, "pid", grid_cell=2.0
+        "pip_hotpoly_shuffle_nosalt": (
+            lambda: points_in_polygons(skewed, hotpolys, id_col="pid", grid_cell=2.0),
+            True,
+        ),
+        "pip_hotpoly_shuffle_salt16": (
+            lambda: points_in_polygons(
+                skewed, hotpolys, id_col="pid", grid_cell=2.0, salt=16
+            ),
+            True,
+        ),
+        "overlap_grid": (
+            lambda: polygon_overlap_pairs(polys, "pid", grid_cell=2.0),
+            False,
         ),
     }
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, build in runs.items():
-        df = build()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ in plan"
-        assert "CartesianProduct" not in plan, f"{name}: cartesian in plan"
-        t0 = time.time()
-        rows[name] = df.count()
-        timings[name] = round(time.time() - t0, 2)
-    return timings, rows
+    skew: dict[str, bool] = {}
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    for name, (build, no_broadcast) in runs.items():
+        old = spark.conf.get(bcast_key)
+        if no_broadcast:
+            spark.conf.set(bcast_key, "-1")
+        try:
+            df = build()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ in plan"
+            assert "CartesianProduct" not in plan, f"{name}: cartesian in plan"
+            t0 = time.time()
+            rows[name] = df.count()
+            timings[name] = round(time.time() - t0, 2)
+            skew[name] = "skew=true" in df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(bcast_key, old)
+    return timings, rows, skew
 
 
 def main() -> None:
@@ -188,6 +232,11 @@ def main() -> None:
         action="store_true",
         help="run the synthetic >100k-polygon grid_cell stress instead",
     )
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="run EVERY registered query (the round-ritual scale-cliff smoke)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -196,7 +245,7 @@ def main() -> None:
 
         spark = build_session("usa-spark-stress-geo")
         spark.sparkContext.setLogLevel("ERROR")
-        timings, rows = run_geo_grid(spark, args.factor)
+        timings, rows, skew = run_geo_grid(spark, args.factor)
         print(
             json.dumps(
                 {
@@ -208,6 +257,7 @@ def main() -> None:
                     "n_points": 100_000 * args.factor,
                     "queries": timings,
                     "rows": rows,
+                    "aqe_skew_fired": skew,
                 }
             )
         )
@@ -224,7 +274,10 @@ def main() -> None:
     spark = build_session("usa-spark-stress")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    names = args.names or [n for n in DEFAULT_QUERIES if n in qs]
+    if args.all:
+        names = list(qs)
+    else:
+        names = args.names or [n for n in DEFAULT_QUERIES if n in qs]
 
     # Warm the JVM/session on the smallest SF so the first timed query
     # doesn't absorb startup cost (same convention as bench.py).
