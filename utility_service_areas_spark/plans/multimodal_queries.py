@@ -71,9 +71,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_features",
-    oracle=None,  # byte-level feature loop; determinism pytest-verified
+    # The fake featurizer is md5-byte arithmetic, so it IS SQL-mirrorable:
+    # f0 = (digest_byte0 - 128)/128 is k·2⁻⁷ (exact in float32 AND in
+    # DuckDB's double), and ×1000 stays exact, so the rounded milli
+    # value matches bit-for-bit. dim is the fixed FEATURE_DIM.
+    oracle="""
+    SELECT doc_id,
+           CAST(ROUND(((('0x' || substr(md5(text), 1, 2))::BIGINT - 128)
+                       / 128.0) * 1000) AS BIGINT) AS f0_milli,
+           CAST(8 AS BIGINT) AS dim
+    FROM documents
+    """,
     doc="Feature extraction: media bytes → fixed-dim embedding column "
-    "(mapInPandas; a model inference batch at deploy).",
+    "(mapInPandas; a model inference batch at deploy). The md5 fake "
+    "is value-level SQL-mirrored (was rows-only until r6).",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
