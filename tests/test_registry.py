@@ -131,6 +131,8 @@ EXPECTED_KEYS = {
     "geo_area_rank",
     "geo_point_in_polygon",
     "geo_overlap_pairs",
+    "geo_pip_grid_cells",
+    "geo_overlap_grid_cells",
     "geo_bbox_centroid",
     "geo_plss_cells",
     "geo_union_grid_area",

@@ -148,6 +148,48 @@ def geo_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "geo_pip_grid_cells",
+    oracle=f"""
+    SELECT c_custkey, n_nationkey
+    FROM ({_POINT_SQL}) p JOIN ({_RECT_SQL}) r
+      ON p.px > r.x0 AND p.px < r.x0 + r.w
+     AND p.py > r.y0 AND p.py < r.y0 + r.h
+    """,
+    doc="The 100 TB plan shape of geo_point_in_polygon: grid-cell "
+    "EQUI-join candidates (no broadcast, no BNLJ — the path for a "
+    "polygon side too big to broadcast), same ray-cast verify, "
+    "hash-checked against the same oracle as the broadcast twin.",
+    tags=("geo", "scale"),
+)
+def geo_pip_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    rects = _nation_rects(spark, sf_dir).select("n_nationkey", "geometry")
+    return points_in_polygons(pts, rects, grid_cell=5.0).select(
+        "c_custkey", "n_nationkey"
+    )
+
+
+@query(
+    "geo_overlap_grid_cells",
+    oracle=f"""
+    SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b
+    FROM ({_RECT_SQL}) a JOIN ({_RECT_SQL}) b
+      ON a.n_nationkey < b.n_nationkey
+     AND a.x0 <= b.x0 + b.w AND b.x0 <= a.x0 + a.w
+     AND a.y0 <= b.y0 + b.h AND b.y0 <= a.y0 + a.h
+    """,
+    doc="The 100 TB plan shape of geo_overlap_pairs: both sides explode "
+    "bbox cell ranges, candidates meet in a grid-cell EQUI-join with "
+    "exactly-once reference-cell emission, verified and hash-checked "
+    "against the same oracle as the broadcast twin.",
+    tags=("geo", "scale"),
+)
+def geo_overlap_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _nation_rects(spark, sf_dir).select("n_nationkey", "geometry")
+    return polygon_overlap_pairs(rects, "n_nationkey", grid_cell=5.0)
+
+
+@query(
     "geo_bbox_centroid",
     oracle=f"""
     SELECT n_nationkey,

@@ -86,10 +86,12 @@ _DRIVER_PRIORITY = (
     "heavy_hitter_tokens",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # modules edited in r6 — re-attest (5)
+    # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",
     "geo_overlap_pairs",
+    "geo_pip_grid_cells",
+    "geo_overlap_grid_cells",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     # stalest: newest driver row r1 (11)
@@ -132,8 +134,6 @@ _DRIVER_PRIORITY = (
     "salted_hot_key_join",
     "embedding_centroid_by_label",
     "docs_training_filter",
-    "token_count_histogram",
-    "corpus_clean_sample",
 )
 
 _PLAN_MODULES = (
