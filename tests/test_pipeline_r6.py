@@ -1,0 +1,139 @@
+"""Semantics tests for the round-6 LLM-pipeline additions:
+repetition signals, domain quota sampling, exact-substring dedup,
+per-user z-score anomalies, RFM segmentation. The DuckDB oracle
+covers value equality; these pin the semantic properties the oracle
+hash alone can't explain (quota exactness under salting, span
+sharing symmetry, quartile balance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import SMOKE_SF
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+def test_repetition_signals_hand_checked(spark):
+    out = {
+        r.doc_id: r for r in _q("docs_repetition_signals")(spark, SMOKE_SF).collect()
+    }
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in spark.read.parquet(SMOKE_SF + "/documents.parquet").collect()
+    }
+    assert set(out) == set(docs)
+    # independent recompute in plain python for 25 docs
+    for doc_id in sorted(docs)[:25]:
+        toks = docs[doc_id]
+        n = len(toks)
+        uni: dict[str, int] = {}
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        bi: dict[str, int] = {}
+        for a, b in zip(toks, toks[1:]):
+            bi[f"{a} {b}"] = bi.get(f"{a} {b}", 0) + 1
+        r = out[doc_id]
+        assert r.n_tok == n
+        assert r.top_tok_micros == round(1e6 * max(uni.values()) / n)
+        assert r.dup_tok_micros == round(
+            1e6 * sum(c for c in uni.values() if c >= 2) / n
+        )
+        want_bi = round(1e6 * max(bi.values()) / (n - 1)) if n >= 2 else 0
+        assert r.top_bigram_micros == want_bi
+
+
+def test_domain_quota_salted_topk_is_exact(spark):
+    """The two-phase (salt-bucket then per-source) top-K must equal the
+    single-window reference exactly — the salting is a plan change,
+    never a semantics change."""
+    got = _q("domain_quota_sample")(spark, SMOKE_SF).collect()
+    docs = spark.read.parquet(SMOKE_SF + "/documents.parquet").select(
+        "doc_id", "source"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ref = (
+        docs.withColumn("samp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("samp_rank") <= 40)
+        .collect()
+    )
+    assert {(r.doc_id, r.source, r.samp_rank) for r in got} == {
+        (r.doc_id, r.source, r.samp_rank) for r in ref
+    }
+    # quota actually binds: no source exceeds K, hot sources hit it
+    per_source: dict[str, int] = {}
+    for r in got:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert max(per_source.values()) <= 40
+
+
+def test_exact_substring_planted_duplicate(spark):
+    """Two synthetic docs sharing one 8-token span (and nothing else
+    8 tokens long in common) must each report exactly one shared span."""
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        dedup_exact_substring,
+    )
+    import os
+    import tempfile
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"one two three {span} four five six"),
+        (2, f"seven eight nine ten {span} eleven"),
+        (3, "totally unrelated words that never repeat anything at all here"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in dedup_exact_substring(spark, td).collect()}
+    assert out[1].n_shared_spans == 1
+    assert out[2].n_shared_spans == 1
+    assert out[3].n_shared_spans == 0
+    # doc 3 has 10 tokens -> 3 distinct spans
+    assert out[3].n_spans == 3
+
+
+def test_zscore_flags_only_true_outliers(spark):
+    import math
+
+    got = _q("event_anomaly_zscore")(spark, SMOKE_SF).collect()
+    ev = spark.read.parquet(SMOKE_SF + "/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = set()
+    for uid, rows in by_user.items():
+        vals = [r.value for r in rows]
+        mean = sum(vals) / len(vals)
+        sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / len(vals))
+        if sd <= 0:
+            continue
+        for r in rows:
+            if abs(round(1e6 * (r.value - mean) / sd)) > 2_000_000:
+                want.add(r.event_id)
+    assert {r.event_id for r in got} == want
+
+
+def test_rfm_quartiles_are_balanced_and_coded(spark):
+    got = _q("customer_rfm_segments")(spark, SMOKE_SF).collect()
+    n = len(got)
+    assert n > 0
+    for col in ("r_quartile", "f_quartile", "m_quartile"):
+        vals = [getattr(r, col) for r in got]
+        assert set(vals) <= {1, 2, 3, 4}
+        # exact percentiles: each quartile holds 15-35% of customers
+        # (ties on small-int metrics skew buckets, but never collapse them)
+        for q in (1, 4):
+            share = vals.count(q) / n
+            assert 0.10 <= share <= 0.45, (col, q, share)
+    for r in got:
+        assert r.rfm_code == r.r_quartile * 100 + r.f_quartile * 10 + r.m_quartile

@@ -80,6 +80,11 @@ EXPECTED_KEYS = {
     "text_redact_pii",
     "docs_benchmark_overlap",
     "docs_block_dedup",
+    "docs_repetition_signals",
+    "domain_quota_sample",
+    "dedup_exact_substring",
+    "event_anomaly_zscore",
+    "customer_rfm_segments",
     "reservoir_sample_docs",
     # etl
     "merge_upsert_customers",

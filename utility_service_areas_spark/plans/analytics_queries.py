@@ -589,3 +589,143 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "event_anomaly_zscore",
+    oracle="""
+    SELECT event_id, user_id, value_cents, z_micros
+    FROM (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS value_cents,
+             CASE WHEN stddev_pop(value) OVER (PARTITION BY user_id) > 0
+                  THEN CAST(round(1000000.0 *
+                         (value - avg(value) OVER (PARTITION BY user_id))
+                         / stddev_pop(value) OVER (PARTITION BY user_id))
+                       AS BIGINT)
+             END AS z_micros
+      FROM events)
+    WHERE abs(z_micros) > 2000000
+    """,
+    doc="Per-user z-score outlier detection: events whose value "
+    "deviates more than 2 population-stddevs from that user's mean "
+    "(the classic per-entity anomaly screen over telemetry). One "
+    "shuffle on user_id for the whole-partition window; the z-score "
+    "is rounded to micros BEFORE the threshold compare so the "
+    "JVM-vs-DuckDB float summation order cannot flip a boundary row "
+    "(single-final-integer-rounding rule, SURVEY §6). Zero-variance "
+    "users yield NULL z and are excluded on both sides.",
+    tags=("analytics",),
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mean = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    z = F.round(F.lit(1000000.0) * (F.col("value") - mean) / sd).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            F.when(sd > 0, z).alias("z_micros"),
+        )
+        .filter(F.abs(F.col("z_micros")) > 2_000_000)
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE))
+                 AS r_days,
+             count(*) AS frequency,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.50) AS r2,
+             quantile_cont(r_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.50) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary_cents, 0.25) AS m1,
+             quantile_cont(monetary_cents, 0.50) AS m2,
+             quantile_cont(monetary_cents, 0.75) AS m3
+      FROM base)
+    SELECT o_custkey, frequency, monetary_cents, r_quartile, f_quartile,
+           m_quartile,
+           r_quartile * 100 + f_quartile * 10 + m_quartile AS rfm_code
+    FROM (
+      SELECT o_custkey,
+             CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+             CAST(1 + (r_days > r1)::INT + (r_days > r2)::INT
+                    + (r_days > r3)::INT AS BIGINT) AS r_quartile,
+             CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+                    + (frequency > f3)::INT AS BIGINT) AS f_quartile,
+             CAST(1 + (monetary_cents > m1)::INT + (monetary_cents > m2)::INT
+                    + (monetary_cents > m3)::INT AS BIGINT) AS m_quartile
+      FROM base, b)
+    """,
+    doc="RFM (recency / frequency / monetary) customer segmentation: "
+    "per-customer last-order day, order count, and lifetime spend, "
+    "bucketed into quartiles and fused into the classic 3-digit RFM "
+    "code. Deliberately NOT ntile(): a global ntile is a "
+    "single-partition window sort (the anti-pattern tests forbid the "
+    "shape) — instead the three quartile boundaries are one tiny "
+    "exact-percentile aggregate broadcast back over the customer "
+    "frame, so the plan is groupBy(custkey) + scalar agg + broadcast "
+    "join, every stage partial-aggregatable and skew-free at any "
+    "scale. Boundary compares happen on exact integers (days / "
+    "counts / cents) against interpolated quantiles, identical in "
+    "Spark's percentile() and DuckDB's quantile_cont().",
+    tags=("analytics",),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.to_date("o_orderdate")), F.lit("1970-01-01").cast("date")
+        ).alias("r_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("monetary_cents"),
+    )
+    bounds = base.agg(
+        F.expr("percentile(r_days, 0.25)").alias("r1"),
+        F.expr("percentile(r_days, 0.50)").alias("r2"),
+        F.expr("percentile(r_days, 0.75)").alias("r3"),
+        F.expr("percentile(frequency, 0.25)").alias("f1"),
+        F.expr("percentile(frequency, 0.50)").alias("f2"),
+        F.expr("percentile(frequency, 0.75)").alias("f3"),
+        F.expr("percentile(monetary_cents, 0.25)").alias("m1"),
+        F.expr("percentile(monetary_cents, 0.50)").alias("m2"),
+        F.expr("percentile(monetary_cents, 0.75)").alias("m3"),
+    )
+
+    def quart(col: str, b1: str, b2: str, b3: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(b1)).cast("int")
+            + (F.col(col) > F.col(b2)).cast("int")
+            + (F.col(col) > F.col(b3)).cast("int")
+        ).cast("long")
+
+    return (
+        base.join(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary_cents",
+            quart("r_days", "r1", "r2", "r3").alias("r_quartile"),
+            quart("frequency", "f1", "f2", "f3").alias("f_quartile"),
+            quart("monetary_cents", "m1", "m2", "m3").alias("m_quartile"),
+        )
+        .withColumn(
+            "rfm_code",
+            (
+                F.col("r_quartile") * 100
+                + F.col("f_quartile") * 10
+                + F.col("m_quartile")
+            ).cast("long"),
+        )
+    )

@@ -342,3 +342,123 @@ def reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .withColumn("rk", F.col("rk").cast("long"))
     )
+
+
+_QUOTA_K = 40  # per-domain document quota
+_QUOTA_SALT = 64  # phase-1 fan-out for the hot-domain top-K
+
+
+@query(
+    "domain_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source, samp_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS samp_rank
+      FROM documents)
+    WHERE samp_rank <= {_QUOTA_K}
+    """,
+    doc="Per-domain quota sampling: keep at most K documents per "
+    "source, chosen by a content-independent salted hash (bottom-k by "
+    "md5(doc_id) == a deterministic uniform reservoir) — the standard "
+    "anti-domination step before mixing web domains into a training "
+    "corpus. Exact top-K without a hot-domain bottleneck: phase 1 "
+    f"takes the per-(source, salt-bucket) top-{_QUOTA_K} across "
+    f"{_QUOTA_SALT} buckets in parallel (any global top-K row is "
+    "top-K within its bucket, so no candidate is lost), phase 2 "
+    f"re-ranks the <= {_QUOTA_SALT}*{_QUOTA_K} survivors per source. "
+    "A 1B-doc hot domain costs one reducer only ~2.5k rows instead "
+    "of 1B — the two-phase shape IS the 100 TB plan.",
+    tags=("pipeline",),
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    salted = docs.withColumn(
+        "rk", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("s", F.pmod(F.hash("doc_id"), F.lit(_QUOTA_SALT)))
+    w1 = Window.partitionBy("source", "s").orderBy("rk", "doc_id")
+    pre = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _QUOTA_K)
+    )
+    w2 = Window.partitionBy("source").orderBy("rk", "doc_id")
+    return (
+        pre.withColumn("samp_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("samp_rank") <= _QUOTA_K)
+        .select("doc_id", "source", "samp_rank")
+    )
+
+
+_SPAN = 8  # tokens per span (exact-substring dedup granularity)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    spans AS (SELECT DISTINCT doc_id,
+                     md5(array_to_string(
+                         list_slice(ts, i, i + {_SPAN - 1}), ' ')) AS h
+              FROM toks,
+                   unnest(CASE WHEN len(ts) >= {_SPAN}
+                               THEN generate_series(1, len(ts) - {_SPAN - 1})
+                               ELSE [] END) AS t(i)),
+    cnt AS (SELECT h, count(*) AS nd FROM spans GROUP BY 1),
+    per AS (SELECT s.doc_id, count(*) AS ns,
+                   sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS nsh
+            FROM spans s JOIN cnt c USING (h) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(p.ns, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.nsh, 0) AS BIGINT) AS n_shared_spans
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc=f"Exact-substring (span-level) dedup signal: every {_SPAN}-token "
+    "sliding window is hashed, and each document reports how many of "
+    "its distinct spans also occur in at least one OTHER document — "
+    "the shuffle-native stand-in for suffix-array substring dedup "
+    "(Lee et al., 'Deduplicating Training Data Makes Language Models "
+    "Better'): a doc with a high shared-span ratio embeds boilerplate "
+    "or copied passages even when no whole-doc hash matches. Spans "
+    "are md5(8-token window) — map-side expansion, then two linear "
+    "shuffles (distinct span-per-doc, span-frequency count) and a "
+    "hash join back; a span repeated in a billion docs contributes "
+    "one counter row, never a pair explosion.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.expr(
+        f"CASE WHEN size(toks) >= {_SPAN} "
+        f"THEN sequence(1, size(toks) - {_SPAN - 1}) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    spans = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("toks", F.col("i"), _SPAN), " ")).alias("h"),
+        )
+        .distinct()
+    )
+    ndocs = spans.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        spans.join(ndocs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("nsh"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("ns"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("nsh"), F.lit(0)).cast("long").alias("n_shared_spans"),
+        )
+    )

@@ -86,6 +86,12 @@ _DRIVER_PRIORITY = (
     "heavy_hitter_tokens",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # new in r6 — first-ever attestation (5)
+    "docs_repetition_signals",
+    "domain_quota_sample",
+    "dedup_exact_substring",
+    "event_anomaly_zscore",
+    "customer_rfm_segments",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",

@@ -488,3 +488,89 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hh(docs, "text", k=64)
     # keep the plausible hitters (ub could still be below the N/k bar)
     return out.filter(F.col("count_lb") > 0)
+
+
+@query(
+    "docs_repetition_signals",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    uni AS (SELECT doc_id, 1 AS k, u.g AS g FROM toks, unnest(ts) AS u(g)),
+    bi AS (SELECT doc_id, 2 AS k, ts[i] || ' ' || ts[i + 1] AS g
+           FROM toks,
+                unnest(CASE WHEN len(ts) >= 2
+                            THEN generate_series(1, len(ts) - 1)
+                            ELSE [] END) AS t(i)),
+    cnt AS (SELECT doc_id, k, g, count(*) AS c
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            GROUP BY 1, 2, 3),
+    agg AS (SELECT doc_id,
+                   max(CASE WHEN k = 1 THEN c END) AS mu,
+                   sum(CASE WHEN k = 1 THEN c END) AS nt,
+                   coalesce(sum(CASE WHEN k = 1 AND c >= 2 THEN c END), 0)
+                       AS du,
+                   max(CASE WHEN k = 2 THEN c END) AS mb,
+                   sum(CASE WHEN k = 2 THEN c END) AS nb
+            FROM cnt GROUP BY 1)
+    SELECT doc_id,
+           CAST(nt AS BIGINT) AS n_tok,
+           CAST(round(1000000.0 * mu / nt) AS BIGINT) AS top_tok_micros,
+           CAST(round(1000000.0 * du / nt) AS BIGINT) AS dup_tok_micros,
+           CAST(coalesce(round(1000000.0 * mb / nb), 0) AS BIGINT)
+               AS top_bigram_micros
+    FROM agg
+    """,
+    doc="Gopher-style repetition quality signals per document: fraction "
+    "of tokens that are the single most frequent token, fraction of "
+    "tokens occurring >=2 times (counted with multiplicity), and the "
+    "most-frequent-bigram share of all bigram slots — the standard "
+    "repetitious-text filters an LLM curation pipeline runs before "
+    "training (cf. Gopher/MassiveText rep-frac rules). Unigrams and "
+    "bigrams ride ONE explode (tagged structs), so the whole signal "
+    "costs a single (doc_id, gram) partial-agg shuffle + a doc_id "
+    "agg — linear in corpus size, no joins, no UDF.",
+    tags=("text", "pipeline"),
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.concat(
+        F.expr("transform(toks, t -> struct(1 AS k, t AS g))"),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "  i -> struct(2 AS k, "
+            "       concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS g)) "
+            "ELSE array() END"
+        ),
+    )
+    cnt = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gr"))
+        .groupBy("doc_id", F.col("gr.k").alias("k"), F.col("gr.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 1, F.col("c"))).alias("mu"),
+        F.sum(F.when(F.col("k") == 1, F.col("c"))).alias("nt"),
+        F.coalesce(
+            F.sum(F.when((F.col("k") == 1) & (F.col("c") >= 2), F.col("c"))),
+            F.lit(0),
+        ).alias("du"),
+        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("mb"),
+        F.sum(F.when(F.col("k") == 2, F.col("c"))).alias("nb"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("nt").cast("long").alias("n_tok"),
+        F.round(F.lit(1000000.0) * F.col("mu") / F.col("nt"))
+        .cast("long")
+        .alias("top_tok_micros"),
+        F.round(F.lit(1000000.0) * F.col("du") / F.col("nt"))
+        .cast("long")
+        .alias("dup_tok_micros"),
+        F.coalesce(
+            F.round(F.lit(1000000.0) * F.col("mb") / F.col("nb")), F.lit(0.0)
+        )
+        .cast("long")
+        .alias("top_bigram_micros"),
+    )
