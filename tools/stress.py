@@ -283,13 +283,22 @@ def main() -> None:
     # doesn't absorb startup cost (same convention as bench.py).
     qs[names[0]](spark, "/root/testdata/sf0.001").count()
 
+    # count() alone lets Catalyst DROP whole subtrees — a final
+    # `docs LEFT JOIN (groupBy doc_id ...)` is join-eliminated because
+    # the right side is provably unique per key and no column is
+    # consumed, so the expensive aggregate never runs (measured:
+    # dedup_exact_substring "0.4 s" by count vs 11 s honest at 10x).
+    # The noop sink consumes every column of every row, so nothing can
+    # be pruned away; row counts are taken via a cheap agg AFTER the
+    # timed run.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
         t0 = time.time()
-        n = qs[name](spark, args.out).count()
+        df = qs[name](spark, args.out)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 2)
-        rows[name] = n
+        rows[name] = qs[name](spark, args.out).count()
     print(
         json.dumps(
             {
