@@ -85,6 +85,7 @@ EXPECTED_KEYS = {
     "dedup_exact_substring",
     "event_anomaly_zscore",
     "customer_rfm_segments",
+    "embedding_pair_histogram",
     "reservoir_sample_docs",
     # etl
     "merge_upsert_customers",

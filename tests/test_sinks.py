@@ -4,6 +4,8 @@ read-back; bucketed tables must skip the join exchange.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SMOKE_SF
@@ -128,3 +130,21 @@ def test_leaflet_map_escapes_untrusted_properties(spark, tmp_path):
     assert json.loads(m.group(1))["features"][0]["properties"]["name"] == payload
     # popups are DOM-built: no template-string innerHTML of property values
     assert "textContent" in body and "innerHTML" not in body
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
+    from utility_service_areas_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "frag")
+    src = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    src.repartition(64).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 32  # genuinely fragmented
+
+    n_files = compact_dataset(spark, path, target_rows_per_file=5_000)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files == 2
+    assert n_after == 2
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))

@@ -161,3 +161,56 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fit_assign(emb, "vec_id", "embedding", k=8, n_iter=5)
+
+
+_HIST_STEP = 7919  # deterministic partner stride (prime, coprime to n for most n)
+
+
+@query(
+    "embedding_pair_histogram",
+    oracle=f"""
+    WITH m AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+    p AS (
+      SELECT a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a, m, embeddings b
+      WHERE b.vec_id = (a.vec_id + {_HIST_STEP}) % m.n
+        AND a.vec_id != b.vec_id)
+    SELECT CAST(floor({{cos}} / 100000.0) AS BIGINT) AS sim_bin,
+           count(*) AS n_pairs
+    FROM p GROUP BY 1
+    """.format(cos=_cos_micros_sql("ea", "eb")),
+    doc="Similarity-distribution histogram over a deterministic "
+    "linear-size pair sample: each vector is paired with the vector "
+    f"at id+{_HIST_STEP} mod n (prime stride — a content-independent "
+    "derangement-style sample), cosine is the same sequential double "
+    "fold as every ANN oracle, and counts land in 0.1-wide bins. The "
+    "corpus-health profile a curation run computes before choosing a "
+    "near-dup threshold: one equi-join on the derived partner id "
+    "(linear, never a cross join), one tiny-key aggregate. At 100 TB "
+    "the stride sample costs exactly one shuffle of n rows.",
+    tags=("ann", "pipeline"),
+)
+def embedding_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.ann import cosine_micros
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg((F.max("vec_id") + 1).alias("n"))
+    left = (
+        emb.join(F.broadcast(n))
+        .withColumn("partner", (F.col("vec_id") + _HIST_STEP) % F.col("n"))
+        .filter(F.col("partner") != F.col("vec_id"))
+        .select("vec_id", F.col("embedding").alias("ea"), "partner")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("partner"), F.col("embedding").alias("eb")
+    )
+    return (
+        left.join(right, "partner")
+        .select(
+            F.floor(cosine_micros(F.col("ea"), F.col("eb")) / F.lit(100000.0))
+            .cast("long")
+            .alias("sim_bin")
+        )
+        .groupBy("sim_bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = (
     "dedup_exact_substring",
     "event_anomaly_zscore",
     "customer_rfm_segments",
+    "embedding_pair_histogram",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",

@@ -39,3 +39,34 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Header CSV export (reference writes its certificate list as
     CSV, R/functions.R:70)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction (table maintenance): rewrite a parquet
+    dataset into ceil(rows / target) right-sized files.
+
+    Streaming sinks and fine-grained incremental loads accumulate
+    thousands of small files; scan cost then scales with file count,
+    not bytes. Rewrites to a sibling temp dir and swaps via rename —
+    on an object store, swap a table-format manifest (Iceberg/Delta
+    commit) instead; the repartition-and-rewrite plan is identical.
+    Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
