@@ -221,6 +221,51 @@ def run_geo_grid(spark, factor: int) -> tuple[dict[str, float], dict[str, int]]:
     return timings, rows, skew
 
 
+def run_ivf_crossover(spark, out: str) -> dict:
+    """Measure the brute-vs-IVF crossover in the query count Q.
+
+    IVF's assignment pass costs O(n*C) folds regardless of Q; brute
+    costs O(Q*n). So IVF only pays when Q >> C — this run pins that
+    claim with numbers at the expanded substrate (C=64, n_probe=8),
+    plus IVF recall@10 against brute ground truth at Q=50.
+    """
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+    n_vecs = emb.count()
+    res: dict = {"n_vectors": n_vecs, "n_centroids": 64, "n_probe": 8}
+
+    def timed(df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 2)
+
+    for q_count in (5, 500):
+        queries = emb.filter(F.col("vec_id") < q_count)
+        res[f"brute_q{q_count}_s"] = timed(brute_force_topk(emb, queries, k=10))
+        res[f"ivf_q{q_count}_s"] = timed(
+            ivf_topk(emb, queries, k=10, n_centroids=64, n_probe=8)
+        )
+
+    # recall@10 at Q=50 (cheap enough for exact ground truth)
+    queries = emb.filter(F.col("vec_id") < 50)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, n_centroids=64, n_probe=8).collect()
+    }
+    res["recall_at_10_q50"] = round(len(truth & got) / max(len(truth), 1), 3)
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -236,6 +281,11 @@ def main() -> None:
         "--all",
         action="store_true",
         help="run EVERY registered query (the round-ritual scale-cliff smoke)",
+    )
+    ap.add_argument(
+        "--ivf-crossover",
+        action="store_true",
+        help="measure brute-vs-IVF crossover in Q on the existing --out substrate",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -261,6 +311,15 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if args.ivf_crossover:
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-spark-stress-ivf")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = run_ivf_crossover(spark, args.out)
+        print(json.dumps({"metric": "ivf_crossover", "unit": "sec", **out}))
         return
 
     if not args.keep:
