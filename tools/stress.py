@@ -266,6 +266,75 @@ def run_ivf_crossover(spark, out: str) -> dict:
     return res
 
 
+def run_streaming(spark, out: str, n_slices: int = 8) -> dict:
+    """Structured-Streaming throughput at the expanded substrate.
+
+    The scaled events table is split into time-ordered slices
+    (staggered mtimes pin FileStreamSource's oldest-first order — the
+    stateful sessionizer's arrival contract), then each streaming
+    kernel consumes ALL slices via availableNow with
+    maxFilesPerTrigger=2, so state genuinely carries across
+    micro-batches. Reports wall-clock and rows/sec per kernel.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utility_service_areas_spark.sources.tables import (
+        normalize_event_ts,
+        raw_table_schema,
+    )
+    from utility_service_areas_spark.streaming.events import (
+        sessionize_stateful,
+        tdigest_stream,
+        tumbling_counts,
+    )
+
+    stream_dir = out.rstrip("/") + "_stream"
+    if os.path.isdir(stream_dir):
+        shutil.rmtree(stream_dir)
+    os.makedirs(stream_dir)
+    src = pq.read_table(os.path.join(out, "events.parquet"))
+    order = pa.compute.sort_indices(src, sort_keys=[("ts", "ascending")])
+    src = src.take(order)
+    n_rows = src.num_rows
+    step = (n_rows + n_slices - 1) // n_slices
+    t0 = int(time.time()) - 3600
+    for i in range(n_slices):
+        p = os.path.join(stream_dir, f"b{i}.parquet")
+        pq.write_table(src.slice(i * step, min(step, n_rows - i * step)), p)
+        os.utime(p, (t0 + i, t0 + i))
+
+    schema = raw_table_schema(spark, out, "events")
+    kernels = {
+        "tumbling_counts": tumbling_counts,
+        "sessionize_stateful": sessionize_stateful,
+        "tdigest_stream": tdigest_stream,
+    }
+    res: dict = {"n_events": n_rows, "n_slices": n_slices}
+    for name, fn in kernels.items():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(stream_dir)
+        )
+        t_start = time.time()
+        q = (
+            fn(normalize_event_ts(raw))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"stress_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t_start
+        batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        res[f"{name}_s"] = round(wall, 2)
+        res[f"{name}_rows_per_s"] = int(n_rows / wall)
+        res[f"{name}_batches"] = batches
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -286,6 +355,11 @@ def main() -> None:
         "--ivf-crossover",
         action="store_true",
         help="measure brute-vs-IVF crossover in Q on the existing --out substrate",
+    )
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="measure streaming-kernel throughput on the existing --out substrate",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -320,6 +394,15 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         out = run_ivf_crossover(spark, args.out)
         print(json.dumps({"metric": "ivf_crossover", "unit": "sec", **out}))
+        return
+
+    if args.streaming:
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-spark-stress-stream")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = run_streaming(spark, args.out)
+        print(json.dumps({"metric": "streaming_throughput", "unit": "sec", **out}))
         return
 
     if not args.keep:
