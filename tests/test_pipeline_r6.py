@@ -137,3 +137,23 @@ def test_rfm_quartiles_are_balanced_and_coded(spark):
             assert 0.10 <= share <= 0.45, (col, q, share)
     for r in got:
         assert r.rfm_code == r.r_quartile * 100 + r.f_quartile * 10 + r.m_quartile
+
+
+def test_keep_best_picks_most_complete_member(spark):
+    rows = _q("dedup_keep_best")(spark, SMOKE_SF).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(SMOKE_SF + "/documents.parquet").collect()
+    }
+    assert {r.doc_id for r in rows} == set(docs)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        best = [r for r in members if r.kept == 1]
+        assert len(best) == 1  # exactly one survivor per cluster
+        b = best[0]
+        assert all(r.best_id == b.doc_id for r in members)
+        # the survivor is the longest member, min doc_id on ties
+        want = min(members, key=lambda r: (-docs[r.doc_id], r.doc_id))
+        assert b.doc_id == want.doc_id

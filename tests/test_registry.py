@@ -86,6 +86,7 @@ EXPECTED_KEYS = {
     "event_anomaly_zscore",
     "customer_rfm_segments",
     "embedding_pair_histogram",
+    "dedup_keep_best",
     "reservoir_sample_docs",
     # etl
     "merge_upsert_customers",

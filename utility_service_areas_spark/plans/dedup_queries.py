@@ -255,3 +255,80 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    {_lsh_pairs_sql("cand")},
+    scored AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc
+      WHERE (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
+          + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+          + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT >= 6),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM scored
+      UNION ALL SELECT doc_b, doc_a FROM scored),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+    member AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    best AS (
+      SELECT cluster_id, doc_id AS best_id
+      FROM member
+      QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id ASC) = 1)
+    SELECT m.doc_id, m.cluster_id, b.best_id,
+           CAST(m.doc_id = b.best_id AS BIGINT) AS kept
+    FROM member m JOIN best b USING (cluster_id)
+    """,
+    doc="The dedup ENDGAME with canonical selection: MinHash-LSH "
+    "candidates → connected components → per cluster keep the most "
+    "complete member (max n_chars, min doc_id tiebreak) instead of "
+    "the arbitrary min-id keeper — what a curation pipeline actually "
+    "ships (drop rows where kept = 0). Cluster assignment reuses the "
+    "iterative min-label propagation operator (checkpointed pointer "
+    "jumping); the canonical pick is one max_by aggregate on the "
+    "cluster key — no window sort, partial-aggregatable, skew-bounded "
+    "by the largest near-dup cluster. Oracle mirrors the whole chain "
+    "including a recursive-CTE transitive closure.",
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, band_size=2).filter(
+        "n_matching_minhashes >= 6"
+    )
+    member = (
+        dedup_clusters(pairs, docs, "doc_id")
+        .withColumnRenamed("keeper_id", "cluster_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    best = member.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("n_chars"), -F.col("doc_id"))
+        ).alias("best_id")
+    )
+    return (
+        member.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "best_id",
+            (F.col("doc_id") == F.col("best_id")).cast("long").alias("kept"),
+        )
+    )

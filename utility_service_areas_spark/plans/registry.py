@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = (
     "event_anomaly_zscore",
     "customer_rfm_segments",
     "embedding_pair_histogram",
+    "dedup_keep_best",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",
