@@ -90,29 +90,56 @@ def brute_force_topk(
     )
 
 
+def lsh_plane_coeffs(dim: int, n_planes: int = 12) -> list[list[int]]:
+    """Deterministic hyperplane coefficients in {-3..3}: plane p's j-th
+    coefficient is md5(f"{p}:{j}") % 7 - 3. hashlib md5 is the SAME
+    function DuckDB's md5() computes, so an oracle can inline these
+    exact integers as list literals and reproduce every bucket bit —
+    which is what graduates lsh_topk from rows-only to value-verified.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:4], 16) % 7 - 3
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_lsh_bucket(vec: Column, dim: int, n_planes: int = 12) -> Column:
     """Deterministic random-hyperplane LSH bucket id.
 
-    Plane p's j-th coefficient is a pseudo-random ±1/±3 value derived
-    from md5(p:j) via Spark's JVM-side hash — here we use
-    (hash(p, j) % 7 - 3) so the whole bucketing stays in codegen with
-    no Python and no RNG state. Bucket = sign-bit string of the
-    projections.
+    Coefficients come from `lsh_plane_coeffs` (md5-derived literals —
+    no RNG state, reproducible builds, SQL-mirrorable); each plane's
+    projection is the usual sequential double fold and the bucket is
+    the sign-bit string of the projections.
     """
+    coeffs = lsh_plane_coeffs(dim, n_planes)
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x.cast("double")
-                * ((F.hash(F.lit(p), j) % 7).cast("double") - F.lit(3.0)),
+                F.array(*[F.lit(float(c)) for c in coeffs[p]]),
+                lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _bit_flip(bucket: Column, i: int, n_planes: int) -> Column:
+    """The bucket string with bit i inverted (multi-probe neighbor)."""
+    flipped = F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(
+        F.lit("1")
+    )
+    return F.concat(
+        F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, n_planes)
+    )
 
 
 def lsh_topk(
@@ -124,10 +151,15 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket,
-    then exact cosine rerank inside the bucket. At 100 TB the bucket
-    join replaces the full scan per query; recall vs brute force is
-    property-tested (tests/test_dedup.py).
+    """Approximate top-k via MULTI-PROBE hyperplane LSH: each query
+    probes its own bucket plus every Hamming-1 neighbor bucket
+    (n_planes+1 probes — the standard recall fix for sign-LSH: a
+    near neighbor differs in at most a marginal projection sign far
+    more often than in two), then exact cosine rerank over the probed
+    candidates. At 100 TB the probe join replaces the full scan per
+    query; recall vs brute force is property-tested
+    (tests/test_dedup.py). Deterministic end-to-end (md5-derived
+    planes), so the whole path is value-oracled in SQL.
     """
     bucket = hyperplane_lsh_bucket(F.col(vec_col), dim, n_planes)
     c = vectors.select(
@@ -136,11 +168,22 @@ def lsh_topk(
         norm2_expr(F.col(vec_col)).alias("c_n"),
         bucket.alias("bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm2_expr(F.col(vec_col)).alias("q_n"),
-        bucket.alias("bucket"),
+    probes = F.array(
+        F.col("bucket"),
+        *[_bit_flip(F.col("bucket"), i, n_planes) for i in range(n_planes)],
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm2_expr(F.col(vec_col)).alias("q_n"),
+            bucket.alias("bucket"),
+        )
+        # probes are pairwise distinct and a neighbor has ONE bucket,
+        # so the equi-join below cannot duplicate a candidate pair.
+        .select(
+            "query_id", "q_vec", "q_n", F.explode(probes).alias("bucket")
+        )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -32,6 +32,35 @@ def _cos_micros_sql(a: str, b: str) -> str:
     return f"CAST(round({dot} / (sqrt({na}) * sqrt({nb})) * 1000000) AS BIGINT)"
 
 
+def _lsh_bucket_sql(vec: str, dim: int = 64, n_planes: int = 4) -> str:
+    """Bucket-bit SQL mirroring hyperplane_lsh_bucket: the SAME
+    md5-derived coefficients (lsh_plane_coeffs) inlined as list
+    literals, the same sequential double fold, the same >= 0 sign."""
+    from utility_service_areas_spark.operators.ann import lsh_plane_coeffs
+
+    bits = []
+    for coeffs in lsh_plane_coeffs(dim, n_planes):
+        lits = "[" + ", ".join(str(c) for c in coeffs) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {vec}[i]::DOUBLE * ({lits}[i])::DOUBLE))"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _lsh_probes_sql(bucket: str, n_planes: int) -> str:
+    """Multi-probe list: the bucket itself plus every Hamming-1
+    neighbor, mirroring operators/ann.py::lsh_topk's probe array."""
+    flips = [
+        f"substr({bucket}, 1, {i}) || "
+        f"(CASE WHEN substr({bucket}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr({bucket}, {i + 2}, {n_planes})"
+        for i in range(n_planes)
+    ]
+    return "[" + ", ".join([bucket] + flips) + "]"
+
+
 @query(
     "ann_cosine_topk",
     oracle=f"""
@@ -60,9 +89,36 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_lsh_topk",
-    oracle=None,  # approximate by design; recall vs brute force is pytest-verified
+    # The md5-derived plane coefficients are inlined as list literals
+    # on BOTH sides (lsh_plane_coeffs), so even this "approximate"
+    # path is value-verified: approximate refers to recall vs brute
+    # force (still pytest-bounded), not to nondeterminism.
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    q AS (SELECT query_id, q_vec, pb AS bucket FROM (
+            SELECT vec_id AS query_id, embedding AS q_vec, bucket
+            FROM b WHERE vec_id < {N_QUERIES}),
+          unnest({_lsh_probes_sql("bucket", 4)}) AS t(pb)),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM b),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_cos_micros_sql('q_vec', 'c_vec')} AS sim_micros
+      FROM c JOIN q USING (bucket)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT query_id, neighbor_id, sim_micros,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim_micros DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
     doc="Random-hyperplane LSH bucketed ANN: candidates limited to the "
-    "query's bucket, exact rerank inside. The 100 TB scale path.",
+    "query's bucket, exact rerank inside. The 100 TB scale path. "
+    "Plane coefficients are md5-derived integers (operators/ann.py "
+    "lsh_plane_coeffs) inlined identically into the DuckDB oracle, so "
+    "buckets, candidates, ranks and sims are all value-verified.",
     tags=("ann",),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
