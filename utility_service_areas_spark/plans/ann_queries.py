@@ -129,12 +129,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=64, k=TOP_K, n_planes=4)
 
 
+_IVF_SCORE = "(list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * cent_vec[i]::DOUBLE))) / cent_n"
+_CENT_NORM = "sqrt(list_sum(list_transform(generate_series(1, len(cent_vec)), i -> cent_vec[i]::DOUBLE * cent_vec[i]::DOUBLE)))"
+
+
 @query(
     "ann_ivf_topk",
-    oracle=None,  # approximate by design; recall vs brute force pytest-verified
-    doc="IVF ANN: deterministic coarse quantizer (16 cells), queries "
-    "probe 4 cells, exact rerank inside — C/n_probe-fold scan "
-    "reduction at 100 TB.",
+    # Deterministic end to end (stride-sampled centroids, argmax
+    # assignment with id tiebreak, fixed probes), so the whole IVF
+    # path is value-verified; "approximate" refers to recall vs brute
+    # force (pytest-bounded), not nondeterminism.
+    oracle=f"""
+    WITH cents0 AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16),
+    cents AS (
+      SELECT cent_id, cent_vec, {_CENT_NORM} AS cent_n
+      FROM cents0 WHERE {_CENT_NORM} > 0),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_vec, cent_id AS cell
+      FROM embeddings, cents
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {_IVF_SCORE} DESC, cent_id ASC) = 1),
+    q_assign AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell
+      FROM embeddings, cents
+      WHERE vec_id < {N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {_IVF_SCORE} DESC, cent_id ASC) <= 4),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_cos_micros_sql('q_vec', 'c_vec')} AS sim_micros
+      FROM c_assign JOIN q_assign USING (cell)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT query_id, neighbor_id, sim_micros,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim_micros DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="IVF ANN: deterministic coarse quantizer (16 cells = every "
+    "37th id), queries probe 4 cells, exact rerank inside — "
+    "C/n_probe-fold scan reduction at 100 TB. The DuckDB oracle "
+    "replays centroid sampling, dot/|c| argmax assignment (same id "
+    "tiebreak) and the probe join, so ranks and sims are "
+    "value-verified.",
     tags=("ann",),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
