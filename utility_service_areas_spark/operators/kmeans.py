@@ -75,13 +75,20 @@ def kmeans_fit_assign(
     centroids = [list(r.vec) for r in seeds]
     for _ in range(n_iter):
         assigned = _assign(base, "vec", centroids)
+        # Per-dim sums are micros-BIGINTS, not doubles: integer addition
+        # is order-independent, so the next centroid is bit-identical
+        # regardless of partial-agg combine order — which makes the
+        # whole fit replayable (run-to-run AND by the SQL oracle).
         stats = (
             assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.round(F.col("x") * 1_000_000).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
-        by_cluster: dict[int, dict[int, float]] = {}
+        by_cluster: dict[int, dict[int, int]] = {}
         counts: dict[int, int] = {}
         for r in stats:
             by_cluster.setdefault(r.cluster, {})[r.dim] = r.s
@@ -90,7 +97,8 @@ def kmeans_fit_assign(
             if ci in by_cluster:
                 dims = by_cluster[ci]
                 centroids[ci] = [
-                    dims[d] / counts[ci] for d in range(len(centroids[ci]))
+                    (dims[d] / 1_000_000.0) / counts[ci]
+                    for d in range(len(centroids[ci]))
                 ]
             # empty cluster keeps its previous centroid
     final = _assign(base, "vec", centroids)

@@ -239,9 +239,69 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
+    """Unrolled SQL replay of kmeans_fit_assign: md5-seeded init, per
+    iteration an argmin assignment (lowest-cluster tiebreak, same as
+    array_position-of-min) and a micros-BIGINT centroid update (the
+    operator quantizes its sums identically, so the replay is exact);
+    empty clusters keep their previous centroid via the left join."""
+
+    def d2(b: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"j -> ({b}.vec[j] - {c}.cvec[j]) * ({b}.vec[j] - {c}.cvec[j])))"
+        )
+
+    parts = [
+        "WITH base AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec",
+        "  FROM embeddings),",
+        "c0 AS (",
+        "  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS cluster,",
+        "         vec AS cvec",
+        "  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec FROM base",
+        f"        ORDER BY h LIMIT {k})),",
+    ]
+    for i in range(n_iter):
+        parts += [
+            f"a{i} AS (",
+            "  SELECT vec_id, vec, cluster FROM (",
+            "    SELECT b.vec_id, b.vec, c.cluster,",
+            "           row_number() OVER (PARTITION BY b.vec_id ORDER BY",
+            f"             {d2('b', 'c')} ASC, c.cluster ASC) AS rn",
+            f"    FROM base b, c{i} c) WHERE rn = 1),",
+            f"u{i} AS (",
+            "  SELECT cluster, list((s / 1000000.0) / n ORDER BY dim) AS cvec",
+            "  FROM (",
+            "    SELECT cluster, j AS dim,",
+            "           sum(CAST(round(vec[j] * 1000000) AS BIGINT)) AS s,",
+            "           count(*) AS n",
+            f"    FROM a{i}, unnest(generate_series(1, {dim})) AS t(j)",
+            "    GROUP BY 1, 2) GROUP BY cluster),",
+            f"c{i + 1} AS (",
+            "  SELECT c.cluster, coalesce(u.cvec, c.cvec) AS cvec",
+            f"  FROM c{i} c LEFT JOIN u{i} u USING (cluster)),",
+        ]
+    parts += [
+        "fin AS (",
+        "  SELECT vec_id, cluster, d FROM (",
+        f"    SELECT b.vec_id, c.cluster, {d2('b', 'c')} AS d,",
+        "           row_number() OVER (PARTITION BY b.vec_id ORDER BY",
+        f"             {d2('b', 'c')} ASC, c.cluster ASC) AS rn",
+        f"    FROM base b, c{n_iter} c) WHERE rn = 1)",
+        "SELECT vec_id AS id, cluster,",
+        "       CAST(round(d * 1000000) AS BIGINT) AS dist2_micros",
+        "FROM fin",
+    ]
+    return "\n".join(parts)
+
+
 @query(
     "embedding_kmeans_assign",
-    oracle=None,  # iterative algorithm; convergence/stability pytest-verified
+    # Iterative, but exactly replayable: the operator's centroid
+    # sums are micros-bigints (order-independent integer addition),
+    # so five unrolled SQL iterations reproduce every assignment.
+    oracle=_kmeans_oracle_sql(),
     doc="Distributed Lloyd's k-means (k=8, 5 rounds) over the "
     "embeddings: broadcast-literal centroids, JVM zip_with distance "
     "argmin (corpus never shuffles for assignment), posexplode "
