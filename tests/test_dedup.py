@@ -198,6 +198,15 @@ def test_kmeans_converges_and_is_deterministic(spark):
     assert a == b
     # every vector assigned to a real cluster
     assert set(a.values()) <= set(range(4)) and len(a) == emb.count()
+    # ORDER-independence (the micros-bigint centroid sums): a different
+    # partitioning/combine order must yield bit-identical assignments
+    c = {
+        r.id: r.cluster
+        for r in kmeans_fit_assign(
+            emb.repartition(7), "vec_id", "embedding", k=4, n_iter=5
+        ).collect()
+    }
+    assert a == c
 
 
 def test_embedding_cosine_pairs_edge_semantics(spark):
