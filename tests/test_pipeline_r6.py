@@ -222,3 +222,24 @@ def test_r6_queries_on_empty_substrate(spark, tmp_path):
         "dedup_keep_best",
     ):
         assert _q(key)(spark, str(tmp_path)).count() == 0, key
+
+
+def test_explicit_hll_accuracy_vs_exact(spark):
+    """The explicit HLL (value-oracled) must land within 10% of exact
+    distinct counts on the smoke substrate (measured ~1.5%); the
+    register count can never exceed m=1024."""
+    got = {
+        r.event_type: r
+        for r in _q("hll_registers_users")(spark, SMOKE_SF).collect()
+    }
+    ev = spark.read.parquet(SMOKE_SF + "/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert got[k].n_registers_used <= 1024
+        assert abs(got[k].hll_estimate - n) / n <= 0.10, (k, got[k], n)

@@ -87,6 +87,7 @@ EXPECTED_KEYS = {
     "customer_rfm_segments",
     "embedding_pair_histogram",
     "dedup_keep_best",
+    "hll_registers_users",
     "reservoir_sample_docs",
     # etl
     "merge_upsert_customers",

@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = (
     "customer_rfm_segments",
     "embedding_pair_histogram",
     "dedup_keep_best",
+    "hll_registers_users",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",
