@@ -43,6 +43,11 @@ DEFAULT_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_keep_best",
+    "docs_repetition_signals",
+    "embedding_pair_histogram",
+    "hll_registers_users",
     "tdigest_value_quantiles",
     # geo kernels: customer is SCALED, so the point side of the spatial
     # join grows with --factor (the polygon side stays dim-sized, as at
