@@ -88,6 +88,7 @@ EXPECTED_KEYS = {
     "embedding_pair_histogram",
     "dedup_keep_best",
     "hll_registers_users",
+    "source_curation_profile",
     "reservoir_sample_docs",
     # etl
     "merge_upsert_customers",

@@ -79,7 +79,9 @@ _LOADED = False
 # r2, then r4). The 50 keys the r5 driver just attested go last. Keep
 # the prefix ≤ the driver's 50-row budget and rotate again each round.
 _DRIVER_PRIORITY = (
-    # never driver-sampled (1) + rows-only family, newest rows r4 (5)
+    # never driver-sampled (1) + the sketch family (newest rows r4) +
+    # the three keys whose oracles are NEW this round (kmeans/lsh/ivf
+    # graduated from rows-only — their first value-hash attestations)
     "multimodal_features",
     "tdigest_value_quantiles",
     "embedding_kmeans_assign",
@@ -95,6 +97,7 @@ _DRIVER_PRIORITY = (
     "embedding_pair_histogram",
     "dedup_keep_best",
     "hll_registers_users",
+    "source_curation_profile",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",

@@ -574,3 +574,73 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_bigram_micros"),
     )
+
+
+@query(
+    "source_curation_profile",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+             CAST(len({_TOKS}) AS BIGINT) AS ws,
+             CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL})))
+                       AS BIGINT) * 1.0 / greatest(len({_TOKS}), 1) >= 0.08
+                  THEN 1 ELSE 0 END AS is_en,
+             CAST(round((0.4 * (alpha / chars)
+                       + 0.3 * least(1.0, n_tok / 100.0)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000)
+                  AS BIGINT) AS q
+      FROM (
+        SELECT doc_id, source, text,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    AS DOUBLE) AS alpha,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS chars,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+        FROM documents)),
+    dupc AS (SELECT h, count(*) AS c FROM scored GROUP BY 1)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(is_en) AS n_en,
+           sum(q) AS sum_quality_micros,
+           sum(ws) AS sum_ws_tokens,
+           sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_exact_dup_docs
+    FROM scored JOIN dupc USING (h)
+    GROUP BY source
+    """,
+    doc="Per-source curation dashboard: one row per domain with doc "
+    "count, language-heuristic hits, exact SUMS of quality-micros and "
+    "token counts (sums of bigints are order-independent — consumers "
+    "divide for means; an avg() of doubles would be combine-order "
+    "noise), and how many of the source's docs are corpus-wide exact "
+    "duplicates. This is the table a curation run reads to set "
+    "per-domain quotas and quality cuts. Cost: one map-side scoring "
+    "pass, one hash-frequency agg, one join back, one tiny per-source "
+    "agg — all partial-aggregatable, no UDF.",
+    tags=("text", "pipeline"),
+)
+def source_curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws, _ = token_counts(F.col("text"))
+    h = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    scored = docs.select(
+        "source",
+        h.alias("h"),
+        ws.cast("long").alias("ws"),
+        F.when(lang_guess(F.col("text")) == "en", 1).otherwise(0).alias("is_en"),
+        quality_score_micros(F.col("text")).alias("q"),
+    )
+    dupc = scored.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        scored.join(dupc, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_en").cast("long").alias("n_en"),
+            F.sum("q").alias("sum_quality_micros"),
+            F.sum("ws").alias("sum_ws_tokens"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+        )
+    )
