@@ -225,3 +225,39 @@ def test_fuzzy_match_is_blocked_join(spark, queries):
     # levenshtein only on candidates — never an all-pairs product
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_repetition_signals_no_join_single_gram_shuffle(spark, queries):
+    """Unigrams+bigrams ride ONE tagged explode: no Join node at all,
+    and partial aggregation before the exchange."""
+    plan = plan_of(queries["docs_repetition_signals"](spark, SMOKE_SF))
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_domain_quota_two_phase_windows(spark, queries):
+    """The exact top-K must be the salted two-phase shape: two Window
+    nodes (per-(source,salt) then per-source over survivors), never a
+    single global window over raw data."""
+    plan = plan_of(queries["domain_quota_sample"](spark, SMOKE_SF))
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_no_global_sort_no_ntile(spark, queries):
+    """Quartiles come from a broadcast scalar-percentile aggregate —
+    the plan must not contain a global (partition-less) Sort feeding a
+    window, which is what ntile would require."""
+    plan = plan_of(queries["customer_rfm_segments"](spark, SMOKE_SF))
+    # no Window node anywhere: ntile would need one (checking the
+    # substring "ntile" is a trap — "percentile" contains it)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hll_registers_stay_jvm_side(spark, queries):
+    """The explicit sketch is codegen end-to-end: no Python evaluation
+    and two aggregation levels (register max, harmonic sum)."""
+    plan = plan_of(queries["hll_registers_users"](spark, SMOKE_SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
