@@ -109,6 +109,7 @@ EXPECTED_KEYS = {
     "events_sessionize",
     "events_latest_per_user",
     "events_json_extract",
+    "user_session_stats",
     # text
     "text_token_count",
     "text_lang_id",

@@ -131,3 +131,54 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k_value"),
     )
+
+
+@query(
+    "user_session_stats",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM marked),
+    per AS (
+      SELECT user_id, session_id, count(*) AS n,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           max(n) AS max_session_events,
+           CAST(max(date_diff('second', session_start, session_end)) AS BIGINT)
+               AS longest_session_secs
+    FROM per GROUP BY user_id
+    """,
+    doc="Per-user engagement profile on top of gap sessionization: "
+    "session count, event totals, and the longest session in events "
+    "and seconds — the behavioral features a churn/engagement model "
+    "consumes. Pure composition: the sessionize plan (one user_id "
+    "window shuffle) feeds a same-key aggregate, so Catalyst reuses "
+    "the partitioning and no second exchange appears.",
+    tags=("events", "analytics"),
+)
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_sessionize(spark, sf_dir)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+        (
+            F.max(
+                F.col("session_end").cast("long") - F.col("session_start").cast("long")
+            )
+        ).cast("long").alias("longest_session_secs"),
+    )

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = (
     "dedup_keep_best",
     "hll_registers_users",
     "source_curation_profile",
+    "user_session_stats",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",
