@@ -153,6 +153,7 @@ EXPECTED_KEYS = {
     "geo_combine_multipolygon",
     "geo_simplify",
     "geo_morton_order",
+    "geo_nearest_area",
 }
 
 

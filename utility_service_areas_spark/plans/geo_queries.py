@@ -615,3 +615,56 @@ def geo_morton_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", gx.alias("gx"), gy.alias("gy"), bits.cast("long").alias("morton")
     )
+
+
+@query(
+    "geo_nearest_area",
+    oracle=f"""
+    SELECT c_custkey, n_nationkey AS nearest_nationkey,
+           CAST(round(d2 * 1000000) AS BIGINT) AS dist2_micros
+    FROM (
+      SELECT c_custkey, n_nationkey, dx * dx + dy * dy AS d2,
+             row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY dx * dx + dy * dy, n_nationkey) AS rn
+      FROM (
+        SELECT p.c_custkey, r.n_nationkey,
+               greatest(r.x0 - p.px, p.px - (r.x0 + r.w), 0) AS dx,
+               greatest(r.y0 - p.py, p.py - (r.y0 + r.h), 0) AS dy
+        FROM ({_POINT_SQL}) p, ({_RECT_SQL}) r))
+    WHERE rn = 1
+    """,
+    doc="Nearest service area per point (README Q3's complement: which "
+    "utility is CLOSEST when a location sits in no service area — "
+    "e.g. routing an unserved community to its likely provider). "
+    "Exact point-to-rectangle distance (clamped axis deltas, closed "
+    "form — no centroid approximation), argmin as ONE broadcast "
+    "cross-product against the dim-sized polygon layer + a min_by "
+    "aggregate: the point side never shuffles. A >100k-polygon layer "
+    "switches to the grid_cell equi-join + ring-search pattern "
+    "(operators/geo.py), same as the membership queries.",
+    tags=("geo",),
+)
+def geo_nearest_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    rects = _nation_rects(spark, sf_dir).select("n_nationkey", "x0", "y0", "w", "h")
+    dx = F.greatest(
+        F.col("x0") - F.col("px"), F.col("px") - (F.col("x0") + F.col("w")), F.lit(0.0)
+    )
+    dy = F.greatest(
+        F.col("y0") - F.col("py"), F.col("py") - (F.col("y0") + F.col("h")), F.lit(0.0)
+    )
+    d2 = dx * dx + dy * dy
+    scored = pts.crossJoin(F.broadcast(rects)).select(
+        "c_custkey",
+        "n_nationkey",
+        d2.alias("d2"),
+    )
+    best = scored.groupBy("c_custkey").agg(
+        F.min(F.struct(F.col("d2"), F.col("n_nationkey"))).alias("b")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("b.n_nationkey").alias("nearest_nationkey"),
+        F.round(F.col("b.d2") * 1_000_000).cast("long").alias("dist2_micros"),
+    )

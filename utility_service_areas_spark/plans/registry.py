@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = (
     "hll_registers_users",
     "source_curation_profile",
     "user_session_stats",
+    "geo_nearest_area",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",
