@@ -168,3 +168,100 @@ def test_union_all_matches_inclusion_exclusion(ra, rb, rc):
     )
     got = multipolygon_area(union_all([rect_polygon(*r) for r in (ra, rb, rc)]))
     assert abs(got - want) <= 1e-6
+
+
+quota_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 1_000_000),  # doc_id (may repeat; dedup below)
+        st.integers(0, 3),  # source bucket
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=quota_strategy)
+@settings(max_examples=10, deadline=None)
+def test_salted_quota_topk_matches_single_window(spark, rows):
+    """Property version of the domain-quota exactness test: for ANY id
+    distribution, the two-phase salted top-K equals the single global
+    window per source (the salting must be a pure plan change)."""
+    import hashlib
+
+    k = 5
+    uniq = {}
+    for doc_id, src in rows:
+        uniq[doc_id] = f"s{src}"
+    df = spark.createDataFrame(
+        [(d, s) for d, s in uniq.items()], ["doc_id", "source"]
+    )
+    salted = df.withColumn(
+        "rk", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("s", F.pmod(F.hash("doc_id"), F.lit(8)))
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("source", "s").orderBy("rk", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("rk", "doc_id")
+    got = {
+        (r.doc_id, r.source, r.rnk)
+        for r in salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "source", "rnk")
+        .collect()
+    }
+    # independent python reference
+    by_src: dict[str, list] = {}
+    for d, s in uniq.items():
+        by_src.setdefault(s, []).append(d)
+    want = set()
+    for s, ids in by_src.items():
+        ordered = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        for i, d in enumerate(ordered[:k]):
+            want.add((d, s, i + 1))
+    assert got == want
+
+
+rep_strategy = st.lists(
+    st.lists(st.sampled_from("ab c".split() + ["ab", "x"]), min_size=1, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=rep_strategy)
+@settings(max_examples=10, deadline=None)
+def test_repetition_signals_match_python(spark, docs):
+    """The tagged-explode unigram/bigram aggregation must match a
+    direct python recount for arbitrary token streams (repeats, single
+    tokens, all-identical docs)."""
+    from utility_service_areas_spark.plans.text_queries import (
+        docs_repetition_signals,
+    )
+    import os
+    import tempfile
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in docs_repetition_signals(spark, td).collect()}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        uni: dict[str, int] = {}
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        bi: dict[tuple, int] = {}
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+        r = out[i]
+        assert r.n_tok == n
+        assert r.top_tok_micros == round(1e6 * max(uni.values()) / n)
+        assert r.dup_tok_micros == round(
+            1e6 * sum(c for c in uni.values() if c >= 2) / n
+        )
+        assert r.top_bigram_micros == (
+            round(1e6 * max(bi.values()) / (n - 1)) if n >= 2 else 0
+        )
