@@ -46,6 +46,7 @@ EXPECTED_KEYS = {
     "rolling_7d_active_users",
     "qty_price_covariance_components",
     "event_type_transitions",
+    "order_backlog_timeseries",
     # tpch
     "regional_order_volume",
     "max_size_parts_per_brand",

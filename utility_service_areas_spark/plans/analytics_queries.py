@@ -834,3 +834,69 @@ def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_used").cast("long").alias("n_registers_used"),
         est.alias("hll_estimate"),
     )
+
+
+@query(
+    "order_backlog_timeseries",
+    oracle="""
+    WITH opens AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_opened
+      FROM orders GROUP BY 1),
+    closes AS (
+      SELECT CAST(last_ship AS DATE) AS day, count(*) AS n_closed
+      FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY 1)
+      GROUP BY 1),
+    tl AS (
+      SELECT coalesce(o.day, c.day) AS day,
+             coalesce(n_opened, 0) AS n_opened,
+             coalesce(n_closed, 0) AS n_closed
+      FROM opens o FULL OUTER JOIN closes c ON o.day = c.day)
+    SELECT day,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(sum(n_opened - n_closed)
+                  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_backlog
+    FROM tl
+    """,
+    doc="Order-backlog time series: daily opened count, daily "
+    "fully-shipped count (an order closes at its LAST line's ship "
+    "date), and the running open-order backlog — the ops-health curve "
+    "behind fulfillment-latency dashboards. Scale shape follows "
+    "daily_new_users_cumulative: both fact scans collapse to "
+    "calendar-day partial aggregates FIRST, so the unpartitioned "
+    "cumulative window only ever sorts the ~2.5k-row day dimension, "
+    "never fact data; the per-order close date is one partial-agg "
+    "max on the natural lineitem key.",
+    tags=("analytics",),
+)
+def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opens = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_opened"))
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .groupBy(F.to_date("last_ship").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    tl = (
+        opens.join(closes, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return tl.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long").alias(
+            "open_backlog"
+        ),
+    )

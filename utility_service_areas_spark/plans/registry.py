@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = (
     "source_curation_profile",
     "user_session_stats",
     "geo_nearest_area",
+    "order_backlog_timeseries",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",
