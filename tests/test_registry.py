@@ -155,6 +155,7 @@ EXPECTED_KEYS = {
     "geo_simplify",
     "geo_morton_order",
     "geo_nearest_area",
+    "geo_grid_density",
 }
 
 

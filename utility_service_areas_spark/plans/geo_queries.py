@@ -668,3 +668,39 @@ def geo_nearest_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n_nationkey").alias("nearest_nationkey"),
         F.round(F.col("b.d2") * 1_000_000).cast("long").alias("dist2_micros"),
     )
+
+
+_DENSITY_CELL = 4.0  # grid cell size for the density surface
+
+
+@query(
+    "geo_grid_density",
+    oracle=f"""
+    SELECT CAST(floor(px / {_DENSITY_CELL}) AS BIGINT) AS cx,
+           CAST(floor(py / {_DENSITY_CELL}) AS BIGINT) AS cy,
+           count(*) AS n_points,
+           count(DISTINCT c_custkey % 100) AS n_cohorts
+    FROM ({_POINT_SQL})
+    GROUP BY 1, 2
+    """,
+    doc="Point-density surface (heatmap input / load-planning grid): "
+    "points bin into fixed grid cells with per-cell totals and a "
+    "cohort-distinct count. Pure partial-aggregatable groupBy on the "
+    "derived cell key — one shuffle whose key space is the OCCUPIED "
+    "cell count, not the point count; at 100 TB this is the "
+    "aggregation-pushdown-friendly shape (cell ids can even ride a "
+    "parquet bucketing or Z-order layout, cf. geo_morton_order).",
+    tags=("geo",),
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            F.floor(F.col("px") / _DENSITY_CELL).cast("long").alias("cx"),
+            F.floor(F.col("py") / _DENSITY_CELL).cast("long").alias("cy"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct(F.col("c_custkey") % 100).alias("n_cohorts"),
+        )
+    )

@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = (
     "user_session_stats",
     "geo_nearest_area",
     "order_backlog_timeseries",
+    "geo_grid_density",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",
