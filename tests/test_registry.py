@@ -125,6 +125,7 @@ EXPECTED_KEYS = {
     "corpus_clean_sample",
     "docs_unigram_surprisal",
     "heavy_hitter_tokens",
+    "lang_id_confusion",
     # ann
     "ann_cosine_topk",
     "ann_lsh_topk",

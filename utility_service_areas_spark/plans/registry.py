@@ -102,6 +102,7 @@ _DRIVER_PRIORITY = (
     "geo_nearest_area",
     "order_backlog_timeseries",
     "geo_grid_density",
+    "lang_id_confusion",
     # modules edited / added in r6 — attest (7)
     "dedup_ngram_jaccard",
     "geo_point_in_polygon",

@@ -644,3 +644,31 @@ def source_curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact_dup_docs"),
         )
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL})))
+                     AS BIGINT) * 1.0 / greatest(len({_TOKS}), 1) >= 0.08
+                THEN 'en' ELSE 'other' END AS lang_guess,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Classifier evaluation as a query: the stopword-density "
+    "language heuristic cross-tabulated against the substrate's "
+    "ground-truth lang labels — the confusion matrix a curation run "
+    "computes before trusting a cheap classifier at 100 TB (precision "
+    "/ recall per label fall straight out of the cells). Map-side "
+    "scoring, one partial agg onto |langs|x2 keys.",
+    tags=("text", "pipeline"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
