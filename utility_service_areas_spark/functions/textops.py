@@ -13,12 +13,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Tokenization shared by every text operator: whitespace split of the
-# trimmed text. Mirror in SQL: string_split_regex(trim(text), '\s+').
-TOKEN_SPLIT_RE = r"\s+"
+# trimmed text. Mirror in SQL: string_split_regex(trim(text), '[ \t\n\x0b\f\r]+').
+TOKEN_SPLIT_RE = r"[ \t\n\x0b\f\r]+"
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
-# Mirror in SQL: regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]').
-BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# Mirror in SQL: regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]').
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -57,9 +57,9 @@ def shingles(tok: Column, k: int = 3) -> Column:
 def normalized_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, whitespace-collapsed.
 
-    SQL mirror: trim(regexp_replace(lower(text), '\\s+', ' ', 'g')).
+    SQL mirror: trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')).
     """
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0b\f\r]+", " "))
 
 
 def minhash_col(shingle: Column, seed: int) -> Column:

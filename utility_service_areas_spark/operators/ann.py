@@ -200,6 +200,62 @@ def lsh_topk(
     )
 
 
+def _numpy_assign_top1(
+    df: DataFrame, out_id: str, vec_col: str, cents_rows: list
+) -> DataFrame:
+    """Blocked-numpy corpus→cell assignment: the O(n·C·d) bound of IVF
+    as ~d vectorized ops per Arrow batch instead of n·C interpreted
+    JVM folds. Bitwise identical to the max_by path: the dot product
+    accumulates SEQUENTIALLY over dimensions (vectorized over the
+    batch×centroid plane), so every double equals the JVM left-to-right
+    fold; np.argmax returns the FIRST max index and the centroid
+    columns are sorted by cent_id asc, so ties break exactly like
+    (score desc, cent_id asc). Same pattern that won 43× for
+    embedding_cosine_pairs (BENCH_TREND r5).
+
+    ``cents_rows``: collected (cent_id, cent_vec, cent_n) rows — k×dim
+    driver state only, shipped to executors in the task closure.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = sorted(cents_rows, key=lambda r: r["cent_id"])
+    cids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cent_vec"] for r in rows], dtype=np.float64)  # C×d
+    cnorm = np.array([r["cent_n"] for r in rows], dtype=np.float64)
+
+    out_schema = StructType(
+        [
+            StructField(out_id, df.schema[out_id].dataType),
+            StructField(vec_col, df.schema[vec_col].dataType),
+            StructField("cell", LongType()),
+        ]
+    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            vec = pdf[vec_col]
+            ok = vec.map(lambda v: v is not None and len(v) == cmat.shape[1])
+            sub = pdf[ok]
+            if len(sub):
+                X = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(X), len(cids)))
+                for j in range(cmat.shape[1]):  # sequential over dims == JVM fold
+                    acc += X[:, j][:, None] * cmat[:, j][None, :]
+                scores = acc / cnorm[None, :]
+                cell = cids[np.argmax(scores, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        out_id: sub[out_id].to_numpy(),
+                        vec_col: sub[vec_col].to_numpy(),
+                        "cell": cell,
+                    }
+                )
+
+    return df.select(out_id, vec_col).mapInPandas(assign_batches, out_schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -209,6 +265,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroid_stride: int = 37,
+    assign_via: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every vector
     to its nearest centroid cell; queries probe only their n_probe
@@ -217,7 +274,7 @@ def ivf_topk(
     Centroids are a deterministic corpus sample (every
     ``centroid_stride``-th id, capped at n_centroids) — no RNG, so
     builds are reproducible. At 100 TB the assignment pass is one
-    broadcast scan (n·C JVM dot products), the probe join shuffles on
+    broadcast scan (n·C dot products), the probe join shuffles on
     the cell id, and per-cell candidate lists are ~n/C — the classic
     IVF trade of recall for a C/n_probe-fold scan reduction.
 
@@ -226,7 +283,18 @@ def ivf_topk(
     cosine at a third of the fold work — and the corpus top-1 cell is
     a partial-aggregatable max_by, not a per-vector window sort (the
     window shuffled+sorted n·C rows; max_by combines map-side).
+
+    ``assign_via``: 'jvm' keeps the whole-stage-codegen max_by fold,
+    'numpy' routes the O(n·C) corpus assignment through the blocked
+    Arrow kernel (_numpy_assign_top1 — bitwise-equal scores, pinned by
+    tests/test_dedup.py::test_ivf_numpy_assign_matches_jvm), 'auto'
+    picks numpy once n_centroids ≥ 64 — the real-ANN regime C ≈ √n
+    where the interpreted fold becomes the bound (BENCH_TREND r7:
+    1M×64 vectors at C=1000).
     """
+    if assign_via not in ("auto", "jvm", "numpy"):
+        raise ValueError(f"assign_via must be auto|jvm|numpy, got {assign_via!r}")
+    use_numpy = assign_via == "numpy" or (assign_via == "auto" and n_centroids >= 64)
     cents = (
         vectors.filter(F.col(id_col) % centroid_stride == 0)
         .orderBy(id_col)
@@ -244,6 +312,8 @@ def ivf_topk(
     cent_score = dot_expr(F.col(vec_col), F.col("cent_vec")) / F.col("cent_n")
 
     def assign_top1(df: DataFrame, out_id: str) -> DataFrame:
+        if use_numpy:
+            return _numpy_assign_top1(df, out_id, vec_col, cents.collect())
         scored = df.crossJoin(F.broadcast(cents)).withColumn("cent_score", cent_score)
         # argmax by (score desc, cent_id asc) == max_by over the
         # lexicographic struct (score, -cent_id)

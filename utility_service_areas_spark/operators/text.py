@@ -58,7 +58,13 @@ def quality_score_micros(text: Column) -> Column:
         + 0.3 * F.least(F.lit(1.0), n / 100.0)
         + 0.3 * (n_distinct / F.greatest(n, F.lit(1.0)))
     )
-    return F.round(score * 1_000_000).cast("long")
+    # floor(x + 0.5), NOT round(x): Spark's round() goes through
+    # BigDecimal HALF_UP on the shortest-decimal rendering while
+    # DuckDB's std::round works on the binary double — they can
+    # disagree on .5-boundary docs. floor(+0.5) is pure binary-double
+    # arithmetic, engine-identical by construction (score >= 0 always,
+    # so the negative-value asymmetry of floor(+0.5) never applies).
+    return F.floor(score * 1_000_000 + 0.5).cast("long")
 
 
 def fingerprint_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -23,7 +23,7 @@ from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
 
 # Shared SQL fragments (DuckDB) mirroring functions/textops.py.
-_TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+_TOKS_SQL = r"string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')"
 _SHINGLES_CTE = f"""
     toks AS (SELECT doc_id, {_TOKS_SQL} AS tok FROM documents),
     sh AS (
@@ -40,7 +40,7 @@ _SHINGLES_CTE = f"""
 @query(
     "dedup_exact_docs",
     oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+    SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS text_hash,
            min(doc_id) AS keeper_id,
            count(*) AS n_dups
     FROM documents
@@ -201,7 +201,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id AS doc,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
       FROM documents),
     th AS (
       SELECT doc, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h

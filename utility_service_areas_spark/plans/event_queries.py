@@ -115,7 +115,7 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle=r"""
     SELECT event_id,
-           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_value
+           CAST(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1) AS BIGINT) AS k_value
     FROM events
     """,
     doc="Typed extraction from a JSON props column (kept regex-based so "
@@ -127,7 +127,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+        F.regexp_extract(F.col("props"), r'"k":[ \t\n\x0b\f\r]*(\d+)', 1)
         .cast("long")
         .alias("k_value"),
     )

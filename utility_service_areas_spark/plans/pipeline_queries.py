@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
 
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+_TOKS = r"string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')"
 
 # Chunk geometry: 32-token windows advancing by a 24-token stride
 # (8-token overlap), the standard long-document → context-window split.
@@ -48,7 +48,7 @@ _CHUNK, _STRIDE = 32, 24
 )
 def docs_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
     n_chunks = F.floor((F.size("toks") - F.lit(1)) / _STRIDE) + 1
     chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
     return (
@@ -104,7 +104,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 8
     )
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+"))
     sized = docs.select(
         "doc_id", shard.alias("shard"), n_tok.cast("long").alias("n_tok")
     )
@@ -213,7 +213,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
     base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 4)
     grams = base.select(
         "doc_id",
@@ -274,7 +274,7 @@ def docs_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
     n_blocks = F.floor((F.size("toks") - F.lit(1)) / 10) + 1
     block = F.array_join(F.slice(F.col("toks"), F.col("pos") * 10 + 1, 10), " ")
     blocks = (
@@ -429,7 +429,7 @@ _SPAN = 8  # tokens per span (exact-substring dedup granularity)
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
     starts = F.expr(
         f"CASE WHEN size(toks) >= {_SPAN} "
         f"THEN sequence(1, size(toks) - {_SPAN - 1}) "

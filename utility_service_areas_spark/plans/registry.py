@@ -71,72 +71,17 @@ _LOADED = False
 # time-budgeted driver pass reaches them; the slow dedup/geo families
 # load last. Every module is first-party and REQUIRED — an import
 # failure must crash loudly, not silently shrink the registry.
-# Round-6 rotation (VERDICT r5 #2): `multimodal_features` leads — the
-# only key with zero driver attestation in five rounds — then the
-# rows-only family (newest rows r4), then the modules edited this round
-# (ngram length filter, geo broadcast guard/salting, ann null-bucket +
-# centroid guards), then the stalest keys (newest driver row r1, then
-# r2, then r4). The 50 keys the r5 driver just attested go last. Keep
-# the prefix ≤ the driver's 50-row budget and rotate again each round.
+# The prefix is rotated each round to exactly the driver's 50-row
+# attestation budget: red rows first, then the stalest-attested keys,
+# then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # never driver-sampled (1) + the sketch family (newest rows r4) +
-    # the three keys whose oracles are NEW this round (kmeans/lsh/ivf
-    # graduated from rows-only — their first value-hash attestations)
-    "multimodal_features",
-    "tdigest_value_quantiles",
-    "embedding_kmeans_assign",
-    "heavy_hitter_tokens",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # new in r6 — first-ever attestation (5)
-    "docs_repetition_signals",
-    "domain_quota_sample",
-    "dedup_exact_substring",
-    "event_anomaly_zscore",
-    "customer_rfm_segments",
-    "embedding_pair_histogram",
-    "dedup_keep_best",
-    "hll_registers_users",
+    # Round-7 rotation (VERDICT r6 tasks 1c + 2, ADVICE r6 trim): exactly
+    # 50 names = the driver's per-round attestation budget.
+    # 1) the one red r6 driver row, re-attested first after the
+    #    floor(+0.5) micros + explicit-whitespace-class fixes (1)
     "source_curation_profile",
-    "user_session_stats",
-    "geo_nearest_area",
-    "order_backlog_timeseries",
-    "geo_grid_density",
-    "lang_id_confusion",
-    # modules edited / added in r6 — attest (7)
-    "dedup_ngram_jaccard",
-    "geo_point_in_polygon",
-    "geo_overlap_pairs",
-    "geo_pip_grid_cells",
-    "geo_overlap_grid_cells",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    # stalest: newest driver row r1 (11)
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "events_tumbling_agg",
-    "events_sessionize",
-    "events_latest_per_user",
-    "events_json_extract",
-    "text_top_tokens",
-    "stratified_sample",
-    "text_clean",
-    "text_tfidf_top_term",
-    # stalest: newest driver row r2 (12)
-    "max_size_parts_per_brand",
-    "customers_above_avg_spend",
-    "nation_trade_volume",
-    "supplier_count_by_part_type",
-    "events_value_quartiles",
-    "orders_with_late_items",
-    "customer_order_distribution",
-    "dormant_high_balance_customers",
-    "order_status_priority_cube",
-    "supplier_ship_gap_stats",
-    "customer_retention_setops",
-    "small_lot_revenue_by_brand",
-    # stalest: newest driver row r4 (16)
+    # 2) the full r4-stale backlog — every key whose newest driver row
+    #    is r4, three rounds old (43)
     "flagship_service_area_report",
     "filter_tag_entities",
     "latest_update_per_entity",
@@ -145,12 +90,50 @@ _DRIVER_PRIORITY = (
     "regex_extract_fields",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
+    "multimodal_dedup_bytes",
     "merge_upsert_customers",
     "pivot_status_by_year",
     "unpivot_part_metrics",
     "salted_hot_key_join",
+    "weighted_sample_orders",
+    "fuzzy_match_part_names",
+    "scd2_customer_history",
+    "bloom_new_customer_orders",
     "embedding_centroid_by_label",
     "docs_training_filter",
+    "token_count_histogram",
+    "corpus_clean_sample",
+    "docs_unigram_surprisal",
+    "docs_chunk_split",
+    "docs_pack_sequences",
+    "text_redact_pii",
+    "docs_benchmark_overlap",
+    "docs_block_dedup",
+    "reservoir_sample_docs",
+    "large_volume_orders",
+    "promo_revenue_share_by_month",
+    "nation_market_share_inputs",
+    "disjunctive_bracket_revenue",
+    "order_fulfillment_latency",
+    "simple_revenue_delta",
+    "returned_item_report",
+    "profit_by_nation_year",
+    "part_revenue_concentration",
+    "top_revenue_supplier",
+    "excess_quantity_suppliers",
+    "supplier_order_exclusivity",
+    "min_cost_supplier_per_part",
+    "unshipped_order_revenue",
+    "priority_counts_by_returnflag",
+    # 3) keys whose Spark/oracle text changed this round (quality-micros
+    #    floor rounding, explicit whitespace classes) — re-attest the
+    #    edited definitions even though their newest rows are r5/r6 (6)
+    "text_quality_score",
+    "text_token_count",
+    "text_lang_id",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
 )
 
 _PLAN_MODULES = (

@@ -18,7 +18,7 @@ from utility_service_areas_spark.operators.text import (
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
 
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+_TOKS = r"string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')"
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
@@ -27,7 +27,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     oracle=rf"""
     SELECT doc_id,
            len({_TOKS}) AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]'))
                AS n_bpe_tokens
     FROM documents
     """,
@@ -71,9 +71,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     oracle=rf"""
     SELECT doc_id,
-           CAST(round((0.4 * (alpha / chars)
+           CAST(floor((0.4 * (alpha / chars)
                      + 0.3 * least(1.0, n_tok / 100.0)
-                     + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000)
+                     + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000 + 0.5)
                 AS BIGINT) AS quality_micros
     FROM (
       SELECT doc_id,
@@ -101,10 +101,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            trim(regexp_replace(
                regexp_replace(lower(text), '[^a-z0-9 .,!?''-]', ' ', 'g'),
-               '\s+', ' ', 'g')) AS clean_text,
+               '[ \t\n\x0b\f\r]+', ' ', 'g')) AS clean_text,
            length(trim(regexp_replace(
                regexp_replace(lower(text), '[^a-z0-9 .,!?''-]', ' ', 'g'),
-               '\s+', ' ', 'g'))) AS clean_len
+               '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS clean_len
     FROM documents
     """,
     doc="Text normalization (lowercase, strip non-text chars, collapse "
@@ -117,7 +117,7 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 .,!?'-]", " "),
-            r"\s+",
+            r"[ \t\n\x0b\f\r]+",
             " ",
         )
     )
@@ -241,7 +241,7 @@ _KR_TERMS = " + ".join(
     "doc_fingerprint",
     oracle=rf"""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
       FROM documents),
     pos AS (
       SELECT doc_id, s, i
@@ -293,9 +293,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL})))
                        AS BIGINT) * 1.0 / greatest(len({_TOKS}), 1) >= 0.08
                   THEN 'en' ELSE 'other' END AS lang_guess,
-             CAST(round((0.4 * (alpha / chars)
+             CAST(floor((0.4 * (alpha / chars)
                        + 0.3 * least(1.0, n_tok / 100.0)
-                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000 + 0.5)
                   AS BIGINT) AS quality_micros
       FROM (
         SELECT doc_id, text,
@@ -364,16 +364,16 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keepers AS (
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+      GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))),
     scored AS (
       SELECT doc_id,
              len({_TOKS}) AS n_ws_tokens,
              CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL})))
                        AS BIGINT) * 1.0 / greatest(len({_TOKS}), 1) >= 0.08
                   THEN 'en' ELSE 'other' END AS lang_guess,
-             CAST(round((0.4 * (alpha / chars)
+             CAST(floor((0.4 * (alpha / chars)
                        + 0.3 * least(1.0, n_tok / 100.0)
-                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000 + 0.5)
                   AS BIGINT) AS quality_micros,
              substr(md5(text), 1, 4) AS h4
       FROM (
@@ -532,7 +532,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
     grams = F.concat(
         F.expr("transform(toks, t -> struct(1 AS k, t AS g))"),
         F.expr(
@@ -581,14 +581,14 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH scored AS (
       SELECT doc_id, source,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS h,
              CAST(len({_TOKS}) AS BIGINT) AS ws,
              CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL})))
                        AS BIGINT) * 1.0 / greatest(len({_TOKS}), 1) >= 0.08
                   THEN 1 ELSE 0 END AS is_en,
-             CAST(round((0.4 * (alpha / chars)
+             CAST(floor((0.4 * (alpha / chars)
                        + 0.3 * least(1.0, n_tok / 100.0)
-                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000 + 0.5)
                   AS BIGINT) AS q
       FROM (
         SELECT doc_id, source, text,
@@ -622,7 +622,7 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws, _ = token_counts(F.col("text"))
-    h = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    h = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+", " ")))
     scored = docs.select(
         "source",
         h.alias("h"),
