@@ -88,6 +88,7 @@ EXPECTED_KEYS = {
     "customer_rfm_segments",
     "embedding_pair_histogram",
     "dedup_keep_best",
+    "dedup_keep_best_quality",
     "hll_registers_users",
     "source_curation_profile",
     "reservoir_sample_docs",

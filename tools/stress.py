@@ -271,6 +271,139 @@ def run_ivf_crossover(spark, out: str) -> dict:
     return res
 
 
+def build_ivf_1m_substrate(base: str, out: str, n: int = 1_000_000) -> str:
+    """Deterministic ≥1M×64 vector substrate: the sf0.1 embeddings
+    (2000 vectors) replicated n/2000 times with a hash-derived per-copy
+    perturbation so replicas are near-but-not-identical — no RNG, so
+    every run (and the bitwise kernel-equality claim) replays exactly.
+    """
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    dst = os.path.join(out, "embeddings_1m.parquet")
+    if not os.path.exists(dst):
+        duckdb.sql(
+            f"""
+            COPY (
+              SELECT vec_id + i * 2000 AS vec_id,
+                     list_transform(embedding,
+                       x -> x + (hash(vec_id + i * 2000) % 1000) / 2000.0)
+                       AS embedding,
+                     label
+              FROM '{base}/embeddings.parquet', range({n // 2000}) AS t(i)
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        )
+    return dst
+
+
+def run_ivf_1m(spark, base: str, out: str) -> dict:
+    """The C≈√n real-ANN regime measurement (VERDICT r6 task 3).
+
+    At n=1M, C=√n=1000 the corpus→cell assignment is the IVF bound
+    (O(n·C·d) = 6.4e10 multiply-adds at d=64). Head-to-head at a 20k
+    corpus slice, then the blocked-numpy kernel at the full 1M — the
+    JVM interpreted fold is too slow to run at 1M (the 20k number
+    extrapolates to ~3 h), which is itself the finding. Recall@10 is
+    measured against driver-side exact numpy ground truth at Q=50.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.ann import (
+        _numpy_assign_top1,
+        dot_expr,
+        ivf_topk,
+        norm2_expr,
+    )
+
+    path = build_ivf_1m_substrate(base, out)
+    emb = spark.read.parquet(path)
+    res: dict = {"n_vectors": emb.count(), "n_centroids": 1000, "dim": 64}
+
+    cents = (
+        emb.filter(F.col("vec_id") % 997 == 0)
+        .orderBy("vec_id")
+        .limit(1000)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+            norm2_expr(F.col("embedding")).alias("cent_n"),
+        )
+        .filter(F.col("cent_n") > 0)
+    )
+    cents_rows = cents.collect()
+
+    def timed(df) -> float:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 1)
+
+    # head-to-head on the same 20k slice (full-JVM 1M would be hours)
+    slice20k = emb.filter(F.col("vec_id") < 20_000).select(
+        F.col("vec_id").alias("nid"), "embedding"
+    )
+    cent_score = dot_expr(F.col("embedding"), F.col("cent_vec")) / F.col("cent_n")
+    jvm = (
+        slice20k.crossJoin(F.broadcast(cents))
+        .withColumn("cent_score", cent_score)
+        .groupBy("nid")
+        .agg(
+            F.any_value("embedding").alias("embedding"),
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("cent_score"), -F.col("cent_id"))
+            ).alias("cell"),
+        )
+    )
+    res["jvm_assign_20k_s"] = timed(jvm)
+    res["numpy_assign_20k_s"] = timed(
+        _numpy_assign_top1(slice20k, "nid", "embedding", cents_rows)
+    )
+    res["assign_speedup_20k"] = round(
+        res["jvm_assign_20k_s"] / res["numpy_assign_20k_s"], 1
+    )
+    full = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    res["numpy_assign_1m_s"] = timed(
+        _numpy_assign_top1(full, "nid", "embedding", cents_rows)
+    )
+    res["jvm_assign_1m_extrapolated_s"] = round(res["jvm_assign_20k_s"] * 50, 0)
+
+    # recall@10 at Q=50, n_probe=32≈√C, vs exact numpy ground truth
+    import duckdb
+
+    X = np.array(
+        duckdb.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id"
+        ).fetchnumpy()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    norms = np.sqrt((X * X).sum(axis=1))
+    q_ids = np.arange(50)
+    sims = (X[q_ids] @ X.T) / (norms[q_ids][:, None] * norms[None, :])
+    np.fill_diagonal(sims[:, : len(q_ids)], -np.inf)
+    truth = {
+        (int(q), int(j))
+        for qi, q in enumerate(q_ids)
+        for j in np.argpartition(-sims[qi], 10)[:10]
+        if j != q
+    }
+    t0 = time.time()
+    got_rows = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        k=10,
+        n_centroids=1000,
+        n_probe=32,
+        centroid_stride=997,
+        assign_via="numpy",
+    ).collect()
+    res["ivf_end_to_end_q50_s"] = round(time.time() - t0, 1)
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    res["recall_at_10_q50"] = round(len(truth & got) / max(len(truth), 1), 3)
+    return res
+
+
 def run_streaming(spark, out: str, n_slices: int = 8) -> dict:
     """Structured-Streaming throughput at the expanded substrate.
 
@@ -366,6 +499,11 @@ def main() -> None:
         action="store_true",
         help="measure streaming-kernel throughput on the existing --out substrate",
     )
+    ap.add_argument(
+        "--ivf-1m",
+        action="store_true",
+        help="C=sqrt(n) assignment-kernel measurement at a 1M-vector substrate",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -399,6 +537,15 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         out = run_ivf_crossover(spark, args.out)
         print(json.dumps({"metric": "ivf_crossover", "unit": "sec", **out}))
+        return
+
+    if args.ivf_1m:
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-spark-stress-ivf1m")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = run_ivf_1m(spark, args.base, args.out)
+        print(json.dumps({"metric": "ivf_1m_assignment", "unit": "sec", **out}))
         return
 
     if args.streaming:

@@ -23,7 +23,7 @@ from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
 
 # Shared SQL fragments (DuckDB) mirroring functions/textops.py.
-_TOKS_SQL = r"string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')"
+_TOKS_SQL = r"string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')"
 _SHINGLES_CTE = f"""
     toks AS (SELECT doc_id, {_TOKS_SQL} AS tok FROM documents),
     sh AS (
@@ -40,7 +40,7 @@ _SHINGLES_CTE = f"""
 @query(
     "dedup_exact_docs",
     oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS text_hash,
+    SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS text_hash,
            min(doc_id) AS keeper_id,
            count(*) AS n_dups
     FROM documents
@@ -201,7 +201,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id AS doc,
-             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+             unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS tok
       FROM documents),
     th AS (
       SELECT doc, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
@@ -331,4 +331,101 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_id",
             (F.col("doc_id") == F.col("best_id")).cast("long").alias("kept"),
         )
+    )
+
+
+_QUALITY_Q_SQL = f"""
+      SELECT doc_id,
+             CAST(floor((0.4 * (alpha / chars)
+                       + 0.3 * least(1.0, n_tok / 100.0)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000 + 0.5)
+                  AS BIGINT) AS quality_micros
+      FROM (
+        SELECT doc_id,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    AS DOUBLE) AS alpha,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS chars,
+               CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE) AS n_distinct
+        FROM documents)
+"""
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    {_lsh_pairs_sql("cand")},
+    scored AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc
+      WHERE (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
+          + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+          + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT >= 6),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM scored
+      UNION ALL SELECT doc_b, doc_a FROM scored),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+    qual AS ({_QUALITY_Q_SQL}),
+    member AS (
+      SELECT q.doc_id, q.quality_micros,
+             coalesce(c.comp, q.doc_id) AS cluster_id
+      FROM qual q LEFT JOIN comp c ON q.doc_id = c.node),
+    best AS (
+      SELECT cluster_id, doc_id AS best_id
+      FROM member
+      QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY quality_micros DESC, doc_id ASC) = 1)
+    SELECT m.doc_id, m.quality_micros, m.cluster_id, b.best_id,
+           CAST(m.doc_id = b.best_id AS BIGINT) AS kept
+    FROM member m JOIN best b USING (cluster_id)
+    """,
+    doc="Quality-weighted canonical selection (VERDICT r6 task 5): the "
+    "same MinHash-LSH → connected-components clusters as "
+    "dedup_keep_best, but each cluster keeps its highest "
+    "quality_micros member (doc_id tiebreak) — what a curation "
+    "pipeline ships when completeness (n_chars) is not the right "
+    "proxy. Ranking stays a single partial-aggregatable max_by on "
+    "the cluster key; the per-doc quality score is map-side codegen, "
+    "so the variant costs one extra projection over the n_chars one.",
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.graph import dedup_clusters
+    from utility_service_areas_spark.operators.text import quality_score_micros
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, band_size=2).filter(
+        "n_matching_minhashes >= 6"
+    )
+    member = (
+        dedup_clusters(pairs, docs, "doc_id")
+        .withColumnRenamed("keeper_id", "cluster_id")
+        .join(
+            docs.select(
+                "doc_id", quality_score_micros(F.col("text")).alias("quality_micros")
+            ),
+            "doc_id",
+        )
+    )
+    best = member.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("quality_micros"), -F.col("doc_id"))
+        ).alias("best_id")
+    )
+    return member.join(best, "cluster_id").select(
+        "doc_id",
+        "quality_micros",
+        "cluster_id",
+        "best_id",
+        (F.col("doc_id") == F.col("best_id")).cast("long").alias("kept"),
     )

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
 
-_TOKS = r"string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')"
+_TOKS = r"string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')"
 
 # Chunk geometry: 32-token windows advancing by a 24-token stride
 # (8-token overlap), the standard long-document → context-window split.

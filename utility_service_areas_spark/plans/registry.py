@@ -80,6 +80,8 @@ _DRIVER_PRIORITY = (
     # 1) the one red r6 driver row, re-attested first after the
     #    floor(+0.5) micros + explicit-whitespace-class fixes (1)
     "source_curation_profile",
+    # 1b) new keys this round — first-ever attestation
+    "dedup_keep_best_quality",
     # 2) the full r4-stale backlog — every key whose newest driver row
     #    is r4, three rounds old (43)
     "flagship_service_area_report",
@@ -127,13 +129,12 @@ _DRIVER_PRIORITY = (
     "priority_counts_by_returnflag",
     # 3) keys whose Spark/oracle text changed this round (quality-micros
     #    floor rounding, explicit whitespace classes) — re-attest the
-    #    edited definitions even though their newest rows are r5/r6 (6)
+    #    edited definitions even though their newest rows are r5/r6 (5)
     "text_quality_score",
     "text_token_count",
     "text_lang_id",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
-    "doc_fingerprint",
 )
 
 _PLAN_MODULES = (

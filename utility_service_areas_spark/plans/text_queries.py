@@ -18,7 +18,7 @@ from utility_service_areas_spark.operators.text import (
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
 
-_TOKS = r"string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')"
+_TOKS = r"string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')"
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
@@ -241,7 +241,7 @@ _KR_TERMS = " + ".join(
     "doc_fingerprint",
     oracle=rf"""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
       FROM documents),
     pos AS (
       SELECT doc_id, s, i
@@ -364,7 +364,7 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keepers AS (
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))),
+      GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' '))),
     scored AS (
       SELECT doc_id,
              len({_TOKS}) AS n_ws_tokens,
@@ -581,7 +581,7 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH scored AS (
       SELECT doc_id, source,
-             md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS h,
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS h,
              CAST(len({_TOKS}) AS BIGINT) AS ws,
              CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_SQL})))
                        AS BIGINT) * 1.0 / greatest(len({_TOKS}), 1) >= 0.08
