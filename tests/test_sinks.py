@@ -148,3 +148,25 @@ def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10_000
     assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+
+
+def test_compact_dataset_recovers_from_stale_crash_dirs(spark, tmp_path):
+    """A previously killed compaction leaves __compact_tmp__ /
+    __compact_old__ behind; a retry must pre-clean them and succeed
+    with the CURRENT data, not swap in the stale rewrite (ADVICE r6)."""
+    from utility_service_areas_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 1_000).withColumn("v", F.col("id")).repartition(8).write.parquet(
+        path
+    )
+    # plant stale crash leftovers with DIFFERENT (old) contents
+    spark.range(0, 7).write.parquet(path + ".__compact_tmp__")
+    spark.range(0, 9).write.parquet(path + ".__compact_old__")
+
+    n_files = compact_dataset(spark, path, target_rows_per_file=1_000)
+    assert n_files == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 1_000  # current data, not the stale 7-row tmp
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert not os.path.exists(path + ".__compact_old__")

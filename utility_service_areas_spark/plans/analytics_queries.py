@@ -797,7 +797,12 @@ def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     wbits = _HLL_WBITS
     parts = ev.select(
         "event_type",
-        (hv / F.lit(1 << wbits)).cast("long").alias("idx"),
+        # shiftrightunsigned, NOT `/`: Spark's `/` is DOUBLE division,
+        # and hv is a 60-bit value (> 2^53) — the double rounding of hv
+        # can disagree with the oracle's exact integer `hv // 2^50`
+        # when hv lies within ~128 of a multiple of 2^50 (ADVICE r6).
+        # The shift is exact integer arithmetic on both engines.
+        F.shiftrightunsigned(hv, wbits).alias("idx"),
         (hv % F.lit(1 << wbits)).alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(

@@ -60,13 +60,29 @@ def compact_dataset(
     import os
     import shutil
 
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    # Crash hygiene (ADVICE r6): a previously killed run can leave tmp/
+    # old dirs behind — stale tmp would make the rename swap move an
+    # OLD rewrite into place, stale old would make os.rename(path, old)
+    # fail. Both are garbage by construction (the swap below is the
+    # only writer and removes them on success), so pre-clean.
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    tmp = path.rstrip("/") + ".__compact_tmp__"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".__compact_old__"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # A failure between the two renames would otherwise leave the
+        # dataset path missing entirely; restore the original and let
+        # the caller retry.
+        os.rename(old, path)
+        raise
     shutil.rmtree(old)
     return n_files
