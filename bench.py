@@ -32,6 +32,19 @@ HEADLINE = [
     "regional_order_volume",
 ]
 
+# The heaviest post-r5 operators (VERDICT r6 task 7), benched
+# SEPARATELY from the headline total so the r1-baseline series stays
+# apples-to-apples. These are evaluated through the noop sink, not
+# count(): count() lets Catalyst join-eliminate whole subtrees (e.g.
+# dedup_exact_substring's final join back — measured 0.4 s fake vs
+# ~10 s honest at 10×, BENCH_TREND r6), while the noop sink consumes
+# every column of every row.
+EXTENDED_NOOP = [
+    "dedup_exact_substring",
+    "docs_repetition_signals",
+    "dedup_keep_best",
+]
+
 
 def main() -> None:
     from utility_service_areas_spark.plans.registry import all_queries
@@ -53,14 +66,25 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
+    extended: dict[str, float] = {}
+    for name in (n for n in EXTENDED_NOOP if n in qs):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.time() - t0, 3)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
+                # value stays the 14-query headline total (count()
+                # convention) — the series comparable to the r1
+                # de-facto baseline; the noop-forced extended set is
+                # reported alongside, not summed in.
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "extended_noop": extended,
                 "sf": float(sf),
             }
         )
