@@ -370,3 +370,59 @@ def embedding_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sim_bin")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "ann_ivf_sqrtn_topk",
+    # The C ≈ √n regime twin of ann_ivf_topk (#51): C=64 crosses the
+    # assign_via="auto" threshold, so THIS key value-verifies the
+    # blocked-numpy assignment kernel itself (operators/ann.py::
+    # _numpy_assign_top1) — the oracle replays assignment with the
+    # same sequential double fold, and the kernel is bitwise-equal to
+    # it by construction (tests/test_dedup.py pins the equality vs the
+    # JVM path; the driver hash here pins it vs SQL).
+    oracle=f"""
+    WITH cents0 AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 64),
+    cents AS (
+      SELECT cent_id, cent_vec, {_CENT_NORM} AS cent_n
+      FROM cents0 WHERE {_CENT_NORM} > 0),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_vec, cent_id AS cell
+      FROM embeddings, cents
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {_IVF_SCORE} DESC, cent_id ASC) = 1),
+    q_assign AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell
+      FROM embeddings, cents
+      WHERE vec_id < {N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {_IVF_SCORE} DESC, cent_id ASC) <= 8),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_cos_micros_sql('q_vec', 'c_vec')} AS sim_micros
+      FROM c_assign JOIN q_assign USING (cell)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT query_id, neighbor_id, sim_micros,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim_micros DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="IVF ANN in the C ≈ √n regime (64 cells = every 7th id, 8 "
+    "probes): the corpus→cell assignment runs through the blocked "
+    "Arrow numpy kernel (auto at C ≥ 64 — the bound at 1M×C=1000 is "
+    "42 s vs ~2 h for the interpreted fold, BENCH_TREND r7), and the "
+    "DuckDB oracle value-verifies its assignments end-to-end.",
+    tags=("ann",),
+)
+def ann_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(
+        emb, queries_df, k=TOP_K, n_centroids=64, n_probe=8, centroid_stride=7
+    )
