@@ -99,6 +99,49 @@ def test_leaflet_map_sink_self_contained(spark, tmp_path):
     assert "L.control.layers" in html and "L.control.scale" in html
 
 
+def test_leaflet_map_community_sidebar(spark, tmp_path):
+    """Community-pin sidebar parity (index.qmd:169-189 + its TODO):
+    pins are inlined (self-contained, no runtime CSV fetch), the
+    sidebar/zoom/reset machinery ships, and a hostile community name
+    cannot break out of the script block (same XSS discipline as the
+    feature properties)."""
+    import json
+    import re
+
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.geo import rect_geometry
+    from utility_service_areas_spark.sources.geojson import write_leaflet_map
+
+    df = spark.createDataFrame(
+        [("CERT-1", 0.0)], ["certificate_number", "x0"]
+    ).select(
+        "certificate_number",
+        rect_geometry(F.col("x0"), F.lit(0.0), F.lit(5.0), F.lit(4.0)).alias(
+            "geometry"
+        ),
+    )
+    pins = spark.createDataFrame(
+        [("Anchorage", 61.2, -149.9), ("</script><b>x", 60.0, -150.0)],
+        ["name", "lat", "lon"],
+    )
+    out = str(tmp_path / "map.html")
+    write_leaflet_map(df, out, communities=pins)
+    html = open(out).read()
+    m = re.search(r"const communities = (\[.*?\]);\n", html, re.DOTALL)
+    got = json.loads(m.group(1))
+    assert {p["name"] for p in got} == {"Anchorage", "</script><b>x"}
+    # the raw terminator never appears inside the script payload
+    assert "</script><b>x" not in html  # escaped to </script...
+    # sidebar machinery: list-in-bounds, zoom-to-pin, reset view
+    assert "showSidebar" in html and "flyTo" in html and "Reset view" in html
+    assert 'id="sidebar"' in html
+    # without communities the sidebar layer list stays minimal
+    out2 = str(tmp_path / "map2.html")
+    write_leaflet_map(df, out2)
+    assert "const communities = [];" in open(out2).read()
+
+
 def test_leaflet_map_escapes_untrusted_properties(spark, tmp_path):
     """Stored-XSS guard (ADVICE r5): property values come from untrusted
     KML/HTML fetches. A '</script>' value must not terminate the inlined

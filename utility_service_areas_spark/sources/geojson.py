@@ -113,10 +113,21 @@ _LEAFLET_HTML_HEAD = """<!DOCTYPE html>
   #map {{ height: 100%; }}
   .legend {{ background: white; padding: 6px 10px; border-radius: 4px;
              box-shadow: 0 1px 4px rgba(0,0,0,.3); font: 13px sans-serif; }}
+  #sidebar {{ position: absolute; top: 0; right: 0; bottom: 0; width: 230px;
+             max-width: 40%; overflow-y: auto; background: white; z-index: 1000;
+             box-shadow: -1px 0 4px rgba(0,0,0,.3); font: 13px sans-serif;
+             padding: 8px 12px; display: none; }}
+  #sidebar h3 {{ margin: 4px 0 8px; font-size: 14px; }}
+  #sidebar li {{ cursor: pointer; color: #0645ad; margin: 2px 0;
+                list-style: none; }}
+  #sidebar li:hover {{ text-decoration: underline; }}
+  #sidebar ul {{ padding-left: 4px; margin: 0; }}
+  #sidebar button {{ margin-top: 10px; }}
 </style>
 </head>
 <body>
 <div id="map"></div>
+<div id="sidebar"></div>
 <script>
 const areas = """
 
@@ -153,19 +164,80 @@ function popupTable(props) {
   }
   return table;
 }
+// Community-pin sidebar (parity: index.qmd:169-189 + its in-code TODO
+// — 'show list of communities within service area ... clicking the
+// name zooms the map to that city', plus the reset-view button). Pins
+// are INLINED at export time (self-contained file, no runtime fetch);
+// names go through textContent, never raw-HTML assignment.
+const communities = COMMUNITIES_JSON;
+const pinLayer = L.layerGroup(communities.map(c =>
+  L.circleMarker([c.lat, c.lon], {
+    radius: 4, stroke: false, fillOpacity: 0.75, color: '#000',
+  }).bindTooltip(c.name)));
+const styleBase = f => {
+  const key = JSON.stringify(Object.values(f.properties)[0] ?? '');
+  return { color: `hsl(${hue(key)},70%,40%)`, weight: 1, fillOpacity: 0.35 };
+};
+let clicked = null;
+let homeBounds = null;
+function showSidebar(feature, layerBounds) {
+  const bar = document.getElementById('sidebar');
+  bar.textContent = '';
+  const h = document.createElement('h3');
+  h.textContent = String(Object.values(feature.properties)[0] ?? 'area');
+  bar.appendChild(h);
+  const inArea = communities.filter(c =>
+    layerBounds.contains(L.latLng(c.lat, c.lon)));
+  const label = document.createElement('div');
+  label.textContent = inArea.length
+    ? `${inArea.length} communities in view bounds:` : 'No community pins in bounds.';
+  bar.appendChild(label);
+  const ul = document.createElement('ul');
+  for (const c of inArea) {
+    const li = document.createElement('li');
+    li.textContent = c.name;
+    li.onclick = () => map.flyTo([c.lat, c.lon], 10, { duration: 0.4 });
+    ul.appendChild(li);
+  }
+  bar.appendChild(ul);
+  const reset = document.createElement('button');
+  reset.textContent = 'Reset view';
+  reset.onclick = () => {
+    if (clicked) clicked.setStyle(styleBase(clicked.feature));
+    clicked = null;
+    bar.style.display = 'none';
+    if (homeBounds) map.fitBounds(homeBounds);
+  };
+  bar.appendChild(reset);
+  bar.style.display = 'block';
+}
 const layer = L.geoJSON(areas, {
-  style: f => {
-    const key = JSON.stringify(Object.values(f.properties)[0] ?? '');
-    return { color: `hsl(${hue(key)},70%,40%)`, weight: 1, fillOpacity: 0.35 };
+  style: styleBase,
+  onEachFeature: (f, l) => {
+    l.bindPopup(popupTable(f.properties));
+    l.on('click', () => {
+      if (clicked && clicked !== l) clicked.setStyle(styleBase(clicked.feature));
+      l.setStyle({ color: '#FF0000', weight: 2, fillOpacity: 0.35 });
+      clicked = l;
+      map.flyToBounds(l.getBounds(), { duration: 0.4 });
+      if (communities.length) showSidebar(f, l.getBounds());
+    });
   },
-  onEachFeature: (f, l) => { l.bindPopup(popupTable(f.properties)); },
 }).addTo(map);
+const overlays = { 'Service areas': layer };
+if (communities.length) {
+  overlays['Communities'] = pinLayer;
+  pinLayer.addTo(map);
+}
 L.control.layers(
   { OpenStreetMap: osm, 'ESRI Topo': esriTopo, 'ESRI Imagery': esriImagery },
-  { 'Service areas': layer }
+  overlays
 ).addTo(map);
 L.control.scale({ maxWidth: 200 }).addTo(map);
-if (layer.getBounds().isValid()) map.fitBounds(layer.getBounds());
+if (layer.getBounds().isValid()) {
+  homeBounds = layer.getBounds();
+  map.fitBounds(homeBounds);
+}
 </script>
 </body>
 </html>
@@ -186,6 +258,7 @@ def write_leaflet_map(
     geom_col: str = "geometry",
     multi: bool = False,
     title: str = "Utility service areas",
+    communities: DataFrame | None = None,
 ) -> str:
     """Presentation sink: the reference's interactive service-area map
     (index.qmd leaflet output) as ONE self-contained HTML file — the
@@ -202,6 +275,18 @@ def write_leaflet_map(
     """
     prop_cols = [c for c in df.columns if c != geom_col]
     import html as _html
+
+    # Community pins (index.qmd:169-189 parity + its TODO sidebar): a
+    # tiny (name, lat, lon) dim collected at the driver and INLINED —
+    # the exported file stays self-contained (the reference fetches a
+    # CSV at view time; here the pipeline ships the data with the map).
+    pins = []
+    if communities is not None:
+        pins = [
+            {"name": str(r["name"]), "lat": float(r["lat"]), "lon": float(r["lon"])}
+            for r in communities.select("name", "lat", "lon").toLocalIterator()
+        ]
+    tail = _LEAFLET_HTML_TAIL.replace("COMMUNITIES_JSON", _json_for_script(pins))
 
     with open(out_path, "w") as f:
         f.write(_LEAFLET_HTML_HEAD.format(title=_html.escape(title)))
@@ -223,5 +308,5 @@ def write_leaflet_map(
             f.write(_json_for_script(feat))
             first = False
         f.write("\n]}")
-        f.write(_LEAFLET_HTML_TAIL)
+        f.write(tail)
     return out_path
