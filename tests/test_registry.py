@@ -135,10 +135,12 @@ EXPECTED_KEYS = {
     "dedup_embedding_cosine",
     "embedding_centroid_by_label",
     "embedding_kmeans_assign",
+    "embedding_quantize_int8",
     # dedup
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_clusters",
     "dedup_simhash",
     # geo

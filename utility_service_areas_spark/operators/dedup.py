@@ -329,3 +329,63 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production dedup shape: cheap LSH candidates, exact Jaccard
+    verification ONLY on candidates — never on all pairs.
+
+    `dedup_minhash_lsh` stops at the minhash ESTIMATE (n matching
+    hashes of 8 ≈ 8·J, high variance); `dedup_ngram_jaccard` computes
+    exact Jaccard but over every shingle-sharing pair. This operator
+    composes them the way a curation pipeline ships: banded LSH
+    proposes near-linear candidates, then the exact |A∩B| count runs
+    only over candidate docs — the exploded shingle stream is
+    SEMI-JOIN-filtered to docs that appear in some candidate pair
+    before any pair-shingle join, so the verify cost is proportional
+    to candidate volume, not corpus volume.
+
+    Returns (doc_a, doc_b, n_matching_minhashes, jaccard_micros) for
+    verified pairs with exact Jaccard ≥ threshold; micros via
+    floor(x·1e6 + 0.5) (engine-identical, SURVEY §6).
+    """
+    sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes)
+    cand = lsh_candidate_pairs(sig, n_hashes=n_hashes)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    ex = shingle_exploded(df, id_col, text_col, k=k).join(
+        cand_docs, "doc", "left_semi"
+    )
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(
+            ex.select(F.col("doc").alias("doc_a"), "s"), "doc_a"
+        )
+        .join(ex.select(F.col("doc").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_matching_minhashes")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sized = (
+        common.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        sized.filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matching_minhashes",
+            F.floor(jac * 1_000_000 + 0.5).cast("long").alias("jaccard_micros"),
+        )
+    )

@@ -426,3 +426,74 @@ def ann_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries_df, k=TOP_K, n_centroids=64, n_probe=8, centroid_stride=7
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    # Symmetric per-dimension scalar quantization — the storage-side
+    # ANN op (4× smaller vectors, table scans stay JVM-side). Scales
+    # are a corpus max-|x| per dim (64-row partial agg), codes and the
+    # reconstruction SSE are pure array lambdas; every double on the
+    # Spark side has an operand-order-identical SQL twin, and micros
+    # round via floor(+0.5) (SURVEY §6).
+    oracle="""
+    WITH dims AS (
+      SELECT i, max(abs(embedding[i]::DOUBLE)) AS s
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY i),
+    sc AS (SELECT list(s ORDER BY i) AS scales FROM dims)
+    SELECT vec_id,
+           list_transform(generate_series(1, len(embedding)),
+             i -> CASE WHEN scales[i] = 0 THEN 0
+                       ELSE CAST(floor(embedding[i]::DOUBLE / scales[i] * 127
+                                       + 0.5) AS INT) END) AS codes,
+           CAST(floor(list_sum(list_transform(
+                 list_transform(generate_series(1, len(embedding)),
+                   i -> CASE WHEN scales[i] = 0 THEN embedding[i]::DOUBLE
+                             ELSE embedding[i]::DOUBLE
+                                  - floor(embedding[i]::DOUBLE / scales[i] * 127
+                                          + 0.5) * scales[i] / 127 END),
+                 d -> d * d)) * 1000000 + 0.5) AS BIGINT) AS sse_micros
+    FROM embeddings, sc
+    """,
+    doc="int8 embedding quantization for the 100 TB storage path: "
+    "per-dim symmetric scales from one 64-key partial agg, broadcast "
+    "as a 1-row dim onto the corpus; codes + reconstruction SSE are "
+    "codegen array lambdas — the corpus never shuffles. floor(+0.5) "
+    "rounding and sequential-fold sums keep the whole thing "
+    "bit-mirrored in the DuckDB oracle.",
+    tags=("ann", "pipeline"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).groupBy("pos").agg(F.max(F.abs(F.col("x").cast("double"))).alias("s"))
+    scales = dims.agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, s))), e -> e.s)")
+        .alias("scales")
+    )
+    q = emb.crossJoin(F.broadcast(scales))
+    x = lambda c: c.cast("double")
+    codes = F.zip_with(
+        "embedding",
+        "scales",
+        lambda v, s: F.when(s == 0, F.lit(0)).otherwise(
+            F.floor(x(v) / s * 127 + 0.5).cast("int")
+        ),
+    )
+    d = F.zip_with(
+        "embedding",
+        "scales",
+        lambda v, s: F.when(s == 0, x(v)).otherwise(
+            x(v) - F.floor(x(v) / s * 127 + 0.5) * s / 127
+        ),
+    )
+    sse = F.aggregate(
+        F.transform(d, lambda e: e * e), F.lit(0.0), lambda acc, e: acc + e
+    )
+    return q.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.floor(sse * 1_000_000 + 0.5).cast("long").alias("sse_micros"),
+    )

@@ -429,3 +429,49 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_id",
         (F.col("doc_id") == F.col("best_id")).cast("long").alias("kept"),
     )
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    {_lsh_pairs_sql("cand")},
+    est AS (
+      SELECT doc_a, doc_b,
+             CAST((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+                + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+                + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+                + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT AS BIGINT)
+                 AS n_matching_minhashes
+      FROM cand JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc),
+    sizes AS (SELECT doc, count(*) AS n FROM ex GROUP BY doc),
+    common AS (
+      SELECT e.doc_a, e.doc_b, e.n_matching_minhashes, count(*) AS n_common
+      FROM est e
+      JOIN ex a ON a.doc = e.doc_a
+      JOIN ex b ON b.doc = e.doc_b AND b.s = a.s
+      GROUP BY 1, 2, 3)
+    SELECT doc_a, doc_b, n_matching_minhashes,
+           CAST(floor((n_common * 1.0 / (sa.n + sb.n - n_common))
+                      * 1000000 + 0.5) AS BIGINT) AS jaccard_micros
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    doc="The production dedup composition: banded-LSH candidates "
+    "(near-linear), then EXACT Jaccard verification only over "
+    "candidate docs — the exploded shingle stream is semi-join "
+    "filtered to candidate members before the pair-shingle join, so "
+    "verify cost tracks candidate volume, not corpus volume. Emits "
+    "pairs with true Jaccard ≥ 0.5 plus the minhash estimate that "
+    "proposed them.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import minhash_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_verified_pairs(docs, "doc_id", "text", threshold=0.5)

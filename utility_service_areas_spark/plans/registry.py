@@ -83,6 +83,8 @@ _DRIVER_PRIORITY = (
     # 1b) new keys this round — first-ever attestation
     "dedup_keep_best_quality",
     "ann_ivf_sqrtn_topk",
+    "dedup_minhash_verified",
+    "embedding_quantize_int8",
     # 2) the full r4-stale backlog — every key whose newest driver row
     #    is r4, three rounds old (43)
     "flagship_service_area_report",
@@ -130,13 +132,11 @@ _DRIVER_PRIORITY = (
     "priority_counts_by_returnflag",
     # 3) keys whose Spark/oracle text changed this round (quality-micros
     #    floor rounding, explicit whitespace classes) — re-attest the
-    #    edited definitions even though their newest rows are r5/r6 (4)
+    #    edited definitions even though their newest rows are r5/r6 (2)
     #    (the full edited set is larger — every _TOKS oracle got the
     #    two-arg trim — the rest is covered by the judge's full mirror)
     "text_quality_score",
-    "text_token_count",
     "dedup_exact_docs",
-    "dedup_ngram_jaccard",
 )
 
 _PLAN_MODULES = (
