@@ -213,3 +213,36 @@ def test_compact_dataset_recovers_from_stale_crash_dirs(spark, tmp_path):
     assert got.count() == 1_000  # current data, not the stale 7-row tmp
     assert not os.path.exists(path + ".__compact_tmp__")
     assert not os.path.exists(path + ".__compact_old__")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC interchange: values round-trip and a predicate reaches the
+    ORC scan as PushedFilters (stripe-stat pruning at scale)."""
+    from utility_service_areas_spark.sources.sinks import write_orc
+
+    path = str(tmp_path / "orc")
+    src = spark.range(0, 1_000).withColumn("v", F.col("id") * 3)
+    write_orc(src, path)
+    back = spark.read.orc(path)
+    assert back.count() == 1_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(1_000))
+    plan = back.filter(F.col("v") > 2000)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(v,2000)" in plan
+
+
+def test_jsonl_roundtrip_documents_shape(spark, tmp_path):
+    """JSON-lines export (the LLM-corpus interchange format): nested
+    arrays and text round-trip schema-complete through gzip."""
+    from utility_service_areas_spark.sources.sinks import write_jsonl
+
+    path = str(tmp_path / "jsonl")
+    src = spark.createDataFrame(
+        [(1, "hello <world>", ["a", "b"]), (2, 'quote " and \\ slash', [])],
+        ["doc_id", "text", "tags"],
+    )
+    write_jsonl(src, path)
+    import glob
+    assert glob.glob(path + "/*.json.gz")  # compressed lines on disk
+    back = spark.read.json(path)
+    got = {r.doc_id: (r.text, list(r.tags or [])) for r in back.collect()}
+    assert got == {1: ("hello <world>", ["a", "b"]), 2: ('quote " and \\ slash', [])}

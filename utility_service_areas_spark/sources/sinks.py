@@ -41,6 +41,37 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC export (columnar interchange with Hive/Trino estates).
+
+    Same pruning story as parquet: ORC carries min/max stripe stats,
+    so Spark pushes predicates into the scan (PushedFilters) and a
+    partitioned layout prunes directories — pinned by
+    tests/test_sinks.py."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compress: bool = True
+) -> None:
+    """JSON-lines export — the interchange format LLM data pipelines
+    actually trade in (one document object per line; gzip by default
+    so the text corpus ships compressed). Spark's json source reads
+    the output back schema-complete, including nested arrays."""
+    w = df.write.mode(mode)
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
