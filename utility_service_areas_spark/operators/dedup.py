@@ -367,6 +367,13 @@ def minhash_verified_pairs(
         cand_docs, "doc", "left_semi"
     )
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # NOTE (r7 measured rejection, BENCH_TREND): fusing the size-ratio
+    # prefilter onto `cand` before the pair-shingle join — the trick
+    # that paid 1.9× for ngram_jaccard — measured 17.2 → 19.8 s at the
+    # 10× substrate: LSH candidates are already near-dups with
+    # near-identical sizes, so the guard prunes ~nothing and its two
+    # extra size joins on the candidate frame are pure cost. On a
+    # corpus whose candidate sizes vary it would slot in right here.
     common = (
         cand.join(
             ex.select(F.col("doc").alias("doc_a"), "s"), "doc_a"
