@@ -113,3 +113,162 @@ def kmeans_fit_assign(
 def kmeans_cost(assigned_with_dist: DataFrame) -> float:
     """Total within-cluster squared distance (micros units)."""
     return assigned_with_dist.agg(F.sum("dist2_micros")).collect()[0][0]
+
+
+def _np_half_away(v):
+    """round-half-away-from-zero on doubles — what both Spark's round()
+    (BigDecimal HALF_UP) and DuckDB's round() do at integer scale;
+    numpy's own round is banker's, wrong at .5."""
+    import numpy as np
+
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+
+def _np_assign(vec_batch, centroids):
+    """(cluster index, per-pair dist2 matrix) for one numpy batch.
+
+    Bitwise-equal to _dist2_expr + array_position argmin: the squared
+    distance accumulates SEQUENTIALLY over dimensions (vectorized over
+    the batch×k plane — identical fp order to the JVM fold), and
+    np.argmin returns the FIRST minimum, matching array_position's
+    first-match tie-break toward the lowest cluster index.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # k×d
+    acc = np.zeros((len(vec_batch), len(C)))
+    for j in range(C.shape[1]):
+        d = vec_batch[:, j][:, None] - C[:, j][None, :]
+        acc += d * d
+    return np.argmin(acc, axis=1), acc
+
+
+def _np_iter_stats(base: DataFrame, centroids: list[list[float]]):
+    """One Lloyd round's sufficient statistics via a single blocked
+    numpy pass: per-(cluster, dim) micros-bigint sums and per-cluster
+    counts — the posexplode + 1.28M-row shuffle per iteration becomes
+    k×d partial rows per Arrow batch. Element micros are
+    round-half-away (same value Spark's F.round produced), and integer
+    sums are order-independent, so the next centroid is bit-identical
+    to the JVM path's (pinned: tests/test_ann_kernels.py).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    k, d = len(centroids), len(centroids[0])
+    schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("dim", LongType()),  # -1 row carries the count
+            StructField("s", LongType()),
+        ]
+    )
+
+    def stats_batches(batches):
+        for pdf in batches:
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            if not len(X):
+                continue
+            cl, _ = _np_assign(X, centroids)
+            micros = _np_half_away(X * 1_000_000.0).astype(np.int64)
+            out_c, out_d, out_s = [], [], []
+            for ci in range(k):
+                m = cl == ci
+                n = int(m.sum())
+                if not n:
+                    continue
+                sums = micros[m].sum(axis=0)
+                out_c.extend([ci] * (d + 1))
+                out_d.extend(list(range(d)) + [-1])
+                out_s.extend(list(sums) + [n])
+            yield pd.DataFrame({"cluster": out_c, "dim": out_d, "s": out_s})
+
+    return base.select("vec").mapInPandas(stats_batches, schema)
+
+
+def _np_final_assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Final (id, cluster, dist2_micros) pass, numpy-blocked; micros
+    via round-half-away of the sequential-fold distance — the same
+    double F.round saw."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cluster", LongType()),
+            StructField("dist2_micros", LongType()),
+        ]
+    )
+
+    def final_batches(batches):
+        for pdf in batches:
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            if not len(X):
+                continue
+            cl, dists = _np_assign(X, centroids)
+            mind = np.min(dists, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cluster": cl,
+                    "dist2_micros": _np_half_away(mind * 1_000_000.0).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    return base.select("id", "vec").mapInPandas(final_batches, schema)
+
+
+def kmeans_fit_assign_np(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """kmeans_fit_assign with both the per-iteration sufficient-stat
+    pass and the final assignment as blocked-numpy kernels — one
+    mapInPandas per Lloyd round emitting k×(d+1) partial rows per
+    Arrow batch instead of a corpus-sized posexplode shuffle, and the
+    same-bit centroid trajectory (integer micros sums; assignment fold
+    order identical), so the SQL oracle of the JVM path verifies this
+    path unchanged. Measured 11.5 s → see BENCH_TREND r7.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    seeds = (
+        base.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    centroids = [list(r.vec) for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(n_iter):
+        stats = (
+            _np_iter_stats(base, centroids)
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            if r.dim == -1:
+                counts[r.cluster] = r.s
+            else:
+                by_cluster.setdefault(r.cluster, {})[r.dim] = r.s
+        for ci in range(len(centroids)):
+            if ci in by_cluster:
+                dims = by_cluster[ci]
+                centroids[ci] = [
+                    (dims[d] / 1_000_000.0) / counts[ci] for d in range(dim)
+                ]
+    return _np_final_assign(base, centroids)

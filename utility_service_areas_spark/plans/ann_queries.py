@@ -313,10 +313,14 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
     tags=("ann",),
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from utility_service_areas_spark.operators.kmeans import kmeans_fit_assign
+    # numpy-blocked Lloyd rounds (r7): bit-identical centroid
+    # trajectory to the JVM path (tests/test_ann_kernels.py), so the
+    # unrolled SQL replay verifies it unchanged; 3.3x at 10x
+    # (BENCH_TREND r7).
+    from utility_service_areas_spark.operators.kmeans import kmeans_fit_assign_np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_fit_assign(emb, "vec_id", "embedding", k=8, n_iter=5)
+    return kmeans_fit_assign_np(emb, "vec_id", "embedding", k=8, n_iter=5)
 
 
 _HIST_STEP = 7919  # deterministic partner stride (prime, coprime to n for most n)
