@@ -47,6 +47,7 @@ EXPECTED_KEYS = {
     "qty_price_covariance_components",
     "event_type_transitions",
     "order_backlog_timeseries",
+    "trade_graph_pagerank",
     # tpch
     "regional_order_volume",
     "max_size_parts_per_brand",

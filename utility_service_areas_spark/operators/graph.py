@@ -113,3 +113,69 @@ def dedup_clusters(
     )
     sizes = resolved.groupBy("keeper_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return resolved.join(sizes, "keeper_id").select(id_col, "keeper_id", "cluster_size")
+
+
+def pagerank_micros(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank with INTEGER-micros ranks — the classic
+    iterative-join Spark workload, made bit-replayable.
+
+    Rank state is a micros-bigint (initial 1_000_000 per node);
+    each round every node sends floor(rank / outdeg) to each neighbor
+    (double division + floor, operand-order mirrored in the SQL
+    oracle), and new_rank = floor((1-d)·1e6) + floor(d · Σ contrib).
+    Integer sums are order-independent, so the trajectory is identical
+    across partitionings AND engines — same discipline as the k-means
+    micros centroids (operators/kmeans.py).
+
+    Scale shape: per round ONE join of the edge list against the
+    (node-sized) rank frame + one partial-aggregated groupBy on dst;
+    the edge list is checkpointed once and reused. Rank state is
+    node-sized, never corpus-sized. Dangling mass is dropped
+    (simplified PR) — mirrored in the oracle.
+
+    Returns (node, rank_micros) for every node appearing in edges.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
+    e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank_micros", F.lit(1_000_000).cast("long"))
+    base = int((1.0 - damping) * 1_000_000)
+    for _ in range(n_iter):
+        contribs = (
+            e.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("rank_micros") * 1.0 / F.col("outdeg"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("sum_c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(F.lit(damping) * F.coalesce("sum_c", F.lit(0)))
+                ).cast("long").alias("rank_micros"),
+            )
+        )
+        ranks = (
+            ranks.checkpoint(eager=True) if reliable else ranks.localCheckpoint(eager=True)
+        )
+    return ranks

@@ -905,3 +905,74 @@ def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open_backlog"
         ),
     )
+
+
+_PR_SUPP_OFFSET = 10_000_000  # supplier node id = offset + suppkey
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled SQL replay of pagerank_micros over the trade graph —
+    same discipline as the k-means oracle: every double expression is
+    operand-order-identical to the Spark side, rank state is integer
+    micros, so 5 rounds replay bit-for-bit."""
+    base = int((1.0 - damping) * 1_000_000)
+    parts = [
+        f"""
+    WITH eb AS (
+      SELECT DISTINCT o_custkey AS c, {_PR_SUPP_OFFSET} + l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM eb
+          UNION ALL SELECT s AS src, c AS dst FROM eb),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst AS node FROM e),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             sum(CAST(floor(rank_micros * 1.0 / outdeg) AS BIGINT)) AS sum_c
+      FROM e JOIN outdeg USING (src) JOIN r{i-1} r ON r.node = e.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + floor({damping} * coalesce(sum_c, 0)) AS BIGINT)
+                 AS rank_micros
+      FROM nodes n LEFT JOIN c{i} USING (node))"""
+        )
+    parts.append(f"\n    SELECT node, rank_micros FROM r{n_iter}")
+    return "".join(parts)
+
+
+@query(
+    "trade_graph_pagerank",
+    oracle=_pagerank_oracle_sql(),
+    doc="Fixed-iteration PageRank over the symmetric customer↔supplier "
+    "trade graph (edges = distinct order lines, suppliers offset into "
+    "their own id space) — the classic iterative-join Spark workload "
+    "as a first-class, value-verified operator: integer-micros rank "
+    "state makes every round's sums order-independent, so 5 rounds "
+    "replay bit-for-bit in the unrolled DuckDB oracle. Per round: one "
+    "edge⋈rank join + one partial-agg groupBy(dst); edge list "
+    "checkpointed once; rank state is node-sized.",
+    tags=("graph", "analytics"),
+)
+def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.graph import pagerank_micros
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_micros(edges, n_iter=5)
