@@ -143,19 +143,26 @@ def pagerank_micros(
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
-    e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = (
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    # Materialize the loop-invariant frames ONCE: the edge list with
+    # its out-degree fused in (saves a per-round join), and the node
+    # frame (otherwise its distinct-shuffle re-runs every round).
+    e = _cut(
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src")
+    )
+    nodes = _cut(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     ranks = nodes.withColumn("rank_micros", F.lit(1_000_000).cast("long"))
     base = int((1.0 - damping) * 1_000_000)
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
-            e.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.floor(F.col("rank_micros") * 1.0 / F.col("outdeg"))
@@ -175,7 +182,9 @@ def pagerank_micros(
                 ).cast("long").alias("rank_micros"),
             )
         )
-        ranks = (
-            ranks.checkpoint(eager=True) if reliable else ranks.localCheckpoint(eager=True)
-        )
+        # Lineage cut every other round: a FIXED small iteration count
+        # doesn't need the per-round materialization CC's unbounded
+        # loop does — each eager checkpoint costs a full job.
+        if i % 2 == 1 or i == n_iter - 1:
+            ranks = _cut(ranks)
     return ranks
