@@ -47,3 +47,27 @@ def test_kmeans_numpy_path_repartition_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_pagerank_micros_properties(spark):
+    """Hand-checkable graph: a 3-node chain a-b-c (symmetric edges).
+    b has two in-edges from degree-1 nodes, a and c each get half of
+    b's rank — b must rank strictly highest, a and c tie by symmetry,
+    and the trajectory is repartition-invariant (integer sums)."""
+    from utility_service_areas_spark.operators.graph import pagerank_micros
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    ranks = {r.node: r.rank_micros for r in pagerank_micros(edges, n_iter=5).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[1] == ranks[3]  # symmetry
+    assert ranks[2] > ranks[1]  # the hub dominates
+    # mass sanity: total stays near n * 1e6 (no dangling loss here)
+    assert abs(sum(ranks.values()) - 3_000_000) < 10
+
+    again = {
+        r.node: r.rank_micros
+        for r in pagerank_micros(edges.repartition(5), n_iter=5).collect()
+    }
+    assert again == ranks
