@@ -142,6 +142,7 @@ EXPECTED_KEYS = {
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
+    "dedup_incremental_ingest",
     "dedup_clusters",
     "dedup_simhash",
     # geo

@@ -174,6 +174,34 @@ def minhash_signatures(
     )
 
 
+
+def minhash_bands(
+    sig: DataFrame, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(doc, band_idx, band_hash) long form from a signature frame —
+    band hash = md5 of the band's concatenated minhashes. Shared by
+    the all-pairs LSH and the incremental (new-vs-corpus) flavor."""
+    n_bands = n_hashes // band_size
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"h{i * band_size + j}") for j in range(band_size)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "b.band_idx", "b.band_hash")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, n_hashes: int = 8, band_size: int = 2, bucket_cap: int = 100
 ) -> DataFrame:
@@ -207,24 +235,7 @@ def lsh_candidate_pairs(
     # estimate — materialize once (cluster-scale: write sigs to
     # parquet between the two stages).
     sig = sig.cache()
-    bands = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.md5(
-                            F.concat(
-                                *[F.col(f"h{i * band_size + j}") for j in range(band_size)]
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc", "b.band_idx", "b.band_hash")
+    bands = minhash_bands(sig, n_hashes=n_hashes, band_size=band_size)
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))

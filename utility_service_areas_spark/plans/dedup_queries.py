@@ -475,3 +475,101 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_verified_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    osz AS (
+      SELECT band_idx, band_hash,
+             count(*) FILTER (doc % 10 <> 7) AS old_n
+      FROM bands GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT nb.doc AS new_doc, ob.doc AS old_doc
+      FROM bands nb
+      JOIN bands ob USING (band_idx, band_hash)
+      JOIN osz USING (band_idx, band_hash)
+      WHERE nb.doc % 10 = 7 AND ob.doc % 10 <> 7 AND osz.old_n <= 100),
+    est AS (
+      SELECT new_doc, old_doc,
+             CAST((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+                + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+                + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+                + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT AS BIGINT) AS m
+      FROM cand JOIN sig sa ON new_doc = sa.doc JOIN sig sb ON old_doc = sb.doc)
+    SELECT d.doc_id AS new_doc_id,
+           count(e.old_doc) AS n_candidates,
+           CAST(coalesce(count(*) FILTER (e.m >= 6), 0) AS BIGINT) AS n_dups,
+           min(e.old_doc) FILTER (e.m >= 6) AS min_dup_old_id,
+           max(e.m) AS max_matching
+    FROM documents d LEFT JOIN est e ON d.doc_id = e.new_doc
+    WHERE d.doc_id % 10 = 7
+    GROUP BY d.doc_id
+    """,
+    doc="Incremental-ingest dedup — the production shape for a corpus "
+    "that grows in batches: the NEW batch (doc_id % 10 = 7, ~10%) is "
+    "banded against the EXISTING corpus only (asymmetric LSH join — "
+    "no old×old pairs ever form), flagging each new doc with its "
+    "near-dup candidates among what's already ingested. Over-cap OLD "
+    "band buckets (stop-word-grade bands, >100 members) are dropped — "
+    "a real dup still flags via its other bands. At 100 TB the old "
+    "side's band frame is the precomputed signature index on disk; "
+    "per batch you shuffle only the batch's bands plus matched "
+    "buckets.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8).cache()
+    bands = minhash_bands(sig, n_hashes=8, band_size=2)
+    is_new = F.col("doc") % 10 == 7
+    old_sz = (
+        bands.filter(~is_new)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("old_n"))
+    )
+    cand = (
+        bands.filter(is_new)
+        .withColumnRenamed("doc", "new_doc")
+        .join(
+            bands.filter(~is_new).withColumnRenamed("doc", "old_doc"),
+            ["band_idx", "band_hash"],
+        )
+        .join(old_sz.filter(F.col("old_n") <= 100), ["band_idx", "band_hash"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    m = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(8)
+    ).cast("long")
+    est = (
+        cand.join(sig.alias("a"), cand.new_doc == F.col("a.doc"))
+        .join(sig.alias("b"), cand.old_doc == F.col("b.doc"))
+        .select("new_doc", "old_doc", m.alias("m"))
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    return (
+        new_docs.join(est, new_docs.doc_id == est.new_doc, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("old_doc").alias("n_candidates"),
+            F.coalesce(
+                F.count(F.when(F.col("m") >= 6, F.lit(1))), F.lit(0)
+            ).cast("long").alias("n_dups"),
+            F.min(F.when(F.col("m") >= 6, F.col("old_doc"))).alias(
+                "min_dup_old_id"
+            ),
+            F.max("m").alias("max_matching"),
+        )
+        .withColumnRenamed("doc_id", "new_doc_id")
+    )

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = (
     "dedup_minhash_verified",
     "embedding_quantize_int8",
     "trade_graph_pagerank",
+    "dedup_incremental_ingest",
     # 2) the full r4-stale backlog — every key whose newest driver row
     #    is r4, three rounds old (43)
     "flagship_service_area_report",
@@ -133,10 +134,8 @@ _DRIVER_PRIORITY = (
     "priority_counts_by_returnflag",
     # 3) keys whose Spark/oracle text changed this round (quality-micros
     #    floor rounding, explicit whitespace classes) — re-attest the
-    #    edited definitions even though their newest rows are r5/r6 (1)
-    #    (the full edited set is larger — every _TOKS oracle got the
-    #    two-arg trim — the rest is covered by the judge's full mirror)
-    "text_quality_score",
+    # (the trim/whitespace-edited keys are covered by the judge's full
+    # mirror — the 50-slot budget goes to first-ever attestations)
 )
 
 _PLAN_MODULES = (
