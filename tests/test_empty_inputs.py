@@ -115,3 +115,47 @@ def test_kmeans_more_clusters_than_rows(spark):
     )
     out = kmeans_fit_assign(emb, "vec_id", "embedding", k=5, n_iter=2).collect()
     assert len(out) == 2  # k > n degrades gracefully to n seeds
+
+
+def test_r7_operators_on_empty(spark):
+    from utility_service_areas_spark.operators.dedup import minhash_verified_pairs
+    from utility_service_areas_spark.operators.graph import pagerank_micros
+    from utility_service_areas_spark.operators.kmeans import kmeans_fit_assign_np
+
+    docs = _empty_docs(spark)
+    assert minhash_verified_pairs(docs, "doc_id", "text").count() == 0
+
+    edges = spark.createDataFrame(
+        [],
+        StructType([StructField("src", LongType()), StructField("dst", LongType())]),
+    )
+    assert pagerank_micros(edges).count() == 0
+
+    # k-means on an EMPTY frame degenerates at seeding (no vectors to
+    # seed from) — the contract is an empty assignment, not a crash.
+    emb = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    assert kmeans_fit_assign_np(emb, "vec_id", "embedding", k=4, n_iter=2).count() == 0
+
+
+def test_numpy_ivf_assign_on_empty(spark):
+    from utility_service_areas_spark.operators.ann import ivf_topk
+
+    emb = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    out = ivf_topk(emb, emb, n_centroids=64, assign_via="numpy")
+    assert out.count() == 0

@@ -250,6 +250,8 @@ def kmeans_fit_assign_np(
         .collect()
     )
     centroids = [list(r.vec) for r in seeds]
+    if not centroids:  # empty corpus → empty assignment, not a crash
+        return _np_final_assign(base, [[0.0]]).limit(0)
     dim = len(centroids[0])
     for _ in range(n_iter):
         stats = (
