@@ -261,3 +261,39 @@ def test_hll_registers_stay_jvm_side(spark, queries):
     plan = plan_of(queries["hll_registers_users"](spark, SMOKE_SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_sqrtn_uses_arrow_kernel_not_crossjoin(spark, queries):
+    """At C ≥ 64 the corpus→cell assignment must be the blocked Arrow
+    kernel — ONE MapInPandas — never an n×C crossJoin row explosion
+    (the interpreted fold measured ~2 h extrapolated at 1M×C=1000)."""
+    plan = plan_of(queries["ann_ivf_sqrtn_topk"](spark, SMOKE_SF))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_verified_semi_filters_before_pair_join(spark, queries):
+    """The exact-verify stage must be candidate-proportional: the
+    shingle stream is LeftSemi-filtered to candidate docs before any
+    pair-shingle join."""
+    plan = plan_of(queries["dedup_minhash_verified"](spark, SMOKE_SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_scales_broadcast_corpus_unshuffled(spark, queries):
+    """Codes/SSE are array lambdas over a 1-row broadcast scales dim:
+    the corpus side must have no hash-partition exchange (the only
+    aggregation shuffles the 64-row dim stats)."""
+    plan = plan_of(queries["embedding_quantize_int8"](spark, SMOKE_SF))
+    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_ingest_is_asymmetric(spark, queries):
+    """New-batch × old-corpus only: the band self-join must carry the
+    new/old filters (no unfiltered corpus self-join) and stay
+    cartesian-free."""
+    plan = plan_of(queries["dedup_incremental_ingest"](spark, SMOKE_SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 2
