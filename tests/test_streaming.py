@@ -243,3 +243,29 @@ def test_stateful_sessionizer_state_survives_micro_batches(spark, tmp_path):
         for r in events_sessionize(spark, SMOKE_SF).collect()
     }
     assert got == want
+
+
+def test_stream_document_dedup_matches_batch_groups(spark):
+    """Streaming exact-dedup twin: draining the documents stream must
+    emit exactly one row per normalized-text hash — the same group
+    count the batch operator reports — and never two rows with the
+    same hash."""
+    from utility_service_areas_spark.operators.dedup import exact_dedup_groups
+    from utility_service_areas_spark.streaming.events import (
+        dedup_documents_stream,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, SMOKE_SF)
+    run_to_memory(dedup_documents_stream(stream), "t_doc_dedup", "append")
+    rows = spark.table("t_doc_dedup").collect()
+    hashes = [r.text_hash for r in rows]
+    assert len(hashes) == len(set(hashes)) > 0
+
+    batch = exact_dedup_groups(
+        load_table(spark, SMOKE_SF, "documents"), "doc_id", "text"
+    )
+    assert len(hashes) == batch.count()
+    # the surviving doc per hash must BE a member of that hash group
+    batch_hashes = {r.text_hash for r in batch.collect()}
+    assert set(hashes) == batch_hashes

@@ -294,3 +294,35 @@ def tdigest_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (the ingest side of a
+    streaming curation pipeline; stand-in for Kafka)."""
+    from utility_service_areas_spark.sources.tables import raw_table_schema
+
+    return (
+        spark.readStream.schema(raw_table_schema(spark, sf_dir, "documents"))
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(os.path.join(sf_dir))
+    )
+
+
+def dedup_documents_stream(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup on the normalized-text hash — the stream
+    twin of `dedup_exact_docs` (plans/dedup_queries.py): the FIRST
+    document with each hash passes through, later copies are dropped
+    by keyed state.
+
+    State posture: dropDuplicates state is per-hash and unbounded by
+    design here (documents carry no event time); a 100 TB ingest
+    attaches an arrival timestamp and switches to
+    dropDuplicatesWithinWatermark — same plan, bounded state — or
+    periodically rewrites the corpus through the batch operator.
+    """
+    from utility_service_areas_spark.functions.textops import normalized_text
+
+    return stream.select(
+        "doc_id",
+        F.md5(normalized_text(F.col("text"))).alias("text_hash"),
+    ).dropDuplicates(["text_hash"])
