@@ -126,6 +126,7 @@ EXPECTED_KEYS = {
     "token_count_histogram",
     "corpus_clean_sample",
     "docs_unigram_surprisal",
+    "docs_bigram_surprisal",
     "heavy_hitter_tokens",
     "lang_id_confusion",
     # ann

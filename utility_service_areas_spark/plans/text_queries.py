@@ -672,3 +672,100 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "docs_bigram_surprisal",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    stream AS (
+      SELECT doc_id, i, ts[i] AS cur,
+             CASE WHEN i >= 2 THEN ts[i - 1] END AS prev
+      FROM toks, unnest(CASE WHEN len(ts) >= 1
+                             THEN generate_series(1, len(ts))
+                             ELSE [] END) AS t(i)),
+    uni AS (SELECT cur AS t, count(*) AS c1 FROM stream GROUP BY cur),
+    bi AS (SELECT prev, cur, count(*) AS c2 FROM stream
+           WHERE prev IS NOT NULL GROUP BY prev, cur),
+    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+    scored AS (
+      SELECT s.doc_id,
+             CASE WHEN s.prev IS NOT NULL AND b.c2 IS NOT NULL
+                  THEN CAST(round((log2(up.c1) - log2(b.c2)) * 1000)
+                            AS BIGINT)
+                  ELSE CAST(round((log2(n) - log2(uc.c1)) * 1000)
+                            AS BIGINT)
+                       + CASE WHEN s.prev IS NOT NULL THEN 1322 ELSE 0 END
+             END AS millibits,
+             CAST(s.prev IS NOT NULL AND b.c2 IS NOT NULL AS INT) AS hit
+      FROM stream s
+      JOIN uni uc ON uc.t = s.cur
+      LEFT JOIN uni up ON up.t = s.prev
+      LEFT JOIN bi b ON b.prev = s.prev AND b.cur = s.cur
+      CROSS JOIN tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+           CAST(sum(millibits) AS BIGINT) AS surprisal_millibits
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram LM surprisal with STUPID BACKOFF (Brants et al. 2007 "
+    "— the web-scale LM smoothing): seen bigram scores "
+    "-log2(c2/c1_prev), unseen backs off to the unigram with a fixed "
+    "-log2(0.4) = 1322-millibit penalty. Every log2 argument stays an "
+    "EXACT INTEGER count (the docs_unigram_surprisal trick), so "
+    "engine log2 ulp differences can't flip the millibit rounding — "
+    "interpolated smoothing (λp2+(1-λ)p1) would log2 an arbitrary "
+    "double and was rejected for exactly that reason. Plan: bigram "
+    "stream built map-side from the token array (no window/lag "
+    "shuffle), two freq tables + left joins, one final agg.",
+    tags=("text",),
+)
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    stream = toks.select(
+        "doc_id",
+        F.posexplode("ts").alias("i0", "cur"),
+        F.col("ts"),
+    ).select(
+        "doc_id",
+        "cur",
+        F.when(F.col("i0") >= 1, F.element_at("ts", F.col("i0"))).alias("prev"),
+    )
+    uni = stream.groupBy(F.col("cur").alias("t")).agg(F.count(F.lit(1)).alias("c1"))
+    bi = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tot = uni.agg(F.sum("c1").cast("double").alias("n"))
+    s = (
+        stream.join(uni.select(F.col("t").alias("cur"), F.col("c1").alias("c1_cur")), "cur")
+        .join(
+            uni.select(F.col("t").alias("prev"), F.col("c1").alias("c1_prev")),
+            "prev",
+            "left",
+        )
+        .join(bi, ["prev", "cur"], "left")
+        .join(F.broadcast(tot))
+    )
+    hit = (F.col("prev").isNotNull() & F.col("c2").isNotNull()).cast("int")
+    millibits = F.when(
+        hit == 1,
+        F.round((F.log2("c1_prev") - F.log2("c2")) * 1000).cast("long"),
+    ).otherwise(
+        F.round((F.log2("n") - F.log2("c1_cur")) * 1000).cast("long")
+        + F.when(F.col("prev").isNotNull(), F.lit(1322)).otherwise(F.lit(0))
+    )
+    return (
+        s.select("doc_id", hit.alias("hit"), millibits.alias("millibits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("hit").cast("long").alias("n_bigram_hits"),
+            F.sum("millibits").alias("surprisal_millibits"),
+        )
+    )
