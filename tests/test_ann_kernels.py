@@ -71,3 +71,25 @@ def test_pagerank_micros_properties(spark):
         for r in pagerank_micros(edges.repartition(5), n_iter=5).collect()
     }
     assert again == ranks
+
+
+def test_quantized_search_recall_vs_exact(spark):
+    """int8 asymmetric-distance search must track exact float search:
+    recall@10 ≥ 0.9 on the real embeddings (64-dim symmetric int8
+    keeps ~7 bits of mantissa per dim — ranking flips are rare)."""
+    from utility_service_areas_spark.operators.ann import brute_force_topk
+    from utility_service_areas_spark.plans.ann_queries import ann_quantized_topk
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_quantized_topk(spark, sf).collect()
+    }
+    recall = len(truth & got) / max(len(truth), 1)
+    assert recall >= 0.9, f"recall@10 {recall}"

@@ -134,6 +134,7 @@ EXPECTED_KEYS = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_sqrtn_topk",
+    "ann_quantized_topk",
     "dedup_embedding_cosine",
     "embedding_centroid_by_label",
     "embedding_kmeans_assign",

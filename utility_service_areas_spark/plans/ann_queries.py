@@ -501,3 +501,110 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.alias("codes"),
         F.floor(sse * 1_000_000 + 0.5).cast("long").alias("sse_micros"),
     )
+
+
+_DEC = (
+    "CASE WHEN scales[i] = 0 THEN CAST(0.0 AS DOUBLE) "
+    "ELSE floor(embedding[i]::DOUBLE / scales[i] * 127 + 0.5) "
+    "* scales[i] / 127 END"
+)
+
+
+@query(
+    "ann_quantized_topk",
+    # Asymmetric-distance search (the FAISS "ADC" shape): FLOAT queries
+    # scored against the int8-DECODED corpus — what a 100 TB vector
+    # store actually serves from (4× smaller scan; codes decoded on
+    # the fly). Decode + fold are operand-order mirrored, so the whole
+    # approximate search is value-verified, not just recall-bounded.
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, max(abs(embedding[i]::DOUBLE)) AS s
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY i),
+    sc AS (SELECT list(s ORDER BY i) AS scales FROM dims),
+    dec AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> {_DEC}) AS dvec
+      FROM embeddings, sc),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(round(
+               list_sum(list_transform(generate_series(1, len(qvec)),
+                        i -> qvec[i]::DOUBLE * dvec[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+                        i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(dvec)),
+                        i -> dvec[i] * dvec[i]))))
+               * 1000000) AS BIGINT) AS sim_micros
+      FROM dec CROSS JOIN q
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT query_id, neighbor_id, sim_micros,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim_micros DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="Quantized ANN end-to-end (asymmetric distance / ADC): float "
+    "queries broadcast against the int8-decoded corpus — the serving "
+    "path over #144's storage format. Decode is a codegen array "
+    "lambda; the corpus never shuffles (same brute-force TopK shape "
+    "as ann_cosine_topk); recall vs exact search is pytest-pinned.",
+    tags=("ann", "pipeline"),
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import dot_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "x")).groupBy(
+        "pos"
+    ).agg(F.max(F.abs(F.col("x").cast("double"))).alias("s"))
+    scales = dims.agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, s))), e -> e.s)")
+        .alias("scales")
+    )
+    x = lambda c: c.cast("double")
+    dec = F.zip_with(
+        "embedding",
+        "scales",
+        lambda v, s: F.when(s == 0, F.lit(0.0)).otherwise(
+            F.floor(x(v) / s * 127 + 0.5) * s / 127
+        ),
+    )
+    corpus = (
+        emb.crossJoin(F.broadcast(scales))
+        .select(F.col("vec_id").alias("neighbor_id"), dec.alias("dvec"))
+        .withColumn(
+            "d_n", F.sqrt(dot_expr(F.col("dvec"), F.col("dvec")))
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    ).withColumn("q_n", F.sqrt(dot_expr(F.col("qvec"), F.col("qvec"))))
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("dvec"))
+                / (F.col("q_n") * F.col("d_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micros").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim_micros")
+    )
