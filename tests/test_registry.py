@@ -135,6 +135,7 @@ EXPECTED_KEYS = {
     "ann_ivf_topk",
     "ann_ivf_sqrtn_topk",
     "ann_quantized_topk",
+    "ann_ivf_quantized_topk",
     "dedup_embedding_cosine",
     "embedding_centroid_by_label",
     "embedding_kmeans_assign",

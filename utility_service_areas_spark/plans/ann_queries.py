@@ -608,3 +608,112 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "sim_micros")
     )
+
+
+@query(
+    "ann_ivf_quantized_topk",
+    # The full serving stack: int8-quantized corpus (#144's format),
+    # IVF coarse quantizer over the DECODED vectors (#142's probe
+    # path, C=64 → blocked-numpy assignment kernel), asymmetric
+    # rerank with float queries (#148's ADC). Every stage mirrors
+    # operand-for-operand, so the composed approximate index is
+    # value-verified end-to-end — not just recall-bounded.
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, max(abs(embedding[i]::DOUBLE)) AS s
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY i),
+    sc AS (SELECT list(s ORDER BY i) AS scales FROM dims),
+    dec AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> {_DEC}) AS dvec
+      FROM embeddings, sc),
+    cents0 AS (
+      SELECT vec_id AS cent_id, dvec AS cent_vec
+      FROM dec WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 64),
+    cents AS (
+      SELECT cent_id, cent_vec,
+             sqrt(list_sum(list_transform(generate_series(1, len(cent_vec)),
+                  i -> cent_vec[i] * cent_vec[i]))) AS cent_n
+      FROM cents0
+      WHERE list_sum(list_transform(generate_series(1, len(cent_vec)),
+                  i -> cent_vec[i] * cent_vec[i])) > 0),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, dvec AS c_vec, cent_id AS cell
+      FROM dec, cents
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY (list_sum(list_transform(
+                            generate_series(1, len(dvec)),
+                            i -> dvec[i] * cent_vec[i]))) / cent_n DESC,
+                         cent_id ASC) = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    q_assign AS (
+      SELECT query_id, qvec, cent_id AS cell
+      FROM q, cents
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY (list_sum(list_transform(
+                            generate_series(1, len(qvec)),
+                            i -> qvec[i]::DOUBLE * cent_vec[i]))) / cent_n
+                         DESC, cent_id ASC) <= 8),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(round(
+               list_sum(list_transform(generate_series(1, len(qvec)),
+                        i -> qvec[i]::DOUBLE * c_vec[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+                        i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(c_vec)),
+                        i -> c_vec[i] * c_vec[i]))))
+               * 1000000) AS BIGINT) AS sim_micros
+      FROM c_assign JOIN q_assign USING (cell)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT query_id, neighbor_id, sim_micros,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim_micros DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="The composed FAISS-style index, value-verified end-to-end: "
+    "int8 storage (#144) → IVF coarse quantizer over decoded vectors "
+    "with the blocked-numpy assignment kernel (#142, C=64, 8 probes) "
+    "→ asymmetric float-query rerank (#148). At 100 TB this is the "
+    "serving architecture: 4× smaller scans, C/n_probe-fold scan "
+    "reduction, decode only on probed cells.",
+    tags=("ann", "pipeline"),
+)
+def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "x")).groupBy(
+        "pos"
+    ).agg(F.max(F.abs(F.col("x").cast("double"))).alias("s"))
+    scales = dims.agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, s))), e -> e.s)")
+        .alias("scales")
+    )
+    x = lambda c: c.cast("double")
+    dec = F.zip_with(
+        "embedding",
+        "scales",
+        lambda v, s: F.when(s == 0, F.lit(0.0)).otherwise(
+            F.floor(x(v) / s * 127 + 0.5) * s / 127
+        ),
+    )
+    corpus = emb.crossJoin(F.broadcast(scales)).select(
+        "vec_id", dec.alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ivf_topk(
+        corpus,
+        queries_df,
+        k=TOP_K,
+        n_centroids=64,
+        n_probe=8,
+        centroid_stride=7,
+    )

@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     "dedup_incremental_ingest",
     "docs_bigram_surprisal",
     "ann_quantized_topk",
+    "ann_ivf_quantized_topk",
     # 2) the full r4-stale backlog — every key whose newest driver row
     #    is r4, three rounds old (43)
     "flagship_service_area_report",
@@ -131,9 +132,9 @@ _DRIVER_PRIORITY = (
     "top_revenue_supplier",
     "excess_quantity_suppliers",
     "supplier_order_exclusivity",
-    "min_cost_supplier_per_part",
-    # "unshipped_order_revenue" + "priority_counts_by_returnflag"
-    # deferred to r8 — 50-slot budget goes to first-ever attestations
+    # "min_cost_supplier_per_part" + "unshipped_order_revenue" +
+    # "priority_counts_by_returnflag" deferred to r8 — the 50-slot
+    # budget goes to first-ever attestations
 
     # 3) keys whose Spark/oracle text changed this round (quality-micros
     #    floor rounding, explicit whitespace classes) — re-attest the
