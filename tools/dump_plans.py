@@ -88,6 +88,20 @@ HEADLINE = {
         "edge list (with fused out-degree) and node frame materialized "
         "once — no per-round distinct recompute"
     ),
+    "dedup_incremental_ingest": (
+        "asymmetric band join: new-batch bands vs old-corpus bands "
+        "only; over-cap OLD buckets filtered before the join"
+    ),
+    "docs_bigram_surprisal": (
+        "bigram stream built map-side from the token array (posexplode "
+        "+ element_at, NO lag-window shuffle); freq joins + one agg"
+    ),
+    "ann_ivf_quantized_topk": (
+        "decode is a codegen array lambda over a 1-row broadcast "
+        "scales dim; cell assignment ONE MapInPandas; probe join on "
+        "the cell id — the composed index never shuffles the corpus "
+        "by anything else"
+    ),
 }
 
 
