@@ -404,6 +404,67 @@ def run_ivf_1m(spark, base: str, out: str) -> dict:
     return res
 
 
+def run_incremental_index(spark, out: str) -> dict:
+    """The persisted-band-index claim (SURVEY §7 r8 candidate, pulled
+    in): at 100 TB you don't re-band the corpus per batch — the old
+    side's (doc, band_idx, band_hash) index is WRITTEN ONCE and each
+    batch replays against the parquet index. Measures (a) one-time
+    index build over the expanded corpus, (b) per-batch ingest cost
+    against the persisted index, for corpus = the --out substrate.
+    The design claim: (b) is ~flat in corpus size (it pays for batch
+    bands + matched buckets, not the corpus)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    n_docs = docs.count()
+    is_new = F.col("doc") % 10 == 7
+
+    idx_path = os.path.join(out, "band_index.parquet")
+    sig_path = os.path.join(out, "sig_index.parquet")
+    for p in (idx_path, sig_path):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    t0 = time.time()
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    sig.filter(~(F.col("doc") % 10 == 7)).write.parquet(sig_path)
+    old_sig = spark.read.parquet(sig_path)
+    minhash_bands(old_sig).write.parquet(idx_path)
+    build_s = round(time.time() - t0, 2)
+
+    # per-batch replay: band ONLY the new batch, join the parquet index
+    t0 = time.time()
+    new_sig = minhash_signatures(
+        docs.filter(F.col("doc_id") % 10 == 7), "doc_id", "text", k=3, n_hashes=8
+    )
+    new_bands = minhash_bands(new_sig).withColumnRenamed("doc", "new_doc")
+    old_bands = spark.read.parquet(idx_path).withColumnRenamed("doc", "old_doc")
+    old_sz = old_bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("old_n")
+    )
+    cand = (
+        new_bands.join(old_bands, ["band_idx", "band_hash"])
+        .join(old_sz.filter(F.col("old_n") <= 100), ["band_idx", "band_hash"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    n_cand = cand.count()
+    batch_s = round(time.time() - t0, 2)
+    return {
+        "n_docs": n_docs,
+        "index_build_s": build_s,
+        "batch_ingest_s": batch_s,
+        "n_candidates": n_cand,
+    }
+
+
 def run_streaming(spark, out: str, n_slices: int = 8) -> dict:
     """Structured-Streaming throughput at the expanded substrate.
 
@@ -504,6 +565,11 @@ def main() -> None:
         action="store_true",
         help="C=sqrt(n) assignment-kernel measurement at a 1M-vector substrate",
     )
+    ap.add_argument(
+        "--incremental-index",
+        action="store_true",
+        help="persisted-band-index ingest cost on the existing --out substrate",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -546,6 +612,15 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         out = run_ivf_1m(spark, args.base, args.out)
         print(json.dumps({"metric": "ivf_1m_assignment", "unit": "sec", **out}))
+        return
+
+    if args.incremental_index:
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-spark-stress-inc")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = run_incremental_index(spark, args.out)
+        print(json.dumps({"metric": "incremental_index", "unit": "sec", **out}))
         return
 
     if args.streaming:
