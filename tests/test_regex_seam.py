@@ -151,3 +151,38 @@ def test_json_k_extract_seam(spark, rows):
         "regexp_extract(text, '\"k\":[ \t\n\x0b\f\r]*(\\d+)', 1)",
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("0123456789.-@ ax_") + ["\t", "\x0b", "　"]
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_pii_redaction_seam(spark, rows):
+    """The PII patterns (\\b, \\d, explicit classes) must redact
+    identically under Java regex and RE2 — \\b/\\d are ASCII-identical
+    in both engines, but this pins it against regressions."""
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        _RE_IP,
+        _RE_PHONE,
+    )
+
+    expr = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _RE_IP, "<IP>"), _RE_PHONE, "<PHONE>"
+    )
+    got = _spark_col(spark, rows, expr)
+    want = _duck(
+        rows,
+        f"regexp_replace(regexp_replace(text, '{_RE_IP}', '<IP>', 'g'),"
+        f" '{_RE_PHONE}', '<PHONE>', 'g')",
+    )
+    assert got == want
