@@ -43,6 +43,7 @@ EXTENDED_NOOP = [
     "dedup_exact_substring",
     "docs_repetition_signals",
     "dedup_keep_best",
+    "dedup_minhash_verified",
 ]
 
 
