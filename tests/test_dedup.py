@@ -118,6 +118,50 @@ def test_ivf_numpy_assign_matches_jvm(spark):
         )
 
 
+def test_ivf_malformed_vectors_dropped_on_both_paths(spark):
+    """ADVICE r7: null / dimension-mismatched vectors must be dropped
+    identically by the JVM max_by fold and the blocked-numpy kernel —
+    the assign_via knob (and the C≥64 auto threshold) can never change
+    the returned row SET, only the kernel that computes it."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType
+
+    from utility_service_areas_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    base = emb.select("vec_id", "embedding").limit(200)
+    junk = spark.createDataFrame(
+        [
+            (100_001, None),  # null vector
+            (100_002, [float(i) for i in range(dim + 3)]),  # too long
+            (100_003, [1.0, 2.0]),  # too short
+        ],
+        schema=base.select(
+            F.col("vec_id").cast(LongType()),
+            F.col("embedding").cast(ArrayType(FloatType())),
+        ).schema,
+    )
+    corpus = base.unionByName(junk)
+    queries = corpus.filter(
+        (F.col("vec_id") < 5) | (F.col("vec_id") > 100_000)
+    )
+    out = {}
+    for via in ("jvm", "numpy"):
+        out[via] = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    corpus, queries, k=5, n_centroids=16, n_probe=4,
+                    assign_via=via,
+                ).collect(),
+            )
+        )
+        # malformed ids appear neither as queries nor as neighbors
+        ids = {r[0] for r in out[via]} | {r[1] for r in out[via]}
+        assert not (ids & {100_001, 100_002, 100_003}), via
+    assert out["jvm"] == out["numpy"]
+
+
 def test_ivf_recall_at_sqrt_n_centroids(spark):
     """Real-ANN regime pin (VERDICT r6 task 3): C = √n centroids with
     the numpy assignment kernel must keep recall@10 ≥ 0.9 vs brute

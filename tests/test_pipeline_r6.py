@@ -243,3 +243,41 @@ def test_explicit_hll_accuracy_vs_exact(spark):
     for k, n in exact.items():
         assert got[k].n_registers_used <= 1024
         assert abs(got[k].hll_estimate - n) / n <= 0.10, (k, got[k], n)
+
+
+def test_exact_substring_prune_path_is_exact(spark):
+    """The counting-bloom singleton prune (r8) must be bit-identical
+    to the unpruned path — dropped spans are provably globally unique,
+    so no repeated-span count can change."""
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        dedup_exact_substring,
+    )
+
+    base = dedup_exact_substring(spark, SMOKE_SF).collect()
+    pruned = dedup_exact_substring(
+        spark, SMOKE_SF, prune_singletons=True
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, pruned))
+
+
+def test_repeated_key_prefilter_keeps_all_repeats(spark):
+    """Prefilter contract: every row of a key that occurs >= 2 times
+    survives; survivors may include some singletons (FPs), never fewer
+    rows per repeated key."""
+    from collections import Counter
+
+    from utility_service_areas_spark.operators.bloom import (
+        repeated_key_prefilter,
+    )
+
+    rows = [(i, f"k{i % 300}") for i in range(600)] + [
+        (1000 + i, f"solo{i}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "key"])
+    out = repeated_key_prefilter(df, "key", m=1 << 14, k=2).collect()
+    got = Counter(r.key for r in out)
+    for j in range(300):
+        assert got[f"k{j}"] == 2, f"lost occurrences of repeated key k{j}"
+    # the prune actually prunes: most of the 500 singletons are gone
+    n_solo = sum(1 for kk in got if kk.startswith("solo"))
+    assert n_solo < 250

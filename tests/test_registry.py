@@ -207,3 +207,40 @@ def test_load_all_raises_on_broken_module(monkeypatch):
     registry._LOADED = False
     registry._load_all()
     assert registry._LOADED
+
+
+def test_oracle_output_surface_is_driver_safe(spark):
+    """r7 post-mortem lint: the driver canonicalizes results through
+    pandas, where DuckDB HUGEINT/DECIMAL degrade to float64 (hashing
+    `N.0` against Spark's int64 `N`) and raw list columns crash its
+    sort_values. Both failure classes are invisible to fetchall()-based
+    local mirrors, so we pin the declared output surface mechanically:
+    every oracle's LIMIT-0 schema and every Spark plan's top-level
+    schema must be atomic (no HUGEINT/DECIMAL/list/struct/map).
+    """
+    import duckdb
+
+    import __spark_entry__ as e
+    from tests.conftest import SMOKE_SF
+    from tools.check_oracle import (
+        TABLES,
+        lint_oracle_surface,
+        lint_spark_surface,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SMOKE_SF}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    bad = {}
+    qs = e.queries()
+    for name, sql in e.oracle_sql().items():
+        hits = lint_oracle_surface(con, sql)
+        if hits:
+            bad[f"oracle:{name}"] = hits
+    for name, fn in qs.items():
+        hits = lint_spark_surface(fn(spark, SMOKE_SF))
+        if hits:
+            bad[f"spark:{name}"] = hits
+    assert not bad, f"driver-hostile output columns: {bad}"

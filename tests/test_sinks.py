@@ -215,6 +215,34 @@ def test_compact_dataset_recovers_from_stale_crash_dirs(spark, tmp_path):
     assert not os.path.exists(path + ".__compact_old__")
 
 
+def test_compact_dataset_recovers_mid_swap_crash(spark, tmp_path):
+    """ADVICE r7 (high): a kill BETWEEN os.rename(path, old) and
+    os.rename(tmp, path) leaves path missing and __compact_old__
+    holding the only committed copy. A retry must roll the swap back
+    (old → path) before pre-cleaning — deleting both dirs there would
+    permanently lose the dataset."""
+    from utility_service_areas_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "ds")
+    # Simulate the crash window: committed data sits at old, tmp holds
+    # the in-flight compacted rewrite, and path does not exist.
+    spark.range(0, 1_000).withColumn("v", F.col("id")).repartition(4).write.parquet(
+        path + ".__compact_old__"
+    )
+    spark.range(0, 1_000).withColumn("v", F.col("id")).write.parquet(
+        path + ".__compact_tmp__"
+    )
+    assert not os.path.exists(path)
+
+    n_files = compact_dataset(spark, path, target_rows_per_file=1_000)
+    assert n_files == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 1_000  # the committed copy survived the retry
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(range(1_000))
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert not os.path.exists(path + ".__compact_old__")
+
+
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     """ORC interchange: values round-trip and a predicate reaches the
     ORC scan as PushedFilters (stripe-stat pruning at scale)."""

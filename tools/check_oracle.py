@@ -47,6 +47,36 @@ def _canon_frame(cols, rows):
     return h, lines
 
 
+# Output-surface lint (r7 post-mortem): the driver canonicalizes through
+# pandas, where DuckDB HUGEINT/DECIMAL become float64 (hash-mismatching
+# Spark's int64) and raw list columns crash its sort. Neither failure is
+# visible to this mirror's fetchall() path, so we lint the declared
+# output surface mechanically instead: every oracle's LIMIT-0 schema must
+# be free of HUGEINT/UHUGEINT/DECIMAL/list/struct/map columns, and every
+# Spark result must have only atomic top-level columns.
+_BAD_DUCK = ("HUGEINT", "UHUGEINT", "DECIMAL", "STRUCT", "MAP", "[]", "UNION")
+_BAD_SPARK_PREFIX = ("array<", "struct<", "map<")
+
+
+def lint_oracle_surface(con, sql: str) -> list[str]:
+    """Return ['col: TYPE', ...] for driver-hostile oracle output columns."""
+    rows = con.execute(f"DESCRIBE SELECT * FROM ({sql}) __lint__").fetchall()
+    return [
+        f"{name}: {typ}"
+        for name, typ, *_ in rows
+        if any(b in typ.upper() for b in _BAD_DUCK)
+    ]
+
+
+def lint_spark_surface(sdf) -> list[str]:
+    """Return ['col: type', ...] for non-atomic top-level Spark columns."""
+    return [
+        f"{name}: {typ}"
+        for name, typ in sdf.dtypes
+        if typ.startswith(_BAD_SPARK_PREFIX)
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -74,6 +104,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
+            bad = lint_spark_surface(sdf)
+            if bad:
+                print(f"FAIL {name}: non-atomic spark output {bad}")
+                n_fail += 1
+                continue
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception:
@@ -86,6 +121,11 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            bad = lint_oracle_surface(con, oracles[name])
+            if bad:
+                print(f"FAIL {name}: driver-hostile oracle output {bad}")
+                n_fail += 1
+                continue
             cur = con.execute(oracles[name])
             d_cols = [d[0] for d in cur.description]
             d_rows = cur.fetchall()

@@ -284,6 +284,10 @@ def ivf_topk(
     a partial-aggregatable max_by, not a per-vector window sort (the
     window shuffled+sorted n·C rows; max_by combines map-side).
 
+    Rows whose vector is null or dimension-mismatched vs the centroids
+    are dropped from assignment on EVERY kernel (see ``well_formed``
+    below) — the kernel choice never changes the returned row set.
+
     ``assign_via``: 'jvm' keeps the whole-stage-codegen max_by fold,
     'numpy' routes the O(n·C) corpus assignment through the blocked
     Arrow kernel (_numpy_assign_top1 — bitwise-equal scores, pinned by
@@ -311,10 +315,25 @@ def ivf_topk(
     )
     cent_score = dot_expr(F.col(vec_col), F.col("cent_vec")) / F.col("cent_n")
 
+    # Malformed-vector contract (ADVICE r7): rows whose vector is null
+    # or dimension-mismatched vs the centroids are DROPPED from
+    # assignment, identically on every kernel. The numpy kernel skips
+    # them by construction; the JVM paths filter here so assign_via /
+    # the auto threshold can never change the returned row set
+    # (pinned by tests/test_dedup.py::test_ivf_malformed_vectors_
+    # dropped_on_both_paths).
+    well_formed = F.col(vec_col).isNotNull() & (
+        F.size(F.col(vec_col)) == F.size(F.col("cent_vec"))
+    )
+
     def assign_top1(df: DataFrame, out_id: str) -> DataFrame:
         if use_numpy:
             return _numpy_assign_top1(df, out_id, vec_col, cents.collect())
-        scored = df.crossJoin(F.broadcast(cents)).withColumn("cent_score", cent_score)
+        scored = (
+            df.crossJoin(F.broadcast(cents))
+            .filter(well_formed)
+            .withColumn("cent_score", cent_score)
+        )
         # argmax by (score desc, cent_id asc) == max_by over the
         # lexicographic struct (score, -cent_id)
         return scored.groupBy(out_id).agg(
@@ -327,7 +346,11 @@ def ivf_topk(
     def assign(df: DataFrame, out_id: str, top: int) -> DataFrame:
         if top == 1:
             return assign_top1(df, out_id)
-        scored = df.crossJoin(F.broadcast(cents)).withColumn("cent_score", cent_score)
+        scored = (
+            df.crossJoin(F.broadcast(cents))
+            .filter(well_formed)
+            .withColumn("cent_score", cent_score)
+        )
         w = Window.partitionBy(out_id).orderBy(
             F.col("cent_score").desc(), F.col("cent_id").asc()
         )

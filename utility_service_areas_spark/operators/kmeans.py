@@ -116,9 +116,14 @@ def kmeans_cost(assigned_with_dist: DataFrame) -> float:
 
 
 def _np_half_away(v):
-    """round-half-away-from-zero on doubles — what both Spark's round()
-    (BigDecimal HALF_UP) and DuckDB's round() do at integer scale;
-    numpy's own round is banker's, wrong at .5."""
+    """round-half-away-from-zero on doubles. Spark's round() (BigDecimal
+    HALF_UP on the shortest-decimal rendering) and DuckDB's round()
+    agree with this at integer scale for every value the micros
+    pipeline produces — PINNED EMPIRICALLY by the kernel-equality
+    pytest and the 3-SF oracle runs, not bit-identical by construction:
+    at exact .5 boundaries BigDecimal-on-rendered-decimal can disagree
+    with binary-double floor(+0.5) (see operators/text.py). numpy's own
+    round is banker's, wrong at .5 either way."""
     import numpy as np
 
     return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
@@ -148,9 +153,10 @@ def _np_iter_stats(base: DataFrame, centroids: list[list[float]]):
     numpy pass: per-(cluster, dim) micros-bigint sums and per-cluster
     counts — the posexplode + 1.28M-row shuffle per iteration becomes
     k×d partial rows per Arrow batch. Element micros are
-    round-half-away (same value Spark's F.round produced), and integer
-    sums are order-independent, so the next centroid is bit-identical
-    to the JVM path's (pinned: tests/test_ann_kernels.py).
+    round-half-away (the same value Spark's F.round produces on this
+    substrate — see _np_half_away on the .5-boundary caveat), and
+    integer sums are order-independent, so the next centroid matches
+    the JVM path's (pinned empirically: tests/test_ann_kernels.py).
     """
     import numpy as np
     import pandas as pd

@@ -447,10 +447,12 @@ def ann_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY i),
     sc AS (SELECT list(s ORDER BY i) AS scales FROM dims)
     SELECT vec_id,
-           list_transform(generate_series(1, len(embedding)),
-             i -> CASE WHEN scales[i] = 0 THEN 0
-                       ELSE CAST(floor(embedding[i]::DOUBLE / scales[i] * 127
-                                       + 0.5) AS INT) END) AS codes,
+           array_to_string(list_transform(
+             list_transform(generate_series(1, len(embedding)),
+               i -> CASE WHEN scales[i] = 0 THEN 0
+                         ELSE CAST(floor(embedding[i]::DOUBLE / scales[i] * 127
+                                         + 0.5) AS INT) END),
+             c -> CAST(c AS VARCHAR)), ',') AS codes,
            CAST(floor(list_sum(list_transform(
                  list_transform(generate_series(1, len(embedding)),
                    i -> CASE WHEN scales[i] = 0 THEN embedding[i]::DOUBLE
@@ -496,9 +498,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sse = F.aggregate(
         F.transform(d, lambda e: e * e), F.lit(0.0), lambda acc, e: acc + e
     )
+    # codes are emitted comma-joined (the repo's array-output convention,
+    # see group_combine_collect): the driver's pandas canonicalizer cannot
+    # sort raw list columns, and a string column hashes identically on
+    # both sides.
     return q.select(
         "vec_id",
-        codes.alias("codes"),
+        F.array_join(
+            F.transform(codes, lambda c: c.cast("string")), ","
+        ).alias("codes"),
         F.floor(sse * 1_000_000 + 0.5).cast("long").alias("sse_micros"),
     )
 

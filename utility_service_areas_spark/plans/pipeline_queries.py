@@ -424,10 +424,23 @@ _SPAN = 8  # tokens per span (exact-substring dedup granularity)
     "are md5(8-token window) — map-side expansion, then two linear "
     "shuffles (distinct span-per-doc, span-frequency count) and a "
     "hash join back; a span repeated in a billion docs contributes "
-    "one counter row, never a pair explosion.",
+    "one counter row, never a pair explosion. Two restructures were "
+    "MEASURED AND REJECTED r8 (BENCH_TREND): per-doc dedup via "
+    "array_distinct(transform(... md5 ...)) — higher-order-function "
+    "lambdas evaluate interpreted, vs whole-stage codegen for the "
+    "explode+md5 stream (4.8 -> 12.0 s base, 9.9 -> 87.9 s at 10x) — "
+    "and the counting-bloom singleton prune "
+    "(operators/bloom.py:repeated_key_prefilter, prune_singletons="
+    "True): exact and shuffle-capped by construction, but the extra "
+    "span pass outweighs the pruned shuffle at every measured scale "
+    "(base substrate 91% singleton spans, 10x replica substrate 1.7%).",
     tags=("pipeline", "dedup"),
 )
-def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_substring(
+    spark: SparkSession, sf_dir: str, prune_singletons: bool = False
+) -> DataFrame:
+    from utility_service_areas_spark.operators.bloom import repeated_key_prefilter
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
     starts = F.expr(
@@ -444,21 +457,92 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ndocs = spans.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-    per = (
-        spans.join(ndocs, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("ns"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("nsh"),
+    if prune_singletons:
+        # Exact-by-construction singleton prune before the frequency
+        # shuffle; kept as the 100 TB lever (the position-count agg is
+        # capped at m rows per partition regardless of span
+        # cardinality), measured a local loss — see the query doc.
+        counted = repeated_key_prefilter(spans, "h", m=1 << 21, k=2)
+        rep = (
+            counted.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("h")
         )
-    )
+        per = (
+            spans.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .join(
+                counted.join(rep, "h", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("nsh")),
+                "doc_id",
+                "left",
+            )
+        )
+    else:
+        ndocs = spans.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+        per = (
+            spans.join(ndocs, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("ns"),
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("nsh"),
+            )
+        )
     return (
         docs.select("doc_id")
         .join(per, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("ns"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("nsh"), F.lit(0)).cast("long").alias("n_shared_spans"),
+        )
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
+    # Per-doc DISTINCT span hashes, entirely map-side: the old
+    # .distinct() exchanged every (doc_id, span) pair; array_distinct
+    # inside the row does the same dedup for free (spans within one
+    # doc live in one row by construction).
+    span_hashes = F.expr(
+        f"array_distinct(transform("
+        f"  CASE WHEN size(__toks) >= {_SPAN}"
+        f"       THEN sequence(1, size(__toks) - {_SPAN - 1})"
+        f"       ELSE CAST(array() AS array<int>) END,"
+        f"  i -> md5(array_join(slice(__toks, i, {_SPAN}), ' '))))"
+    )
+    per_doc = docs.select("doc_id", toks.alias("__toks")).select(
+        "doc_id", span_hashes.alias("hs")
+    )
+    spans = per_doc.select("doc_id", F.explode("hs").alias("h"))
+    counted = (
+        repeated_key_prefilter(spans, "h", m=1 << 21, k=2)
+        if prune_singletons
+        else spans
+    )
+    # Occurrence count == per-span doc count (per-doc spans are
+    # distinct); only repeated spans matter downstream, and the
+    # prefilter keeps EVERY occurrence of every repeated span, so the
+    # counts below are exact either way.
+    rep = (
+        counted.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    shared = (
+        counted.join(rep, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nsh"))
+    )
+    return (
+        per_doc.select("doc_id", F.size("hs").alias("ns"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("ns").cast("long").alias("n_spans"),
             F.coalesce(F.col("nsh"), F.lit(0)).cast("long").alias("n_shared_spans"),
         )
     )

@@ -75,71 +75,65 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-7 rotation (VERDICT r6 tasks 1c + 2, ADVICE r6 trim): exactly
-    # 50 names = the driver's per-round attestation budget.
-    # 1) the one red r6 driver row, re-attested first after the
-    #    floor(+0.5) micros + explicit-whitespace-class fixes (1)
+    # Round-8 rotation (VERDICT r7 tasks 1, 2, 4): exactly 50 names =
+    # the driver's per-round attestation budget.
+    # 1) the two r7 red rows, re-attested first after the
+    #    canonicalization-surface fixes (HUGEINT sums cast to BIGINT;
+    #    codes array comma-joined) (2)
     "source_curation_profile",
-    # 1b) new keys this round — first-ever attestation
-    "dedup_keep_best_quality",
-    "ann_ivf_sqrtn_topk",
-    "dedup_minhash_verified",
     "embedding_quantize_int8",
-    "trade_graph_pagerank",
-    "dedup_incremental_ingest",
-    "docs_bigram_surprisal",
-    "ann_quantized_topk",
-    "ann_ivf_quantized_topk",
-    # 2) the full r4-stale backlog — every key whose newest driver row
-    #    is r4, three rounds old (43)
-    "flagship_service_area_report",
-    "filter_tag_entities",
-    "latest_update_per_entity",
-    "earliest_year_per_entity",
-    "dedup_first_per_key",
-    "regex_extract_fields",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_dedup_bytes",
-    "merge_upsert_customers",
-    "pivot_status_by_year",
-    "unpivot_part_metrics",
-    "salted_hot_key_join",
-    "weighted_sample_orders",
-    "fuzzy_match_part_names",
-    "scd2_customer_history",
-    "bloom_new_customer_orders",
-    "embedding_centroid_by_label",
-    "docs_training_filter",
-    "token_count_histogram",
-    "corpus_clean_sample",
-    "docs_unigram_surprisal",
-    "docs_chunk_split",
-    "docs_pack_sequences",
-    "text_redact_pii",
-    "docs_benchmark_overlap",
-    "docs_block_dedup",
-    "reservoir_sample_docs",
-    "large_volume_orders",
-    "promo_revenue_share_by_month",
-    "nation_market_share_inputs",
-    "disjunctive_bracket_revenue",
-    "order_fulfillment_latency",
-    "simple_revenue_delta",
-    "returned_item_report",
-    "profit_by_nation_year",
-    "part_revenue_concentration",
-    "top_revenue_supplier",
-    "excess_quantity_suppliers",
-    "supplier_order_exclusivity",
-    # "min_cost_supplier_per_part" + "unshipped_order_revenue" +
-    # "priority_counts_by_returnflag" deferred to r8 — the 50-slot
-    # budget goes to first-ever attestations
-
-    # 3) keys whose Spark/oracle text changed this round (quality-micros
-    #    floor rounding, explicit whitespace classes) — re-attest the
-    # (the trim/whitespace-edited keys are covered by the judge's full
-    # mirror — the 50-slot budget goes to first-ever attestations)
+    # 2) the 3 keys whose newest driver row is r4 (deferred from r7)
+    "min_cost_supplier_per_part",
+    "unshipped_order_revenue",
+    "priority_counts_by_returnflag",
+    # 3) 45 of the 47 keys whose newest driver row is r5
+    #    (geo_simplify + geo_morton_order deferred to r9 to hold the
+    #    50-slot budget)
+    "two_digit_year_fix",
+    "enrich_join_dims",
+    "anti_join_missing",
+    "patch_override_join",
+    "sync_status_case",
+    "group_combine_collect",
+    "concat_order_text",
+    "agg_stats_by_group",
+    "top_revenue_orders",
+    "sentinel_date_imputation",
+    "top3_orders_per_customer",
+    "kml_description_parse",
+    "geometry_currency_check",
+    "chronology_enriched",
+    "events_asof_attribution",
+    "events_in_promo_windows",
+    "agg_rollup_region_nation",
+    "value_percentiles",
+    "events_moving_window",
+    "profile_orders",
+    "approx_distinct_users",
+    "supplier_balance_rank_dist",
+    "user_first_last_event",
+    "daily_new_users_cumulative",
+    "supplier_daily_running_revenue",
+    "event_funnel_conversion",
+    "cohort_retention",
+    "rolling_7d_active_users",
+    "qty_price_covariance_components",
+    "event_type_transitions",
+    "regional_order_volume",
+    "doc_fingerprint",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "geo_area_rank",
+    "geo_bbox_centroid",
+    "geo_plss_cells",
+    "geo_union_grid_area",
+    "geo_make_valid",
+    "geo_viewport_query",
+    "geo_combine_multipolygon",
+    "geo_union_overlap_area",
+    "geo_dissolve_true_union",
 )
 
 _PLAN_MODULES = (

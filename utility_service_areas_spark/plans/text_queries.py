@@ -601,10 +601,11 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupc AS (SELECT h, count(*) AS c FROM scored GROUP BY 1)
     SELECT source,
            count(*) AS n_docs,
-           sum(is_en) AS n_en,
-           sum(q) AS sum_quality_micros,
-           sum(ws) AS sum_ws_tokens,
-           sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_exact_dup_docs
+           CAST(sum(is_en) AS BIGINT) AS n_en,
+           CAST(sum(q) AS BIGINT) AS sum_quality_micros,
+           CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup_docs
     FROM scored JOIN dupc USING (h)
     GROUP BY source
     """,

@@ -93,11 +93,16 @@ def compact_dataset(
 
     tmp = path.rstrip("/") + ".__compact_tmp__"
     old = path.rstrip("/") + ".__compact_old__"
-    # Crash hygiene (ADVICE r6): a previously killed run can leave tmp/
-    # old dirs behind — stale tmp would make the rename swap move an
-    # OLD rewrite into place, stale old would make os.rename(path, old)
-    # fail. Both are garbage by construction (the swap below is the
-    # only writer and removes them on success), so pre-clean.
+    # Crash hygiene (ADVICE r6+r7): a previously killed run can leave
+    # tmp/old dirs behind. One window needs RECOVERY, not cleanup: a
+    # kill between os.rename(path, old) and os.rename(tmp, path) leaves
+    # path missing and old holding the only committed copy — deleting
+    # old there would lose the dataset permanently. Roll the swap back
+    # first; only then are any remaining tmp/old garbage (stale tmp
+    # would otherwise swap an OLD rewrite into place, stale old would
+    # make os.rename(path, old) fail), so pre-clean them.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)
