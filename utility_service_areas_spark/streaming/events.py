@@ -326,3 +326,130 @@ def dedup_documents_stream(stream: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(normalized_text(F.col("text"))).alias("text_hash"),
     ).dropDuplicates(["text_hash"])
+
+
+def minhash_sig_map(docs: DataFrame, n_hashes: int = 8, k: int = 3) -> DataFrame:
+    """MAP-SIDE MinHash signatures — the streaming-safe twin of
+    operators/dedup.py:minhash_signatures.
+
+    The batch operator computes each component as a min-AGGREGATE over
+    exploded shingles (one shuffle); a stream can't afford a stateful
+    aggregation just to hash a row, so this computes the same value as
+    `array_min` over the per-row shingle array: both are the
+    lexicographic minimum of the seeded md5 hex strings, so the two
+    are value-identical doc by doc (pinned by
+    tests/test_streaming.py::test_ingest_dedup_stream_matches_batch).
+    Docs with < k tokens have no shingles → null components (the batch
+    twin simply has no row; callers treat both as "no bands").
+
+    Note the HOF caveat (BENCH_TREND r8): transform() lambdas evaluate
+    interpreted, not codegen — fine for per-micro-batch ingest rates,
+    deliberately NOT used for the 100 TB batch re-index path.
+    """
+    from utility_service_areas_spark.functions.textops import shingles, tokens
+
+    def seeded(i):
+        # A single-arg lambda is REQUIRED: F.transform treats a 2-arg
+        # lambda as (element, index), so the `lambda s, i=i` idiom
+        # silently replaces the seed with the array position.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    sh = shingles(tokens(F.col("text")), k)
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        *[
+            F.array_min(F.transform(sh, seeded(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+
+def ingest_dedup_stream(
+    stream: DataFrame,
+    old_bands: DataFrame,
+    old_sig: DataFrame,
+    cap: int = 100,
+    match_threshold: int = 6,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """Streaming incremental-ingest dedup — the stream twin of
+    plans/dedup_queries.py:dedup_incremental_ingest composed with the
+    PERSISTED band index (tools/stress.py:run_incremental_index): each
+    arriving document is flagged against the existing corpus without
+    the corpus ever re-banding.
+
+    Shape (all stream-static, no stream-stream join):
+      map-side signature + band explode on the stream rows
+      → LEFT join the capped static band index (over-cap buckets are
+        pre-dropped on the static side, exactly like the batch query)
+      → LEFT join the static signature table on the matched old doc
+      → per-doc UPDATE-mode aggregation; collect_set gives the
+        distinct-pair semantics the batch query gets from .distinct()
+        (a pair found via two bands counts once).
+
+    Emits one row per new doc (zero-candidate docs included):
+    (new_doc_id, n_candidates, n_dups, min_dup_old_id, max_matching)
+    — the batch query's exact schema, so stream == batch is assertable
+    row for row. State is per-new-doc only; the old corpus lives in
+    the parquet index, not in stream state.
+    """
+    sig = minhash_sig_map(stream, n_hashes=n_hashes)
+    # Band explode INLINE (not operators/dedup.py:minhash_bands) so the
+    # signature components ride along with each band row — rejoining
+    # them would be a stream-stream self-join.
+    band_size, n_bands = 2, n_hashes // 2
+    new_bands = sig.select(
+        "doc",
+        *[F.col(f"h{i}") for i in range(n_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.col(f"h{i * band_size + j}")
+                                    for j in range(band_size)
+                                ]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", *[f"h{i}" for i in range(n_hashes)], "b.band_idx", "b.band_hash")
+    old_sz = old_bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("old_n")
+    )
+    capped_old = (
+        old_bands.withColumnRenamed("doc", "old_doc")
+        .join(old_sz.filter(F.col("old_n") <= cap), ["band_idx", "band_hash"])
+        .select("band_idx", "band_hash", "old_doc")
+    )
+    cand = new_bands.join(capped_old, ["band_idx", "band_hash"], "left")
+    osig = old_sig.select(
+        F.col("doc").alias("old_doc"),
+        *[F.col(f"h{i}").alias(f"o{i}") for i in range(n_hashes)],
+    )
+    m = (
+        sum(
+            (F.col(f"h{i}") == F.col(f"o{i}")).cast("int")
+            for i in range(n_hashes)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    est = cand.join(osig, "old_doc", "left").select("doc", "old_doc", m)
+    dup_old = F.when(F.col("m") >= match_threshold, F.col("old_doc"))
+    return (
+        est.groupBy("doc")
+        .agg(
+            F.size(F.collect_set("old_doc")).cast("long").alias("n_candidates"),
+            F.size(F.collect_set(dup_old)).cast("long").alias("n_dups"),
+            F.array_min(F.collect_set(dup_old)).alias("min_dup_old_id"),
+            F.max("m").alias("max_matching"),
+        )
+        .withColumnRenamed("doc", "new_doc_id")
+    )
