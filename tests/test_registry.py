@@ -166,6 +166,12 @@ EXPECTED_KEYS = {
     "geo_morton_order",
     "geo_nearest_area",
     "geo_grid_density",
+    # r8 additions
+    "semantic_dedup_keep",
+    "dedup_quote_containment",
+    "dedup_graph_triangles",
+    "source_mixing_weights",
+    "embedding_outlier_flags",
 }
 
 

@@ -45,6 +45,9 @@ DEFAULT_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_exact_substring",
     "dedup_keep_best",
+    "semantic_dedup_keep",
+    "dedup_quote_containment",
+    "dedup_graph_triangles",
     "docs_repetition_signals",
     "embedding_pair_histogram",
     "hll_registers_users",

@@ -162,6 +162,70 @@ def ngram_jaccard_pairs(
     )
 
 
+_ALL_PAIRS_EXPR = """
+    flatten(transform(items, (a, i) ->
+        transform(slice(items, i + 2, size(items) - i - 1),
+                  b -> struct(a.doc AS doc_a, b.doc AS doc_b,
+                              a.n AS n_a, b.n AS n_b))))
+"""
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    c_threshold: float = 0.8,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Asymmetric NEAR-CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over
+    k-shingle sets — the signal symmetric Jaccard structurally misses
+    (a 20-token quote inside a 500-token article has J ≈ 0.04 but
+    containment ≈ 1.0). The curation use: drop a snippet whose content
+    is wholly carried by a longer kept document.
+
+    Same one-pass bucket shape as ngram_jaccard_pairs, WITHOUT the
+    fused size-ratio prefilter — that guard is exactly wrong here
+    (true containment pairs have extreme size ratios by definition);
+    the df-cap and bucket aggregation remain the scale bounds.
+
+    Returns (contained_id, container_id, n_common, containment_micros,
+    jaccard_micros) for pairs with containment ≥ c_threshold; the
+    CONTAINED side is the smaller shingle set (ties: the lower id —
+    doc_a < doc_b by bucket construction).
+    """
+    from pyspark.sql.window import Window
+
+    ex = shingle_exploded(df, id_col, text_col, k=k, df_cap=df_cap)
+    ex = ex.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    lists = ex.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("items")
+    )
+    common = (
+        lists.select(F.explode(F.expr(_ALL_PAIRS_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c = F.col("n_common") / F.least("n_a", "n_b")
+    j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    small_is_a = F.col("n_a") <= F.col("n_b")
+    return (
+        common.filter(c >= c_threshold)
+        .select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "contained_id"
+            ),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "container_id"
+            ),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.floor(c * 1_000_000 + 0.5).cast("long").alias("containment_micros"),
+            F.floor(j * 1_000_000 + 0.5).cast("long").alias("jaccard_micros"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 8
 ) -> DataFrame:

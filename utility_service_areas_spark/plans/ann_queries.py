@@ -239,12 +239,14 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
-    """Unrolled SQL replay of kmeans_fit_assign: md5-seeded init, per
-    iteration an argmin assignment (lowest-cluster tiebreak, same as
-    array_position-of-min) and a micros-BIGINT centroid update (the
-    operator quantizes its sums identically, so the replay is exact);
-    empty clusters keep their previous centroid via the left join."""
+def _kmeans_cte_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
+    """Unrolled SQL CTE chain replaying kmeans_fit_assign: md5-seeded
+    init, per iteration an argmin assignment (lowest-cluster tiebreak,
+    same as array_position-of-min) and a micros-BIGINT centroid update
+    (the operator quantizes its sums identically, so the replay is
+    exact); empty clusters keep their previous centroid via the left
+    join. Ends at CTE `fin` (vec_id, cluster, d) so composed oracles
+    (semantic_dedup_keep) can build on the assignment."""
 
     def d2(b: str, c: str) -> str:
         return (
@@ -289,11 +291,19 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
         "           row_number() OVER (PARTITION BY b.vec_id ORDER BY",
         f"             {d2('b', 'c')} ASC, c.cluster ASC) AS rn",
         f"    FROM base b, c{n_iter} c) WHERE rn = 1)",
-        "SELECT vec_id AS id, cluster,",
-        "       CAST(round(d * 1000000) AS BIGINT) AS dist2_micros",
-        "FROM fin",
     ]
     return "\n".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
+    """Unrolled replay ending in the (id, cluster, dist2_micros)
+    projection — the original embedding_kmeans_assign oracle."""
+    return (
+        _kmeans_cte_sql(k, n_iter, dim)
+        + "\nSELECT vec_id AS id, cluster,"
+        + "\n       CAST(round(d * 1000000) AS BIGINT) AS dist2_micros"
+        + "\nFROM fin"
+    )
 
 
 @query(
@@ -724,4 +734,147 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=64,
         n_probe=8,
         centroid_stride=7,
+    )
+
+
+@query(
+    "semantic_dedup_keep",
+    # SemDeDup (Abbas et al. 2023): cluster the embedding space, prune
+    # near-duplicate semantic neighbors WITHIN each cluster only — the
+    # scalable form of embedding dedup (the k-means partition bounds
+    # the pair join; no cross-cluster pairs ever form). Composed from
+    # three already-value-verified kernels: the unrolled k-means replay
+    # (CTE chain `fin`), the within-bucket cosine pairs, and the
+    # recursive-CTE component closure — so the whole composition is
+    # value-oracled end to end.
+    oracle=f"""
+    WITH RECURSIVE
+    {_kmeans_cte_sql()[len("WITH "):]},
+    v AS (
+      SELECT f.vec_id, f.cluster, e.embedding
+      FROM fin f JOIN embeddings e USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_cos_micros_sql('a.embedding', 'b.embedding')} >= 400000),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a)
+    SELECT f.vec_id, f.cluster,
+           coalesce(c.comp, f.vec_id) AS keeper_id,
+           (coalesce(c.comp, f.vec_id) = f.vec_id) AS is_kept
+    FROM fin f LEFT JOIN comp c ON f.vec_id = c.node
+    """,
+    doc="Semantic dedup (SemDeDup shape): k-means over the embeddings "
+    "(8 clusters, 5 Lloyd rounds, bit-replayed micros trajectory) → "
+    "cosine near-dup pairs WITHIN clusters only (threshold 0.4 "
+    "micros-exact; the cluster partition is what makes embedding "
+    "dedup tractable at 100 TB — the pair join is bounded per cell, "
+    "never corpus²) → connected components → one keeper per semantic "
+    "group (min id), every vector flagged keep/drop. The curation "
+    "decision a web-scale pipeline applies after exact and MinHash "
+    "dedup have removed the lexical copies.",
+    tags=("ann", "dedup", "pipeline"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.graph import connected_components
+    from utility_service_areas_spark.operators.kmeans import kmeans_fit_assign_np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_assign_np(emb, "vec_id", "embedding", k=8, n_iter=5).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+    v = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    pairs = embedding_cosine_pairs(v, "cluster", threshold_micros=400_000)
+    comp = connected_components(pairs, "id_a", "id_b")
+    keeper = F.coalesce(F.col("comp"), F.col("vec_id"))
+    return (
+        assigned.join(comp, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            "cluster",
+            keeper.alias("keeper_id"),
+            (keeper == F.col("vec_id")).alias("is_kept"),
+        )
+    )
+
+
+@query(
+    "embedding_outlier_flags",
+    # Engine-safety: all stats flow through integer micros (exact sums
+    # in any combine order); the variance/std doubles are computed by
+    # operand-order-identical expressions on both sides, and sqrt is
+    # IEEE-correctly-rounded in both engines. sumsq of micros fits
+    # int64 for |x| < ~10 and n < ~1e5 per label-dim (this substrate);
+    # a 100 TB run promotes the sumsq accumulator to DECIMAL(38) or
+    # rescales — the plan shape is unchanged.
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS xm
+      FROM embeddings, generate_series(1, 64) AS t(i)
+      WHERE i <= len(embedding)),
+    stats AS (
+      SELECT label, dim,
+             count(*) AS n,
+             CAST(sum(xm) AS BIGINT) AS s,
+             CAST(sum(xm * xm) AS BIGINT) AS q
+      FROM ex GROUP BY 1, 2),
+    z AS (
+      SELECT e.vec_id, e.label,
+             CASE WHEN abs(e.xm - s * 1.0 / n)
+                       > 2.0 * sqrt(q * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
+                  THEN 1 ELSE 0 END AS flagged
+      FROM ex e JOIN stats USING (label, dim))
+    SELECT vec_id, label,
+           CAST(sum(flagged) AS BIGINT) AS n_outlier_dims,
+           sum(flagged) >= 8 AS is_outlier
+    FROM z GROUP BY vec_id, label
+    """,
+    doc="Embedding QC before indexing: per-(label, dim) mean/std from "
+    "one partial-agg pass over integer micros, broadcast back onto "
+    "the corpus, each vector counts dimensions beyond 2 sigma; "
+    ">= 8 of 64 flagged dims marks the vector an outlier (corrupt "
+    "encode, wrong-model mixup, adversarial content — the rows you "
+    "quarantine before they poison ANN recall or k-means centroids). "
+    "The stats table is labels x dims rows regardless of corpus "
+    "size; the per-vector pass is a broadcast join + one count "
+    "shuffle of partial-agged (vec, count) rows.",
+    tags=("ann", "pipeline"),
+)
+def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("xm"),
+    )
+    stats = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("s"),
+        F.sum(F.col("xm") * F.col("xm")).alias("q"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = F.col("q") * 1.0 / F.col("n") - mean * mean
+    flagged = F.when(
+        F.abs(F.col("xm") - mean) > 2.0 * F.sqrt(var), 1
+    ).otherwise(0)
+    z = ex.join(F.broadcast(stats), ["label", "dim"]).select(
+        "vec_id", "label", flagged.alias("flagged")
+    )
+    return z.groupBy("vec_id", "label").agg(
+        F.sum("flagged").cast("long").alias("n_outlier_dims"),
+        (F.sum("flagged") >= 8).alias("is_outlier"),
     )

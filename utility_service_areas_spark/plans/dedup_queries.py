@@ -573,3 +573,144 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("doc_id", "new_doc_id")
     )
+
+
+_SNIP_OFF = 10_000_000  # synthetic snippet ids live far above real doc ids
+
+
+@query(
+    "dedup_quote_containment",
+    # The substrate has no natural containment pairs (verified r8: over
+    # ALL shingle-sharing pairs, zero have containment >= 0.8 with
+    # J < 0.5), so — like text_redact_pii's synthetic PII — quote
+    # snippets are synthesized deterministically: every doc_id % 7 == 2
+    # with >= 50 tokens contributes its 20-token prefix as a snippet
+    # doc. The operator must then recover exactly the snippet→source
+    # pairs, which symmetric Jaccard misses by construction
+    # (J = 18/(n_src) < 0.4 for every synthesized pair).
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SNIP_OFF},
+             array_to_string(list_slice(tok, 1, 20), ' ') AS text
+      FROM (SELECT doc_id, {_TOKS_SQL} AS tok FROM documents)
+      WHERE doc_id % 7 = 2 AND len(tok) >= 50),
+    toks2 AS (SELECT doc_id,
+                     string_split_regex(trim(text, ' '),
+                                        '[ \t\n\x0b\f\r]+') AS tok
+              FROM docs2),
+    sh2 AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 3
+                  THEN list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                                      for i in generate_series(1, len(tok)-2)])
+                  ELSE [] END AS shingles
+      FROM toks2),
+    ex2 AS (SELECT doc_id AS doc, unnest(shingles) AS s FROM sh2),
+    capped AS (
+      SELECT doc, s FROM ex2
+      WHERE s IN (SELECT s FROM ex2 GROUP BY s HAVING count(*) <= 100)),
+    sizes AS (SELECT doc, count(*) AS n FROM capped GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_a, doc_b, x.n AS n_a, y.n AS n_b, n_common
+      FROM common JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+      WHERE n_common * 1.0 / least(x.n, y.n) >= 0.8)
+    SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_id,
+           CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_id,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(floor(n_common * 1.0 / least(n_a, n_b) * 1000000 + 0.5)
+                AS BIGINT) AS containment_micros,
+           CAST(floor(n_common * 1.0 / (n_a + n_b - n_common) * 1000000 + 0.5)
+                AS BIGINT) AS jaccard_micros
+    FROM scored
+    WHERE n_common * 1.0 / (n_a + n_b - n_common) < 0.5
+    """,
+    doc="Quote/boilerplate containment detection: asymmetric "
+    "|A∩B|/min(|A|,|B|) over 3-shingle sets flags documents whose "
+    "content is wholly carried by a longer document — the dedup "
+    "signal symmetric Jaccard structurally misses (a 20-token quote "
+    "in a 500-token article has J≈0.04). Synthetic snippet docs "
+    "(20-token prefixes of every 7th doc) are planted "
+    "deterministically since the substrate has no natural quotes; "
+    "the J < 0.5 output filter isolates TRUE containment from plain "
+    "near-duplication (those pairs are dedup_minhash_verified's "
+    "job). Same df-capped shingle-bucket pair shape as "
+    "dedup_ngram_jaccard, minus the size-ratio prefilter — which is "
+    "exactly wrong for containment (operators/dedup.py:"
+    "containment_pairs).",
+    tags=("dedup", "pipeline"),
+)
+def dedup_quote_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.functions.textops import tokens
+    from utility_service_areas_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokens(F.col("text"))
+    snippets = (
+        docs.filter((F.col("doc_id") % 7 == 2) & (F.size(tok) >= 50))
+        .select(
+            (F.col("doc_id") + _SNIP_OFF).alias("doc_id"),
+            F.array_join(F.slice(tok, 1, 20), " ").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(snippets)
+    pairs = containment_pairs(corpus, "doc_id", "text", c_threshold=0.8)
+    j = F.col("jaccard_micros")
+    return pairs.filter(j < 500_000)
+
+
+@query(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    {_lsh_pairs_sql("cand")},
+    e AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc
+      WHERE (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
+          + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+          + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT >= 6),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM e
+            UNION SELECT doc_b, doc_a FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+    o AS (
+      SELECT u, v FROM und
+      JOIN deg da ON u = da.node JOIN deg db ON v = db.node
+      WHERE da.d < db.d OR (da.d = db.d AND u < v)),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM o e1 JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+    GROUP BY node
+    """,
+    doc="Per-doc triangle counts over the verified near-dup graph "
+    "(LSH candidates with >= 6/8 matching minhashes) — the cluster "
+    "DENSITY signal: a doc in many triangles sits in a true clique "
+    "of mutual near-dups (template spam), one in zero triangles "
+    "chains through weak links (CC would still merge them; triangle "
+    "count tells curation which clusters are safe to collapse "
+    "aggressively). Edges oriented by (degree, id) so each triangle "
+    "forms once and 2-path fan-out is bounded away from hub nodes "
+    "(Suri-Vassilvitskii shape) — see operators/graph.py:"
+    "triangle_counts.",
+    tags=("dedup", "graph"),
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, band_size=2).filter(
+        "n_matching_minhashes >= 6"
+    )
+    return triangle_counts(pairs)

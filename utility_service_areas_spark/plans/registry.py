@@ -82,13 +82,19 @@ _DRIVER_PRIORITY = (
     #    codes array comma-joined) (2)
     "source_curation_profile",
     "embedding_quantize_int8",
-    # 2) the 3 keys whose newest driver row is r4 (deferred from r7)
+    # 2) the 5 new r8 keys — first-ever attestation
+    "semantic_dedup_keep",
+    "dedup_quote_containment",
+    "dedup_graph_triangles",
+    "source_mixing_weights",
+    "embedding_outlier_flags",
+    # 3) the 3 keys whose newest driver row is r4 (deferred from r7)
     "min_cost_supplier_per_part",
     "unshipped_order_revenue",
     "priority_counts_by_returnflag",
-    # 3) 45 of the 47 keys whose newest driver row is r5
-    #    (geo_simplify + geo_morton_order deferred to r9 to hold the
-    #    50-slot budget)
+    # 4) 40 of the 47 keys whose newest driver row is r5 (the last 5
+    #    below plus geo_simplify + geo_morton_order deferred to r9 to
+    #    hold the 50-slot budget)
     "two_digit_year_fix",
     "enrich_join_dims",
     "anti_join_missing",
@@ -129,11 +135,6 @@ _DRIVER_PRIORITY = (
     "geo_bbox_centroid",
     "geo_plss_cells",
     "geo_union_grid_area",
-    "geo_make_valid",
-    "geo_viewport_query",
-    "geo_combine_multipolygon",
-    "geo_union_overlap_area",
-    "geo_dissolve_true_union",
 )
 
 _PLAN_MODULES = (

@@ -770,3 +770,75 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("millibits").alias("surprisal_millibits"),
         )
     )
+
+
+@query(
+    "source_mixing_weights",
+    # Engine-safety: sqrt() is IEEE-754 correctly rounded in BOTH
+    # engines (unlike pow/ln, which are libm-divergent — the same
+    # reason docs_bigram_surprisal uses integer-argument log2 only),
+    # and each sqrt is quantized to a micros BIGINT *before* the
+    # cross-source sum, so the denominator is an exact integer — a
+    # raw sum of sqrt doubles would be combine-order noise.
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    scaled AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS s
+      FROM per_src),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+                   CAST(sum(s) AS BIGINT) AS tot_s
+            FROM scaled)
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(n_tokens * 1000000.0 / tot_tok + 0.5) AS BIGINT)
+             AS raw_share_micros,
+           CAST(floor(s * 1000000.0 / tot_s + 0.5) AS BIGINT)
+             AS weight_micros,
+           floor(s * 1000000.0 / tot_s + 0.5)
+             > floor(n_tokens * 1000000.0 / tot_tok + 0.5) AS upweighted
+    FROM scaled, tot
+    """,
+    doc="Temperature-adjusted source mixing weights (tau = 0.5): the "
+    "operator that turns per-source token counts into the sampling "
+    "distribution a training run draws from — w_i proportional to "
+    "sqrt(n_tokens_i), the standard square-root temperature that "
+    "upweights small/rare sources against head domains (same family "
+    "as multilingual sampling in mBERT/XLM-R and domain mixing in "
+    "Pile-style corpora). One map-side token count + a 20-row agg + "
+    "a 1-row broadcast total: free at any corpus size. upweighted "
+    "flags sources whose mixed share exceeds their raw share.",
+    tags=("text", "pipeline"),
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws, _ = token_counts(F.col("text"))
+    per_src = docs.select("source", ws.cast("long").alias("t")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("n_tokens"),
+    )
+    scaled = per_src.withColumn(
+        "s",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000 + 0.5).cast(
+            "long"
+        ),
+    )
+    tot = scaled.agg(
+        F.sum("n_tokens").alias("tot_tok"), F.sum("s").alias("tot_s")
+    )
+    raw = F.floor(F.col("n_tokens") * 1_000_000.0 / F.col("tot_tok") + 0.5)
+    wgt = F.floor(F.col("s") * 1_000_000.0 / F.col("tot_s") + 0.5)
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        raw.cast("long").alias("raw_share_micros"),
+        wgt.cast("long").alias("weight_micros"),
+        (wgt > raw).alias("upweighted"),
+    )
