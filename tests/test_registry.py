@@ -172,6 +172,9 @@ EXPECTED_KEYS = {
     "dedup_graph_triangles",
     "source_mixing_weights",
     "embedding_outlier_flags",
+    "market_basket_pairs",
+    "deletion_cascade_manifest",
+    "join_key_skew_profile",
 }
 
 

@@ -976,3 +976,77 @@ def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank_micros(edges, n_iter=5)
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+    gstat AS (
+      SELECT count(*) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS total_rows,
+             CAST(sum(c * c) AS BIGINT) AS sumsq
+      FROM counts),
+    top AS (
+      SELECT user_id, c,
+             CAST(row_number() OVER (ORDER BY c DESC, user_id ASC) AS BIGINT)
+               AS rank
+      FROM counts)
+    SELECT rank, user_id, CAST(c AS BIGINT) AS n_rows,
+           CAST(floor(c * 1000000.0 / total_rows + 0.5) AS BIGINT)
+             AS share_micros,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           total_rows,
+           CAST(floor(total_rows * 1.0 * total_rows * 1000000 / sumsq + 0.5)
+                AS BIGINT) AS neff_keys_micros
+    FROM top CROSS JOIN gstat
+    WHERE rank <= 20
+    """,
+    doc="Join-key skew diagnostic — the profile you run BEFORE "
+    "choosing a salt factor or broadcast strategy for a key "
+    "(SURVEY §6's salted_hot_key_join is the cure; this is the "
+    "thermometer): top-20 hot keys with their row share, plus the "
+    "EFFECTIVE key count total^2 / sum(c^2) (inverse Simpson / "
+    "participation ratio — 'this key column behaves like N_eff "
+    "uniform keys'). No global window and no sort of the corpus: "
+    "per-key counts partial-agg, top-20 via TakeOrdered, globals "
+    "from one 1-row agg broadcast back. All ratios are integer-"
+    "operand doubles, operand-order mirrored.",
+    tags=("analytics", "bench"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    glob = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    top20 = (
+        counts.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("user_id").asc()))
+            .cast("long"),
+        )
+    )
+    share = F.floor(F.col("c") * 1_000_000.0 / F.col("total_rows") + 0.5)
+    neff = F.floor(
+        F.col("total_rows") * 1.0 * F.col("total_rows") * 1_000_000
+        / F.col("sumsq")
+        + 0.5
+    )
+    return top20.crossJoin(F.broadcast(glob)).select(
+        "rank",
+        "user_id",
+        F.col("c").cast("long").alias("n_rows"),
+        share.cast("long").alias("share_micros"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total_rows").cast("long").alias("total_rows"),
+        neff.cast("long").alias("neff_keys_micros"),
+    )

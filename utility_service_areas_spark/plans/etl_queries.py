@@ -388,3 +388,85 @@ def bloom_new_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
     )
+
+
+@query(
+    "deletion_cascade_manifest",
+    oracle="""
+    WITH del AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 100 = 7),
+    o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+      JOIN del ON o_custkey = c_custkey),
+    l AS (
+      SELECT o.o_custkey,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey),
+    ostat AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+      FROM o GROUP BY 1),
+    lstat AS (
+      SELECT o_custkey, count(*) AS n_lineitems,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM l GROUP BY 1)
+    SELECT d.c_custkey,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(n_lineitems, 0) AS BIGINT) AS n_lineitems,
+           CAST(coalesce(revenue_cents, 0) AS BIGINT) AS revenue_cents,
+           first_order, last_order
+    FROM del d
+    LEFT JOIN ostat ON d.c_custkey = ostat.o_custkey
+    LEFT JOIN lstat ON d.c_custkey = lstat.o_custkey
+    """,
+    doc="Right-to-be-forgotten manifest: for a deletion set of "
+    "customers (1% sim: c_custkey % 100 = 7), the per-customer "
+    "cascade audit a GDPR job writes BEFORE deleting — how many "
+    "orders and lineitems will go, the revenue history being erased, "
+    "and the order-date span. Shape: the tiny deletion set semi-drives "
+    "two cascading joins (broadcast at scale — the delete set is "
+    "always small relative to the fact tables), zero-row customers "
+    "kept via left joins; integer cents keep sums order-free.",
+    tags=("etl",),
+)
+def deletion_cascade_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_set = cust.filter(F.col("c_custkey") % 100 == 7).select("c_custkey")
+    o = orders.join(
+        F.broadcast(del_set), orders.o_custkey == del_set.c_custkey
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    l = li.join(
+        F.broadcast(o.select("o_custkey", "o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey", cents.alias("cents"))
+    ostat = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    lstat = l.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    return (
+        del_set.join(ostat, del_set.c_custkey == ostat.o_custkey, "left")
+        .drop(ostat.o_custkey)
+        .join(lstat, del_set.c_custkey == lstat.o_custkey, "left")
+        .drop(lstat.o_custkey)
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).cast("long").alias("n_lineitems"),
+            F.coalesce("revenue_cents", F.lit(0)).cast("long").alias(
+                "revenue_cents"
+            ),
+            "first_order",
+            "last_order",
+        )
+    )

@@ -88,13 +88,18 @@ _DRIVER_PRIORITY = (
     "dedup_graph_triangles",
     "source_mixing_weights",
     "embedding_outlier_flags",
+    "market_basket_pairs",
+    "deletion_cascade_manifest",
+    "join_key_skew_profile",
     # 3) the 3 keys whose newest driver row is r4 (deferred from r7)
     "min_cost_supplier_per_part",
     "unshipped_order_revenue",
     "priority_counts_by_returnflag",
-    # 4) 40 of the 47 keys whose newest driver row is r5 (the last 5
-    #    below plus geo_simplify + geo_morton_order deferred to r9 to
-    #    hold the 50-slot budget)
+    # 4) 37 of the 47 keys whose newest driver row is r5 (the geo tail
+    #    — geo_plss_cells, geo_union_grid_area, geo_viewport_query,
+    #    geo_make_valid, geo_combine_multipolygon, geo_union_overlap_
+    #    area, geo_dissolve_true_union, geo_simplify, geo_morton_order
+    #    — and geo_bbox_centroid defer to r9 to hold the 50 budget)
     "two_digit_year_fix",
     "enrich_join_dims",
     "anti_join_missing",
@@ -132,9 +137,6 @@ _DRIVER_PRIORITY = (
     "dedup_clusters",
     "dedup_simhash",
     "geo_area_rank",
-    "geo_bbox_centroid",
-    "geo_plss_cells",
-    "geo_union_grid_area",
 )
 
 _PLAN_MODULES = (

@@ -1183,3 +1183,82 @@ def priority_counts_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    tot AS (SELECT l_partkey, count(*) AS n_ord FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
+           CAST(ta.n_ord AS BIGINT) AS n_a,
+           CAST(tb.n_ord AS BIGINT) AS n_b,
+           CAST(floor(n_co * 1.0 * n_orders * 1000000
+                      / (ta.n_ord * tb.n_ord) + 0.5) AS BIGINT)
+             AS lift_micros
+    FROM pairs
+    JOIN tot ta ON part_a = ta.l_partkey
+    JOIN tot tb ON part_b = tb.l_partkey
+    CROSS JOIN n
+    WHERE n_co >= 2
+    """,
+    doc="Market-basket affinity: part pairs co-ordered in >= 2 orders "
+    "with lift = P(a,b)/(P(a)P(b)) as micros (integer-ratio double, "
+    "operand-order mirrored — no log). Pair generation is bucketed "
+    "BY ORDER via in-row array combinations (an order has <= ~17 "
+    "items, so the expansion is bounded per row and the corpus never "
+    "self-joins at scale); totals and the order count attach as "
+    "dimension-sized joins + a 1-row broadcast.",
+    tags=("tpch", "analytics"),
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    tot = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pair_expr = (
+        "flatten(transform(items, (a, i) -> "
+        "transform(slice(items, i + 2, size(items) - i - 1), "
+        "b -> struct(a AS part_a, b AS part_b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    ta = tot.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a"))
+    tb = tot.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b"))
+    lift = F.floor(
+        F.col("n_co") * 1.0 * F.col("n_orders") * 1_000_000
+        / (F.col("n_a") * F.col("n_b"))
+        + 0.5
+    )
+    return (
+        pairs.join(ta, "part_a")
+        .join(tb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            lift.cast("long").alias("lift_micros"),
+        )
+    )
