@@ -96,6 +96,26 @@ HEADLINE = {
         "bigram stream built map-side from the token array (posexplode "
         "+ element_at, NO lag-window shuffle); freq joins + one agg"
     ),
+    "semantic_dedup_keep": (
+        "k-means Arrow kernel feeds bucketed cosine pairs; "
+        "pair join keyed by cluster, never corpus x corpus"
+    ),
+    "dedup_quote_containment": (
+        "df-capped shingle buckets; in-row pair combinations; "
+        "NO size-ratio prefilter (containment needs extreme ratios)"
+    ),
+    "dedup_graph_triangles": (
+        "(degree,id)-oriented edges; three hash joins; "
+        "corners explode -> partial-agg count"
+    ),
+    "market_basket_pairs": (
+        "baskets collect_set per order; in-row combinations; "
+        "dim joins + 1-row broadcast total"
+    ),
+    "join_key_skew_profile": (
+        "TakeOrderedAndProject top-20; 1-row global agg broadcast; "
+        "no corpus sort, no global window"
+    ),
     "ann_ivf_quantized_topk": (
         "decode is a codegen array lambda over a 1-row broadcast "
         "scales dim; cell assignment ONE MapInPandas; probe join on "
