@@ -781,14 +781,20 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup have removed the lexical copies.",
     tags=("ann", "dedup", "pipeline"),
 )
-def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_keep(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 5
+) -> DataFrame:
+    # k is the SCALE lever: the oracle pins k=8 (the kmeans replay),
+    # but within-cluster pair cost is O(n²/k), so production sizes
+    # k ∝ √n like ann_ivf_sqrtn_topk. Measured at 30× (60k vectors,
+    # BENCH_TREND r8): k=8 128 s (quadratic regime), k=√n=244 46 s.
     from utility_service_areas_spark.operators.graph import connected_components
     from utility_service_areas_spark.operators.kmeans import kmeans_fit_assign_np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit_assign_np(emb, "vec_id", "embedding", k=8, n_iter=5).select(
-        F.col("id").alias("vec_id"), "cluster"
-    )
+    assigned = kmeans_fit_assign_np(
+        emb, "vec_id", "embedding", k=k, n_iter=n_iter
+    ).select(F.col("id").alias("vec_id"), "cluster")
     v = emb.select("vec_id", "embedding").join(assigned, "vec_id")
     pairs = embedding_cosine_pairs(v, "cluster", threshold_micros=400_000)
     comp = connected_components(pairs, "id_a", "id_b")
