@@ -175,6 +175,7 @@ EXPECTED_KEYS = {
     "market_basket_pairs",
     "deletion_cascade_manifest",
     "join_key_skew_profile",
+    "curation_funnel_report",
 }
 
 

@@ -91,11 +91,13 @@ _DRIVER_PRIORITY = (
     "market_basket_pairs",
     "deletion_cascade_manifest",
     "join_key_skew_profile",
+    "curation_funnel_report",
     # 3) the 3 keys whose newest driver row is r4 (deferred from r7)
     "min_cost_supplier_per_part",
     "unshipped_order_revenue",
     "priority_counts_by_returnflag",
-    # 4) 37 of the 47 keys whose newest driver row is r5 (the geo tail
+    # 4) 36 of the 47 keys whose newest driver row is r5 (the geo tail
+    #    incl. geo_area_rank
     #    — geo_plss_cells, geo_union_grid_area, geo_viewport_query,
     #    geo_make_valid, geo_combine_multipolygon, geo_union_overlap_
     #    area, geo_dissolve_true_union, geo_simplify, geo_morton_order
@@ -136,7 +138,6 @@ _DRIVER_PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
-    "geo_area_rank",
 )
 
 _PLAN_MODULES = (
