@@ -176,6 +176,8 @@ EXPECTED_KEYS = {
     "deletion_cascade_manifest",
     "join_key_skew_profile",
     "curation_funnel_report",
+    "semantic_dedup_sqrtn",
+    "orders_rollup_incremental",
 }
 
 

@@ -737,20 +737,15 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semantic_dedup_keep",
-    # SemDeDup (Abbas et al. 2023): cluster the embedding space, prune
-    # near-duplicate semantic neighbors WITHIN each cluster only — the
-    # scalable form of embedding dedup (the k-means partition bounds
-    # the pair join; no cross-cluster pairs ever form). Composed from
-    # three already-value-verified kernels: the unrolled k-means replay
-    # (CTE chain `fin`), the within-bucket cosine pairs, and the
-    # recursive-CTE component closure — so the whole composition is
-    # value-oracled end to end.
-    oracle=f"""
+def _semantic_oracle_sql(k: int = 8, n_iter: int = 5) -> str:
+    """SemDeDup replay at a given clustering size: k-means CTE chain →
+    within-cluster cosine pairs → recursive component closure →
+    keeper projection. MATERIALIZED pins the multi-referenced stages
+    to one evaluation (the curation_funnel_report lesson)."""
+    return f"""
     WITH RECURSIVE
-    {_kmeans_cte_sql()[len("WITH "):]},
-    v AS (
+    {_kmeans_cte_sql(k=k, n_iter=n_iter)[len("WITH "):]},
+    v AS MATERIALIZED (
       SELECT f.vec_id, f.cluster, e.embedding
       FROM fin f JOIN embeddings e USING (vec_id)),
     pairs AS (
@@ -769,7 +764,20 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(c.comp, f.vec_id) AS keeper_id,
            (coalesce(c.comp, f.vec_id) = f.vec_id) AS is_kept
     FROM fin f LEFT JOIN comp c ON f.vec_id = c.node
-    """,
+    """
+
+
+@query(
+    "semantic_dedup_keep",
+    # SemDeDup (Abbas et al. 2023): cluster the embedding space, prune
+    # near-duplicate semantic neighbors WITHIN each cluster only — the
+    # scalable form of embedding dedup (the k-means partition bounds
+    # the pair join; no cross-cluster pairs ever form). Composed from
+    # three already-value-verified kernels: the unrolled k-means replay
+    # (CTE chain `fin`), the within-bucket cosine pairs, and the
+    # recursive-CTE component closure — so the whole composition is
+    # value-oracled end to end.
+    oracle=_semantic_oracle_sql(),
     doc="Semantic dedup (SemDeDup shape): k-means over the embeddings "
     "(8 clusters, 5 Lloyd rounds, bit-replayed micros trajectory) → "
     "cosine near-dup pairs WITHIN clusters only (threshold 0.4 "
@@ -884,3 +892,20 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("flagged").cast("long").alias("n_outlier_dims"),
         (F.sum("flagged") >= 8).alias("is_outlier"),
     )
+
+
+@query(
+    "semantic_dedup_sqrtn",
+    oracle=_semantic_oracle_sql(k=64, n_iter=3),
+    doc="SemDeDup at PRODUCTION sizing: the same cluster→pairs→CC→"
+    "keeper composition as semantic_dedup_keep but with k = 64 "
+    "clusters (the C ≈ √n service regime, the ann_ivf_sqrtn_topk "
+    "precedent) and 3 Lloyd rounds — within-cluster pair cost drops "
+    "from O(n²/8) to O(n²/64), the sizing that held 46 s vs 128 s at "
+    "the 30× stress (BENCH_TREND r8). Value-verifies the Arrow "
+    "k-means kernel at a larger k than any other oracle (64 centroid "
+    "rows × 3 unrolled iterations replayed in SQL).",
+    tags=("ann", "dedup", "pipeline"),
+)
+def semantic_dedup_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup_keep(spark, sf_dir, k=64, n_iter=3)

@@ -470,3 +470,52 @@ def deletion_cascade_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_order",
         )
     )
+
+
+@query(
+    "orders_rollup_incremental",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Incremental materialized-rollup maintenance: the per-customer "
+    "order rollup is kept as ALGEBRAIC state (count/sum/min/max — "
+    "all re-mergeable), so a new batch (doc 10%% sim: o_orderkey % "
+    "10 = 7) is aggregated ALONE and merged with the existing state "
+    "by one partial-agg union — the nightly-rollup shape that never "
+    "rescans history at 100 TB (state rows ∝ keys, batch cost ∝ "
+    "batch). The oracle is the full recompute; merged == recomputed "
+    "is exactly the algebraic-aggregate law the operator relies on, "
+    "so the equivalence is value-verified, not assumed.",
+    tags=("etl", "analytics"),
+)
+def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    is_new = F.col("o_orderkey") % 10 == 7
+    old_state = rollup(orders.filter(~is_new))  # the persisted rollup
+    batch = rollup(orders.filter(is_new))  # aggregate the batch ALONE
+    return (
+        old_state.unionByName(batch)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+    )

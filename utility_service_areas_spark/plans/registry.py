@@ -92,11 +92,14 @@ _DRIVER_PRIORITY = (
     "deletion_cascade_manifest",
     "join_key_skew_profile",
     "curation_funnel_report",
+    "semantic_dedup_sqrtn",
+    "orders_rollup_incremental",
     # 3) the 3 keys whose newest driver row is r4 (deferred from r7)
     "min_cost_supplier_per_part",
     "unshipped_order_revenue",
     "priority_counts_by_returnflag",
-    # 4) 36 of the 47 keys whose newest driver row is r5 (the geo tail
+    # 4) 34 of the 47 keys whose newest driver row is r5 (deferred to
+    #    r9: dedup_simhash, dedup_clusters, and the geo tail
     #    incl. geo_area_rank
     #    — geo_plss_cells, geo_union_grid_area, geo_viewport_query,
     #    geo_make_valid, geo_combine_multipolygon, geo_union_overlap_
@@ -136,8 +139,6 @@ _DRIVER_PRIORITY = (
     "doc_fingerprint",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash",
 )
 
 _PLAN_MODULES = (
