@@ -178,3 +178,64 @@ def test_market_basket_lift_matches_bruteforce(spark, tmp_path):
     assert (r.part_a, r.part_b, r.n_co, r.n_a, r.n_b) == (1, 2, 3, 4, 4)
     # lift = 3 * 5 / (4 * 4) = 0.9375
     assert r.lift_micros == 937_500
+
+
+def test_snapshot_diff_classifies_all_four_classes(spark, tmp_path):
+    """Classifier check on crafted ids: residue 7 -> added, 3 ->
+    removed, 5 -> changed (the sim's deterministic v2 mutation),
+    everything else unchanged; counts reconcile with the table."""
+    import os
+
+    rows = [(i, f"text {i}", f"s{i % 2}") for i in range(20)]
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    got = {
+        (r.source, r.change): r.n_docs
+        for r in all_queries()["dataset_snapshot_diff"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # ids 7, 17 -> added; 3, 13 -> removed; 5, 15 -> changed (all odd)
+    assert got[("s1", "added")] == 2
+    assert got[("s1", "removed")] == 2
+    assert got[("s1", "changed")] == 2
+    assert got[("s0", "unchanged")] == 10
+    assert got[("s1", "unchanged")] == 4
+    assert sum(got.values()) == 20
+
+
+def test_rollup_incremental_equals_direct(spark):
+    """The merged old-state + batch rollup must equal a direct
+    groupBy over all orders (the algebraic-aggregate law)."""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    got = sorted(
+        map(
+            tuple,
+            all_queries()["orders_rollup_incremental"](
+                spark, SMOKE_SF
+            ).collect(),
+        )
+    )
+    orders = spark.read.parquet(SMOKE_SF + "/orders.parquet")
+    want = sorted(
+        map(
+            tuple,
+            orders.groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("total_cents"),
+                F.min("o_orderdate").alias("first_order"),
+                F.max("o_orderdate").alias("last_order"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want

@@ -178,6 +178,8 @@ EXPECTED_KEYS = {
     "curation_funnel_report",
     "semantic_dedup_sqrtn",
     "orders_rollup_incremental",
+    "dataset_snapshot_diff",
+    "minhash_estimator_quality",
 }
 
 

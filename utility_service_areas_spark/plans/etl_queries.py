@@ -519,3 +519,64 @@ def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_order").alias("last_order"),
         )
     )
+
+
+@query(
+    "dataset_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % 10 <> 7),
+    new AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+                      ELSE text END) AS h
+      FROM documents
+      WHERE doc_id % 10 <> 3),
+    d AS (
+      SELECT coalesce(o.source, n.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n
+        ON o.doc_id = n.doc_id)
+    SELECT source, change, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY source, change
+    """,
+    doc="Dataset snapshot diff — the audit between two corpus "
+    "versions (sim: old = ids %% 10 != 7, new = ids %% 10 != 3, so "
+    "both added and removed rows exist): per-source counts of "
+    "added/removed/changed/unchanged via ONE full-outer join on the "
+    "key with a content-hash compare. The nightly-ingest sanity "
+    "check at 100 TB: the join shuffles keys+hashes only (two thin "
+    "columns), never document bodies, and the downstream agg is "
+    "partial. (The sim mutates residue-5 docs in the new snapshot "
+    "so all four classes fire on the real substrate.)",
+    tags=("etl",),
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("o_id"), F.col("source").alias("o_src"),
+        F.md5("text").alias("o_h"),
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 3).select(
+        F.col("doc_id").alias("n_id"), F.col("source").alias("n_src"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 5, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("n_h"),
+    )
+    d = old.join(new, old.o_id == new.n_id, "full_outer").select(
+        F.coalesce("o_src", "n_src").alias("source"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return d.groupBy("source", "change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -94,13 +94,15 @@ _DRIVER_PRIORITY = (
     "curation_funnel_report",
     "semantic_dedup_sqrtn",
     "orders_rollup_incremental",
+    "dataset_snapshot_diff",
+    "minhash_estimator_quality",
     # 3) the 3 keys whose newest driver row is r4 (deferred from r7)
     "min_cost_supplier_per_part",
     "unshipped_order_revenue",
     "priority_counts_by_returnflag",
-    # 4) 34 of the 47 keys whose newest driver row is r5 (deferred to
-    #    r9: dedup_simhash, dedup_clusters, and the geo tail
-    #    incl. geo_area_rank
+    # 4) 32 of the 47 keys whose newest driver row is r5 (deferred to
+    #    r9: dedup_exact_docs, dedup_minhash_lsh, dedup_simhash,
+    #    dedup_clusters, and the geo tail incl. geo_area_rank
     #    — geo_plss_cells, geo_union_grid_area, geo_viewport_query,
     #    geo_make_valid, geo_combine_multipolygon, geo_union_overlap_
     #    area, geo_dissolve_true_union, geo_simplify, geo_morton_order
@@ -137,8 +139,6 @@ _DRIVER_PRIORITY = (
     "event_type_transitions",
     "regional_order_volume",
     "doc_fingerprint",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
 )
 
 _PLAN_MODULES = (
