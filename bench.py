@@ -44,6 +44,9 @@ EXTENDED_NOOP = [
     "docs_repetition_signals",
     "dedup_keep_best",
     "dedup_minhash_verified",
+    # r8: the end-to-end curation pipeline — the single most
+    # representative number for the LLM-pipeline stack.
+    "curation_funnel_report",
 ]
 
 

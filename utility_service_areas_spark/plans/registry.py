@@ -82,7 +82,7 @@ _DRIVER_PRIORITY = (
     #    codes array comma-joined) (2)
     "source_curation_profile",
     "embedding_quantize_int8",
-    # 2) the 5 new r8 keys — first-ever attestation
+    # 2) the 13 new r8 keys — first-ever attestation
     "semantic_dedup_keep",
     "dedup_quote_containment",
     "dedup_graph_triangles",
