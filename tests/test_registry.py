@@ -180,6 +180,7 @@ EXPECTED_KEYS = {
     "orders_rollup_incremental",
     "dataset_snapshot_diff",
     "minhash_estimator_quality",
+    "curation_funnel_by_source",
 }
 
 

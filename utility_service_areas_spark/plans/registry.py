@@ -82,7 +82,7 @@ _DRIVER_PRIORITY = (
     #    codes array comma-joined) (2)
     "source_curation_profile",
     "embedding_quantize_int8",
-    # 2) the 13 new r8 keys — first-ever attestation
+    # 2) the 14 new r8 keys — first-ever attestation
     "semantic_dedup_keep",
     "dedup_quote_containment",
     "dedup_graph_triangles",
@@ -96,17 +96,19 @@ _DRIVER_PRIORITY = (
     "orders_rollup_incremental",
     "dataset_snapshot_diff",
     "minhash_estimator_quality",
+    "curation_funnel_by_source",
     # 3) the 3 keys whose newest driver row is r4 (deferred from r7)
     "min_cost_supplier_per_part",
     "unshipped_order_revenue",
     "priority_counts_by_returnflag",
-    # 4) 32 of the 47 keys whose newest driver row is r5 (deferred to
+    # 4) 31 of the 47 keys whose newest driver row is r5 (deferred to
     #    r9: dedup_exact_docs, dedup_minhash_lsh, dedup_simhash,
     #    dedup_clusters, and the geo tail incl. geo_area_rank
     #    — geo_plss_cells, geo_union_grid_area, geo_viewport_query,
     #    geo_make_valid, geo_combine_multipolygon, geo_union_overlap_
     #    area, geo_dissolve_true_union, geo_simplify, geo_morton_order
-    #    — and geo_bbox_centroid defer to r9 to hold the 50 budget)
+    #    — and geo_bbox_centroid and doc_fingerprint defer to r9 to
+    #    hold the 50 budget)
     "two_digit_year_fix",
     "enrich_join_dims",
     "anti_join_missing",
@@ -138,7 +140,6 @@ _DRIVER_PRIORITY = (
     "qty_price_covariance_components",
     "event_type_transitions",
     "regional_order_volume",
-    "doc_fingerprint",
 )
 
 _PLAN_MODULES = (

@@ -844,13 +844,12 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle_sql() -> str:
-    """The whole curation pipeline as one staged replay: quality gate →
-    exact dedup → minhash-LSH + component dedup (over survivors only)
-    → per-source quota. Reuses the registry's mirrored expressions
-    stage by stage; the minhash chain (sig/bands/cap/pairs) is the
-    dedup_queries.py SQL verbatim, re-rooted at the stage-2 survivor
-    set."""
+def _funnel_stages_sql() -> str:
+    """The staged curation-funnel prefix (CTEs `base` .. `s4`, each doc
+    carrying its cumulative p1..p4 stage flags) shared by the global
+    funnel oracle and the per-source variant. The minhash chain
+    (sig/bands/cap/pairs) is the dedup_queries.py SQL verbatim,
+    re-rooted at the stage-2 survivor set."""
     from utility_service_areas_spark.plans.dedup_queries import (
         _bands_sql,
         _lsh_pairs_sql,
@@ -923,7 +922,14 @@ def _funnel_oracle_sql() -> str:
              row_number() OVER (PARTITION BY source
                ORDER BY p3 DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
       FROM s3),
-    s4 AS (SELECT s3.*, (p3 AND r <= 40) AS p4 FROM s3 JOIN rk USING (doc_id)),
+    s4 AS (SELECT s3.*, (p3 AND r <= 40) AS p4 FROM s3 JOIN rk USING (doc_id))"""
+
+
+def _funnel_oracle_sql() -> str:
+    """The whole curation pipeline as one staged replay: quality gate →
+    exact dedup → minhash-LSH + component dedup (over survivors only)
+    → per-source quota, collapsed to the 5-row global funnel."""
+    return rf"""{_funnel_stages_sql()},
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(t) AS BIGINT) AS t0,
              CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -943,22 +949,37 @@ def _funnel_oracle_sql() -> str:
     """
 
 
-@query(
-    "curation_funnel_report",
-    oracle=_funnel_oracle_sql(),
-    doc="THE END-TO-END CURATION PIPELINE as one value-oracled query: "
-    "raw corpus → quality/lang/length gate (map-side) → exact dedup "
-    "(normalized-hash keeper) → MinHash-LSH + connected-components "
-    "near-dup dedup computed over SURVIVORS ONLY (the composition a "
-    "production run ships — each stage's volume is bounded by the "
-    "previous stage's output) → per-source quota (deterministic md5 "
-    "rank). Emits the 5-stage funnel (docs + tokens per stage) — the "
-    "run report a 100 TB curation job publishes. Cumulative stage "
-    "flags ride one frame, so the counts come from ONE aggregation; "
-    "every stage reuses the registry's already-verified expressions.",
-    tags=("text", "pipeline", "dedup"),
-)
-def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _funnel_by_source_oracle_sql() -> str:
+    """The same staged funnel, grouped by source: the per-domain
+    curation dashboard. Identical stage flags; only the terminal
+    aggregation differs (GROUP BY source instead of one global row)."""
+    return rf"""{_funnel_stages_sql()},
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n0, CAST(sum(t) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(coalesce(sum(CASE WHEN p1 THEN t END), 0) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(coalesce(sum(CASE WHEN p2 THEN t END), 0) AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(coalesce(sum(CASE WHEN p3 THEN t END), 0) AS BIGINT) AS t3,
+             CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(coalesce(sum(CASE WHEN p4 THEN t END), 0) AS BIGINT) AS t4
+      FROM s4 GROUP BY source)
+    SELECT source, 0 AS stage_idx, 'raw' AS stage,
+           n0 AS n_docs, t0 AS n_tokens FROM agg
+    UNION ALL SELECT source, 1, 'quality_lang_length', n1, t1 FROM agg
+    UNION ALL SELECT source, 2, 'exact_dedup', n2, t2 FROM agg
+    UNION ALL SELECT source, 3, 'minhash_dedup', n3, t3 FROM agg
+    UNION ALL SELECT source, 4, 'source_quota', n4, t4 FROM agg
+    """
+
+
+def _funnel_stage_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document with cumulative stage flags p1..p4 — the
+    shared substrate of the global funnel report and the per-source
+    dashboard. Each stage's work is bounded by the previous stage's
+    survivors (the minhash chain only ever sees p2 rows)."""
     from pyspark.sql.window import Window
 
     from utility_service_areas_spark.functions.textops import normalized_text
@@ -1005,10 +1026,15 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("source").orderBy(
         F.col("p3").desc(), F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    s4 = s3.withColumn("r", F.row_number().over(wq)).withColumn(
+    return s3.withColumn("r", F.row_number().over(wq)).withColumn(
         "p4", F.col("p3") & (F.col("r") <= 40)
     )
-    agg = s4.agg(
+
+
+def _funnel_agg_cols():
+    """The ten funnel aggregate columns (docs+tokens at each stage),
+    shared by the global and the per-source terminal aggregations."""
+    return [
         F.count(F.lit(1)).cast("long").alias("n0"),
         F.sum("t").cast("long").alias("t0"),
         F.sum(F.when(F.col("p1"), 1).otherwise(0)).cast("long").alias("n1"),
@@ -1027,15 +1053,56 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("p4"), F.col("t"))), F.lit(0))
         .cast("long")
         .alias("t4"),
+    ]
+
+
+_FUNNEL_STACK = (
+    "stack(5, "
+    "CAST(0 AS BIGINT), 'raw', n0, t0, "
+    "CAST(1 AS BIGINT), 'quality_lang_length', n1, t1, "
+    "CAST(2 AS BIGINT), 'exact_dedup', n2, t2, "
+    "CAST(3 AS BIGINT), 'minhash_dedup', n3, t3, "
+    "CAST(4 AS BIGINT), 'source_quota', n4, t4) "
+    "AS (stage_idx, stage, n_docs, n_tokens)"
+)
+
+
+@query(
+    "curation_funnel_report",
+    oracle=_funnel_oracle_sql(),
+    doc="THE END-TO-END CURATION PIPELINE as one value-oracled query: "
+    "raw corpus → quality/lang/length gate (map-side) → exact dedup "
+    "(normalized-hash keeper) → MinHash-LSH + connected-components "
+    "near-dup dedup computed over SURVIVORS ONLY (the composition a "
+    "production run ships — each stage's volume is bounded by the "
+    "previous stage's output) → per-source quota (deterministic md5 "
+    "rank). Emits the 5-stage funnel (docs + tokens per stage) — the "
+    "run report a 100 TB curation job publishes. Cumulative stage "
+    "flags ride one frame, so the counts come from ONE aggregation; "
+    "every stage reuses the registry's already-verified expressions.",
+    tags=("text", "pipeline", "dedup"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _funnel_stage_frame(spark, sf_dir).agg(*_funnel_agg_cols())
+    return agg.select(F.expr(_FUNNEL_STACK))
+
+
+@query(
+    "curation_funnel_by_source",
+    oracle=_funnel_by_source_oracle_sql(),
+    doc="The per-domain curation dashboard: the same 5-stage funnel "
+    "(quality gate → exact dedup → minhash+CC dedup over survivors → "
+    "source quota) grouped by source — one (source, stage) row with "
+    "docs + tokens. This is the table an operator reads to spot a "
+    "source whose survival rate collapsed (a crawler regression, a "
+    "template flood) before it poisons the mix. Identical stage flags "
+    "to curation_funnel_report — the expensive pipeline runs once per "
+    "query either way; only the terminal aggregation gains the "
+    "source key (20 groups — partial agg, no extra pipeline cost).",
+    tags=("text", "pipeline", "dedup"),
+)
+def curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _funnel_stage_frame(spark, sf_dir).groupBy("source").agg(
+        *_funnel_agg_cols()
     )
-    return agg.select(
-        F.expr(
-            "stack(5, "
-            "CAST(0 AS BIGINT), 'raw', n0, t0, "
-            "CAST(1 AS BIGINT), 'quality_lang_length', n1, t1, "
-            "CAST(2 AS BIGINT), 'exact_dedup', n2, t2, "
-            "CAST(3 AS BIGINT), 'minhash_dedup', n3, t3, "
-            "CAST(4 AS BIGINT), 'source_quota', n4, t4) "
-            "AS (stage_idx, stage, n_docs, n_tokens)"
-        )
-    )
+    return per.select("source", F.expr(_FUNNEL_STACK))
