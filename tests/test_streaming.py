@@ -321,3 +321,122 @@ def test_ingest_dedup_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0  # the comparison is not vacuous
+
+
+# --- streaming curation-funnel twin (stages 0-2) ----------------------
+
+
+def _batch_funnel_rows(spark):
+    from utility_service_areas_spark.plans.text_queries import (
+        curation_funnel_by_source,
+    )
+
+    return curation_funnel_by_source(spark, SMOKE_SF).collect()
+
+
+def test_funnel_gate_counts_stream_matches_batch(spark):
+    from utility_service_areas_spark.streaming.events import (
+        funnel_gate_counts_stream,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, SMOKE_SF)
+    run_to_memory(funnel_gate_counts_stream(stream), "t_funnel_gate", "update")
+    got = {}  # last update per source = converged cumulative counts
+    for r in spark.table("t_funnel_gate").collect():
+        got[r.source] = (r.n0, r.t0, r.n1, r.t1)
+    batch = _batch_funnel_rows(spark)
+    want0 = {r.source: (r.n_docs, r.n_tokens) for r in batch if r.stage_idx == 0}
+    want1 = {r.source: (r.n_docs, r.n_tokens) for r in batch if r.stage_idx == 1}
+    assert set(got) == set(want0) and len(got) > 0
+    for s, (n0, t0, n1, t1) in got.items():
+        assert (n0, t0) == want0[s]
+        assert (n1, t1) == want1[s]
+
+
+def test_funnel_dedup_deltas_sum_to_batch_stage2(spark):
+    from utility_service_areas_spark.streaming.events import (
+        funnel_exact_dedup_deltas,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, SMOKE_SF)
+    run_to_memory(funnel_exact_dedup_deltas(stream), "t_funnel_d", "update")
+    agg = (
+        spark.table("t_funnel_d")
+        .groupBy("source")
+        .agg(F.sum("d_docs").alias("n"), F.sum("d_tokens").alias("t"))
+        .collect()
+    )
+    got = {r.source: (r.n, r.t) for r in agg if r.n > 0}
+    batch = _batch_funnel_rows(spark)
+    want = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in batch
+        if r.stage_idx == 2 and r.n_docs > 0
+    }
+    assert got == want and len(want) > 0
+
+
+def test_funnel_dedup_deltas_emit_corrections(spark, tmp_path):
+    """A later micro-batch bringing a SMALLER gate-passing doc_id for
+    an already-keepered hash must emit a (-1 old source, +1 new
+    source) retraction pair, and the summed deltas must land on the
+    min-doc_id keeper — the batch rule, independent of arrival order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utility_service_areas_spark.streaming.events import (
+        _funnel_map_stage,
+        funnel_exact_dedup_deltas,
+    )
+
+    # A real gate-passing text from the substrate (so p1 is true).
+    passing = (
+        _funnel_map_stage(load_table(spark, SMOKE_SF, "documents"))
+        .filter("p1")
+        .limit(1)
+        .collect()
+    )
+    text = (
+        load_table(spark, SMOKE_SF, "documents")
+        .filter(F.col("doc_id") == passing[0].doc_id)
+        .collect()[0]
+        .text
+    )
+    t_tok = passing[0].t
+    d = tmp_path / "docs"
+    d.mkdir()
+    f1, f2 = str(d / "a.parquet"), str(d / "b.parquet")
+
+    def write(path, doc_id, source):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([doc_id], pa.int64()),
+                    "source": pa.array([source]),
+                    "text": pa.array([text]),
+                }
+            ),
+            path,
+        )
+
+    write(f1, 200, "late_src")
+    write(f2, 100, "early_src")
+    os.utime(f1, (1_000_000, 1_000_000))  # file source orders by mtime
+    os.utime(f2, (2_000_000, 2_000_000))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_to_memory(funnel_exact_dedup_deltas(stream), "t_funnel_corr", "update")
+    rows = spark.table("t_funnel_corr").collect()
+    # trigger 1: +1 late_src; trigger 2: -1 late_src, +1 early_src
+    assert sorted((r.source, r.d_docs, r.d_tokens) for r in rows) == sorted(
+        [
+            ("late_src", 1, t_tok),
+            ("late_src", -1, -t_tok),
+            ("early_src", 1, t_tok),
+        ]
+    )

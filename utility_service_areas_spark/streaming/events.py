@@ -328,6 +328,127 @@ def dedup_documents_stream(stream: DataFrame) -> DataFrame:
     ).dropDuplicates(["text_hash"])
 
 
+def _funnel_map_stage(stream: DataFrame) -> DataFrame:
+    """Map-side prefix of the curation funnel (plans/text_queries.py:
+    _funnel_stage_frame), stream-safe by construction: token count,
+    language guess, quality score, the stage-1 gate predicate, and the
+    normalized-text hash. No state, no shuffle — every downstream
+    funnel stream hangs off this one projection."""
+    from utility_service_areas_spark.functions.textops import normalized_text
+    from utility_service_areas_spark.operators.text import (
+        lang_guess,
+        quality_score_micros,
+        token_counts,
+    )
+
+    ws, _ = token_counts(F.col("text"))
+    t = ws.cast("long")
+    p1 = (
+        (lang_guess(F.col("text")) == "en")
+        & (quality_score_micros(F.col("text")) >= 500_000)
+        & t.between(5, 5000)
+    )
+    return stream.select(
+        "doc_id",
+        "source",
+        t.alias("t"),
+        p1.alias("p1"),
+        F.md5(normalized_text(F.col("text"))).alias("h"),
+    )
+
+
+def funnel_gate_counts_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the funnel's stage-0/1 per-source counts
+    (curation_funnel_by_source rows stage_idx 0-1): cumulative
+    (n0, t0, n1, t1) per source as an update-mode aggregation.
+    Stages 0-1 are pure map-side predicates, so the streaming counts
+    are exact — the dashboard's top-of-funnel updates per trigger."""
+    m = _funnel_map_stage(stream)
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("t").cast("long").alias("t0"),
+        F.sum(F.when(F.col("p1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("p1"), F.col("t"))), F.lit(0))
+        .cast("long")
+        .alias("t1"),
+    )
+
+
+_FUNNEL_DELTA_STATE_SCHEMA = StructType(
+    [
+        StructField("keeper_doc", LongType()),
+        StructField("keeper_src", StringType()),
+        StructField("keeper_t", LongType()),
+    ]
+)
+_FUNNEL_DELTA_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("d_docs", LongType()),
+        StructField("d_tokens", LongType()),
+    ]
+)
+
+
+def _funnel_dedup_delta_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keeper-correction deltas for one normalized-text hash: state is
+    the current keeper (the MIN gate-passing doc_id seen so far — the
+    batch funnel's exact keeper rule, so the converged result is
+    arrival-order independent). When a batch brings a smaller doc_id,
+    emit a retraction (-1) for the old keeper's source and an
+    assertion (+1) for the new one — the Flink-style retract-stream
+    shape a downstream dashboard materializes by summing."""
+    best_doc = best_src = best_t = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        row = pdf.loc[pdf["doc_id"].idxmin()]
+        if best_doc is None or int(row["doc_id"]) < best_doc:
+            best_doc = int(row["doc_id"])
+            best_src = str(row["source"])
+            best_t = int(row["t"])
+    out = []
+    if best_doc is not None:
+        if not state.exists:
+            state.update((best_doc, best_src, best_t))
+            out.append((best_src, 1, best_t))
+        else:
+            old_doc, old_src, old_t = state.get
+            if best_doc < old_doc:
+                state.update((best_doc, best_src, best_t))
+                out.append((old_src, -1, -old_t))
+                out.append((best_src, 1, best_t))
+    yield pd.DataFrame(out, columns=["source", "d_docs", "d_tokens"])
+
+
+def funnel_exact_dedup_deltas(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the funnel's stage-2 per-source counts: the
+    exact-dedup keeper state keyed by normalized-text hash, emitting
+    +1/-1 correction deltas as keepers change. SUM(d_docs), SUM(
+    d_tokens) per source converges to curation_funnel_by_source's
+    (n2, t2) for any arrival order — pinned by tests/test_streaming.py.
+
+    Scale posture: state is one 3-field row per DISTINCT hash whose
+    gate survivors have appeared (bounded by distinct content, not
+    stream length); the delta output is bounded by keeper churn, not
+    input volume. Stages 3-4 are deliberately batch-only: minhash+CC
+    needs within-corpus pairs over the full survivor set and the
+    quota is a global per-source ranking — the streaming answer to
+    near-dup ingest is ingest_dedup_stream (the persisted band
+    index), and quota runs as a periodic batch over the materialized
+    survivor set."""
+    m = _funnel_map_stage(stream).filter(F.col("p1"))
+    return m.groupBy("h").applyInPandasWithState(
+        _funnel_dedup_delta_fn,
+        outputStructType=_FUNNEL_DELTA_OUT_SCHEMA,
+        stateStructType=_FUNNEL_DELTA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def minhash_sig_map(docs: DataFrame, n_hashes: int = 8, k: int = 3) -> DataFrame:
     """MAP-SIDE MinHash signatures — the streaming-safe twin of
     operators/dedup.py:minhash_signatures.
