@@ -275,10 +275,34 @@ def test_ivf_sqrtn_uses_arrow_kernel_not_crossjoin(spark, queries):
 def test_minhash_verified_semi_filters_before_pair_join(spark, queries):
     """The exact-verify stage must be candidate-proportional: the
     shingle stream is LeftSemi-filtered to candidate docs before any
-    pair-shingle join."""
-    plan = plan_of(queries["dedup_minhash_verified"](spark, SMOKE_SF))
+    pair-shingle join. Built with cut_lineage=False — the registered
+    query's eager checkpoints truncate the visible plan (that cut is
+    pinned separately below)."""
+    from utility_service_areas_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    plan = plan_of(
+        minhash_verified_pairs(docs, "doc_id", "text", cut_lineage=False)
+    )
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_verified_lineage_cut_truncates_recompute(spark, queries):
+    """The registered verified/estimator queries must materialize the
+    candidate and filtered-shingle frames once: without the cut the
+    triple/quadruple consumption re-ran the whole minhash pipeline per
+    branch (58-64 parquet scans in one plan, r8 audit). After the cut
+    the final plan reads only checkpointed RDDs — at most a couple of
+    scans may remain, never the recompute explosion."""
+    for key in ("dedup_minhash_verified", "minhash_estimator_quality"):
+        plan = plan_of(queries[key](spark, SMOKE_SF), "simple")
+        n_scans = plan.count("Scan parquet")
+        assert n_scans <= 4, f"{key}: {n_scans} parquet scans"
+        assert "ExistingRDD" in plan
 
 
 def test_quantize_scales_broadcast_corpus_unshuffled(spark, queries):

@@ -406,6 +406,19 @@ def simhash_candidate_pairs(
     )
 
 
+def lineage_cut(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer frame once: reliable checkpoint
+    when the caller configured a checkpoint dir (cluster posture —
+    survives executor loss), localCheckpoint otherwise (same lineage
+    cut, no HDFS round-trip). Catalyst does NOT reuse identical
+    subtrees consumed by several joins of one plan (0 ReusedExchange,
+    measured r8) — without the cut each consumer re-runs the whole
+    upstream pipeline."""
+    spark = df.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+
 def minhash_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -413,6 +426,7 @@ def minhash_verified_pairs(
     k: int = 3,
     n_hashes: int = 8,
     threshold: float = 0.5,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """The production dedup shape: cheap LSH candidates, exact Jaccard
     verification ONLY on candidates — never on all pairs.
@@ -430,9 +444,19 @@ def minhash_verified_pairs(
     Returns (doc_a, doc_b, n_matching_minhashes, jaccard_micros) for
     verified pairs with exact Jaccard ≥ threshold; micros via
     floor(x·1e6 + 0.5) (engine-identical, SURVEY §6).
+
+    ``cut_lineage`` (default on) materializes `cand` and the filtered
+    shingle stream once: `cand` is consumed three times and `ex` three
+    times below, and Catalyst does not reuse the subtrees — the
+    executed no-cut plan held 58 parquet scans; with the cut, ≤ 4.
+    Interleaved A/B at 10×, warm rounds (BENCH_TREND r8): cut
+    9.4-11.9 s vs no-cut 12.5-21.2 s. Pass False only to inspect the
+    full un-truncated plan (tests/test_plans.py does).
     """
     sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes)
     cand = lsh_candidate_pairs(sig, n_hashes=n_hashes)
+    if cut_lineage:
+        cand = lineage_cut(cand)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc"))
         .union(cand.select(F.col("doc_b").alias("doc")))
@@ -441,6 +465,8 @@ def minhash_verified_pairs(
     ex = shingle_exploded(df, id_col, text_col, k=k).join(
         cand_docs, "doc", "left_semi"
     )
+    if cut_lineage:
+        ex = lineage_cut(ex)
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     # NOTE (r7 measured rejection, BENCH_TREND): fusing the size-ratio
     # prefilter onto `cand` before the pair-shingle join — the trick

@@ -764,18 +764,27 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "pipeline", "bench"),
 )
 def minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from utility_service_areas_spark.operators.dedup import shingle_exploded
+    from utility_service_areas_spark.operators.dedup import (
+        lineage_cut,
+        shingle_exploded,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
-    cand = lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
+    # `cand` is consumed FOUR times below (cand_docs ×2, common,
+    # judged) and `ex` three times, with no Catalyst subtree reuse —
+    # cut both once, exactly as minhash_verified_pairs does (64 → 3
+    # scans in the executed plan; see BENCH_TREND r8).
+    cand = lineage_cut(lsh_candidate_pairs(sig, n_hashes=8, band_size=2))
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc"))
         .union(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    ex = shingle_exploded(docs, "doc_id", "text", k=3).join(
-        cand_docs, "doc", "left_semi"
+    ex = lineage_cut(
+        shingle_exploded(docs, "doc_id", "text", k=3).join(
+            cand_docs, "doc", "left_semi"
+        )
     )
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     common = (
