@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -241,6 +242,27 @@ def test_domain_quota_two_phase_windows(spark, queries):
     single global window over raw data."""
     plan = plan_of(queries["domain_quota_sample"](spark, SMOKE_SF))
     assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_funnel_quota_two_phase_salted(spark, queries):
+    """r8 verdict item 1: the stage-4 per-source quota must be the
+    exact two-phase salted top-K (phase 1 per (source, salt-bucket),
+    phase 2 per source over <= SALT*K survivors) — never a single
+    row_number window sorting a whole hot source's survivors on one
+    reducer — and the <= n_sources*K keep-set must join back as a
+    broadcast onto the lineage-cut stage frame."""
+    plan = plan_of(queries["curation_funnel_report"](spark, SMOKE_SF))
+    # phase 1 partitions by (source, salt-bucket); phase 2 by source
+    assert re.search(r"windowspecdefinition\(source#\d+, sb#\d+,", plan)
+    assert re.search(r"windowspecdefinition\(source#\d+, rk#\d+", plan)
+    # exactly the two quota windows — no third (single-phase) window
+    # over the full survivor frame anywhere in the plan
+    assert len(re.findall(r"windowspecdefinition", plan)) == 2
+    assert "BroadcastHashJoin" in plan  # keep-set join-back
+    # the stage frame is materialized once (checkpoint), not re-run
+    # per consumer
+    assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
 

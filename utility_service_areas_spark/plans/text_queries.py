@@ -975,15 +975,35 @@ def _funnel_by_source_oracle_sql() -> str:
     """
 
 
+_FUNNEL_QUOTA_K = 40  # per-source document quota at stage 4
+_FUNNEL_QUOTA_SALT = 64  # phase-1 fan-out for the hot-source top-K
+
+
 def _funnel_stage_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document with cumulative stage flags p1..p4 — the
     shared substrate of the global funnel report and the per-source
     dashboard. Each stage's work is bounded by the previous stage's
-    survivors (the minhash chain only ever sees p2 rows)."""
+    survivors (the minhash chain only ever sees p2 rows).
+
+    Stage 4 (the per-source quota) is the exact two-phase salted
+    top-K from ``domain_quota_sample``: phase 1 ranks within
+    (source, salt-bucket) — any global top-K row is top-K within its
+    bucket, so no candidate is lost — and phase 2 re-ranks the
+    <= SALT*K survivors per source. A 1B-doc hot source costs one
+    reducer ~2.5k rows instead of 1B (the r8 single-phase
+    ``row_number() OVER (PARTITION BY source)`` sorted a whole
+    source's survivors on one reducer — the known hot-domain
+    scale-killer). The keep-set (<= n_sources*K rows) broadcasts back
+    onto the stage frame; with a web-scale source taxonomy drop the
+    broadcast hint and let AQE pick the join. The stage frame is
+    lineage-cut (slim projection, no text) before fan-out because it
+    now has two consumers (quota branch + join-back) and Catalyst
+    does not reuse identical subtrees across joins of one plan."""
     from pyspark.sql.window import Window
 
     from utility_service_areas_spark.functions.textops import normalized_text
     from utility_service_areas_spark.operators.dedup import (
+        lineage_cut,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -1015,19 +1035,32 @@ def _funnel_stage_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matching_minhashes >= 6"
     )
     comp = connected_components(pairs)
-    s3 = (
+    s3 = lineage_cut(
         s2.join(comp, s2.doc_id == comp.node, "left")
         .withColumn(
             "p3",
             F.col("p2") & (F.col("comp").isNull() | (F.col("comp") == F.col("doc_id"))),
         )
-        .drop("node", "comp")
+        .select("doc_id", "source", "t", "p1", "p2", "p3")
     )
-    wq = Window.partitionBy("source").orderBy(
-        F.col("p3").desc(), F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    surv = (
+        s3.filter("p3")
+        .withColumn("rk", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("sb", F.pmod(F.hash("doc_id"), F.lit(_FUNNEL_QUOTA_SALT)))
     )
-    return s3.withColumn("r", F.row_number().over(wq)).withColumn(
-        "p4", F.col("p3") & (F.col("r") <= 40)
+    w1 = Window.partitionBy("source", "sb").orderBy("rk", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("rk", "doc_id")
+    kept = (
+        surv.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _FUNNEL_QUOTA_K)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= _FUNNEL_QUOTA_K)
+        .select("doc_id", F.lit(True).alias("p4k"))
+    )
+    return (
+        s3.join(F.broadcast(kept), "doc_id", "left")
+        .withColumn("p4", F.col("p3") & F.coalesce(F.col("p4k"), F.lit(False)))
+        .drop("p4k")
     )
 
 
@@ -1076,7 +1109,9 @@ _FUNNEL_STACK = (
     "near-dup dedup computed over SURVIVORS ONLY (the composition a "
     "production run ships — each stage's volume is bounded by the "
     "previous stage's output) → per-source quota (deterministic md5 "
-    "rank). Emits the 5-stage funnel (docs + tokens per stage) — the "
+    "rank, exact two-phase salted top-K — no single-reducer sort of a "
+    "hot source's survivors). Emits the 5-stage funnel (docs + tokens "
+    "per stage) — the "
     "run report a 100 TB curation job publishes. Cumulative stage "
     "flags ride one frame, so the counts come from ONE aggregation; "
     "every stage reuses the registry's already-verified expressions.",
@@ -1092,7 +1127,8 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_funnel_by_source_oracle_sql(),
     doc="The per-domain curation dashboard: the same 5-stage funnel "
     "(quality gate → exact dedup → minhash+CC dedup over survivors → "
-    "source quota) grouped by source — one (source, stage) row with "
+    "two-phase salted source quota) grouped by source — one (source, "
+    "stage) row with "
     "docs + tokens. This is the table an operator reads to spot a "
     "source whose survival rate collapsed (a crawler regression, a "
     "template flood) before it poisons the mix. Identical stage flags "
