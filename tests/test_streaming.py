@@ -323,6 +323,63 @@ def test_ingest_dedup_stream_matches_batch(spark, tmp_path):
     assert len(want) > 0  # the comparison is not vacuous
 
 
+def test_ingest_dedup_stream_watermarked_matches_batch(spark, tmp_path):
+    """ADVICE r8: the long-running-ingest mode — an event-time column
+    threaded into the grouping key under a watermark so completed
+    per-doc groups are evictable — must produce the SAME rows and the
+    SAME output schema as the unbounded-replay mode (the event-time
+    column never escapes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.streaming.events import (
+        ingest_dedup_stream,
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sig_path = str(tmp_path / "sig_index.parquet")
+    idx_path = str(tmp_path / "band_index.parquet")
+    old_sig = minhash_signatures(
+        docs.filter(F.col("doc_id") % 10 != 7), "doc_id", "text", k=3, n_hashes=8
+    )
+    old_sig.write.parquet(sig_path)
+    minhash_bands(spark.read.parquet(sig_path)).write.parquet(idx_path)
+
+    stream = (
+        read_documents_stream(spark, sf)
+        .filter(F.col("doc_id") % 10 == 7)
+        .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1_000_000))
+    )
+    out = ingest_dedup_stream(
+        stream,
+        old_bands=spark.read.parquet(idx_path),
+        old_sig=spark.read.parquet(sig_path),
+        event_time_col="ingest_ts",
+        watermark_delay="5 minutes",
+    )
+    assert "ingest_ts" not in out.columns  # schema identical to default mode
+    run_to_memory(out, "t_ingest_dedup_wm", "update")
+    got = {
+        r.new_doc_id: (r.n_candidates, r.n_dups, r.min_dup_old_id, r.max_matching)
+        for r in spark.sql("SELECT * FROM t_ingest_dedup_wm").collect()
+    }
+    want = {
+        r.new_doc_id: (r.n_candidates, r.n_dups, r.min_dup_old_id, r.max_matching)
+        for r in all_queries()["dedup_incremental_ingest"](spark, sf).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 # --- streaming curation-funnel twin (stages 0-2) ----------------------
 
 

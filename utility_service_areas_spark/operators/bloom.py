@@ -204,12 +204,19 @@ def repeated_key_prefilter(
         .filter(F.col("__c") >= 2)
         .select("__p")
     )
+    # ``hot`` is bounded by m rows (one int each) — m is a HARD ceiling
+    # on the broadcast size. Force the broadcast only while that
+    # ceiling is clearly inside executor/driver memory (~8 B a row →
+    # ≤ ~64 MB at the default 2^22); for larger filters, or when most
+    # keys repeat (hot → min(m, k·n)), let AQE pick the join from the
+    # measured size instead of blowing the broadcast limit.
+    maybe_broadcast = F.broadcast if m <= (1 << 23) else (lambda d: d)
     out = df
     for i in range(k):
         hp = hot.select(
             F.col("__p").alias(f"__p{i}"), F.lit(True).alias(f"__hot{i}")
         )
-        out = out.join(F.broadcast(hp), pos[i] == F.col(f"__p{i}"), "left")
+        out = out.join(maybe_broadcast(hp), pos[i] == F.col(f"__p{i}"), "left")
     keep = out
     for i in range(k):
         keep = keep.filter(F.col(f"__hot{i}"))

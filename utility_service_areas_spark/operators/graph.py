@@ -51,8 +51,17 @@ def connected_components(
     # consumers re-derive the uncut round.)
     # Without the cut each iteration would re-run the entire upstream
     # pair-generation pipeline (LSH bucketing, signature UDFs, ...).
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = edges.repartition(n_shuffle, "v")
+    # ADVICE r8: shuffle.partitions can be non-numeric ("auto" on some
+    # platforms) — fall back to defaultParallelism instead of raising,
+    # and skip the explicit repartition entirely in that case (the
+    # measured win of the pre-partitioned checkpoint was only ~6% warm;
+    # the checkpoint's lineage cut is the load-bearing part).
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuffle = None
+    if n_shuffle:
+        edges = edges.repartition(n_shuffle, "v")
     edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("node"))

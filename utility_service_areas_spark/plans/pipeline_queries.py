@@ -500,49 +500,3 @@ def dedup_exact_substring(
         )
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
-    # Per-doc DISTINCT span hashes, entirely map-side: the old
-    # .distinct() exchanged every (doc_id, span) pair; array_distinct
-    # inside the row does the same dedup for free (spans within one
-    # doc live in one row by construction).
-    span_hashes = F.expr(
-        f"array_distinct(transform("
-        f"  CASE WHEN size(__toks) >= {_SPAN}"
-        f"       THEN sequence(1, size(__toks) - {_SPAN - 1})"
-        f"       ELSE CAST(array() AS array<int>) END,"
-        f"  i -> md5(array_join(slice(__toks, i, {_SPAN}), ' '))))"
-    )
-    per_doc = docs.select("doc_id", toks.alias("__toks")).select(
-        "doc_id", span_hashes.alias("hs")
-    )
-    spans = per_doc.select("doc_id", F.explode("hs").alias("h"))
-    counted = (
-        repeated_key_prefilter(spans, "h", m=1 << 21, k=2)
-        if prune_singletons
-        else spans
-    )
-    # Occurrence count == per-span doc count (per-doc spans are
-    # distinct); only repeated spans matter downstream, and the
-    # prefilter keeps EVERY occurrence of every repeated span, so the
-    # counts below are exact either way.
-    rep = (
-        counted.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    shared = (
-        counted.join(rep, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nsh"))
-    )
-    return (
-        per_doc.select("doc_id", F.size("hs").alias("ns"))
-        .join(shared, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("ns").cast("long").alias("n_spans"),
-            F.coalesce(F.col("nsh"), F.lit(0)).cast("long").alias("n_shared_spans"),
-        )
-    )

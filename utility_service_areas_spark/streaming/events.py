@@ -449,7 +449,12 @@ def funnel_exact_dedup_deltas(stream: DataFrame) -> DataFrame:
     )
 
 
-def minhash_sig_map(docs: DataFrame, n_hashes: int = 8, k: int = 3) -> DataFrame:
+def minhash_sig_map(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    k: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """MAP-SIDE MinHash signatures — the streaming-safe twin of
     operators/dedup.py:minhash_signatures.
 
@@ -478,6 +483,7 @@ def minhash_sig_map(docs: DataFrame, n_hashes: int = 8, k: int = 3) -> DataFrame
     sh = shingles(tokens(F.col("text")), k)
     return docs.select(
         F.col("doc_id").alias("doc"),
+        *[F.col(c) for c in keep],  # passthrough (e.g. event time)
         *[
             F.array_min(F.transform(sh, seeded(i))).alias(f"h{i}")
             for i in range(n_hashes)
@@ -492,6 +498,8 @@ def ingest_dedup_stream(
     cap: int = 100,
     match_threshold: int = 6,
     n_hashes: int = 8,
+    event_time_col: str | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming incremental-ingest dedup — the stream twin of
     plans/dedup_queries.py:dedup_incremental_ingest composed with the
@@ -513,14 +521,31 @@ def ingest_dedup_stream(
     — the batch query's exact schema, so stream == batch is assertable
     row for row. State is per-new-doc only; the old corpus lives in
     the parquet index, not in stream state.
+
+    State lifetime: WITHOUT ``event_time_col`` the per-doc aggregation
+    groups have no watermark, so one state row per ingested doc is
+    retained forever — that mode is for bounded / ``availableNow``
+    replays only (the pytest + stress harness posture). For a
+    long-running ingest, pass the stream's arrival-timestamp column as
+    ``event_time_col``: the stream gets
+    ``withWatermark(event_time_col, watermark_delay)`` and the column
+    rides into the grouping key, so a doc's (single-arrival) group is
+    evicted once the watermark passes it — bounded state. The column
+    is dropped from the output, so the schema (and the stream==batch
+    pin) is identical in both modes.
     """
-    sig = minhash_sig_map(stream, n_hashes=n_hashes)
+    keep: tuple[str, ...] = ()
+    if event_time_col is not None:
+        stream = stream.withWatermark(event_time_col, watermark_delay)
+        keep = (event_time_col,)
+    sig = minhash_sig_map(stream, n_hashes=n_hashes, keep=keep)
     # Band explode INLINE (not operators/dedup.py:minhash_bands) so the
     # signature components ride along with each band row — rejoining
     # them would be a stream-stream self-join.
     band_size, n_bands = 2, n_hashes // 2
     new_bands = sig.select(
         "doc",
+        *keep,
         *[F.col(f"h{i}") for i in range(n_hashes)],
         F.explode(
             F.array(
@@ -540,7 +565,9 @@ def ingest_dedup_stream(
                 ]
             )
         ).alias("b"),
-    ).select("doc", *[f"h{i}" for i in range(n_hashes)], "b.band_idx", "b.band_hash")
+    ).select(
+        "doc", *keep, *[f"h{i}" for i in range(n_hashes)], "b.band_idx", "b.band_hash"
+    )
     old_sz = old_bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("old_n")
     )
@@ -562,15 +589,16 @@ def ingest_dedup_stream(
         .cast("long")
         .alias("m")
     )
-    est = cand.join(osig, "old_doc", "left").select("doc", "old_doc", m)
+    est = cand.join(osig, "old_doc", "left").select("doc", *keep, "old_doc", m)
     dup_old = F.when(F.col("m") >= match_threshold, F.col("old_doc"))
     return (
-        est.groupBy("doc")
+        est.groupBy("doc", *keep)  # event time in the key → evictable
         .agg(
             F.size(F.collect_set("old_doc")).cast("long").alias("n_candidates"),
             F.size(F.collect_set(dup_old)).cast("long").alias("n_dups"),
             F.array_min(F.collect_set(dup_old)).alias("min_dup_old_id"),
             F.max("m").alias("max_matching"),
         )
+        .drop(*keep)
         .withColumnRenamed("doc", "new_doc_id")
     )
