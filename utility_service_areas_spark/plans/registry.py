@@ -75,71 +75,75 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-8 rotation (VERDICT r7 tasks 1, 2, 4): exactly 50 names =
-    # the driver's per-round attestation budget.
-    # 1) the two r7 red rows, re-attested first after the
-    #    canonicalization-surface fixes (HUGEINT sums cast to BIGINT;
-    #    codes array comma-joined) (2)
-    "source_curation_profile",
-    "embedding_quantize_int8",
-    # 2) the 14 new r8 keys — first-ever attestation
-    "semantic_dedup_keep",
-    "dedup_quote_containment",
-    "dedup_graph_triangles",
-    "source_mixing_weights",
-    "embedding_outlier_flags",
-    "market_basket_pairs",
-    "deletion_cascade_manifest",
-    "join_key_skew_profile",
+    # Round-9 rotation (VERDICT r8 tasks 2, 3): exactly 50 names =
+    # the driver's per-round attestation budget. No red rows in r8.
+    # The three oracle-less rows-only sketches (approx_distinct_users,
+    # tdigest_value_quantiles, heavy_hitter_tokens) are EXCLUDED —
+    # they can only return err:no_oracle and would burn a slot
+    # (VERDICT r8 "What's wrong" #2).
+    # 1) keys whose plan was edited this round (stage-4 two-phase
+    #    salted quota; oracle hashes unchanged at 3 SFs) (2)
     "curation_funnel_report",
-    "semantic_dedup_sqrtn",
-    "orders_rollup_incremental",
-    "dataset_snapshot_diff",
-    "minhash_estimator_quality",
     "curation_funnel_by_source",
-    # 3) the 3 keys whose newest driver row is r4 (deferred from r7)
-    "min_cost_supplier_per_part",
-    "unshipped_order_revenue",
-    "priority_counts_by_returnflag",
-    # 4) 31 of the 47 keys whose newest driver row is r5 (deferred to
-    #    r9: dedup_exact_docs, dedup_minhash_lsh, dedup_simhash,
-    #    dedup_clusters, and the geo tail incl. geo_area_rank
-    #    — geo_plss_cells, geo_union_grid_area, geo_viewport_query,
-    #    geo_make_valid, geo_combine_multipolygon, geo_union_overlap_
-    #    area, geo_dissolve_true_union, geo_simplify, geo_morton_order
-    #    — and geo_bbox_centroid and doc_fingerprint defer to r9 to
-    #    hold the 50 budget)
-    "two_digit_year_fix",
-    "enrich_join_dims",
-    "anti_join_missing",
-    "patch_override_join",
-    "sync_status_case",
-    "group_combine_collect",
-    "concat_order_text",
-    "agg_stats_by_group",
-    "top_revenue_orders",
-    "sentinel_date_imputation",
-    "top3_orders_per_customer",
-    "kml_description_parse",
-    "geometry_currency_check",
-    "chronology_enriched",
-    "events_asof_attribution",
-    "events_in_promo_windows",
-    "agg_rollup_region_nation",
-    "value_percentiles",
-    "events_moving_window",
-    "profile_orders",
-    "approx_distinct_users",
-    "supplier_balance_rank_dist",
-    "user_first_last_event",
-    "daily_new_users_cumulative",
-    "supplier_daily_running_revenue",
-    "event_funnel_conversion",
-    "cohort_retention",
-    "rolling_7d_active_users",
-    "qty_price_covariance_components",
-    "event_type_transitions",
-    "regional_order_volume",
+    # 2) new r9 keys — first-ever attestation (filled as they land)
+    # 3) the 16 keys whose newest driver row is r5 — the whole stale
+    #    tail drains this round (16)
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "doc_fingerprint",
+    "geo_area_rank",
+    "geo_bbox_centroid",
+    "geo_combine_multipolygon",
+    "geo_dissolve_true_union",
+    "geo_make_valid",
+    "geo_morton_order",
+    "geo_plss_cells",
+    "geo_simplify",
+    "geo_union_grid_area",
+    "geo_union_overlap_area",
+    "geo_viewport_query",
+    # 4) 32 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: geo_overlap_grid_cells,
+    #    docs_repetition_signals, domain_quota_sample,
+    #    dedup_exact_substring, event_anomaly_zscore,
+    #    customer_rfm_segments, embedding_pair_histogram,
+    #    dedup_keep_best, hll_registers_users, user_session_stats,
+    #    geo_nearest_area, order_backlog_timeseries, geo_grid_density,
+    #    lang_id_confusion)
+    "geo_point_in_polygon",
+    "geo_overlap_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_latest_per_user",
+    "events_json_extract",
+    "ann_ivf_topk",
+    "text_top_tokens",
+    "stratified_sample",
+    "text_clean",
+    "max_size_parts_per_brand",
+    "customers_above_avg_spend",
+    "nation_trade_volume",
+    "supplier_count_by_part_type",
+    "events_value_quartiles",
+    "text_tfidf_top_term",
+    "orders_with_late_items",
+    "customer_order_distribution",
+    "dormant_high_balance_customers",
+    "order_status_priority_cube",
+    "supplier_ship_gap_stats",
+    "customer_retention_setops",
+    "embedding_kmeans_assign",
+    "small_lot_revenue_by_brand",
+    "geo_pip_grid_cells",
 )
 
 _PLAN_MODULES = (
