@@ -166,6 +166,8 @@ EXPECTED_KEYS = {
     "geo_morton_order",
     "geo_nearest_area",
     "geo_grid_density",
+    # r9 additions
+    "geo_shapefile_roundtrip",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -1,0 +1,141 @@
+"""Shapefile source (S17): write real .shp/.shx/.dbf fixtures with the
+package's own builder, read them back through the DISTRIBUTED reader
+(binaryFile → mapInPandas → (base, recno) join), and assert exact
+geometry + attribute round trips, including multi-part shapes, every
+supported shape type, deleted .dbf rows, and truncated files.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from utility_service_areas_spark.sources.shapefile import (
+    SHAPE_MULTIPOINT,
+    SHAPE_NULL,
+    SHAPE_POINT,
+    SHAPE_POLYGON,
+    SHAPE_POLYLINE,
+    build_shapefile,
+    parse_dbf_bytes,
+    parse_shp_bytes,
+    read_shapefile,
+    write_shapefile,
+)
+
+FIELDS = [("NAME", "C", 16, 0), ("KEY", "N", 8, 0), ("ACTIVE", "L", 1, 0)]
+
+# A polygon with a hole, a 2-part polyline, a point, a multipoint, and
+# a null shape — every supported type in one file.
+RECORDS = [
+    (
+        SHAPE_POLYGON,
+        [
+            [[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0], [0.0, 0.0]],
+            [[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0], [2.0, 2.0]],
+        ],
+        {"NAME": "poly_hole", "KEY": 1, "ACTIVE": True},
+    ),
+    (
+        SHAPE_POLYLINE,
+        [[[0.0, 0.0], [1.5, 2.5]], [[3.0, 3.0], [4.0, 5.0], [6.0, 1.0]]],
+        {"NAME": "two_part_line", "KEY": 2, "ACTIVE": False},
+    ),
+    (SHAPE_POINT, [[[7.25, -3.5]]], {"NAME": "pt", "KEY": 3, "ACTIVE": True}),
+    (
+        SHAPE_MULTIPOINT,
+        [[[1.0, 1.0], [2.0, 2.0], [3.0, 1.0]]],
+        {"NAME": "mpt", "KEY": 4, "ACTIVE": True},
+    ),
+    (SHAPE_NULL, [], {"NAME": "nothing", "KEY": 5, "ACTIVE": False}),
+]
+
+
+def test_bytes_roundtrip_all_shape_types():
+    shp, shx, dbf = build_shapefile(RECORDS, FIELDS)
+    # header invariants (public ESRI layout)
+    assert struct.unpack(">i", shp[:4])[0] == 9994
+    assert struct.unpack("<i", shp[28:32])[0] == 1000
+    assert struct.unpack(">i", shp[24:28])[0] * 2 == len(shp)
+    assert len(shx) == 100 + 8 * len(RECORDS)
+
+    geo = parse_shp_bytes("f.shp", shp)
+    assert [g["recno"] for g in geo] == [1, 2, 3, 4, 5]
+    assert [g["shape_type"] for g in geo] == [
+        "polygon",
+        "polyline",
+        "point",
+        "multipoint",
+        "null",
+    ]
+    for got, (_, want_geom, _) in zip(geo, RECORDS):
+        assert got["geometry"] == [list(map(list, part)) for part in want_geom]
+
+    at = parse_dbf_bytes("f.dbf", dbf)
+    assert len(at) == 5
+    assert at[0]["attrs"] == {"NAME": "poly_hole", "KEY": "1", "ACTIVE": "T"}
+    assert at[4]["attrs"]["ACTIVE"] == "F"
+
+
+def test_deleted_dbf_row_is_skipped():
+    _, _, dbf = build_shapefile(RECORDS[:2], FIELDS)
+    hdr_size = struct.unpack("<H", dbf[8:10])[0]
+    mutated = bytearray(dbf)
+    mutated[hdr_size] = 0x2A  # mark record 1 deleted
+    rows = parse_dbf_bytes("f.dbf", bytes(mutated))
+    assert [r["recno"] for r in rows] == [2]
+
+
+def test_truncated_shp_yields_readable_prefix():
+    shp, _, _ = build_shapefile(RECORDS, FIELDS)
+    # cut mid-way through record 3's content
+    geo_full = parse_shp_bytes("f.shp", shp)
+    assert len(geo_full) == 5
+    cut = parse_shp_bytes("f.shp", shp[: len(shp) - 30])
+    assert 0 < len(cut) < 5
+    assert parse_shp_bytes("f.shp", b"not a shapefile") == []
+    assert parse_dbf_bytes("f.dbf", b"\x07garbage") == []
+
+
+def test_distributed_read_joins_geometry_and_attrs(spark, tmp_path):
+    write_shapefile(str(tmp_path), "areas", RECORDS, FIELDS)
+    # a second file in the same directory: the join key is (base,
+    # recno), so same recnos in different files must not collide
+    write_shapefile(
+        str(tmp_path),
+        "other",
+        [(SHAPE_POINT, [[[9.0, 9.0]]], {"NAME": "other_pt", "KEY": 9, "ACTIVE": True})],
+        FIELDS,
+    )
+    df = read_shapefile(spark, str(tmp_path))
+    rows = {(r.base.rsplit("/", 1)[-1], r.recno): r for r in df.collect()}
+    assert len(rows) == 6
+    poly = rows[("areas", 1)]
+    assert poly.shape_type == "polygon"
+    assert len(poly.geometry) == 2  # outer ring + hole survive as parts
+    assert poly.attrs["NAME"] == "poly_hole"
+    assert rows[("other", 1)].attrs["KEY"] == "9"
+    nul = rows[("areas", 5)]
+    assert nul.shape_type == "null" and list(nul.geometry) == []
+
+
+def test_registered_roundtrip_query_matches_rect_arithmetic(spark):
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    out = all_queries()["geo_shapefile_roundtrip"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 25
+    for r in rows:
+        k = r.n_nationkey
+        assert r.x0_milli == (k % 5) * 6 * 1000
+        assert r.w_milli == (5 + (k % 3) * 2) * 1000
+        assert r.n_points == 5 and r.shape_type == "polygon"
+        assert r.name_back == f"NATION_{k}"
+
+
+@pytest.mark.parametrize("ftype,val,want", [("N", 42, "42"), ("C", "x y", "x y")])
+def test_dbf_field_width_clipping(ftype, val, want):
+    recs = [(SHAPE_POINT, [[[0.0, 0.0]]], {"V": val})]
+    _, _, dbf = build_shapefile(recs, [("V", ftype, 8, 0)])
+    assert parse_dbf_bytes("f", dbf)[0]["attrs"]["V"] == want

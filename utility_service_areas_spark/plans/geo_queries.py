@@ -704,3 +704,116 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.col("c_custkey") % 100).alias("n_cohorts"),
         )
     )
+
+
+@query(
+    "geo_shapefile_roundtrip",
+    oracle=f"""
+    SELECT n_nationkey,
+           'polygon' AS shape_type,
+           CAST(5 AS BIGINT) AS n_points,
+           CAST(round(x0 * 1000) AS BIGINT) AS x0_milli,
+           CAST(round(y0 * 1000) AS BIGINT) AS y0_milli,
+           CAST(round(w * 1000) AS BIGINT) AS w_milli,
+           CAST(round(h * 1000) AS BIGINT) AS h_milli,
+           n_name AS name_back
+    FROM ({_RECT_SQL.replace("n_regionkey,", "n_regionkey, n_name,")})
+    ORDER BY n_nationkey
+    """,
+    doc="ESRI shapefile encode→decode round trip, value-oracled (S17; "
+    "BASELINE names 'Parquet/shapefiles' as source formats): each "
+    "executor batch builds a REAL .shp + .dbf blob (ESRI whitepaper "
+    "layout — big-endian record headers, little-endian shape bodies, "
+    "dBase III fixed-width attributes) from the nation rectangles, "
+    "parses it back with the SAME sources/shapefile.py kernels the "
+    "binaryFile reader uses, and emits the decoded bbox + attributes; "
+    "the oracle recomputes them closed-form from the key arithmetic. "
+    "All work is inside one mapInPandas (Arrow-batched, zero shuffle) "
+    "— the file-level reader over a directory of real files is pinned "
+    "by tests/test_shapefile.py. All coordinates are small integers, "
+    "so the IEEE round trip is exact on both engines.",
+    tags=("geo", "source"),
+)
+def geo_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from utility_service_areas_spark.sources.shapefile import (
+        SHAPE_POLYGON,
+        build_shapefile,
+        parse_dbf_bytes,
+        parse_shp_bytes,
+    )
+
+    cols = [
+        "n_nationkey",
+        "shape_type",
+        "n_points",
+        "x0_milli",
+        "y0_milli",
+        "w_milli",
+        "h_milli",
+        "name_back",
+    ]
+
+    def roundtrip(batches):
+        for pdf in batches:
+            records = []
+            for r in pdf.itertuples():
+                x0, y0, w, h = float(r.x0), float(r.y0), float(r.w), float(r.h)
+                ring = [
+                    [x0, y0],
+                    [x0, y0 + h],
+                    [x0 + w, y0 + h],
+                    [x0 + w, y0],
+                    [x0, y0],
+                ]
+                records.append(
+                    (
+                        SHAPE_POLYGON,
+                        [ring],
+                        {"NKEY": int(r.n_nationkey), "NNAME": r.n_name},
+                    )
+                )
+            out = []
+            if records:
+                shp, _shx, dbf = build_shapefile(
+                    records, [("NKEY", "N", 10, 0), ("NNAME", "C", 32, 0)]
+                )
+                attrs_by_rec = {
+                    a["recno"]: a["attrs"] for a in parse_dbf_bytes("m", dbf)
+                }
+                for g in parse_shp_bytes("m", shp):
+                    a = attrs_by_rec[g["recno"]]
+                    pts = g["geometry"][0]
+                    xs = [p[0] for p in pts]
+                    ys = [p[1] for p in pts]
+                    out.append(
+                        {
+                            "n_nationkey": int(a["NKEY"]),
+                            "shape_type": g["shape_type"],
+                            "n_points": len(pts),
+                            "x0_milli": round(min(xs) * 1000),
+                            "y0_milli": round(min(ys) * 1000),
+                            "w_milli": round((max(xs) - min(xs)) * 1000),
+                            "h_milli": round((max(ys) - min(ys)) * 1000),
+                            "name_back": a["NNAME"],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        "n_nationkey",
+        "n_name",
+        ((k % 5) * 6).cast("double").alias("x0"),
+        (F.floor(k / 5) * 5).cast("double").alias("y0"),
+        (5 + (k % 3) * 2).cast("double").alias("w"),
+        (4 + k % 4).cast("double").alias("h"),
+    )
+    schema = (
+        "n_nationkey bigint, shape_type string, n_points bigint, "
+        "x0_milli bigint, y0_milli bigint, w_milli bigint, h_milli bigint, "
+        "name_back string"
+    )
+    return src.mapInPandas(roundtrip, schema).orderBy("n_nationkey")

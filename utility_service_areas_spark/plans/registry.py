@@ -85,7 +85,9 @@ _DRIVER_PRIORITY = (
     #    salted quota; oracle hashes unchanged at 3 SFs) (2)
     "curation_funnel_report",
     "curation_funnel_by_source",
-    # 2) new r9 keys — first-ever attestation (filled as they land)
+    # 2) new r9 keys — first-ever attestation (filled as they land;
+    #    each displaces the tail r6 key so the budget stays 50)
+    "geo_shapefile_roundtrip",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -104,8 +106,9 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 32 of the 46 oracled keys whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: geo_overlap_grid_cells,
+    # 4) 31 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: geo_pip_grid_cells,
+    #    geo_overlap_grid_cells,
     #    docs_repetition_signals, domain_quota_sample,
     #    dedup_exact_substring, event_anomaly_zscore,
     #    customer_rfm_segments, embedding_pair_histogram,
@@ -143,7 +146,6 @@ _DRIVER_PRIORITY = (
     "customer_retention_setops",
     "embedding_kmeans_assign",
     "small_lot_revenue_by_brand",
-    "geo_pip_grid_cells",
 )
 
 _PLAN_MODULES = (
