@@ -25,6 +25,31 @@ def test_connected_components_chain_and_clique(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_cluster_density_chain_vs_clique(spark):
+    from utility_service_areas_spark.operators.graph import cluster_density
+
+    # chain 1-2-3-4 (0 triangles, transitivity 0), triangle 10-11-12
+    # (1 triangle, transitivity 1.0), pair 20-21 (0 wedges → 0)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    rows = {r.cluster_id: r for r in cluster_density(pairs).collect()}
+    assert set(rows) == {1, 10, 20}
+    chain = rows[1]
+    assert (chain.n_docs, chain.n_edges, chain.n_triangles) == (4, 3, 0)
+    assert chain.edge_density_micros == 500_000  # 2*3/(4*3)
+    assert chain.transitivity_micros == 0  # 2 wedges, no closure
+    clique = rows[10]
+    assert (clique.n_docs, clique.n_edges, clique.n_triangles) == (3, 3, 1)
+    assert clique.edge_density_micros == 1_000_000
+    assert clique.transitivity_micros == 1_000_000
+    pair = rows[20]
+    assert (pair.n_docs, pair.n_edges, pair.n_triangles) == (2, 1, 0)
+    assert pair.edge_density_micros == 1_000_000
+    assert pair.transitivity_micros == 0  # 0 wedges guard
+
+
 def test_dedup_clusters_with_singletons(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
     ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 9]], ["doc_id"])

@@ -168,6 +168,7 @@ EXPECTED_KEYS = {
     "geo_grid_density",
     # r9 additions
     "geo_shapefile_roundtrip",
+    "dedup_cluster_density",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -48,6 +48,7 @@ DEFAULT_QUERIES = [
     "semantic_dedup_keep",
     "dedup_quote_containment",
     "dedup_graph_triangles",
+    "dedup_cluster_density",
     "docs_repetition_signals",
     "embedding_pair_histogram",
     "hll_registers_users",

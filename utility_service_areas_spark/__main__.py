@@ -28,7 +28,32 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     exp.add_argument("--out", required=True)
 
+    fun = sub.add_parser(
+        "funnel",
+        help="publish the curation-funnel run report (global + per-source "
+        "funnel, mixing weights, _SUMMARY.json)",
+    )
+    fun.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    fun.add_argument("--out", required=True)
+    fun.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "funnel":
+        from utility_service_areas_spark.plans.curation_report import (
+            write_curation_report,
+        )
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-cli-funnel")
+        spark.sparkContext.setLogLevel("ERROR")
+        summary = write_curation_report(spark, args.sf_dir, args.out, args.format)
+        print(
+            f"wrote {args.out}: {summary['stages']['raw']['n_docs']} raw docs "
+            f"-> {summary['stages']['source_quota']['n_docs']} kept "
+            f"across {summary['n_sources']} sources"
+        )
+        return 0
 
     from utility_service_areas_spark.plans.registry import REGISTRY, _load_all
 

@@ -259,6 +259,19 @@ def triangle_counts(
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
     und = _cut(und)
+    tri = _oriented_triangles(und, _cut)
+    corners = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return corners
+
+
+def _oriented_triangles(und: DataFrame, _cut) -> DataFrame:
+    """(x, y, z) rows, one per triangle, from an already-materialized
+    both-directions edge list — the shared kernel of per-node
+    `triangle_counts` and per-cluster `cluster_density`."""
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
         "u", "node"
     )
@@ -273,10 +286,78 @@ def triangle_counts(
     e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    corners = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    return e1.join(e2, "y").join(e3, ["x", "z"])
+
+
+def cluster_density(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Per-CLUSTER density report over an undirected edge list: for
+    every connected component, its size, edge count, triangle count,
+    edge density 2E/(n(n-1)) and transitivity 3T/wedges (both
+    micros-quantized) — the table curation reads to decide which
+    near-dup clusters are true template cliques (collapse to one
+    keeper) vs weak chains (keep and re-verify). The per-node twin is
+    `triangle_counts`; aggregating per cluster collapses a k-clique's
+    k output rows to ONE, so output volume tracks cluster count, not
+    clique volume (VERDICT r8 task 6).
+
+    Cost shape: the same oriented triangle kernel + one CC labeling,
+    then everything aggregates on the cluster id — edge-sized frames
+    throughout, partial-agg friendly. n_edges and n_wedges come from
+    the degree frame alone (Σd = 2E, Σ d(d-1)/2 = wedges), no second
+    edge join. Density ratios use the floor(x·1e6 + 0.5) micros rule
+    with operand order mirrored in the SQL oracle.
+
+    Returns (cluster_id, n_docs, n_edges, n_triangles,
+    edge_density_micros, transitivity_micros); cluster_id is the
+    component's min node id (the CC label), n_docs >= 2 always —
+    isolated docs have no edges and no cluster.
+    """
+    spark = pairs.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    und = _cut(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .filter(F.col("u") != F.col("v"))
     )
-    return corners
+    tri = _oriented_triangles(und, _cut)
+    comp = connected_components(und.select(F.col("u").alias("a"), F.col("v").alias("b")), "a", "b")
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    per_node = comp.join(deg.withColumnRenamed("u", "node"), "node")
+    base = per_node.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),  # Σd = 2E, always even
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    tric = (
+        tri.join(comp.withColumnRenamed("node", "x"), "x")
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    dens = F.floor(
+        2.0 * F.col("n_edges") * 1000000 / (F.col("n_docs") * (F.col("n_docs") - 1))
+        + 0.5
+    ).cast("long")
+    trans = F.when(F.col("n_wedges") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(3.0 * t * 1000000 / F.col("n_wedges") + 0.5).cast("long")
+    )
+    return (
+        base.join(tric, "comp", "left")
+        .select(
+            F.col("comp").alias("cluster_id"),
+            "n_docs",
+            "n_edges",
+            t.cast("long").alias("n_triangles"),
+            dens.alias("edge_density_micros"),
+            trans.alias("transitivity_micros"),
+        )
+    )

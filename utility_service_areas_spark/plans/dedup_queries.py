@@ -718,6 +718,80 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_density",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    {_lsh_pairs_sql("cand")},
+    e AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc
+      WHERE (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
+          + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+          + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT >= 6),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM e
+            UNION SELECT doc_b, doc_a FROM e),
+    reach(a, b) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT r.a, e2.v FROM reach r JOIN und e2 ON r.b = e2.u),
+    comp AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+    per AS (
+      SELECT c.comp, count(*) AS n_docs,
+             CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM comp c JOIN deg USING (node) GROUP BY 1),
+    o AS (
+      SELECT u, v FROM und
+      JOIN deg da ON u = da.node JOIN deg db ON v = db.node
+      WHERE da.d < db.d OR (da.d = db.d AND u < v)),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM o e1 JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tc AS (SELECT c.comp, count(*) AS n_triangles
+           FROM tri JOIN comp c ON tri.x = c.node GROUP BY 1)
+    SELECT per.comp AS cluster_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_edges,
+           CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(floor(2.0 * n_edges * 1000000 / (n_docs * (n_docs - 1)) + 0.5)
+                AS BIGINT) AS edge_density_micros,
+           CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(3.0 * coalesce(n_triangles, 0) * 1000000
+                                / n_wedges + 0.5) AS BIGINT)
+           END AS transitivity_micros
+    FROM per LEFT JOIN tc ON per.comp = tc.comp
+    """,
+    doc="Per-CLUSTER density over the verified near-dup graph (the "
+    "per-node twin is dedup_graph_triangles): one row per connected "
+    "component with size, edge count, triangle count, edge density "
+    "2E/(n(n-1)) and transitivity 3T/wedges. THE curation decision "
+    "table: transitivity ≈ 1e6 marks a true template clique (collapse "
+    "to one keeper, aggressively), ≈ 0 marks a chain of weak links "
+    "(re-verify before dropping). Aggregating per cluster collapses a "
+    "k-clique's k per-node rows to ONE — output volume tracks cluster "
+    "count, not clique volume, so at 30× the clique-replica substrate "
+    "this is the cheaper report (VERDICT r8 task 6; BENCH_TREND row). "
+    "n_edges and wedges come from the degree frame alone (Σd = 2E); "
+    "the triangle kernel is the shared (degree,id)-oriented "
+    "Suri-Vassilvitskii shape — see operators/graph.py:"
+    "cluster_density.",
+    tags=("dedup", "graph"),
+)
+def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.graph import cluster_density
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, n_hashes=8, band_size=2).filter(
+        "n_matching_minhashes >= 6"
+    )
+    return cluster_density(pairs)
+
+
+@query(
     "minhash_estimator_quality",
     oracle=f"""
     WITH {_SHINGLES_CTE},

@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = (
     # 2) new r9 keys — first-ever attestation (filled as they land;
     #    each displaces the tail r6 key so the budget stays 50)
     "geo_shapefile_roundtrip",
+    "dedup_cluster_density",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -106,8 +107,9 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 31 of the 46 oracled keys whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: geo_pip_grid_cells,
+    # 4) 30 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: small_lot_revenue_by_brand,
+    #    geo_pip_grid_cells,
     #    geo_overlap_grid_cells,
     #    docs_repetition_signals, domain_quota_sample,
     #    dedup_exact_substring, event_anomaly_zscore,
@@ -145,7 +147,6 @@ _DRIVER_PRIORITY = (
     "supplier_ship_gap_stats",
     "customer_retention_setops",
     "embedding_kmeans_assign",
-    "small_lot_revenue_by_brand",
 )
 
 _PLAN_MODULES = (
