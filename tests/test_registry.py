@@ -169,6 +169,7 @@ EXPECTED_KEYS = {
     # r9 additions
     "geo_shapefile_roundtrip",
     "dedup_cluster_density",
+    "cms_token_counts",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -138,3 +138,31 @@ def test_spark_heavy_hitters_bracket_exact_counts(spark):
         if tok in got:
             lb, ub = got[tok]
             assert lb <= c <= ub, (tok, lb, c, ub)
+
+
+def test_cms_one_sided_error_and_bound(spark):
+    """CMS guarantees: estimate >= true always, and for d=4 hash rows
+    the chance all four collide into hot counters is tiny — pin the
+    classic eps*N bound with eps = e/w on every probed token."""
+    import math
+
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.plans.text_queries import _CMS_W
+
+    out = all_queries()["cms_token_counts"](spark, SMOKE_SF).collect()
+    assert len(out) > 0
+    n_total = None
+    # total stream length N = sum over exact token counts; recompute
+    from utility_service_areas_spark.functions.textops import tokens
+    from utility_service_areas_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    n_total = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("n")
+    ).collect()[0].n
+    bound = math.e * n_total / _CMS_W
+    for r in out:
+        assert r.cms_estimate >= r.true_count, r
+        assert r.overcounted == (r.cms_estimate > r.true_count)
+        assert r.cms_estimate - r.true_count <= bound, (r, bound)

@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     #    each displaces the tail r6 key so the budget stays 50)
     "geo_shapefile_roundtrip",
     "dedup_cluster_density",
+    "cms_token_counts",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -107,8 +108,9 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 30 of the 46 oracled keys whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: small_lot_revenue_by_brand,
+    # 4) 29 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: embedding_kmeans_assign,
+    #    small_lot_revenue_by_brand,
     #    geo_pip_grid_cells,
     #    geo_overlap_grid_cells,
     #    docs_repetition_signals, domain_quota_sample,
@@ -146,7 +148,6 @@ _DRIVER_PRIORITY = (
     "order_status_priority_cube",
     "supplier_ship_gap_stats",
     "customer_retention_setops",
-    "embedding_kmeans_assign",
 )
 
 _PLAN_MODULES = (
