@@ -170,6 +170,7 @@ EXPECTED_KEYS = {
     "geo_shapefile_roundtrip",
     "dedup_cluster_density",
     "cms_token_counts",
+    "docs_shard_manifest",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -22,16 +22,20 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Edge list → (node, component) where component = min node id of
     the connected component. Nodes only in no pair are absent (callers
-    union isolated ids if needed).
+    union isolated ids if needed). ``symmetric=True`` promises the
+    input already holds BOTH directions of every edge, deduplicated
+    (e.g. cluster_density's checkpointed `und`) — the union+distinct
+    shuffle is skipped.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
-    )
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    if not symmetric:
+        edges = edges.union(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        ).distinct()
     # Reliable checkpointing when the caller configured a checkpoint
     # dir (cluster posture: survives executor loss; localCheckpoint
     # would recompute the whole lineage on loss). Local/test runs fall
@@ -268,13 +272,15 @@ def triangle_counts(
     return corners
 
 
-def _oriented_triangles(und: DataFrame, _cut) -> DataFrame:
+def _oriented_triangles(und: DataFrame, _cut, deg: DataFrame | None = None) -> DataFrame:
     """(x, y, z) rows, one per triangle, from an already-materialized
     both-directions edge list — the shared kernel of per-node
-    `triangle_counts` and per-cluster `cluster_density`."""
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
-        "u", "node"
-    )
+    `triangle_counts` and per-cluster `cluster_density`. ``deg`` is
+    the (node, d) degree frame if the caller already has one."""
+    if deg is None:
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
+            "u", "node"
+        )
     with_deg = (
         und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
@@ -328,10 +334,17 @@ def cluster_density(
         .distinct()
         .filter(F.col("u") != F.col("v"))
     )
-    tri = _oriented_triangles(und, _cut)
-    comp = connected_components(und.select(F.col("u").alias("a"), F.col("v").alias("b")), "a", "b")
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    per_node = comp.join(deg.withColumnRenamed("u", "node"), "node")
+    # Degree frame computed ONCE (node-sized, cut) and shared by the
+    # orientation and the per-cluster stats; `und` is already
+    # symmetric+distinct, so CC skips its own symmetrize shuffle.
+    deg = _cut(
+        und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
+            "u", "node"
+        )
+    )
+    tri = _oriented_triangles(und, _cut, deg)
+    comp = connected_components(und, "u", "v", symmetric=True)
+    per_node = comp.join(deg, "node")
     base = per_node.groupBy("comp").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("d") / 2).cast("long").alias("n_edges"),  # Σd = 2E, always even

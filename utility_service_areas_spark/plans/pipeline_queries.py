@@ -500,3 +500,69 @@ def dedup_exact_substring(
         )
     )
 
+
+
+_SHARD_BUDGET = 16384  # bytes per output shard (test-scale sizing)
+
+
+@query(
+    "docs_shard_manifest",
+    oracle=f"""
+    WITH tot AS (
+      SELECT CAST((sum(n_chars) + {_SHARD_BUDGET - 1}) // {_SHARD_BUDGET}
+                  AS BIGINT) AS n_shards
+      FROM documents),
+    assign AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % n_shards AS shard_id
+      FROM documents, tot)
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST(floor(sum(n_chars) * 1000000.0 / {_SHARD_BUDGET} + 0.5)
+                AS BIGINT) AS fill_micros
+    FROM assign GROUP BY shard_id
+    """,
+    doc="WebDataset-style shard manifest: pick the shard count from "
+    "the corpus byte total (ceil(total/budget), a 1-row broadcast), "
+    "assign every document to a shard by a content-independent md5 "
+    "hash of its id, and emit the per-shard manifest (docs, bytes, "
+    "id range, fill ratio) a training loader consumes. Deterministic "
+    "hash sharding IS the 100 TB plan — strict sequential bin-packing "
+    "needs a global running sum (one reducer orders the corpus), "
+    "while hash assignment is map-side with a Chernoff-tight fill "
+    "spread at realistic shard sizes; the manifest doubles as the "
+    "skew check. One scan + a 1-row broadcast + one partial-agg "
+    "shuffle keyed by shard.",
+    tags=("pipeline",),
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tot = docs.agg(
+        F.expr(
+            f"CAST((sum(n_chars) + {_SHARD_BUDGET - 1}) DIV {_SHARD_BUDGET} "
+            "AS BIGINT) AS n_shards"
+        )
+    )
+    assign = docs.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % F.col("n_shards")
+        ).alias("shard_id"),
+    )
+    return assign.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.floor(F.sum("n_chars") * 1000000.0 / _SHARD_BUDGET + 0.5)
+        .cast("long")
+        .alias("fill_micros"),
+    )

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = (
     "geo_shapefile_roundtrip",
     "dedup_cluster_density",
     "cms_token_counts",
+    "docs_shard_manifest",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -108,8 +109,9 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 29 of the 46 oracled keys whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: embedding_kmeans_assign,
+    # 4) 28 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: customer_retention_setops,
+    #    embedding_kmeans_assign,
     #    small_lot_revenue_by_brand,
     #    geo_pip_grid_cells,
     #    geo_overlap_grid_cells,
@@ -147,7 +149,6 @@ _DRIVER_PRIORITY = (
     "dormant_high_balance_customers",
     "order_status_priority_cube",
     "supplier_ship_gap_stats",
-    "customer_retention_setops",
 )
 
 _PLAN_MODULES = (
