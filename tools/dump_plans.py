@@ -122,6 +122,25 @@ HEADLINE = {
         "the cell id — the composed index never shuffles the corpus "
         "by anything else"
     ),
+    "curation_funnel_report": (
+        "stage frame checkpointed once (ExistingRDD); stage-4 quota is "
+        "the two-phase salted top-K (WindowGroupLimit partial+final per "
+        "phase) with the keep-set broadcast back — no single-reducer "
+        "per-source sort anywhere"
+    ),
+    "dedup_cluster_density": (
+        "one CC labeling + shared oriented-triangle kernel over the "
+        "checkpointed edge list; every aggregate keys on the cluster id "
+        "(partial agg), degree frame computed once"
+    ),
+    "cms_token_counts": (
+        "one vocab-sized partial-agg shuffle; d-way explode of DISTINCT "
+        "vocab only; 4096-row counter table broadcasts to the probe join"
+    ),
+    "docs_shard_manifest": (
+        "1-row shard-count broadcast; md5 assignment map-side; one "
+        "partial-agg shuffle keyed by shard"
+    ),
 }
 
 

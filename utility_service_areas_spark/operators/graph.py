@@ -23,16 +23,21 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 20,
     symmetric: bool = False,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """Edge list → (node, component) where component = min node id of
     the connected component. Nodes only in no pair are absent (callers
     union isolated ids if needed). ``symmetric=True`` promises the
     input already holds BOTH directions of every edge, deduplicated
     (e.g. cluster_density's checkpointed `und`) — the union+distinct
-    shuffle is skipped.
+    shuffle is skipped. ``pre_materialized=True`` (implies symmetric)
+    additionally promises the caller already checkpointed the edge
+    frame — the repartition + second checkpoint pass is skipped too
+    (the lineage cut is the load-bearing part; the co-partitioning
+    was only a ~6%-warm win, see below).
     """
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    if not symmetric:
+    if not (symmetric or pre_materialized):
         edges = edges.union(
             pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
         ).distinct()
@@ -60,13 +65,18 @@ def connected_components(
     # and skip the explicit repartition entirely in that case (the
     # measured win of the pre-partitioned checkpoint was only ~6% warm;
     # the checkpoint's lineage cut is the load-bearing part).
-    try:
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_shuffle = None
-    if n_shuffle:
-        edges = edges.repartition(n_shuffle, "v")
-    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
+    if not pre_materialized:
+        try:
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_shuffle = None
+        if n_shuffle:
+            edges = edges.repartition(n_shuffle, "v")
+        edges = (
+            edges.checkpoint(eager=True)
+            if reliable
+            else edges.localCheckpoint(eager=True)
+        )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -328,22 +338,36 @@ def cluster_density(
     def _cut(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
-    und = _cut(
+    sym = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
         .filter(F.col("u") != F.col("v"))
     )
+    # Checkpoint PRE-PARTITIONED on v (checkpoint preserves
+    # outputPartitioning): CC's per-round edge⋈label join then
+    # shuffles only the node-sized label frame — skipping this and
+    # letting CC take the edges unpartitioned re-shuffles the whole
+    # edge list EVERY round (measured 23.5 → 27.5 s at 30× when the
+    # repartition was dropped).
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuffle = None
+    if n_shuffle:
+        sym = sym.repartition(n_shuffle, "v")
+    und = _cut(sym)
     # Degree frame computed ONCE (node-sized, cut) and shared by the
     # orientation and the per-cluster stats; `und` is already
-    # symmetric+distinct, so CC skips its own symmetrize shuffle.
+    # symmetric+distinct+partitioned+materialized, so CC adds no
+    # edge-frame pass of its own (pre_materialized=True).
     deg = _cut(
         und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
             "u", "node"
         )
     )
     tri = _oriented_triangles(und, _cut, deg)
-    comp = connected_components(und, "u", "v", symmetric=True)
+    comp = connected_components(und, "u", "v", pre_materialized=True)
     per_node = comp.join(deg, "node")
     base = per_node.groupBy("comp").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
