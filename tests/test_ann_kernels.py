@@ -93,3 +93,34 @@ def test_quantized_search_recall_vs_exact(spark):
     }
     recall = len(truth & got) / max(len(truth), 1)
     assert recall >= 0.9, f"recall@10 {recall}"
+
+
+def test_pq_refine_recall_vs_exact(spark):
+    """PQ shortlist + exact refine: final recall@10 == shortlist
+    containment (the refine is exact). Random embeddings are PQ's
+    adversarial case (near-zero cosine structure), so the bar is
+    deliberately conservative; measured 0.84 at m=8/k=32/R=100."""
+    from tests.conftest import SMOKE_SF
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_cosine_topk"](spark, SMOKE_SF).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_pq_topk"](spark, SMOKE_SF).collect()
+    }
+    recall = len(truth & got) / max(len(truth), 1)
+    assert recall >= 0.7, f"recall@10 {recall}"
+    # refined sims are EXACT cosines: any overlap pair must carry the
+    # same sim_micros as the brute-force row
+    exact_sims = {
+        (r.query_id, r.neighbor_id): r.sim_micros
+        for r in qs["ann_cosine_topk"](spark, SMOKE_SF).collect()
+    }
+    for r in qs["ann_pq_topk"](spark, SMOKE_SF).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_sims:
+            assert r.sim_micros == exact_sims[key], key

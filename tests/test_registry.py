@@ -171,6 +171,7 @@ EXPECTED_KEYS = {
     "dedup_cluster_density",
     "cms_token_counts",
     "docs_shard_manifest",
+    "ann_pq_topk",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -494,3 +494,75 @@ def embedding_cosine_pairs(
         .groupBy(bucket_col)
         .applyInPandas(pairs_in_bucket, out_schema)
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"): split each vector into ``m`` contiguous
+    subvectors, fit an independent k-means codebook per subspace
+    (md5-seeded, micros-BIGINT centroid sums — the same bit-replayable
+    trajectory as operators/kmeans.py), and encode every vector as m
+    small code indices. Returns (codes frame (id, code_0..code_{m-1}),
+    codebooks[m][k][sub_dim]).
+
+    Scale shape: the m fits touch only k×sub_dim driver state each;
+    the ENCODE is one fused mapInPandas pass — every subspace argmin
+    runs on the same Arrow batch, so the corpus is scanned once, not m
+    times, and the output is m ints per vector (a 64-dim float64 row
+    compresses 128 bytes → 4 codes). The per-subspace argmin reuses
+    kmeans' `_np_assign` (sequential-fold distance, first-min
+    tiebreak), so an unrolled SQL replay verifies assignments exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from utility_service_areas_spark.operators.kmeans import (
+        _np_assign,
+        fit_centroids_np,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    first = base.select(F.size("vec").alias("d")).first()
+    if first is None:
+        raise ValueError("pq_encode: empty input")
+    dim = first.d
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [
+        fit_centroids_np(
+            base.select("id", F.slice("vec", s * sub + 1, sub).alias("vec")),
+            k,
+            n_iter,
+        )
+        for s in range(m)
+    ]
+
+    schema = StructType(
+        [StructField("id", LongType())]
+        + [StructField(f"code_{s}", LongType()) for s in range(m)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            cols = {"id": pdf["id"].to_numpy()}
+            for s in range(m):
+                cl, _ = _np_assign(X[:, s * sub : (s + 1) * sub], books[s])
+                cols[f"code_{s}"] = cl
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(encode, schema), books

@@ -248,6 +248,19 @@ def kmeans_fit_assign_np(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    centroids = fit_centroids_np(base, k, n_iter)
+    if not centroids:  # empty corpus → empty assignment, not a crash
+        return _np_final_assign(base, [[0.0]]).limit(0)
+    return _np_final_assign(base, centroids)
+
+
+def fit_centroids_np(base: DataFrame, k: int, n_iter: int) -> list[list[float]]:
+    """The Lloyd fit loop alone: md5-seeded init + n_iter blocked-numpy
+    sufficient-stat rounds, returning the final k×dim centroid list
+    (driver state). Shared by kmeans_fit_assign_np and the per-subspace
+    product-quantization codebook fits (operators/ann.py:pq_encode);
+    ``base`` must already carry (id, vec) columns. The micros-BIGINT
+    sums keep the trajectory order-independent and SQL-replayable."""
     seeds = (
         base.withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h")
@@ -256,8 +269,8 @@ def kmeans_fit_assign_np(
         .collect()
     )
     centroids = [list(r.vec) for r in seeds]
-    if not centroids:  # empty corpus → empty assignment, not a crash
-        return _np_final_assign(base, [[0.0]]).limit(0)
+    if not centroids:
+        return centroids
     dim = len(centroids[0])
     for _ in range(n_iter):
         stats = (
@@ -279,4 +292,4 @@ def kmeans_fit_assign_np(
                 centroids[ci] = [
                     (dims[d] / 1_000_000.0) / counts[ci] for d in range(dim)
                 ]
-    return _np_final_assign(base, centroids)
+    return centroids

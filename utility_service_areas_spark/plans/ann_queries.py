@@ -239,14 +239,27 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
+def _kmeans_cte_sql(
+    k: int = 8,
+    n_iter: int = 5,
+    dim: int = 64,
+    prefix: str = "",
+    offset: int = 0,
+) -> str:
     """Unrolled SQL CTE chain replaying kmeans_fit_assign: md5-seeded
     init, per iteration an argmin assignment (lowest-cluster tiebreak,
     same as array_position-of-min) and a micros-BIGINT centroid update
     (the operator quantizes its sums identically, so the replay is
     exact); empty clusters keep their previous centroid via the left
     join. Ends at CTE `fin` (vec_id, cluster, d) so composed oracles
-    (semantic_dedup_keep) can build on the assignment."""
+    (semantic_dedup_keep) can build on the assignment.
+
+    ``prefix``/``offset`` parameterize the chain for per-SUBSPACE fits
+    (product quantization): every CTE name gets the prefix and the
+    base vector becomes embedding[offset+1 .. offset+dim]. Defaults
+    emit the exact original chain, so existing oracles are unchanged.
+    """
+    p = prefix
 
     def d2(b: str, c: str) -> str:
         return (
@@ -254,43 +267,50 @@ def _kmeans_cte_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
             f"j -> ({b}.vec[j] - {c}.cvec[j]) * ({b}.vec[j] - {c}.cvec[j])))"
         )
 
+    if offset == 0 and not prefix:
+        base_vec = "list_transform(embedding, x -> x::DOUBLE)"
+    else:
+        base_vec = (
+            f"list_transform(generate_series({offset + 1}, {offset + dim}), "
+            "j -> embedding[j]::DOUBLE)"
+        )
     parts = [
-        "WITH base AS (",
-        "  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec",
+        f"WITH {p}base AS (",
+        f"  SELECT vec_id, {base_vec} AS vec",
         "  FROM embeddings),",
-        "c0 AS (",
+        f"{p}c0 AS (",
         "  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS cluster,",
         "         vec AS cvec",
-        "  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec FROM base",
+        f"  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec FROM {p}base",
         f"        ORDER BY h LIMIT {k})),",
     ]
     for i in range(n_iter):
         parts += [
-            f"a{i} AS (",
+            f"{p}a{i} AS (",
             "  SELECT vec_id, vec, cluster FROM (",
             "    SELECT b.vec_id, b.vec, c.cluster,",
             "           row_number() OVER (PARTITION BY b.vec_id ORDER BY",
             f"             {d2('b', 'c')} ASC, c.cluster ASC) AS rn",
-            f"    FROM base b, c{i} c) WHERE rn = 1),",
-            f"u{i} AS (",
+            f"    FROM {p}base b, {p}c{i} c) WHERE rn = 1),",
+            f"{p}u{i} AS (",
             "  SELECT cluster, list((s / 1000000.0) / n ORDER BY dim) AS cvec",
             "  FROM (",
             "    SELECT cluster, j AS dim,",
             "           sum(CAST(round(vec[j] * 1000000) AS BIGINT)) AS s,",
             "           count(*) AS n",
-            f"    FROM a{i}, unnest(generate_series(1, {dim})) AS t(j)",
+            f"    FROM {p}a{i}, unnest(generate_series(1, {dim})) AS t(j)",
             "    GROUP BY 1, 2) GROUP BY cluster),",
-            f"c{i + 1} AS (",
+            f"{p}c{i + 1} AS (",
             "  SELECT c.cluster, coalesce(u.cvec, c.cvec) AS cvec",
-            f"  FROM c{i} c LEFT JOIN u{i} u USING (cluster)),",
+            f"  FROM {p}c{i} c LEFT JOIN {p}u{i} u USING (cluster)),",
         ]
     parts += [
-        "fin AS (",
+        f"{p}fin AS (",
         "  SELECT vec_id, cluster, d FROM (",
         f"    SELECT b.vec_id, c.cluster, {d2('b', 'c')} AS d,",
         "           row_number() OVER (PARTITION BY b.vec_id ORDER BY",
         f"             {d2('b', 'c')} ASC, c.cluster ASC) AS rn",
-        f"    FROM base b, c{n_iter} c) WHERE rn = 1)",
+        f"    FROM {p}base b, {p}c{n_iter} c) WHERE rn = 1)",
     ]
     return "\n".join(parts)
 
@@ -909,3 +929,167 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_keep(spark, sf_dir, k=64, n_iter=3)
+
+
+_PQ_M = 8  # subspaces
+_PQ_K = 32  # codes per subspace
+_PQ_ITER = 2  # Lloyd rounds per codebook
+_PQ_DIM = 64  # embedding dim (subspace dim = _PQ_DIM // _PQ_M)
+_PQ_SHORTLIST = 100  # ADC shortlist re-ranked exactly
+
+
+def _pq_oracle_sql(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
+                   dim: int = _PQ_DIM) -> str:
+    """Full PQ replay: m independent per-subspace k-means chains
+    (prefixed _kmeans_cte_sql over embedding slices), codes decoded by
+    joining each subspace assignment to its final codebook, subvectors
+    concatenated in subspace order, ADC shortlist, then the EXACT
+    re-rank of the shortlist (the FAISS refine composition)."""
+    sub = dim // m
+    chains = []
+    for s in range(m):
+        c = _kmeans_cte_sql(k=k, n_iter=n_iter, dim=sub,
+                            prefix=f"s{s}_", offset=s * sub)
+        chains.append(c[len("WITH "):])
+    dec_joins = ["FROM s0_fin f0", f"JOIN s0_c{n_iter} cb0 ON f0.cluster = cb0.cluster"]
+    for s in range(1, m):
+        dec_joins.append(f"JOIN s{s}_fin f{s} ON f{s}.vec_id = f0.vec_id")
+        dec_joins.append(f"JOIN s{s}_c{n_iter} cb{s} ON f{s}.cluster = cb{s}.cluster")
+    concat = " || ".join(f"cb{s}.cvec" for s in range(m))
+    return f"""
+    WITH {",".join(chains)},
+    dec AS (
+      SELECT f0.vec_id AS neighbor_id, {concat} AS dvec
+      {" ".join(dec_joins)}),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             CAST(round(
+               list_sum(list_transform(generate_series(1, len(qvec)),
+                        i -> qvec[i]::DOUBLE * dvec[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+                        i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(dvec)),
+                        i -> dvec[i] * dvec[i]))))
+               * 1000000) AS BIGINT) AS pq_micros
+      FROM dec CROSS JOIN q
+      WHERE query_id <> neighbor_id),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pq_micros DESC, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= {_PQ_SHORTLIST}),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos_micros_sql('qvec', 'cvec')} AS sim_micros
+      FROM shortlist s
+      JOIN (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings) e USING (neighbor_id)
+      JOIN q USING (query_id))
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT query_id, neighbor_id, sim_micros,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim_micros DESC, neighbor_id) AS BIGINT) AS rank
+      FROM rer)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@query(
+    "ann_pq_topk",
+    oracle=_pq_oracle_sql(),
+    doc="Product-quantization ANN with exact refine (Jégou et al. PQ "
+    "+ the FAISS IVFPQ-refine composition): the corpus compresses to "
+    "m=8 codes per vector (32-entry codebook per 8-dim subspace, "
+    "md5-seeded micros-BIGINT k-means per subspace — the same "
+    "bit-replayable fit as embedding_kmeans_assign); float queries "
+    "score the CODEBOOK-DECODED corpus (asymmetric distance / ADC) "
+    "to build a per-query shortlist of 100, and the shortlist alone "
+    "is re-ranked with EXACT cosine — the serving path over a "
+    "16x-compressed store where only shortlist/n of the float "
+    "vectors are ever touched per query. Every stage is "
+    "value-oracled: the SQL replays all eight subspace fits "
+    "unrolled, decodes by code-to-codebook join, mirrors both "
+    "scoring folds operand-for-operand. Scale shape: codebook fits "
+    "touch k x 8 driver doubles each; encoding is ONE fused "
+    "mapInPandas pass (all m argmins per Arrow batch — corpus "
+    "scanned once); decode is a codegen element_at over literal "
+    "codebooks; queries broadcast and the shortlist broadcasts back "
+    "for the refine join — the corpus never shuffles. Shortlist "
+    "containment vs exact search pytest-pinned (random embeddings "
+    "are PQ's adversarial case: near-zero cosine structure).",
+    tags=("ann", "pipeline"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import dot_expr, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_encode(
+        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+    )
+    book_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
+        for s in range(_PQ_M)
+    ]
+    dvec = F.concat(
+        *[
+            F.element_at(book_lits[s], (F.col(f"code_{s}") + 1).cast("int"))
+            for s in range(_PQ_M)
+        ]
+    )
+    corpus = codes.select(
+        F.col("id").alias("neighbor_id"), dvec.alias("dvec")
+    ).withColumn("d_n", F.sqrt(dot_expr(F.col("dvec"), F.col("dvec"))))
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .withColumn("q_n", F.sqrt(dot_expr(F.col("qvec"), F.col("qvec"))))
+    )
+    adc = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pq_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("dvec"))
+                / (F.col("q_n") * F.col("d_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_micros").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    exact_side = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    ).withColumn("c_n", F.sqrt(dot_expr(F.col("cvec"), F.col("cvec"))))
+    rer = (
+        exact_side.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "sim_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("q_n") * F.col("c_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micros").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim_micros")
+    )

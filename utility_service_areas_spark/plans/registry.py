@@ -91,6 +91,7 @@ _DRIVER_PRIORITY = (
     "dedup_cluster_density",
     "cms_token_counts",
     "docs_shard_manifest",
+    "ann_pq_topk",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -109,8 +110,9 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 28 of the 46 oracled keys whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: customer_retention_setops,
+    # 4) 27 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: supplier_ship_gap_stats,
+    #    customer_retention_setops,
     #    embedding_kmeans_assign,
     #    small_lot_revenue_by_brand,
     #    geo_pip_grid_cells,
@@ -148,7 +150,6 @@ _DRIVER_PRIORITY = (
     "customer_order_distribution",
     "dormant_high_balance_customers",
     "order_status_priority_cube",
-    "supplier_ship_gap_stats",
 )
 
 _PLAN_MODULES = (
