@@ -172,6 +172,7 @@ EXPECTED_KEYS = {
     "cms_token_counts",
     "docs_shard_manifest",
     "ann_pq_topk",
+    "embedding_matryoshka_recall",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

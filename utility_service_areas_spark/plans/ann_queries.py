@@ -1093,3 +1093,129 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "sim_micros")
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)  # prefix dims probed (64 = full)
+
+
+def _mrl_cos_sql(d: int) -> str:
+    dot = (f"list_sum(list_transform(generate_series(1, {d}), "
+           "i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE))")
+    nq = (f"list_sum(list_transform(generate_series(1, {d}), "
+          "i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE))")
+    nc = (f"list_sum(list_transform(generate_series(1, {d}), "
+          "i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE))")
+    return f"CAST(round({dot} / (sqrt({nq}) * sqrt({nc})) * 1000000) AS BIGINT)"
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {", ".join(f"{_mrl_cos_sql(d)} AS sim_{d}" for d in _MRL_DIMS)}
+      FROM q JOIN c ON query_id <> neighbor_id),
+    tops AS (
+      {" UNION ALL ".join(
+        f'''SELECT {d} AS trunc_dim, query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_{d} DESC, neighbor_id) AS rn
+              FROM scored) WHERE rn <= {TOP_K}'''
+        for d in _MRL_DIMS)}),
+    full_top AS (SELECT query_id, neighbor_id FROM tops
+                 WHERE trunc_dim = {_MRL_DIMS[-1]})
+    SELECT t.trunc_dim,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(floor(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*) + 0.5) AS BIGINT) AS recall_micros
+    FROM tops t
+    LEFT JOIN full_top f
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY t.trunc_dim
+    """,
+    doc="Matryoshka-truncation QA (Kusupati et al. MRL): top-10 "
+    "retrieval run at every prefix dim (8/16/32/64) of the embedding, "
+    "reported as recall against the full-dim ranking — the table that "
+    "picks the cheapest serving dim for an MRL-trained model (a 64→16 "
+    "truncation is a 4x index-size and bandwidth cut; this query says "
+    "what it costs in recall). One broadcast pair join computes all "
+    "four truncated cosines in a single pass over the pair stream "
+    "(prefix dots via slice, pure codegen); one window pass per dim "
+    "over the same frame; the corpus never shuffles. Fully "
+    "value-oracled — prefix folds are operand-order mirrored.",
+    tags=("ann", "pipeline"),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import dot_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+
+    def sim(d: int) -> F.Column:
+        qs, cs = F.slice("qvec", 1, d), F.slice("cvec", 1, d)
+        return F.round(
+            dot_expr(qs, cs)
+            / (F.sqrt(dot_expr(qs, qs)) * F.sqrt(dot_expr(cs, cs)))
+            * 1_000_000
+        ).cast("long")
+
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            *[sim(d).alias(f"sim_{d}") for d in _MRL_DIMS],
+        )
+    )
+    tops = None
+    for d in _MRL_DIMS:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(f"sim_{d}").desc(), F.col("neighbor_id")
+        )
+        t = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select(
+                F.lit(d).cast("long").alias("trunc_dim"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+        tops = t if tops is None else tops.unionByName(t)
+    # Aliased columns, NOT frame-attribute references: full_top shares
+    # tops' lineage, so tops.query_id == full_top.query_id resolves to
+    # a trivially-true self-comparison (Spark warns) and the join would
+    # silently key on neighbor_id alone — crediting another query's
+    # full-dim neighbor as overlap.
+    full_top = tops.filter(F.col("trunc_dim") == _MRL_DIMS[-1]).select(
+        F.col("query_id").alias("f_query"),
+        F.col("neighbor_id").alias("f_neighbor"),
+    )
+    joined = tops.join(
+        F.broadcast(full_top),
+        (F.col("query_id") == F.col("f_query"))
+        & (F.col("neighbor_id") == F.col("f_neighbor")),
+        "left",
+    ).select("trunc_dim", "f_neighbor")
+    hit = F.sum(F.when(F.col("f_neighbor").isNotNull(), 1).otherwise(0))
+    return joined.groupBy("trunc_dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        hit.cast("long").alias("n_overlap"),
+        F.floor(hit * 1000000.0 / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("recall_micros"),
+    )

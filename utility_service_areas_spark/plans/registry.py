@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = (
     "cms_token_counts",
     "docs_shard_manifest",
     "ann_pq_topk",
+    "embedding_matryoshka_recall",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -110,8 +111,9 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 27 of the 46 oracled keys whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: supplier_ship_gap_stats,
+    # 4) 26 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: order_status_priority_cube,
+    #    supplier_ship_gap_stats,
     #    customer_retention_setops,
     #    embedding_kmeans_assign,
     #    small_lot_revenue_by_brand,
@@ -149,7 +151,6 @@ _DRIVER_PRIORITY = (
     "orders_with_late_items",
     "customer_order_distribution",
     "dormant_high_balance_customers",
-    "order_status_priority_cube",
 )
 
 _PLAN_MODULES = (
