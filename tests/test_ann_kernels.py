@@ -124,3 +124,28 @@ def test_pq_refine_recall_vs_exact(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact_sims:
             assert r.sim_micros == exact_sims[key], key
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """The composed IVF x PQ x refine index: recall is bounded by
+    IVF probe containment AND PQ shortlist containment; the refine is
+    exact, so overlap pairs must carry exact sims."""
+    from tests.conftest import SMOKE_SF
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim_micros
+        for r in qs["ann_cosine_topk"](spark, SMOKE_SF).collect()
+    }
+    got = qs["ann_ivfpq_topk"](spark, SMOKE_SF).collect()
+    overlap = [r for r in got if (r.query_id, r.neighbor_id) in exact]
+    recall = len(overlap) / max(len(exact), 1)
+    # Measured 0.44 at SMOKE_SF: the two pruning stages compound
+    # (IVF ~0.9 probe containment x PQ shortlist-50-of-~125) and the
+    # random embeddings are the adversarial case for both. At real
+    # scale the shortlist/candidate ratio shrinks and the floats
+    # gain structure; the pin guards collapse, not production recall.
+    assert recall >= 0.35, f"recall@10 {recall}"
+    for r in overlap:
+        assert r.sim_micros == exact[(r.query_id, r.neighbor_id)]

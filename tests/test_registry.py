@@ -173,6 +173,7 @@ EXPECTED_KEYS = {
     "docs_shard_manifest",
     "ann_pq_topk",
     "embedding_matryoshka_recall",
+    "ann_ivfpq_topk",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -296,6 +296,46 @@ def ivf_topk(
     where the interpreted fold becomes the bound (BENCH_TREND r7:
     1M×64 vectors at C=1000).
     """
+    c_assigned, q_assigned = ivf_assignments(
+        vectors,
+        queries,
+        id_col,
+        vec_col,
+        n_centroids,
+        n_probe,
+        centroid_stride,
+        assign_via,
+    )
+
+    scored = (
+        c_assigned.join(q_assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_micros", _paired_sim_micros())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micros").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim_micros")
+    )
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroid_stride: int = 37,
+    assign_via: str = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """The coarse-quantizer stage of ivf_topk alone: corpus rows
+    assigned to their top-1 cell as (neighbor_id, c_vec, c_n, cell),
+    queries to their n_probe cells as (query_id, q_vec, q_n, cell).
+    Shared by plain IVF and the IVF+PQ composed index."""
     if assign_via not in ("auto", "jvm", "numpy"):
         raise ValueError(f"assign_via must be auto|jvm|numpy, got {assign_via!r}")
     use_numpy = assign_via == "numpy" or (assign_via == "auto" and n_centroids >= 64)
@@ -376,20 +416,7 @@ def ivf_topk(
         norm2_expr(F.col(vec_col)).alias("q_n"),
         "cell",
     )
-
-    scored = (
-        c_assigned.join(q_assigned, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_micros", _paired_sim_micros())
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim_micros").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim_micros")
-    )
+    return c_assigned, q_assigned
 
 
 def embedding_cosine_pairs(

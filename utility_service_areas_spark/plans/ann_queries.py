@@ -938,13 +938,10 @@ _PQ_DIM = 64  # embedding dim (subspace dim = _PQ_DIM // _PQ_M)
 _PQ_SHORTLIST = 100  # ADC shortlist re-ranked exactly
 
 
-def _pq_oracle_sql(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
-                   dim: int = _PQ_DIM) -> str:
-    """Full PQ replay: m independent per-subspace k-means chains
-    (prefixed _kmeans_cte_sql over embedding slices), codes decoded by
-    joining each subspace assignment to its final codebook, subvectors
-    concatenated in subspace order, ADC shortlist, then the EXACT
-    re-rank of the shortlist (the FAISS refine composition)."""
+def _pq_chains_and_dec_sql(m: int, k: int, n_iter: int, dim: int) -> str:
+    """The shared PQ replay prefix: m per-subspace k-means chains plus
+    the `dec` CTE (neighbor_id, dvec = codebook-decoded vector). Used
+    by the standalone PQ oracle and the IVF+PQ composition."""
     sub = dim // m
     chains = []
     for s in range(m):
@@ -956,11 +953,31 @@ def _pq_oracle_sql(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
         dec_joins.append(f"JOIN s{s}_fin f{s} ON f{s}.vec_id = f0.vec_id")
         dec_joins.append(f"JOIN s{s}_c{n_iter} cb{s} ON f{s}.cluster = cb{s}.cluster")
     concat = " || ".join(f"cb{s}.cvec" for s in range(m))
-    return f"""
-    WITH {",".join(chains)},
+    return f"""{",".join(chains)},
     dec AS (
       SELECT f0.vec_id AS neighbor_id, {concat} AS dvec
-      {" ".join(dec_joins)}),
+      {" ".join(dec_joins)})"""
+
+
+_ADC_MICROS = """CAST(round(
+               list_sum(list_transform(generate_series(1, len(qvec)),
+                        i -> qvec[i]::DOUBLE * dvec[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+                        i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(dvec)),
+                        i -> dvec[i] * dvec[i]))))
+               * 1000000) AS BIGINT)"""
+
+
+def _pq_oracle_sql(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
+                   dim: int = _PQ_DIM) -> str:
+    """Full PQ replay: m independent per-subspace k-means chains
+    (prefixed _kmeans_cte_sql over embedding slices), codes decoded by
+    joining each subspace assignment to its final codebook, subvectors
+    concatenated in subspace order, ADC shortlist, then the EXACT
+    re-rank of the shortlist (the FAISS refine composition)."""
+    return f"""
+    WITH {_pq_chains_and_dec_sql(m, k, n_iter, dim)},
     q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
           WHERE vec_id < {N_QUERIES}),
     adc AS (
@@ -1218,4 +1235,159 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(hit * 1000000.0 / F.count(F.lit(1)) + 0.5)
         .cast("long")
         .alias("recall_micros"),
+    )
+
+
+_IVFPQ_SHORTLIST = 50  # ADC shortlist per query within probed cells
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_pq_chains_and_dec_sql(_PQ_M, _PQ_K, _PQ_ITER, _PQ_DIM)},
+    cents0 AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16),
+    cents AS (
+      SELECT cent_id, cent_vec, {_CENT_NORM} AS cent_n
+      FROM cents0 WHERE {_CENT_NORM} > 0),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec, cent_id AS cell
+      FROM embeddings, cents
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {_IVF_SCORE} DESC, cent_id ASC) = 1),
+    q_assign AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cent_id AS cell
+      FROM embeddings, cents
+      WHERE vec_id < {N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {_IVF_SCORE} DESC, cent_id ASC) <= 4),
+    cand AS (
+      SELECT query_id, qvec, neighbor_id
+      FROM c_assign JOIN q_assign USING (cell)
+      WHERE query_id <> neighbor_id),
+    adc AS (
+      SELECT query_id, neighbor_id, {_ADC_MICROS} AS pq_micros
+      FROM cand JOIN dec USING (neighbor_id)),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pq_micros DESC, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= {_IVFPQ_SHORTLIST}),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos_micros_sql('qvec', 'cvec')} AS sim_micros
+      FROM shortlist s
+      JOIN (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings) e USING (neighbor_id)
+      JOIN q USING (query_id))
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT query_id, neighbor_id, sim_micros,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim_micros DESC, neighbor_id) AS BIGINT) AS rank
+      FROM rer)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="The FULL production vector index, composed: IVF coarse "
+    "quantizer (16 deterministic cells, 4 probes — prunes the corpus "
+    "scan C/n_probe-fold) x product-quantized codes (m=8 sub-"
+    "codebooks — 16x smaller candidate payload) x ADC shortlist x "
+    "exact refine of the top-50. This is FAISS's IVFPQ+refine shape "
+    "re-expressed as four joins over two reused registry components "
+    "(ivf_assignments + pq_encode), and every stage remains value-"
+    "oracled: the SQL replays the coarse assignment, all eight "
+    "subspace fits, the decode join, and both scoring folds. "
+    "Divergence from FAISS noted: codes quantize raw vectors, not "
+    "cell residuals (residual PQ trades one more centroid subtract "
+    "for tighter codes; the raw-code variant keeps the codebooks "
+    "corpus-global and the oracle single-pass). Scale shape: "
+    "candidates shuffle only on the cell id; the ADC join ships "
+    "8-byte codes, never floats; only shortlist/n of the float "
+    "corpus is touched per query at refine.",
+    tags=("ann", "pipeline"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import (
+        dot_expr,
+        ivf_assignments,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_encode(
+        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+    )
+    book_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
+        for s in range(_PQ_M)
+    ]
+    dvec = F.concat(
+        *[
+            F.element_at(book_lits[s], (F.col(f"code_{s}") + 1).cast("int"))
+            for s in range(_PQ_M)
+        ]
+    )
+    dec = codes.select(F.col("id").alias("neighbor_id"), dvec.alias("dvec")).withColumn(
+        "d_n", F.sqrt(dot_expr(F.col("dvec"), F.col("dvec")))
+    )
+    c_asg, q_asg = ivf_assignments(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .withColumn("q_n", F.sqrt(dot_expr(F.col("qvec"), F.col("qvec"))))
+    )
+    cand = (
+        c_asg.select("neighbor_id", "cell")
+        .join(F.broadcast(q_asg.select("query_id", "cell")), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        dec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "pq_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("dvec"))
+                / (F.col("q_n") * F.col("d_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_micros").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    exact_side = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    ).withColumn("c_n", F.sqrt(dot_expr(F.col("cvec"), F.col("cvec"))))
+    rer = (
+        exact_side.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "sim_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("q_n") * F.col("c_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micros").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim_micros")
     )
