@@ -497,3 +497,40 @@ def test_funnel_dedup_deltas_emit_corrections(spark, tmp_path):
             ("early_src", 1, t_tok),
         ]
     )
+
+
+def test_shard_manifest_stream_matches_batch(spark):
+    """S18: the streaming shard manifest, drained, equals the batch
+    docs_shard_manifest row for row when run with the batch-derived
+    shard count; state is bounded at n_shards rows."""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        _SHARD_BUDGET,
+    )
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.sources.tables import load_table
+    from utility_service_areas_spark.streaming.events import (
+        read_documents_stream,
+        run_to_memory,
+        shard_manifest_stream,
+    )
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    total = docs.agg(F.sum("n_chars").alias("t")).collect()[0].t
+    n_shards = (total + _SHARD_BUDGET - 1) // _SHARD_BUDGET
+
+    out = shard_manifest_stream(
+        read_documents_stream(spark, SMOKE_SF), n_shards, _SHARD_BUDGET
+    )
+    run_to_memory(out, "t_shard_manifest", "update")
+    got = {
+        r.shard_id: (r.n_docs, r.n_bytes, r.min_doc_id, r.max_doc_id, r.fill_micros)
+        for r in spark.sql("SELECT * FROM t_shard_manifest").collect()
+    }
+    want = {
+        r.shard_id: (r.n_docs, r.n_bytes, r.min_doc_id, r.max_doc_id, r.fill_micros)
+        for r in all_queries()["docs_shard_manifest"](spark, SMOKE_SF).collect()
+    }
+    assert got == want
+    assert 0 < len(want) <= n_shards

@@ -602,3 +602,40 @@ def ingest_dedup_stream(
         .drop(*keep)
         .withColumnRenamed("doc", "new_doc_id")
     )
+
+
+def shard_manifest_stream(
+    stream: DataFrame, n_shards: int, shard_budget: int = 16384
+) -> DataFrame:
+    """Streaming twin of plans/pipeline_queries.py:docs_shard_manifest:
+    the per-shard loader manifest (docs, bytes, id range, fill ratio)
+    maintained incrementally as documents arrive — update-mode
+    aggregation whose state is bounded at n_shards rows FOREVER (the
+    manifest IS the state; no watermark needed).
+
+    Divergence from the batch query, by necessity: batch derives
+    n_shards from the corpus byte total, which a stream cannot know —
+    production fixes the shard count up front (the standard WebDataset
+    posture), so it is a parameter here. Run with the batch-derived
+    value and the drained stream equals the batch manifest row for row
+    (tests/test_streaming.py).
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % n_shards
+    )
+    return (
+        stream.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.floor(F.sum("n_chars") * 1000000.0 / shard_budget + 0.5)
+            .cast("long")
+            .alias("fill_micros"),
+        )
+    )
