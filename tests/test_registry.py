@@ -174,6 +174,7 @@ EXPECTED_KEYS = {
     "ann_pq_topk",
     "embedding_matryoshka_recall",
     "ann_ivfpq_topk",
+    "tokenizer_vocab_coverage",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -1237,3 +1237,84 @@ def curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_funnel_agg_cols()
     )
     return per.select("source", F.expr(_FUNNEL_STACK))
+
+
+_VOCAB_N = 512  # tokenizer vocabulary size (top tokens by count)
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, token, count(*) AS c
+      FROM (SELECT source, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY 1, 2),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, sum(c) AS n,
+               row_number() OVER (ORDER BY sum(c) DESC, token) AS rk
+        FROM occ GROUP BY token)
+      WHERE rk <= {_VOCAB_N}),
+    tagged AS (
+      SELECT o.source, o.token, o.c,
+             v.token IS NOT NULL AS in_vocab
+      FROM occ o LEFT JOIN vocab v USING (token))
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN in_vocab THEN c ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(floor(sum(CASE WHEN in_vocab THEN c ELSE 0 END)
+                      * 1000000.0 / sum(c) + 0.5) AS BIGINT)
+             AS coverage_micros,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_oov_types
+    FROM tagged GROUP BY source
+    """,
+    doc=f"Tokenizer vocabulary coverage per source: fit a top-"
+    f"{_VOCAB_N} frequency vocabulary on the corpus, then report "
+    "each source's occurrence coverage (share of token occurrences "
+    "inside the vocab) and OOV type count — the pre-training check "
+    "that a tokenizer/vocab sized for the head domains doesn't "
+    "shatter a tail source into unknowns (a low-coverage source "
+    "trains badly and skews loss). Scale shape: ONE (source, token) "
+    "partial-agg shuffle; the vocab is a TakeOrdered top-K "
+    f"({_VOCAB_N} rows) that BROADCASTS back onto the vocab-sized "
+    "per-source counts — the raw token stream is never joined or "
+    "re-shuffled.",
+    tags=("text", "pipeline"),
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    occ = lineage_cut(occ)  # consumed by the vocab fit AND the tagging
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(_VOCAB_N)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    tagged = occ.join(F.broadcast(vocab), "token", "left").withColumn(
+        "in_vocab", F.coalesce(F.col("in_vocab"), F.lit(False))
+    )
+    cov = F.sum(F.when(F.col("in_vocab"), F.col("c")).otherwise(0))
+    return tagged.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        cov.cast("long").alias("n_covered"),
+        F.floor(cov * 1000000.0 / F.sum("c") + 0.5)
+        .cast("long")
+        .alias("coverage_micros"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("in_vocab"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_oov_types"),
+    )
