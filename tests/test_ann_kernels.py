@@ -149,3 +149,32 @@ def test_ivfpq_recall_vs_exact(spark):
     assert recall >= 0.35, f"recall@10 {recall}"
     for r in overlap:
         assert r.sim_micros == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_residual_ivfpq_calibration_vs_raw(spark):
+    """The true-FAISS residual variant vs the raw-code variant on the
+    same budget: residuals cluster tighter, so residual recall must be
+    at least raw recall minus noise — the measurable justification for
+    keeping both registered."""
+    from tests.conftest import SMOKE_SF
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_cosine_topk"](spark, SMOKE_SF).collect()
+    }
+
+    def recall(name):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in qs[name](spark, SMOKE_SF).collect()
+        }
+        return len(exact & got) / max(len(exact), 1)
+
+    raw = recall("ann_ivfpq_topk")
+    res = recall("ann_ivfpq_residual_topk")
+    assert res >= 0.35  # collapse guard, same floor as raw
+    # residual coding must not be materially WORSE than raw on the
+    # same budget (allow one-neighbor noise at 50 truth pairs)
+    assert res >= raw - 0.04, (res, raw)

@@ -175,6 +175,7 @@ EXPECTED_KEYS = {
     "embedding_matryoshka_recall",
     "ann_ivfpq_topk",
     "tokenizer_vocab_coverage",
+    "ann_ivfpq_residual_topk",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -322,6 +322,33 @@ def ivf_topk(
     )
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """The IVF coarse-quantizer centroid frame alone: a deterministic
+    corpus sample (every ``centroid_stride``-th id, capped), as
+    (cent_id, cent_vec, cent_n). Shared by ivf_assignments and the
+    residual-PQ encoder, which subtracts these centroids."""
+    return (
+        vectors.filter(F.col(id_col) % centroid_stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            norm2_expr(F.col(vec_col)).alias("cent_n"),
+        )
+        # A zero-norm sampled centroid would make cent_score NaN, and
+        # Spark sorts NaN greatest — max_by would hand EVERY vector to
+        # the degenerate cell, silently collapsing recall.
+        .filter(F.col("cent_n") > 0)
+    )
+
+
 def ivf_assignments(
     vectors: DataFrame,
     queries: DataFrame,
@@ -339,20 +366,7 @@ def ivf_assignments(
     if assign_via not in ("auto", "jvm", "numpy"):
         raise ValueError(f"assign_via must be auto|jvm|numpy, got {assign_via!r}")
     use_numpy = assign_via == "numpy" or (assign_via == "auto" and n_centroids >= 64)
-    cents = (
-        vectors.filter(F.col(id_col) % centroid_stride == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cent_vec"),
-            norm2_expr(F.col(vec_col)).alias("cent_n"),
-        )
-        # A zero-norm sampled centroid would make cent_score NaN, and
-        # Spark sorts NaN greatest — max_by would hand EVERY vector to
-        # the degenerate cell, silently collapsing recall.
-        .filter(F.col("cent_n") > 0)
-    )
+    cents = ivf_centroids(vectors, id_col, vec_col, n_centroids, centroid_stride)
     cent_score = dot_expr(F.col(vec_col), F.col("cent_vec")) / F.col("cent_n")
 
     # Malformed-vector contract (ADVICE r7): rows whose vector is null

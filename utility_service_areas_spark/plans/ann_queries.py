@@ -245,6 +245,8 @@ def _kmeans_cte_sql(
     dim: int = 64,
     prefix: str = "",
     offset: int = 0,
+    base_from: str = "embeddings",
+    base_col: str = "embedding",
 ) -> str:
     """Unrolled SQL CTE chain replaying kmeans_fit_assign: md5-seeded
     init, per iteration an argmin assignment (lowest-cluster tiebreak,
@@ -258,6 +260,9 @@ def _kmeans_cte_sql(
     (product quantization): every CTE name gets the prefix and the
     base vector becomes embedding[offset+1 .. offset+dim]. Defaults
     emit the exact original chain, so existing oracles are unchanged.
+    ``base_from``/``base_col`` re-point the chain at another CTE's
+    (vec_id, vector) pair — e.g. residual vectors for true-FAISS
+    IVFPQ (the referenced CTE must already hold DOUBLE lists).
     """
     p = prefix
 
@@ -267,17 +272,18 @@ def _kmeans_cte_sql(
             f"j -> ({b}.vec[j] - {c}.cvec[j]) * ({b}.vec[j] - {c}.cvec[j])))"
         )
 
+    cast = "::DOUBLE" if base_from == "embeddings" else ""
     if offset == 0 and not prefix:
-        base_vec = "list_transform(embedding, x -> x::DOUBLE)"
+        base_vec = f"list_transform({base_col}, x -> x{cast})"
     else:
         base_vec = (
             f"list_transform(generate_series({offset + 1}, {offset + dim}), "
-            "j -> embedding[j]::DOUBLE)"
+            f"j -> {base_col}[j]{cast})"
         )
     parts = [
         f"WITH {p}base AS (",
         f"  SELECT vec_id, {base_vec} AS vec",
-        "  FROM embeddings),",
+        f"  FROM {base_from}),",
         f"{p}c0 AS (",
         "  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS cluster,",
         "         vec AS cvec",
@@ -938,15 +944,24 @@ _PQ_DIM = 64  # embedding dim (subspace dim = _PQ_DIM // _PQ_M)
 _PQ_SHORTLIST = 100  # ADC shortlist re-ranked exactly
 
 
-def _pq_chains_and_dec_sql(m: int, k: int, n_iter: int, dim: int) -> str:
+def _pq_chains_and_dec_sql(
+    m: int,
+    k: int,
+    n_iter: int,
+    dim: int,
+    base_from: str = "embeddings",
+    base_col: str = "embedding",
+) -> str:
     """The shared PQ replay prefix: m per-subspace k-means chains plus
     the `dec` CTE (neighbor_id, dvec = codebook-decoded vector). Used
-    by the standalone PQ oracle and the IVF+PQ composition."""
+    by the standalone PQ oracle and the IVF+PQ compositions;
+    ``base_from``/``base_col`` re-point the fits at a residual CTE."""
     sub = dim // m
     chains = []
     for s in range(m):
         c = _kmeans_cte_sql(k=k, n_iter=n_iter, dim=sub,
-                            prefix=f"s{s}_", offset=s * sub)
+                            prefix=f"s{s}_", offset=s * sub,
+                            base_from=base_from, base_col=base_col)
         chains.append(c[len("WITH "):])
     dec_joins = ["FROM s0_fin f0", f"JOIN s0_c{n_iter} cb0 ON f0.cluster = cb0.cluster"]
     for s in range(1, m):
@@ -1350,6 +1365,203 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         dec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "pq_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("dvec"))
+                / (F.col("q_n") * F.col("d_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_micros").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    exact_side = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    ).withColumn("c_n", F.sqrt(dot_expr(F.col("cvec"), F.col("cvec"))))
+    rer = (
+        exact_side.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "sim_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("q_n") * F.col("c_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micros").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim_micros")
+    )
+
+
+def _residual_ivfpq_oracle_sql() -> str:
+    """True-FAISS IVFPQ replay: coarse assignment, residual = vector
+    minus its cell centroid, the eight subspace fits run over the
+    RESIDUAL CTE, decode, centroid re-add (reconstruction), ADC
+    shortlist, exact refine."""
+    chains = _pq_chains_and_dec_sql(
+        _PQ_M, _PQ_K, _PQ_ITER, _PQ_DIM, base_from="resid", base_col="rv"
+    )
+    return f"""
+    WITH cents0 AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16),
+    cents AS (
+      SELECT cent_id, cent_vec, {_CENT_NORM} AS cent_n
+      FROM cents0 WHERE {_CENT_NORM} > 0),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec, cent_id AS cell
+      FROM embeddings, cents
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {_IVF_SCORE} DESC, cent_id ASC) = 1),
+    q_assign AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cent_id AS cell
+      FROM embeddings, cents
+      WHERE vec_id < {N_QUERIES}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {_IVF_SCORE} DESC, cent_id ASC) <= 4),
+    resid AS (
+      SELECT c.neighbor_id AS vec_id,
+             list_transform(generate_series(1, {_PQ_DIM}),
+               j -> c.cvec[j]::DOUBLE - ct.cent_vec[j]::DOUBLE) AS rv
+      FROM c_assign c JOIN cents ct ON c.cell = ct.cent_id),
+    {chains},
+    rec AS (
+      SELECT d.neighbor_id,
+             list_transform(generate_series(1, {_PQ_DIM}),
+               j -> ct.cent_vec[j]::DOUBLE + d.dvec[j]) AS dvec
+      FROM dec d
+      JOIN c_assign c ON d.neighbor_id = c.neighbor_id
+      JOIN cents ct ON c.cell = ct.cent_id),
+    cand AS (
+      SELECT query_id, qvec, neighbor_id
+      FROM c_assign JOIN q_assign USING (cell)
+      WHERE query_id <> neighbor_id),
+    adc AS (
+      SELECT query_id, neighbor_id, {_ADC_MICROS} AS pq_micros
+      FROM cand JOIN rec USING (neighbor_id)),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pq_micros DESC, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= {_IVFPQ_SHORTLIST}),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos_micros_sql('qvec', 'cvec')} AS sim_micros
+      FROM shortlist s
+      JOIN (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings) e USING (neighbor_id)
+      JOIN q USING (query_id))
+    SELECT query_id, neighbor_id, rank, sim_micros FROM (
+      SELECT query_id, neighbor_id, sim_micros,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim_micros DESC, neighbor_id) AS BIGINT) AS rank
+      FROM rer)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@query(
+    "ann_ivfpq_residual_topk",
+    oracle=_residual_ivfpq_oracle_sql(),
+    doc="TRUE-FAISS IVFPQ: the codebooks quantize RESIDUALS (vector "
+    "minus its coarse-cell centroid), not raw vectors — residuals "
+    "cluster tighter around zero, so the same 8x32 code budget "
+    "carries more signal; decode re-adds the centroid "
+    "(reconstruction) before the ADC shortlist and exact refine. "
+    "This closes ann_ivfpq_topk's documented raw-code divergence; "
+    "both variants stay registered so the calibration is measurable "
+    "(recall pytest compares them). Every stage remains value-"
+    "oracled: the SQL computes the residual CTE, runs all eight "
+    "subspace fits OVER THE RESIDUALS (the generator's chains "
+    "re-pointed at the resid CTE), reconstructs, and mirrors both "
+    "scoring folds. Scale: the residual subtract is one broadcast "
+    "join against 16 centroids (map-side); everything else is "
+    "ann_ivfpq_topk's shape.",
+    tags=("ann", "pipeline"),
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import (
+        dot_expr,
+        ivf_assignments,
+        ivf_centroids,
+        pq_encode,
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb)
+    cellcent = cents.select(F.col("cent_id").alias("cell"), "cent_vec")
+    c_asg, q_asg = ivf_assignments(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    resid = lineage_cut(  # consumed by m fits + encode + cell join-back
+        c_asg.join(F.broadcast(cellcent), "cell").select(
+            "neighbor_id",
+            "cell",
+            F.zip_with(
+                "c_vec",
+                "cent_vec",
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("rvec"),
+        )
+    )
+    codes, books = pq_encode(
+        resid, "neighbor_id", "rvec", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+    )
+    book_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
+        for s in range(_PQ_M)
+    ]
+    rdvec = F.concat(
+        *[
+            F.element_at(book_lits[s], (F.col(f"code_{s}") + 1).cast("int"))
+            for s in range(_PQ_M)
+        ]
+    )
+    rec = (
+        codes.select(F.col("id").alias("neighbor_id"), rdvec.alias("rdvec"))
+        .join(resid.select("neighbor_id", "cell"), "neighbor_id")
+        .join(F.broadcast(cellcent), "cell")
+        .select(
+            "neighbor_id",
+            F.zip_with(
+                "cent_vec", "rdvec", lambda a, b: a.cast("double") + b
+            ).alias("dvec"),
+        )
+        .withColumn("d_n", F.sqrt(dot_expr(F.col("dvec"), F.col("dvec"))))
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .withColumn("q_n", F.sqrt(dot_expr(F.col("qvec"), F.col("qvec"))))
+    )
+    cand = (
+        c_asg.select("neighbor_id", "cell")
+        .join(F.broadcast(q_asg.select("query_id", "cell")), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        rec.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn(
             "pq_micros",

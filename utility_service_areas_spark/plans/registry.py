@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = (
     "embedding_matryoshka_recall",
     "ann_ivfpq_topk",
     "tokenizer_vocab_coverage",
+    "ann_ivfpq_residual_topk",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -113,8 +114,9 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 24 of the 46 oracled keys whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: customer_order_distribution,
+    # 4) 23 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: orders_with_late_items,
+    #    customer_order_distribution,
     #    dormant_high_balance_customers,
     #    order_status_priority_cube,
     #    supplier_ship_gap_stats,
@@ -152,7 +154,6 @@ _DRIVER_PRIORITY = (
     "supplier_count_by_part_type",
     "events_value_quartiles",
     "text_tfidf_top_term",
-    "orders_with_late_items",
 )
 
 _PLAN_MODULES = (
