@@ -281,3 +281,69 @@ def test_repeated_key_prefilter_keeps_all_repeats(spark):
     # the prune actually prunes: most of the 500 singletons are gone
     n_solo = sum(1 for kk in got if kk.startswith("solo"))
     assert n_solo < 250
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC property itself: doc B = doc A with one token inserted
+    up front. Content-defined boundaries re-align after the insertion,
+    so most of A's chunks reappear verbatim in B — which non-
+    overlapping FIXED chunking (position mod 16) structurally loses."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.plans.pipeline_queries import _CDC_MOD
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    shifted = "INSERTED " + base
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, shifted]})
+    )
+
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
+    pos = docs.select("doc_id", F.posexplode(toks).alias("i0", "tok")).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "tok"
+    )
+    flag = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % _CDC_MOD
+        == 0
+    ).cast("int")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = pos.withColumn("f", flag).withColumn(
+        "chunk_id", F.coalesce(F.sum("f").over(w), F.lit(0))
+    )
+    chunk_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "tok"))), lambda x: x["tok"]
+        ),
+        " ",
+    )
+    hashes = {
+        d: {
+            r.h
+            for r in cid.filter(F.col("doc_id") == d)
+            .groupBy("chunk_id")
+            .agg(F.md5(chunk_text).alias("h"))
+            .collect()
+        }
+        for d in (1, 2)
+    }
+    cdc_shared = len(hashes[1] & hashes[2]) / len(hashes[1])
+    assert cdc_shared >= 0.8, cdc_shared  # only the first chunk differs
+
+    # fixed non-overlapping 16-token chunking on the same pair: the
+    # 1-token shift de-aligns every chunk
+    def fixed_chunks(text):
+        t = text.split()
+        return {" ".join(t[i : i + 16]) for i in range(0, len(t), 16)}
+
+    fixed_shared = len(fixed_chunks(base) & fixed_chunks(shifted)) / len(
+        fixed_chunks(base)
+    )
+    assert fixed_shared <= 0.1, fixed_shared

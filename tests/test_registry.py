@@ -176,6 +176,7 @@ EXPECTED_KEYS = {
     "ann_ivfpq_topk",
     "tokenizer_vocab_coverage",
     "ann_ivfpq_residual_topk",
+    "docs_cdc_chunks",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

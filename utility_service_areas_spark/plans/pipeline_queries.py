@@ -566,3 +566,114 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_micros"),
     )
+
+
+_CDC_MOD = 16  # expected chunk length in tokens (boundary probability)
+
+
+@query(
+    "docs_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    pos AS (SELECT doc_id, i, ts[i] AS tok
+            FROM toks, unnest(generate_series(1, len(ts))) AS t(i)),
+    b AS (SELECT doc_id, i, tok,
+                 CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                           % {_CDC_MOD} = 0
+                      THEN 1 ELSE 0 END AS f
+          FROM pos),
+    cid AS (SELECT doc_id, i, tok,
+                   coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS chunk_id
+            FROM b),
+    chunks0 AS (SELECT doc_id,
+                       md5(array_to_string(list(tok ORDER BY i), ' ')) AS h
+                FROM cid GROUP BY doc_id, chunk_id),
+    chunks AS (SELECT DISTINCT doc_id, h FROM chunks0),
+    cnt AS (SELECT h, count(*) AS nd FROM chunks GROUP BY h),
+    per AS (SELECT c.doc_id, count(*) AS nc,
+                   sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS nsh
+            FROM chunks c JOIN cnt USING (h) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(nc, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(nsh, 0) AS BIGINT) AS n_shared_chunks,
+           CAST(CASE WHEN coalesce(nc, 0) = 0 THEN 0
+                     ELSE floor(coalesce(nsh, 0) * 1000000.0 / nc + 0.5)
+                END AS BIGINT) AS shared_micros
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    doc="Content-defined chunking dedup signal (the rsync/FastCDC "
+    "family, as used for shift-robust LLM dataset dedup): a chunk "
+    f"boundary falls AFTER any token whose md5 ≡ 0 mod {_CDC_MOD} "
+    f"(expected chunk ≈ {_CDC_MOD} tokens), so boundaries depend on "
+    "CONTENT, not position — insert one word into a doc and every "
+    "chunk after it still re-aligns. dedup_exact_substring gets the "
+    "same robustness from stride-1 sliding spans but pays ~one hash "
+    "PER TOKEN; CDC pays one hash per ~16 tokens (non-overlapping "
+    "chunks) for the same re-alignment property — the storage/"
+    "robustness trade that made CDC the rsync/backup standard. Each "
+    "doc "
+    "reports its distinct-chunk count and how many chunks also "
+    "occur in another doc. Scale shape: the chunk-id running sum is "
+    "a PER-DOC window (bounded by document length, never a hot "
+    "corpus key); then the same two linear shuffles as "
+    "exact-substring (distinct chunk-per-doc, chunk-frequency "
+    "count) and a hash join back — a chunk repeated in a billion "
+    "docs is one counter row, never a pair explosion.",
+    tags=("pipeline", "dedup"),
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
+    pos = docs.select("doc_id", F.posexplode(toks).alias("i0", "tok")).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "tok"
+    )
+    flag = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % _CDC_MOD
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = pos.withColumn("f", flag).withColumn(
+        "chunk_id", F.coalesce(F.sum("f").over(w), F.lit(0))
+    )
+    chunk_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "tok"))), lambda x: x["tok"]
+        ),
+        " ",
+    )
+    chunks = (
+        cid.groupBy("doc_id", "chunk_id")
+        .agg(F.md5(chunk_text).alias("h"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    cnt = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        chunks.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("nsh"),
+        )
+    )
+    nc = F.coalesce(F.col("nc"), F.lit(0))
+    nsh = F.coalesce(F.col("nsh"), F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            nc.cast("long").alias("n_chunks"),
+            nsh.cast("long").alias("n_shared_chunks"),
+            F.when(nc == 0, F.lit(0).cast("long"))
+            .otherwise(F.floor(nsh * 1000000.0 / F.col("nc") + 0.5).cast("long"))
+            .alias("shared_micros"),
+        )
+    )

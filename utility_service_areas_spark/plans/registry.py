@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = (
     "ann_ivfpq_topk",
     "tokenizer_vocab_coverage",
     "ann_ivfpq_residual_topk",
+    "docs_cdc_chunks",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -114,8 +115,9 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 23 of the 46 oracled keys whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: orders_with_late_items,
+    # 4) 22 of the 46 oracled keys whose newest driver row is r6, in
+    #    SURVEY order (deferring to r10: text_tfidf_top_term,
+    #    orders_with_late_items,
     #    customer_order_distribution,
     #    dormant_high_balance_customers,
     #    order_status_priority_cube,
@@ -153,7 +155,6 @@ _DRIVER_PRIORITY = (
     "nation_trade_volume",
     "supplier_count_by_part_type",
     "events_value_quartiles",
-    "text_tfidf_top_term",
 )
 
 _PLAN_MODULES = (
