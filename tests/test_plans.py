@@ -343,3 +343,32 @@ def test_incremental_ingest_is_asymmetric(spark, queries):
     plan = plan_of(queries["dedup_incremental_ingest"](spark, SMOKE_SF), "simple")
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cms_counter_table_broadcasts(spark, queries):
+    """The d*w=4096-row CMS counter table must broadcast to the probe
+    join — never a shuffle of the token stream against it."""
+    plan = plan_of(queries["cms_token_counts"](spark, SMOKE_SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_one_row_broadcast(spark, queries):
+    """The shard count is a 1-row broadcast onto the scan; assignment
+    is map-side and the only real shuffle keys on the shard id."""
+    plan = plan_of(queries["docs_shard_manifest"](spark, SMOKE_SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_shards frame
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_corpus_never_shuffled_encode_is_one_pass(spark, queries):
+    """PQ+refine: exactly one MapInPandas (the fused all-subspace
+    encode), queries and shortlist broadcast, the corpus never enters
+    a SortMergeJoin, and no row-at-a-time Python anywhere."""
+    plan = plan_of(queries["ann_pq_topk"](spark, SMOKE_SF), "simple")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
