@@ -49,6 +49,9 @@ DEFAULT_QUERIES = [
     "dedup_quote_containment",
     "dedup_graph_triangles",
     "dedup_cluster_density",
+    "ann_pq_topk",
+    "ann_ivfpq_residual_topk",
+    "docs_cdc_chunks",
     "docs_repetition_signals",
     "embedding_pair_histogram",
     "hll_registers_users",
