@@ -139,3 +139,59 @@ def test_dbf_field_width_clipping(ftype, val, want):
     recs = [(SHAPE_POINT, [[[0.0, 0.0]]], {"V": val})]
     _, _, dbf = build_shapefile(recs, [("V", ftype, 8, 0)])
     assert parse_dbf_bytes("f", dbf)[0]["attrs"]["V"] == want
+
+
+# --- property-based round trip -------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _coord = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    _point = st.tuples(_coord, _coord).map(list)
+    _ring = st.lists(_point, min_size=3, max_size=12)
+    _polygon = st.lists(_ring, min_size=1, max_size=3)
+    _attrs = st.fixed_dictionaries(
+        {
+            "NAME": st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=16,
+            ),
+            "KEY": st.integers(min_value=0, max_value=99_999_999),
+        }
+    )
+    _record = st.one_of(
+        st.tuples(st.just(SHAPE_POLYGON), _polygon, _attrs),
+        st.tuples(st.just(SHAPE_POLYLINE), _polygon, _attrs),
+        st.tuples(st.just(SHAPE_POINT), _point.map(lambda p: [[p]]), _attrs),
+        st.tuples(st.just(SHAPE_NULL), st.just([]), _attrs),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_record, min_size=1, max_size=8))
+    def test_property_roundtrip_any_records(records):
+        """ANY mix of shapes and attributes must survive
+        build → parse bit-exactly: coordinates are IEEE doubles on
+        both sides, record numbering is 1-based and dense, and the
+        dbf round trip preserves clipped/stripped field values."""
+        shp, _shx, dbf = build_shapefile(records, FIELDS[:2])
+        geo = parse_shp_bytes("p.shp", shp)
+        at = parse_dbf_bytes("p.dbf", dbf)
+        assert [g["recno"] for g in geo] == list(range(1, len(records) + 1))
+        assert len(at) == len(records)
+        for got, (stype, want_geom, attrs) in zip(geo, records):
+            if stype == SHAPE_NULL:
+                assert got["geometry"] == []
+            else:
+                assert got["geometry"] == [
+                    [list(map(float, p)) for p in part] for part in want_geom
+                ]
+        for got_a, (_, _, attrs) in zip(at, records):
+            want_name = attrs["NAME"].encode("ascii", "replace")[:16].decode().strip()
+            assert got_a["attrs"]["NAME"] == want_name
+            assert got_a["attrs"]["KEY"] == str(attrs["KEY"])
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per env
+    pass
