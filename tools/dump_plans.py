@@ -141,6 +141,28 @@ HEADLINE = {
         "1-row shard-count broadcast; md5 assignment map-side; one "
         "partial-agg shuffle keyed by shard"
     ),
+    "ann_pq_topk": (
+        "ONE MapInPandas = the fused all-subspace encode; decode is a "
+        "codegen element_at over literal codebooks; queries + "
+        "shortlist broadcast — the corpus never enters a shuffle join"
+    ),
+    "ann_ivfpq_residual_topk": (
+        "residual subtract is a map-side broadcast join against 16 "
+        "centroids; candidates shuffle only on the cell id; codes, "
+        "not floats, feed the ADC join"
+    ),
+    "docs_cdc_chunks": (
+        "chunk-id running sum is a PER-DOC window (bounded by doc "
+        "length); then the exact-substring pair-free counting shape"
+    ),
+    "embedding_matryoshka_recall": (
+        "one broadcast pair join computes all four truncated cosines "
+        "in a single pass; one window per dim; corpus never shuffles"
+    ),
+    "tokenizer_vocab_coverage": (
+        "one (source, token) partial-agg shuffle; top-K vocab "
+        "broadcasts back onto vocab-sized counts"
+    ),
 }
 
 
