@@ -347,3 +347,44 @@ def test_cdc_chunks_realign_after_insertion(spark):
         fixed_chunks(base)
     )
     assert fixed_shared <= 0.1, fixed_shared
+
+
+def test_cdc_cluster_guards(spark, tmp_path):
+    """dedup_cdc_clusters' two eligibility guards, pinned end-to-end:
+    a chunk is a cluster edge only if it has >= 2 tokens (single-token
+    chunks are stopword boilerplate) AND is shared by <= 16 docs
+    (hotter chunks are template boilerplate). Identical docs that
+    share only guarded chunks stay singletons."""
+    import pandas as pd
+
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        dedup_cdc_clusters,
+    )
+
+    long_text = " ".join(f"word{i}" for i in range(64))
+    rows = [
+        # a genuine near-dup pair: every multi-token chunk shared
+        {"doc_id": 1, "text": long_text},
+        {"doc_id": 2, "text": long_text},
+        # 21 identical docs: every shared chunk is hotter than the
+        # 16-doc cap, so NO edges despite being exact duplicates
+        *[{"doc_id": 100 + i, "text": "alpha beta gamma delta"} for i in range(21)],
+        # an identical pair whose only chunk is a single token:
+        # ineligible by the min-token guard
+        {"doc_id": 300, "text": "merge"},
+        {"doc_id": 301, "text": "merge"},
+    ]
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: (r.keeper_id, r.cluster_size)
+        for r in dedup_cdc_clusters(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 25
+    assert out[1] == (1, 2) and out[2] == (1, 2)  # pair clustered
+    for i in range(21):  # hot cap: 21 exact dups stay singletons
+        assert out[100 + i] == (100 + i, 1)
+    assert out[300] == (300, 1) and out[301] == (301, 1)  # min-token

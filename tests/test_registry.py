@@ -177,6 +177,8 @@ EXPECTED_KEYS = {
     "tokenizer_vocab_coverage",
     "ann_ivfpq_residual_topk",
     "docs_cdc_chunks",
+    "dedup_cdc_clusters",
+    "geo_shapefile_pip",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -195,3 +195,30 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in per env
     pass
+
+
+def test_shapefile_pip_fixture_layout(spark):
+    """geo_shapefile_pip materializes one .shp/.dbf pair PER REGION so
+    the binaryFile scan parallelizes by file, and reuses the fixture
+    on re-run instead of rewriting it."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from utility_service_areas_spark.plans.geo_queries import geo_shapefile_pip
+
+    sf_dir = "/root/testdata/sf0.001"
+    out1 = {r.n_nationkey: r.n_customers for r in geo_shapefile_pip(spark, sf_dir).collect()}
+    assert len(out1) == 25
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    fix = os.path.join(tempfile.gettempdir(), f"usa_shp_pip_{tag}")
+    shps = sorted(glob.glob(os.path.join(fix, "*.shp")))
+    dbfs = sorted(glob.glob(os.path.join(fix, "*.dbf")))
+    assert len(shps) == 5 and len(dbfs) == 5  # one pair per region
+
+    mtimes = {p: os.path.getmtime(p) for p in shps + dbfs}
+    out2 = {r.n_nationkey: r.n_customers for r in geo_shapefile_pip(spark, sf_dir).collect()}
+    assert out2 == out1
+    assert {p: os.path.getmtime(p) for p in shps + dbfs} == mtimes  # reused

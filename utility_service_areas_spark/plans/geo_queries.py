@@ -817,3 +817,119 @@ def geo_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_back string"
     )
     return src.mapInPandas(roundtrip, schema).orderBy("n_nationkey")
+
+
+@query(
+    "geo_shapefile_pip",
+    oracle=f"""
+    SELECT r.n_nationkey, n.n_name,
+           CAST(count(p.c_custkey) AS BIGINT) AS n_customers
+    FROM nation n
+    JOIN ({_RECT_SQL}) r ON n.n_nationkey = r.n_nationkey
+    LEFT JOIN ({_POINT_SQL}) p
+      ON p.px > r.x0 AND p.px < r.x0 + r.w
+     AND p.py > r.y0 AND p.py < r.y0 + r.h
+    GROUP BY 1, 2
+    """,
+    doc="Shapefile-backed point-in-polygon rollup — the FILE-LEVEL "
+    "reader path (S17) inside a value-oracled query (the roundtrip "
+    "query exercises the codec in-memory; this one goes through real "
+    ".shp/.dbf files on disk via the binaryFile scan): the nation "
+    "rectangles are written once per sf_dir as one shapefile PER "
+    "REGION (5 file pairs, so the scan actually parallelizes by "
+    "file), read back with sources.shapefile.read_shapefile, their "
+    "bboxes recovered from the DECODED ring coordinates and dBase "
+    "attributes, then customer points are counted per polygon with "
+    "the strict-interior join. All coordinates are small integers, "
+    "so the IEEE round trip through the file format is exact. Scale "
+    "shape: at 100 TB the fixture-writing step is replaced by an "
+    "existing shapefile directory; the binaryFile scan splits by "
+    "file across executors, the decoded polygon dim is broadcast, "
+    "and the point side never shuffles.",
+    tags=("geo", "source"),
+)
+def geo_shapefile_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from utility_service_areas_spark.sources.shapefile import (
+        SHAPE_POLYGON,
+        read_shapefile,
+        write_shapefile,
+    )
+
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name")
+        .collect()  # 25-row dim, driver-side only to build the file fixture
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    fix = os.path.join(tempfile.gettempdir(), f"usa_shp_pip_{tag}")
+    if not os.path.isdir(fix):
+        tmp = f"{fix}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        by_region: dict[int, list] = {}
+        for r in nat:
+            by_region.setdefault(int(r.n_regionkey), []).append(r)
+        for reg, rows in sorted(by_region.items()):
+            records = []
+            for r in sorted(rows, key=lambda x: x.n_nationkey):
+                k = int(r.n_nationkey)
+                x0, y0 = float((k % 5) * 6), float((k // 5) * 5)
+                w, h = float(5 + (k % 3) * 2), float(4 + k % 4)
+                ring = [
+                    [x0, y0],
+                    [x0, y0 + h],
+                    [x0 + w, y0 + h],
+                    [x0 + w, y0],
+                    [x0, y0],
+                ]
+                records.append(
+                    (SHAPE_POLYGON, [ring], {"NKEY": k, "NNAME": r.n_name})
+                )
+            write_shapefile(
+                tmp,
+                f"region{reg}",
+                records,
+                [("NKEY", "N", 10, 0), ("NNAME", "C", 32, 0)],
+            )
+        try:
+            os.rename(tmp, fix)
+        except OSError:  # a concurrent builder won the rename race
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    polys = read_shapefile(spark, fix)
+    flat = F.flatten(F.col("geometry"))
+    xs = F.transform(flat, lambda p: p[0])
+    ys = F.transform(flat, lambda p: p[1])
+    rect = polys.select(
+        F.col("attrs")["NKEY"].cast("long").alias("n_nationkey"),
+        F.col("attrs")["NNAME"].alias("n_name"),
+        F.array_min(xs).alias("x0"),
+        F.array_min(ys).alias("y0"),
+        (F.array_max(xs) - F.array_min(xs)).alias("w"),
+        (F.array_max(ys) - F.array_min(ys)).alias("h"),
+    )
+    pts = _customer_points(spark, sf_dir)
+    inside = (
+        (F.col("px") > F.col("x0"))
+        & (F.col("px") < F.col("x0") + F.col("w"))
+        & (F.col("py") > F.col("y0"))
+        & (F.col("py") < F.col("y0") + F.col("h"))
+    )
+    cnt = (
+        pts.join(F.broadcast(rect), inside)
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        rect.select("n_nationkey", "n_name")
+        .join(cnt, "n_nationkey", "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("n_customers"),
+        )
+    )

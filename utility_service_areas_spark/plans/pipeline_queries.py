@@ -677,3 +677,115 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_micros"),
         )
     )
+
+
+# Cross-doc CDC guards: a chunk is a dedup SIGNAL only if it is long
+# enough to be content (>= 2 tokens — single-token chunks like a lone
+# "merge" are stopword boilerplate) and rare enough to be specific
+# (shared by <= 16 docs — hotter chunks are template boilerplate, the
+# CDC analogue of dropping top-frequency shingles in MinHash).
+_CDC_MIN_TOKENS = 2
+_CDC_HOT_CAP = 16
+
+
+@query(
+    "dedup_cdc_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    pos AS (SELECT doc_id, i, ts[i] AS tok
+            FROM toks, unnest(generate_series(1, len(ts))) AS t(i)),
+    b AS (SELECT doc_id, i, tok,
+                 CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                           % {_CDC_MOD} = 0
+                      THEN 1 ELSE 0 END AS f
+          FROM pos),
+    cid AS (SELECT doc_id, i, tok,
+                   coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS chunk_id
+            FROM b),
+    chunks0 AS (SELECT doc_id,
+                       md5(array_to_string(list(tok ORDER BY i), ' ')) AS h,
+                       count(*) AS n_tok
+                FROM cid GROUP BY doc_id, chunk_id),
+    chunks AS (SELECT DISTINCT doc_id, h, n_tok FROM chunks0),
+    elig AS (SELECT doc_id, h FROM chunks WHERE n_tok >= {_CDC_MIN_TOKENS}),
+    rare AS (SELECT h, count(*) AS nd, min(doc_id) AS keeper
+             FROM elig GROUP BY h
+             HAVING count(*) BETWEEN 2 AND {_CDC_HOT_CAP}),
+    pairs AS (SELECT DISTINCT r.keeper AS doc_a, e.doc_id AS doc_b
+              FROM elig e JOIN rare r USING (h)
+              WHERE e.doc_id <> r.keeper),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a)
+    SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keeper_id,
+           count(*) OVER (PARTITION BY coalesce(c.comp, d.doc_id))
+             AS cluster_size
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    doc="Cross-doc CDC chunk clusters — the dedup ENDGAME for the "
+    "content-defined-chunking signal (docs_cdc_chunks reports the "
+    "per-doc signal; this query resolves it to keep/drop groups): "
+    "docs sharing any eligible chunk (>= 2 tokens, shared by 2-16 "
+    "docs) are edges, resolved to connected components with the same "
+    "iterative min-label operator dedup_clusters uses. Edges are "
+    "STAR pairs (min-doc keeper per chunk -> every other holder), so "
+    "a chunk shared by B docs emits O(B) edges, never O(B^2) "
+    "combinations, and the hot cap bounds even that; connectivity is "
+    "identical because the star spans the chunk's holder set. Scale "
+    "shape: two linear shuffles (chunk distinct, chunk frequency) + "
+    "a hash join + the CC loop over edges checkpointed "
+    "pre-partitioned on the join key.",
+    tags=("pipeline", "dedup", "graph"),
+)
+def dedup_cdc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
+    pos = docs.select("doc_id", F.posexplode(toks).alias("i0", "tok")).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "tok"
+    )
+    flag = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % _CDC_MOD
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = pos.withColumn("f", flag).withColumn(
+        "chunk_id", F.coalesce(F.sum("f").over(w), F.lit(0))
+    )
+    chunk_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "tok"))), lambda x: x["tok"]
+        ),
+        " ",
+    )
+    chunks = (
+        cid.groupBy("doc_id", "chunk_id")
+        .agg(F.md5(chunk_text).alias("h"), F.count(F.lit(1)).alias("n_tok"))
+        .select("doc_id", "h", "n_tok")
+        .distinct()
+    )
+    elig = chunks.filter(F.col("n_tok") >= _CDC_MIN_TOKENS).select("doc_id", "h")
+    rare = (
+        elig.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("keeper"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _CDC_HOT_CAP))
+    )
+    pairs = (
+        elig.join(rare, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return dedup_clusters(pairs, docs, "doc_id")

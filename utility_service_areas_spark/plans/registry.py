@@ -97,6 +97,8 @@ _DRIVER_PRIORITY = (
     "tokenizer_vocab_coverage",
     "ann_ivfpq_residual_topk",
     "docs_cdc_chunks",
+    "dedup_cdc_clusters",
+    "geo_shapefile_pip",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -115,7 +117,7 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 22 of the 46 oracled keys whose newest driver row is r6, in
+    # 4) 20 of the 46 oracled keys whose newest driver row is r6, in
     #    SURVEY order (deferring to r10: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
@@ -132,7 +134,8 @@ _DRIVER_PRIORITY = (
     #    customer_rfm_segments, embedding_pair_histogram,
     #    dedup_keep_best, hll_registers_users, user_session_stats,
     #    geo_nearest_area, order_backlog_timeseries, geo_grid_density,
-    #    lang_id_confusion)
+    #    lang_id_confusion, events_value_quartiles,
+    #    supplier_count_by_part_type)
     "geo_point_in_polygon",
     "geo_overlap_pairs",
     "dedup_ngram_jaccard",
@@ -153,8 +156,6 @@ _DRIVER_PRIORITY = (
     "max_size_parts_per_brand",
     "customers_above_avg_spend",
     "nation_trade_volume",
-    "supplier_count_by_part_type",
-    "events_value_quartiles",
 )
 
 _PLAN_MODULES = (
