@@ -534,3 +534,68 @@ def test_shard_manifest_stream_matches_batch(spark):
     }
     assert got == want
     assert 0 < len(want) <= n_shards
+
+
+def test_cdc_chunk_index_stream_matches_batch(spark):
+    """S19: the streaming CDC chunk index, drained, equals the chunk
+    frequency table computed by the batch WINDOW path of
+    docs_cdc_chunks — two independent implementations (map-side
+    Python chunker vs per-doc ordered window) of the same boundary
+    rule."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.plans.pipeline_queries import _CDC_MOD
+    from utility_service_areas_spark.sources.tables import load_table
+    from utility_service_areas_spark.streaming.events import (
+        cdc_chunk_index_stream,
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    out = cdc_chunk_index_stream(read_documents_stream(spark, SMOKE_SF))
+    run_to_memory(out, "t_cdc_index", "update")
+    got = {
+        r.h: (r.n_docs, r.first_doc_id)
+        for r in spark.sql("SELECT * FROM t_cdc_index").collect()
+    }
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
+    pos = docs.select("doc_id", F.posexplode(toks).alias("i0", "tok")).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "tok"
+    )
+    flag = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % _CDC_MOD
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = pos.withColumn("f", flag).withColumn(
+        "chunk_id", F.coalesce(F.sum("f").over(w), F.lit(0))
+    )
+    chunk_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "tok"))), lambda x: x["tok"]
+        ),
+        " ",
+    )
+    want = {
+        r.h: (r.n_docs, r.first_doc_id)
+        for r in cid.groupBy("doc_id", "chunk_id")
+        .agg(F.md5(chunk_text).alias("h"))
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 100  # the index is substantively populated

@@ -639,3 +639,65 @@ def shard_manifest_stream(
             .alias("fill_micros"),
         )
     )
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def cdc_chunk_hashes(texts: pd.Series) -> pd.Series:
+    """Per-document content-defined chunk hashes, computed entirely
+    map-side (Arrow-batched) — the streaming-safe form of the chunking
+    in plans/pipeline_queries.py:docs_cdc_chunks, which batch computes
+    with a per-doc ordered window (windows are not stream-safe). Same
+    rule bit for bit: tokens split on the mirrored whitespace class, a
+    boundary falls AFTER any token whose md5-top-60-bit integer is
+    ≡ 0 mod 16, each chunk hashes as md5 of its space-joined tokens,
+    and the per-doc chunk set is deduplicated. Equivalence with the
+    batch window path is pytest-asserted (two independent
+    implementations of the same spec)."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    out = []
+    for t in texts:
+        toks = ws.split((t or "").strip(" "))
+        seen: dict[str, None] = {}
+        cur: list[str] = []
+        for tok in toks:
+            cur.append(tok)
+            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            if int(h[:15], 16) % 16 == 0:
+                chunk = " ".join(cur)
+                seen.setdefault(
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                )
+                cur = []
+        if cur:
+            chunk = " ".join(cur)
+            seen.setdefault(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+        out.append(list(seen))
+    return pd.Series(out)
+
+
+def cdc_chunk_index_stream(stream: DataFrame) -> DataFrame:
+    """S19 — streaming twin of the CDC chunk INDEX (the `cnt` stage of
+    docs_cdc_chunks / dedup_cdc_clusters): per distinct chunk hash,
+    how many docs hold it and the smallest holder (the star-edge
+    keeper), maintained incrementally as documents arrive. This is the
+    index a streaming ingest consults to flag shared-content docs on
+    arrival instead of re-running the batch dedup.
+
+    State posture: one state row per DISTINCT chunk (~corpus_tokens /
+    16 rows) — the chunk index IS the state, exactly like the shard
+    manifest (S18); it grows with corpus content, not with time, and
+    a 100 TB deployment shards it by chunk hash across executors via
+    the groupBy shuffle. Chunking itself is stateless map-side work
+    (cdc_chunk_hashes), so the only shuffle is the index update.
+    Drained with the batch-derived input, the index equals the batch
+    chunk-frequency table row for row (tests/test_streaming.py)."""
+    chunks = stream.select(
+        "doc_id", F.explode(cdc_chunk_hashes(F.col("text"))).alias("h")
+    )
+    return chunks.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
