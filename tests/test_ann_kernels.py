@@ -178,3 +178,61 @@ def test_residual_ivfpq_calibration_vs_raw(spark):
     # residual coding must not be materially WORSE than raw on the
     # same budget (allow one-neighbor noise at 50 truth pairs)
     assert res >= raw - 0.04, (res, raw)
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """power_iteration_top_pc recovers a planted dominant direction:
+    data = strong variance along u + weak isotropic noise. After 4
+    rounds the fitted v must align with u (|cos| >= 0.99), and the
+    projections must separate the two lobes by sign."""
+    import numpy as np
+    import pandas as pd
+
+    from utility_service_areas_spark.operators.pca import (
+        power_iteration_top_pc,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    coef = rng.normal(scale=10.0, size=n)  # dominant axis
+    noise = rng.normal(scale=0.5, size=(n, d))
+    x = coef[:, None] * u[None, :] + noise
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [row.tolist() for row in x]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    proj, v = power_iteration_top_pc(df, "vec_id", "embedding", dim=d, n_iter=4)
+    v = np.array(v)
+    assert abs(float(v @ u)) >= 0.99, float(v @ u)
+
+    got = {r.id: r.pc1_micros for r in proj.collect()}
+    # sign of the projection tracks the planted coefficient (up to a
+    # global flip): compare after orienting v toward u
+    flip = 1.0 if float(v @ u) > 0 else -1.0
+    agree = sum(
+        1
+        for i in range(n)
+        if (flip * got[i] > 0) == (coef[i] > 0) or abs(coef[i]) < 1.0
+    )
+    assert agree >= int(0.95 * n), agree
+
+
+def test_power_iteration_degenerate_input(spark):
+    """All-equal vectors: centered data is exactly zero, the update
+    norm is 0, and the guard keeps v0 instead of dividing by zero."""
+    import pandas as pd
+
+    from utility_service_areas_spark.operators.pca import (
+        power_iteration_top_pc,
+    )
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(8), "embedding": [[1.5, -2.0, 3.0, 0.25]] * 8}
+    )
+    df = spark.createDataFrame(pdf)
+    proj, v = power_iteration_top_pc(df, "vec_id", "embedding", dim=4, n_iter=3)
+    assert v == [0.5, 0.5, 0.5, 0.5]  # v0 at dim 4, untouched
+    assert all(r.pc1_micros == 0 for r in proj.collect())

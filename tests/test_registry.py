@@ -179,6 +179,7 @@ EXPECTED_KEYS = {
     "docs_cdc_chunks",
     "dedup_cdc_clusters",
     "geo_shapefile_pip",
+    "embedding_pca_project",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

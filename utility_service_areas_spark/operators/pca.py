@@ -1,0 +1,112 @@
+"""Distributed top-principal-component fit via power iteration — the
+projection step training-data pipelines use for embedding whitening,
+diversity scoring, and the "dominant direction" diagnostics behind
+SemDeDup-style curation.
+
+Spark-first shape per iteration (same posture as operators/kmeans.py):
+  1. score: the current direction v is broadcast as a literal array;
+     w = (x − μ)·v is a pure-JVM sequential double fold — the corpus
+     is never shuffled.
+  2. update: per-dimension sums of w·(x_j − μ_j) partial-agg through
+     ONE posexplode → groupBy(dim); only `dim` rows reach the driver
+     to normalize the next direction.
+
+Determinism / replayability: every cross-row float sum is quantized
+to micros-BIGINT first (integer addition is order-independent, so the
+fit is bit-identical across partitionings AND replayable by the
+DuckDB oracle, exactly like kmeans_fit_assign); within-row dot
+products are sequential double folds; normalization divides by an
+IEEE-exact sqrt. v0 is the fixed vector (1/√dim, …) — seedless, and
+1/√64 = 0.125 is float-exact for the substrate's dim.
+
+Convergence is fixed n_iter, not a tolerance: at 100 TB you run a
+few passes (each ONE distributed agg) and take the direction you
+have — the projection pass is the same single map-side fold either
+way. Power iteration's sign is arbitrary but deterministic given v0.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_expr(vec_col: str, lit_vec: list[float]) -> F.Column:
+    """Sequential double fold of vec·lit — operand order (a*b, then
+    left-to-right accumulation from 0.0) mirrored by the oracle's
+    list_sum(list_transform(...))."""
+    lit = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def power_iteration_top_pc(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 4,
+) -> tuple[DataFrame, list[float]]:
+    """((id, pc1_micros), v) — per-row projection onto the top
+    principal component of the MEAN-CENTERED vectors after n_iter
+    power-iteration rounds, plus the fitted direction itself.
+
+    Each round runs ONE distributed aggregation; direction state
+    (`dim` doubles) is the only data that ever reaches the driver.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    # mean vector, micros-exact: mu_j = (sum(round(x*1e6)) / 1e6) / n
+    stats = (
+        base.select(F.posexplode("vec").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("x") * 1_000_000).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    by_dim = {r.dim: (r.s, r.n) for r in stats}
+    mu = [(by_dim[d][0] / 1_000_000.0) / by_dim[d][1] for d in range(dim)]
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+
+    centered = base.withColumn(
+        "cvec", F.zip_with(F.col("vec"), mu_lit, lambda a, b: a - b)
+    )
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(n_iter):
+        w = _dot_expr("cvec", v)
+        sums = (
+            centered.withColumn("w", w)
+            .select("w", F.posexplode("cvec").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("w") * F.col("x") * 1_000_000).cast("long")
+                ).alias("s")
+            )
+            .collect()
+        )
+        s_by_dim = {r.dim: r.s for r in sums}
+        u = [s_by_dim.get(d, 0) / 1_000_000.0 for d in range(dim)]
+        norm2 = 0.0
+        for y in u:
+            norm2 += y * y
+        nrm = math.sqrt(norm2)
+        if nrm == 0.0:  # degenerate input (all rows equal); keep v
+            break
+        v = [y / nrm for y in u]
+
+    proj = centered.select(
+        "id",
+        F.round(_dot_expr("cvec", v) * 1_000_000).cast("long").alias("pc1_micros"),
+    )
+    return proj, v

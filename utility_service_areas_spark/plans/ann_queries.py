@@ -1603,3 +1603,99 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "sim_micros")
     )
+
+
+_PCA_ITER = 4
+
+
+def _power_pc_cte_sql(n_iter: int = _PCA_ITER, dim: int = 64) -> str:
+    """Unrolled SQL CTE chain replaying operators/pca.py:
+    power_iteration_top_pc bit for bit: micros-BIGINT mean, fixed
+    v0 = (1/sqrt(dim), ...) — float-exact 0.125 at dim 64 — then per
+    iteration a sequential-fold score w = cvec·v
+    (list_sum(list_transform) = the JVM fold, the proven seam), a
+    micros-BIGINT per-dim update (integer sums are combine-order
+    independent, so the distributed fit and the replay agree
+    exactly), and an IEEE-exact sqrt-normalize. Ends at CTEs
+    `pcent` / `pv{n_iter}`; the caller projects with the final
+    direction."""
+    import math as _math
+
+    v0 = repr(1.0 / _math.sqrt(dim))
+    parts = [
+        "pbase AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec",
+        "  FROM embeddings),",
+        "pmu AS (",
+        "  SELECT list((s / 1000000.0) / n ORDER BY dim) AS mu",
+        "  FROM (",
+        "    SELECT j AS dim,",
+        "           sum(CAST(round(vec[j] * 1000000) AS BIGINT)) AS s,",
+        "           count(*) AS n",
+        f"    FROM pbase, unnest(generate_series(1, {dim})) AS t(j)",
+        "    GROUP BY 1)),",
+        "pcent AS (",
+        "  SELECT vec_id,",
+        f"         list_transform(generate_series(1, {dim}),"
+        " j -> vec[j] - mu[j]) AS cvec",
+        "  FROM pbase, pmu),",
+        "pv0 AS (",
+        f"  SELECT list_transform(generate_series(1, {dim}),"
+        f" j -> {v0}) AS v)",
+    ]
+    for i in range(n_iter):
+        parts += [
+            f", pw{i} AS (",
+            "  SELECT vec_id, cvec,",
+            f"         list_sum(list_transform(generate_series(1, {dim}),"
+            " j -> cvec[j] * v[j])) AS w",
+            f"  FROM pcent, pv{i}),",
+            f"ps{i} AS (",
+            "  SELECT list(s / 1000000.0 ORDER BY dim) AS u",
+            "  FROM (",
+            "    SELECT j AS dim,",
+            "           sum(CAST(round(w * cvec[j] * 1000000) AS BIGINT)) AS s",
+            f"    FROM pw{i}, unnest(generate_series(1, {dim})) AS t(j)",
+            "    GROUP BY 1)),",
+            f"pv{i + 1} AS (",
+            "  SELECT list_transform(u, x -> x /",
+            "    sqrt(list_sum(list_transform(u, y -> y * y)))) AS v",
+            f"  FROM ps{i})",
+        ]
+    return "\n".join(parts)
+
+
+@query(
+    "embedding_pca_project",
+    oracle=f"""
+    WITH {_power_pc_cte_sql()}
+    SELECT vec_id,
+           CAST(round(list_sum(list_transform(generate_series(1, 64),
+                  j -> cvec[j] * v[j])) * 1000000) AS BIGINT) AS pc1_micros
+    FROM pcent, pv{_PCA_ITER}
+    """,
+    doc="Top-principal-component projection via distributed power "
+    "iteration (operators/pca.py) — the embedding-whitening / "
+    "dominant-direction diagnostic a curation pipeline runs before "
+    "SemDeDup-style clustering: mean-center, then "
+    f"{_PCA_ITER} rounds of v <- normalize(Sigma_x (x-mu)((x-mu)"
+    "*v)), each round ONE distributed posexplode agg whose per-dim "
+    "sums are micros-BIGINT (combine-order independent => the fit "
+    "is bit-replayable by the unrolled SQL chain, the same "
+    "contract as embedding_kmeans_assign); within-row dot products "
+    "are sequential JVM folds; only 64 doubles of direction state "
+    "ever reach the driver per round. Output is each vector's "
+    "signed projection onto the fitted direction, in micros. Scale "
+    "shape: the corpus is never shuffled — every round is map-side "
+    "fold + partial-agged posexplode; at 100 TB you fit on a "
+    "sample and keep the single projection pass, identical plan.",
+    tags=("embedding",),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.pca import power_iteration_top_pc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj, _v = power_iteration_top_pc(
+        emb, "vec_id", "embedding", dim=64, n_iter=_PCA_ITER
+    )
+    return proj.select(F.col("id").alias("vec_id"), "pc1_micros")
