@@ -236,3 +236,46 @@ def test_power_iteration_degenerate_input(spark):
     proj, v = power_iteration_top_pc(df, "vec_id", "embedding", dim=4, n_iter=3)
     assert v == [0.5, 0.5, 0.5, 0.5]  # v0 at dim 4, untouched
     assert all(r.pc1_micros == 0 for r in proj.collect())
+
+
+def test_power_iteration_two_pc_recovers_plane(spark):
+    """power_iteration_two_pc recovers BOTH planted directions: data
+    with strong variance along u1, medium along orthogonal u2, weak
+    noise elsewhere. v1 aligns with u1, v2 (fit after deflation)
+    aligns with u2, and the two fitted directions are orthogonal."""
+    import numpy as np
+    import pandas as pd
+
+    from utility_service_areas_spark.operators.pca import (
+        power_iteration_two_pc,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n = 12, 500
+    u1 = rng.normal(size=d)
+    u1 /= np.linalg.norm(u1)
+    u2 = rng.normal(size=d)
+    u2 -= (u2 @ u1) * u1
+    u2 /= np.linalg.norm(u2)
+    x = (
+        rng.normal(scale=12.0, size=n)[:, None] * u1[None, :]
+        + rng.normal(scale=5.0, size=n)[:, None] * u2[None, :]
+        + rng.normal(scale=0.3, size=(n, d))
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [row.tolist() for row in x]}
+    )
+    proj, v1, v2 = power_iteration_two_pc(
+        spark.createDataFrame(pdf), "vec_id", "embedding", dim=d, n_iter=6
+    )
+    v1, v2 = np.array(v1), np.array(v2)
+    assert abs(float(v1 @ u1)) >= 0.99
+    assert abs(float(v2 @ u2)) >= 0.98
+    assert abs(float(v1 @ v2)) <= 0.01  # deflation orthogonality
+
+    rows = proj.collect()
+    assert len(rows) == n
+    # PC1 captures more spread than PC2
+    p1 = np.array([r.pc1_micros for r in rows], dtype=float)
+    p2 = np.array([r.pc2_micros for r in rows], dtype=float)
+    assert p1.std() > 1.5 * p2.std()

@@ -180,6 +180,7 @@ EXPECTED_KEYS = {
     "dedup_cdc_clusters",
     "geo_shapefile_pip",
     "embedding_pca_project",
+    "embedding_pca_map",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

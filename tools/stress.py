@@ -52,6 +52,8 @@ DEFAULT_QUERIES = [
     "ann_pq_topk",
     "ann_ivfpq_residual_topk",
     "docs_cdc_chunks",
+    "dedup_cdc_clusters",
+    "embedding_pca_project",
     "docs_repetition_signals",
     "embedding_pair_histogram",
     "hll_registers_users",

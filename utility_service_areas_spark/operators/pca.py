@@ -81,12 +81,26 @@ def power_iteration_top_pc(
         "cvec", F.zip_with(F.col("vec"), mu_lit, lambda a, b: a - b)
     )
 
+    v = _fit_direction(centered, "cvec", dim, n_iter)
+    proj = centered.select(
+        "id",
+        F.round(_dot_expr("cvec", v) * 1_000_000).cast("long").alias("pc1_micros"),
+    )
+    return proj, v
+
+
+def _fit_direction(
+    frame: DataFrame, vec_field: str, dim: int, n_iter: int
+) -> list[float]:
+    """n_iter power-iteration rounds over `frame[vec_field]` (already
+    centered/deflated by the caller); each round is ONE distributed
+    posexplode agg with micros-BIGINT per-dim sums."""
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(n_iter):
-        w = _dot_expr("cvec", v)
+        w = _dot_expr(vec_field, v)
         sums = (
-            centered.withColumn("w", w)
-            .select("w", F.posexplode("cvec").alias("dim", "x"))
+            frame.withColumn("w", w)
+            .select("w", F.posexplode(vec_field).alias("dim", "x"))
             .groupBy("dim")
             .agg(
                 F.sum(
@@ -104,9 +118,56 @@ def power_iteration_top_pc(
         if nrm == 0.0:  # degenerate input (all rows equal); keep v
             break
         v = [y / nrm for y in u]
+    return v
 
-    proj = centered.select(
-        "id",
-        F.round(_dot_expr("cvec", v) * 1_000_000).cast("long").alias("pc1_micros"),
+
+def power_iteration_two_pc(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 4,
+) -> tuple[DataFrame, list[float], list[float]]:
+    """((id, pc1_micros, pc2_micros), v1, v2) — the 2-D curation map:
+    v1 fit as in power_iteration_top_pc, then Hotelling deflation
+    (cvec2 = cvec − (cvec·v1)·v1, a pure map-side zip_with — no new
+    shuffle) and an identical fit for v2 on the deflated frame. The
+    deflated data keeps the (quantized-)zero mean, so the second fit
+    does not re-center; v2 is orthogonal to v1 up to the micros
+    quantization of the update sums."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    return proj, v
+    stats = (
+        base.select(F.posexplode("vec").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("x") * 1_000_000).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    by_dim = {r.dim: (r.s, r.n) for r in stats}
+    mu = [(by_dim[d][0] / 1_000_000.0) / by_dim[d][1] for d in range(dim)]
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = base.withColumn(
+        "cvec", F.zip_with(F.col("vec"), mu_lit, lambda a, b: a - b)
+    )
+
+    v1 = _fit_direction(centered, "cvec", dim, n_iter)
+    v1_lit = F.array(*[F.lit(float(x)) for x in v1])
+    deflated = centered.withColumn("w1", _dot_expr("cvec", v1)).withColumn(
+        "cvec2",
+        F.zip_with(F.col("cvec"), v1_lit, lambda a, b: a - F.col("w1") * b),
+    )
+    v2 = _fit_direction(deflated, "cvec2", dim, n_iter)
+
+    proj = deflated.select(
+        "id",
+        F.round(F.col("w1") * 1_000_000).cast("long").alias("pc1_micros"),
+        F.round(_dot_expr("cvec2", v2) * 1_000_000)
+        .cast("long")
+        .alias("pc2_micros"),
+    )
+    return proj, v1, v2

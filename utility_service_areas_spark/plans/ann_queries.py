@@ -1619,9 +1619,6 @@ def _power_pc_cte_sql(n_iter: int = _PCA_ITER, dim: int = 64) -> str:
     exactly), and an IEEE-exact sqrt-normalize. Ends at CTEs
     `pcent` / `pv{n_iter}`; the caller projects with the final
     direction."""
-    import math as _math
-
-    v0 = repr(1.0 / _math.sqrt(dim))
     parts = [
         "pbase AS (",
         "  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec",
@@ -1639,28 +1636,45 @@ def _power_pc_cte_sql(n_iter: int = _PCA_ITER, dim: int = 64) -> str:
         f"         list_transform(generate_series(1, {dim}),"
         " j -> vec[j] - mu[j]) AS cvec",
         "  FROM pbase, pmu),",
-        "pv0 AS (",
+        _power_fit_chain_sql("p", "pcent", "cvec", n_iter, dim),
+    ]
+    return "\n".join(parts)
+
+
+def _power_fit_chain_sql(
+    p: str, src: str, vcol: str, n_iter: int = _PCA_ITER, dim: int = 64
+) -> str:
+    """The fit loop alone, prefixed: {p}v0 .. {p}v{n_iter} over
+    `{src}.{vcol}` (already centered/deflated). `_power_pc_cte_sql`
+    composes it for PC1 (byte-identical to the pre-refactor chain for
+    the defaults); the PC2 oracle re-invokes it over the deflated
+    frame — the same prefix trick as `_kmeans_cte_sql`."""
+    import math as _math
+
+    v0 = repr(1.0 / _math.sqrt(dim))
+    parts = [
+        f"{p}v0 AS (",
         f"  SELECT list_transform(generate_series(1, {dim}),"
         f" j -> {v0}) AS v)",
     ]
     for i in range(n_iter):
         parts += [
-            f", pw{i} AS (",
-            "  SELECT vec_id, cvec,",
+            f", {p}w{i} AS (",
+            f"  SELECT vec_id, {vcol},",
             f"         list_sum(list_transform(generate_series(1, {dim}),"
-            " j -> cvec[j] * v[j])) AS w",
-            f"  FROM pcent, pv{i}),",
-            f"ps{i} AS (",
+            f" j -> {vcol}[j] * v[j])) AS w",
+            f"  FROM {src}, {p}v{i}),",
+            f"{p}s{i} AS (",
             "  SELECT list(s / 1000000.0 ORDER BY dim) AS u",
             "  FROM (",
             "    SELECT j AS dim,",
-            "           sum(CAST(round(w * cvec[j] * 1000000) AS BIGINT)) AS s",
-            f"    FROM pw{i}, unnest(generate_series(1, {dim})) AS t(j)",
+            f"           sum(CAST(round(w * {vcol}[j] * 1000000) AS BIGINT)) AS s",
+            f"    FROM {p}w{i}, unnest(generate_series(1, {dim})) AS t(j)",
             "    GROUP BY 1)),",
-            f"pv{i + 1} AS (",
+            f"{p}v{i + 1} AS (",
             "  SELECT list_transform(u, x -> x /",
             "    sqrt(list_sum(list_transform(u, y -> y * y)))) AS v",
-            f"  FROM ps{i})",
+            f"  FROM {p}s{i})",
         ]
     return "\n".join(parts)
 
@@ -1699,3 +1713,49 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=64, n_iter=_PCA_ITER
     )
     return proj.select(F.col("id").alias("vec_id"), "pc1_micros")
+
+
+@query(
+    "embedding_pca_map",
+    oracle=f"""
+    WITH {_power_pc_cte_sql()},
+    qin AS (
+      SELECT vec_id, cvec,
+             list_sum(list_transform(generate_series(1, 64),
+               j -> cvec[j] * v[j])) AS w1
+      FROM pcent, pv{_PCA_ITER}),
+    qcent AS (
+      SELECT vec_id, w1,
+             list_transform(generate_series(1, 64),
+               j -> cvec[j] - w1 * v[j]) AS cvec2
+      FROM qin, pv{_PCA_ITER}),
+    {_power_fit_chain_sql("q", "qcent", "cvec2")}
+    SELECT vec_id,
+           CAST(round(w1 * 1000000) AS BIGINT) AS pc1_micros,
+           CAST(round(list_sum(list_transform(generate_series(1, 64),
+                  j -> cvec2[j] * v[j])) * 1000000) AS BIGINT) AS pc2_micros
+    FROM qcent, qv{_PCA_ITER}
+    """,
+    doc="2-D PCA curation map (PC1 x PC2): the standard corpus "
+    "visualization / diversity-binning projection. PC1 as in "
+    "embedding_pca_project, then Hotelling deflation (cvec2 = cvec "
+    "- (cvec.v1) v1 — a pure map-side zip_with, no new shuffle; the "
+    "deflated frame keeps the quantized-zero mean so the second fit "
+    "does not re-center) and an identical power-iteration fit for "
+    "v2 — the SQL replay re-invokes the same prefixed fit chain "
+    "over the deflated CTE, the _kmeans_cte_sql composition trick. "
+    "Scale shape: identical to the PC1 query run twice — per round "
+    "ONE posexplode partial agg, 64 doubles to the driver; the "
+    "corpus is never shuffled.",
+    tags=("embedding",),
+)
+def embedding_pca_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.pca import power_iteration_two_pc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj, _v1, _v2 = power_iteration_two_pc(
+        emb, "vec_id", "embedding", dim=64, n_iter=_PCA_ITER
+    )
+    return proj.select(
+        F.col("id").alias("vec_id"), "pc1_micros", "pc2_micros"
+    )
