@@ -155,6 +155,20 @@ HEADLINE = {
         "chunk-id running sum is a PER-DOC window (bounded by doc "
         "length); then the exact-substring pair-free counting shape"
     ),
+    "dedup_cdc_clusters": (
+        "star pairs: chunk-frequency partial agg (min-doc keeper) "
+        "joined back once — O(B) edges per chunk, no combination "
+        "explode; CC loop over the checkpointed edge list"
+    ),
+    "embedding_pca_project": (
+        "per round ONE posexplode partial-agg exchange keyed by dim "
+        "(64 groups); dot products are codegen folds; the corpus is "
+        "never shuffled and never joined"
+    ),
+    "geo_shapefile_pip": (
+        "binaryFile scan splits by file; decoded polygon dim is the "
+        "broadcast build side; point side scans once, no shuffle"
+    ),
     "embedding_matryoshka_recall": (
         "one broadcast pair join computes all four truncated cosines "
         "in a single pass; one window per dim; corpus never shuffles"

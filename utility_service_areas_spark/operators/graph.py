@@ -139,13 +139,24 @@ def dedup_clusters(
     every id mapped to its cluster keeper (min id; singletons keep
     themselves). Returns (id, keeper_id, cluster_size).
     """
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
     comp = connected_components(pairs, a_col, b_col)
     joined = all_ids.select(F.col(id_col).alias("node")).join(
         comp, "node", "left"
     )
-    resolved = joined.select(
-        F.col("node").alias(id_col),
-        F.coalesce(F.col("comp"), F.col("node")).alias("keeper_id"),
+    # resolved feeds BOTH the size aggregate and the final join —
+    # without the cut Catalyst re-runs the ids⋈comp join for each
+    # consumer (no identical-subtree reuse; measured r8). The size
+    # path stays groupBy+join rather than a count-over-keeper window
+    # so a giant dup cluster partial-aggregates map-side and the hot
+    # probe key is AQE-skew-splittable, not a single window sort
+    # partition.
+    resolved = lineage_cut(
+        joined.select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("node")).alias("keeper_id"),
+        )
     )
     sizes = resolved.groupBy("keeper_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return resolved.join(sizes, "keeper_id").select(id_col, "keeper_id", "cluster_size")

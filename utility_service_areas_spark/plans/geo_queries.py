@@ -900,17 +900,24 @@ def geo_shapefile_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:  # a concurrent builder won the rename race
             shutil.rmtree(tmp, ignore_errors=True)
 
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
     polys = read_shapefile(spark, fix)
     flat = F.flatten(F.col("geometry"))
     xs = F.transform(flat, lambda p: p[0])
     ys = F.transform(flat, lambda p: p[1])
-    rect = polys.select(
-        F.col("attrs")["NKEY"].cast("long").alias("n_nationkey"),
-        F.col("attrs")["NNAME"].alias("n_name"),
-        F.array_min(xs).alias("x0"),
-        F.array_min(ys).alias("y0"),
-        (F.array_max(xs) - F.array_min(xs)).alias("w"),
-        (F.array_max(ys) - F.array_min(ys)).alias("h"),
+    # rect feeds both the PIP join build side and the final left join
+    # — cut so the shapefile directory is scanned/parsed ONCE, not
+    # once per consumer (the multi-consumer recompute trap).
+    rect = lineage_cut(
+        polys.select(
+            F.col("attrs")["NKEY"].cast("long").alias("n_nationkey"),
+            F.col("attrs")["NNAME"].alias("n_name"),
+            F.array_min(xs).alias("x0"),
+            F.array_min(ys).alias("y0"),
+            (F.array_max(xs) - F.array_min(xs)).alias("w"),
+            (F.array_max(ys) - F.array_min(ys)).alias("h"),
+        )
     )
     pts = _customer_points(spark, sf_dir)
     inside = (
