@@ -181,6 +181,7 @@ EXPECTED_KEYS = {
     "geo_shapefile_pip",
     "embedding_pca_project",
     "embedding_pca_map",
+    "histogram_value_quantiles",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

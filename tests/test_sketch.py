@@ -166,3 +166,43 @@ def test_cms_one_sided_error_and_bound(spark):
         assert r.cms_estimate >= r.true_count, r
         assert r.overcounted == (r.cms_estimate > r.true_count)
         assert r.cms_estimate - r.true_count <= bound, (r, bound)
+
+
+def test_histogram_quantiles_bounded_by_bin_width(spark):
+    """histogram_value_quantiles' estimate is the upper edge of the
+    bin holding the ceil(p*n)-th smallest value, so for each group
+    0 <= est - x_p <= one bin width (plus cents rounding) — a
+    deterministic bound, tighter than the t-digest's statistical one."""
+    import math
+
+    import duckdb
+
+    from utility_service_areas_spark.plans.analytics_queries import (
+        _HIST_BINS,
+        histogram_value_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.event_type: (r.p50_hist_cents, r.p95_hist_cents)
+        for r in histogram_value_quantiles(spark, sf).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    rows = con.execute(
+        """
+        SELECT event_type, min(value), max(value), count(*),
+               quantile_disc(value, 0.5), quantile_disc(value, 0.95)
+        FROM events GROUP BY 1
+        """
+    ).fetchall()
+    assert set(got) == {r[0] for r in rows}
+    for et, lo, hi, n, x50, x95 in rows:
+        width_cents = (hi - lo) / _HIST_BINS * 100
+        for est_cents, x_p in ((got[et][0], x50), (got[et][1], x95)):
+            diff = est_cents - x_p * 100
+            assert -1.0 <= diff <= width_cents + 1.0, (et, diff, width_cents)
+    assert math.isfinite(width_cents)

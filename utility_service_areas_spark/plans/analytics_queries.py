@@ -1050,3 +1050,111 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_rows").cast("long").alias("total_rows"),
         neff.cast("long").alias("neff_keys_micros"),
     )
+
+
+_HIST_BINS = 4096
+
+
+@query(
+    "histogram_value_quantiles",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(*) AS n
+      FROM events GROUP BY 1),
+    b AS (
+      SELECT e.event_type,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE least({_HIST_BINS - 1},
+                             CAST(floor((e.value - s.lo) * {_HIST_BINS}.0
+                                        / (s.hi - s.lo)) AS BIGINT))
+             END AS bin
+      FROM events e JOIN stats s USING (event_type)),
+    c AS (SELECT event_type, bin, count(*) AS n_bin FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin,
+             sum(n_bin) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c),
+    q AS (
+      SELECT t.event_type,
+             min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+             min(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) AS b95
+      FROM cum t JOIN stats USING (event_type) GROUP BY 1)
+    SELECT s.event_type,
+           CAST(round((s.lo + (q.b50 + 1) * ((s.hi - s.lo) / {_HIST_BINS}.0))
+                      * 100) AS BIGINT) AS p50_hist_cents,
+           CAST(round((s.lo + (q.b95 + 1) * ((s.hi - s.lo) / {_HIST_BINS}.0))
+                      * 100) AS BIGINT) AS p95_hist_cents
+    FROM stats s JOIN q USING (event_type)
+    """,
+    doc="Quantiles from an explicit fixed-range histogram sketch — the "
+    "deterministic, VALUE-ORACLED twin of the rows-only t-digest "
+    f"(#82), the way hll_registers_users twins the native HLL: "
+    f"{_HIST_BINS} equi-width bins per group between the group's "
+    "min/max, quantile = upper edge of the first bin whose cumulative "
+    "count crosses ceil(p*n). Estimate error is bounded by one bin "
+    "width of the value RANGE (pytest-pinned vs the exact "
+    "percentiles), and unlike t-digest the sketch is a pure integer "
+    "count vector: merge = elementwise add, replay = exact SQL. "
+    "Scale shape: one broadcast stats dim, one (type, bin) partial "
+    "agg (<= types x 4096 rows shuffle), a per-type window over "
+    "4096-row partitions, one min(CASE) agg — values never sort "
+    "globally, the corpus never shuffles on anything but the "
+    "bin-count partial agg.",
+    tags=("analytics", "sketch"),
+)
+def histogram_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    B = _HIST_BINS
+    ev = load_table(spark, sf_dir, "events")
+    # stats feeds the binning join, the threshold join and the final
+    # projection — cut so the corpus aggregates once.
+    stats = lineage_cut(
+        ev.groupBy("event_type").agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    binned = ev.select("event_type", "value").join(F.broadcast(stats), "event_type")
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(B - 1).cast("long"),
+            F.floor(
+                (F.col("value") - F.col("lo")) * float(B) / (F.col("hi") - F.col("lo"))
+            ),
+        )
+    )
+    counts = (
+        binned.withColumn("bin", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("n_bin").over(w)).join(
+        F.broadcast(stats.select("event_type", "n")), "event_type"
+    )
+    q = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.ceil(0.5 * F.col("n")), F.col("bin"))).alias(
+            "b50"
+        ),
+        F.min(F.when(F.col("cum") >= F.ceil(0.95 * F.col("n")), F.col("bin"))).alias(
+            "b95"
+        ),
+    )
+    width = (F.col("hi") - F.col("lo")) / float(B)
+    return stats.join(q, "event_type").select(
+        "event_type",
+        F.round((F.col("lo") + (F.col("b50") + 1) * width) * 100)
+        .cast("long")
+        .alias("p50_hist_cents"),
+        F.round((F.col("lo") + (F.col("b95") + 1) * width) * 100)
+        .cast("long")
+        .alias("p95_hist_cents"),
+    )

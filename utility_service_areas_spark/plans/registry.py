@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = (
     "geo_shapefile_pip",
     "embedding_pca_project",
     "embedding_pca_map",
+    "histogram_value_quantiles",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -119,7 +120,7 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 18 of the 46 oracled keys whose newest driver row is r6, in
+    # 4) 17 of the 46 oracled keys whose newest driver row is r6, in
     #    SURVEY order (deferring to r10: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
@@ -138,7 +139,7 @@ _DRIVER_PRIORITY = (
     #    geo_nearest_area, order_backlog_timeseries, geo_grid_density,
     #    lang_id_confusion, events_value_quartiles,
     #    supplier_count_by_part_type, nation_trade_volume,
-    #    customers_above_avg_spend)
+    #    customers_above_avg_spend, max_size_parts_per_brand)
     "geo_point_in_polygon",
     "geo_overlap_pairs",
     "dedup_ngram_jaccard",
@@ -156,7 +157,6 @@ _DRIVER_PRIORITY = (
     "text_top_tokens",
     "stratified_sample",
     "text_clean",
-    "max_size_parts_per_brand",
 )
 
 _PLAN_MODULES = (
