@@ -599,3 +599,66 @@ def test_cdc_chunk_index_stream_matches_batch(spark):
     }
     assert got == want
     assert len(want) > 100  # the index is substantively populated
+
+
+def test_histogram_quantile_stream_matches_batch_bins(spark):
+    """S20: the streaming fixed-range histogram, drained with the
+    batch-derived per-type bounds, equals the batch query's bin
+    counts row for row (the binning expression is operand-order
+    identical); state is bounded at types x n_bins rows."""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.plans.analytics_queries import (
+        _HIST_BINS,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+    from utility_service_areas_spark.streaming.events import (
+        histogram_quantile_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    # one stream per event_type with that type's batch-derived bounds
+    # (the fixed-range posture); drain and pool the counts
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    got = {}
+    for i, (et, (lo, hi)) in enumerate(sorted(bounds.items())):
+        out = histogram_quantile_stream(
+            read_events_stream(spark, SMOKE_SF).filter(F.col("event_type") == et),
+            lo,
+            hi,
+            _HIST_BINS,
+        )
+        run_to_memory(out, f"t_hist_{i}", "update")
+        for r in spark.sql(f"SELECT * FROM t_hist_{i}").collect():
+            got[(r.event_type, r.bin)] = r.n_bin
+
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.select("event_type", "value").join(F.broadcast(stats), "event_type")
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(_HIST_BINS - 1).cast("long"),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * float(_HIST_BINS)
+                / (F.col("hi") - F.col("lo"))
+            ),
+        )
+    )
+    want = {
+        (r.event_type, r.bin): r.n_bin
+        for r in binned.withColumn("bin", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 50

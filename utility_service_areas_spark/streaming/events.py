@@ -701,3 +701,44 @@ def cdc_chunk_index_stream(stream: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+def histogram_quantile_stream(
+    stream: DataFrame, lo: float, hi: float, n_bins: int = 4096
+) -> DataFrame:
+    """S20 — streaming twin of the explicit histogram quantile sketch
+    (plans/analytics_queries.py:histogram_value_quantiles): per
+    (event_type, bin) counts maintained incrementally in update mode;
+    the count vector IS the state, bounded at types x n_bins rows
+    FOREVER — quantile extraction is a cumulative walk over the
+    drained counts (batch-side, trivial) or a dashboard-side fold.
+
+    Divergence from the batch query, by necessity: batch derives each
+    group's [lo, hi] from its own min/max, which a stream cannot know
+    — production fixes the value range up front (the fixed-range
+    histogram posture, same reasoning as S18's fixed shard count), so
+    the bounds are parameters. Run with the batch-derived bounds and
+    the drained counts equal the batch bin counts row for row
+    (tests/test_streaming.py)."""
+    # binning expression operand-order-identical to the batch query
+    # ((value - lo) * n_bins / (hi - lo)), so the drained counts are
+    # bit-comparable; the low clamp is a no-op when the fixed bounds
+    # enclose the data and floors out-of-range arrivals otherwise.
+    bin_col = F.when(F.lit(hi) == F.lit(lo), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(
+                    (F.col("value") - F.lit(lo))
+                    * float(n_bins)
+                    / (F.lit(hi) - F.lit(lo))
+                ),
+            ),
+        )
+    )
+    return (
+        stream.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bin"))
+    )
