@@ -182,6 +182,7 @@ EXPECTED_KEYS = {
     "embedding_pca_project",
     "embedding_pca_map",
     "histogram_value_quantiles",
+    "event_robust_outliers",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

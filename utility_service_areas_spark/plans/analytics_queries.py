@@ -1158,3 +1158,72 @@ def histogram_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_hist_cents"),
     )
+
+
+@query(
+    "event_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(value, 0.5) * 100) AS BIGINT)
+               AS med_cents
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_id, e.event_type,
+             abs(CAST(round(e.value * 100) AS BIGINT) - m.med_cents)
+               AS dev_cents
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(dev_cents, 0.5)) AS BIGINT)
+               AS mad_cents
+      FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.dev_cents,
+           CASE WHEN d.dev_cents * 10000 > 44478 * a.mad_cents
+                THEN 1 ELSE 0 END AS outlier
+    FROM dev d JOIN mad a USING (event_type)
+    """,
+    doc="Robust (median/MAD) outlier screen per event_type — the "
+    "companion to event_anomaly_zscore that a heavy-tailed 100 TB "
+    "telemetry stream actually needs (mean and stddev are themselves "
+    "dragged by the outliers they are supposed to find; the median "
+    "and MAD have a 50% breakdown point). Flag when "
+    "|x − med| > 3·1.4826·MAD (the normal-consistent sigma-hat). "
+    "Determinism: the two medians quantize to CENTS-bigint at the "
+    "aggregate boundary, so every downstream comparison is PURE "
+    "INTEGER (dev·10000 > 44478·mad) — no float ever crosses rows. "
+    "Scale shape: two grouped exact percentiles (at 100 TB swap for "
+    "#178's histogram sketch — same output contract) + two broadcast "
+    "dim joins; the dev frame is deliberately recomputed for its "
+    "second consumer — one broadcast-join map pass costs less than "
+    "materializing a corpus-sized checkpoint.",
+    tags=("analytics",),
+)
+def event_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") * 100)
+        .cast("long")
+        .alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.abs(
+            F.round(F.col("value") * 100).cast("long") - F.col("med_cents")
+        ).alias("dev_cents"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev_cents, 0.5)")).cast("long").alias("mad_cents")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "dev_cents",
+        F.when(
+            F.col("dev_cents") * 10000 > 44478 * F.col("mad_cents"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("outlier"),
+    )

@@ -102,6 +102,7 @@ _DRIVER_PRIORITY = (
     "embedding_pca_project",
     "embedding_pca_map",
     "histogram_value_quantiles",
+    "event_robust_outliers",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -120,7 +121,7 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 17 of the 46 oracled keys whose newest driver row is r6, in
+    # 4) 16 of the 46 oracled keys whose newest driver row is r6, in
     #    SURVEY order (deferring to r10: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
@@ -139,7 +140,8 @@ _DRIVER_PRIORITY = (
     #    geo_nearest_area, order_backlog_timeseries, geo_grid_density,
     #    lang_id_confusion, events_value_quartiles,
     #    supplier_count_by_part_type, nation_trade_volume,
-    #    customers_above_avg_spend, max_size_parts_per_brand)
+    #    customers_above_avg_spend, max_size_parts_per_brand,
+    #    text_clean)
     "geo_point_in_polygon",
     "geo_overlap_pairs",
     "dedup_ngram_jaccard",
@@ -156,7 +158,6 @@ _DRIVER_PRIORITY = (
     "ann_ivf_topk",
     "text_top_tokens",
     "stratified_sample",
-    "text_clean",
 )
 
 _PLAN_MODULES = (
