@@ -372,3 +372,44 @@ def test_pq_corpus_never_shuffled_encode_is_one_pass(spark, queries):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gapfill_ffill_window_is_calendar_bounded(spark, queries):
+    """The only corpus pass is the partial-agged groupBy to
+    (priority, day); the ffill window partitions by priority over
+    calendar rows. Exactly one Window; the dense left join must not
+    sort-merge (both sides are calendar-sized)."""
+    plan = plan_of(queries["orders_daily_gapfill"](spark, SMOKE_SF), "simple")
+    assert plan.count("Window") == 1
+    assert "partial_sum" in plan  # map-side combine on the corpus agg
+    assert "CartesianProduct" not in plan
+
+
+def test_audience_overlap_is_bitmask_not_self_join(spark, queries):
+    """Set intersection via per-user bit_or masks against a 10-row
+    broadcast pair dim — never a fact-table self-join (no
+    SortMergeJoin at all; one BroadcastNestedLoopJoin)."""
+    plan = plan_of(queries["event_audience_overlap"](spark, SMOKE_SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("partial_bit_or") >= 1 or "bit_or" in plan
+
+
+def test_bootstrap_partial_agg_before_replicate_shuffle(spark, queries):
+    """The explode(64) must combine map-side: partial_sum per
+    replicate BEFORE the exchange, so the only corpus-wide shuffle
+    carries 64 x partitions rows; the CI scalars broadcast onto the
+    point estimate."""
+    plan = plan_of(queries["revenue_bootstrap_ci"](spark, SMOKE_SF), "simple")
+    assert "partial_sum(wc" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Window") == 1  # the 64-row rank stage only
+
+
+def test_pareto_front_two_phase_skyline(spark, queries):
+    """Skyline-of-skylines: phase 1 windows partition by the 64-way
+    bucket (parallel local fronts), phase 2 runs the exact window
+    over survivors only. Exactly two Window nodes, first bucketed."""
+    plan = plan_of(queries["orders_pareto_front"](spark, SMOKE_SF), "formatted")
+    assert len(re.findall(r"windowspecdefinition", plan)) == 2
+    assert re.search(r"windowspecdefinition\(sb#\d+, neg#\d+", plan)

@@ -183,6 +183,10 @@ EXPECTED_KEYS = {
     "embedding_pca_map",
     "histogram_value_quantiles",
     "event_robust_outliers",
+    "orders_daily_gapfill",
+    "event_audience_overlap",
+    "revenue_bootstrap_ci",
+    "orders_pareto_front",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -1227,3 +1227,317 @@ def event_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("outlier"),
     )
+
+
+@query(
+    "orders_daily_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1, 2),
+    bounds AS (
+      SELECT o_orderpriority, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+      SELECT o_orderpriority,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds),
+    dense AS (
+      SELECT c.o_orderpriority, c.d, dy.rev_cents
+      FROM cal c LEFT JOIN daily dy USING (o_orderpriority, d))
+    SELECT o_orderpriority, d,
+           CASE WHEN rev_cents IS NULL THEN 1 ELSE 0 END AS is_gap,
+           CAST(last_value(rev_cents IGNORE NULLS) OVER (
+                PARTITION BY o_orderpriority ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS filled_rev_cents
+    FROM dense
+    """,
+    doc="Time-series gap-fill with forward fill: per-priority daily "
+    "revenue densified onto the full calendar (sequence + explode of "
+    "each group's [min, max] date span), missing days flagged and "
+    "carried forward with last(ignorenulls) — the resample/ffill "
+    "primitive every downstream time-series model needs as input. "
+    "Scale shape: the only corpus-sized pass is the partial-agged "
+    "groupBy to (priority, day); everything after is calendar-bounded "
+    "(groups x days rows, ~12k here, ~36k for a 10-year corpus) "
+    "regardless of fact volume, so the per-group ffill window sorts "
+    "calendar rows, never events. Per-row cents quantization keeps "
+    "the daily sums combine-order independent.",
+    tags=("analytics",),
+)
+def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.select(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_orderpriority", "d")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    bounds = daily.groupBy("o_orderpriority").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = bounds.select(
+        "o_orderpriority",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    dense = cal.join(daily, ["o_orderpriority", "d"], "left")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "o_orderpriority",
+        "d",
+        F.when(F.col("rev_cents").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        F.last("rev_cents", ignorenulls=True).over(w).alias("filled_rev_cents"),
+    )
+
+
+_EVENT_TYPE_BITS = [("click", 0), ("view", 1), ("purchase", 2), ("signup", 3), ("error", 4)]
+_TYPE_PAIRS = [
+    (a, i, b, j)
+    for x, (a, i) in enumerate(_EVENT_TYPE_BITS)
+    for b, j in _EVENT_TYPE_BITS[x + 1 :]
+]
+_PAIR_VALUES_SQL = ", ".join(f"('{a}', {i}, '{b}', {j})" for a, i, b, j in _TYPE_PAIRS)
+_TYPE_CASE_SQL = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN {i}" for t, i in _EVENT_TYPE_BITS[:-1]
+) + f" ELSE {_EVENT_TYPE_BITS[-1][1]} END"
+_CORE_AUDIENCE_MIN = 16
+
+
+@query(
+    "event_audience_overlap",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT user_id, bit_or(1 << ({_TYPE_CASE_SQL})) AS mask
+      FROM cnt WHERE n >= {_CORE_AUDIENCE_MIN} GROUP BY 1),
+    p(type_a, bit_a, type_b, bit_b) AS (VALUES {_PAIR_VALUES_SQL})
+    SELECT type_a, type_b,
+      CAST(sum((mask >> bit_a) & 1) AS BIGINT) AS users_a,
+      CAST(sum((mask >> bit_b) & 1) AS BIGINT) AS users_b,
+      CAST(sum(((mask >> bit_a) & 1) * ((mask >> bit_b) & 1)) AS BIGINT)
+        AS users_both
+    FROM m, p GROUP BY 1, 2
+    """,
+    doc="Audience-overlap matrix via bitmask aggregation: for every "
+    "pair of event types, how many 'core' users (>= 16 events of the "
+    "type) belong to both audiences. The naive plan self-joins the "
+    "fact table on user_id (quadratic in per-user activity); this "
+    "one collapses each user to ONE integer bitmask (bit_or of "
+    "1 << type_index, a partial-aggregable bit-OR), so set "
+    "intersection becomes (mask >> i) & 1 arithmetic against a "
+    "10-row broadcast pair dim. Scale shape: two grouped partial "
+    "aggs over the corpus (user x type counts, then user masks) -> "
+    "|users| mask rows -> broadcast nested-loop against C(5,2) pairs "
+    "-> 10 output rows; distinct-users-per-segment-pair at 100 TB "
+    "without ever materializing a pair of user sets.",
+    tags=("analytics",),
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    idx = F.lit(_EVENT_TYPE_BITS[-1][1])
+    for t, i in reversed(_EVENT_TYPE_BITS[:-1]):
+        idx = F.when(F.col("event_type") == t, i).otherwise(idx)
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    masks = (
+        cnt.filter(F.col("n") >= _CORE_AUDIENCE_MIN)
+        .select("user_id", idx.cast("int").alias("idx"))
+        .select("user_id", F.expr("shiftleft(1, idx)").alias("bit"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    pairs = spark.createDataFrame(
+        _TYPE_PAIRS, "type_a string, bit_a int, type_b string, bit_b int"
+    )
+    joined = masks.crossJoin(F.broadcast(pairs))
+    bit_a = F.expr("shiftright(mask, bit_a) & 1")
+    bit_b = F.expr("shiftright(mask, bit_b) & 1")
+    return joined.groupBy("type_a", "type_b").agg(
+        F.sum(bit_a).alias("users_a"),
+        F.sum(bit_b).alias("users_b"),
+        F.sum(bit_a * bit_b).alias("users_both"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to the md5-15-hex-digit
+# integer range [0, 16^15 = 2^60): weight k iff h < floor(P(X<=k)*2^60).
+# Precomputed once so NO float ever crosses an engine boundary — both
+# sides compare the same integer hash against the same integer literals.
+_POISSON_THRESHOLDS = (
+    424136118829305344,   # P(X<=0) = e^-1
+    848272237658610688,   # P(X<=1)
+    1060340297073263360,  # P(X<=2)
+    1131029650211480960,  # P(X<=3)
+    1148701988496035328,  # P(X<=4)
+    1152236456152946176,  # P(X<=5); else weight 6 (capped tail)
+)
+_BOOT_REPLICATES = 64
+_POISSON_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POISSON_THRESHOLDS)
+    )
+    + f" ELSE {len(_POISSON_THRESHOLDS)} END"
+)
+
+
+@query(
+    "revenue_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    reps AS (
+      SELECT b.o_orderkey, b.cents, r.r
+      FROM base b, (SELECT unnest(range(0, {_BOOT_REPLICATES})) AS r) r),
+    hv AS (
+      SELECT r, cents,
+        ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                            CAST(r AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM reps),
+    boot AS (
+      SELECT r, CAST(sum(({_POISSON_CASE_SQL}) * cents) AS BIGINT) AS s
+      FROM hv GROUP BY r),
+    ranked AS (SELECT s, row_number() OVER (ORDER BY s, r) AS rn FROM boot),
+    ci AS (
+      SELECT CAST(sum(CASE WHEN rn = 2 THEN s END) AS BIGINT) AS ci_lo_cents,
+             CAST(sum(CASE WHEN rn = {_BOOT_REPLICATES - 1} THEN s END)
+                  AS BIGINT) AS ci_hi_cents
+      FROM ranked),
+    pt AS (SELECT CAST(sum(cents) AS BIGINT) AS point_sum_cents FROM base)
+    SELECT pt.point_sum_cents, ci.ci_lo_cents, ci.ci_hi_cents,
+           {_BOOT_REPLICATES} AS n_replicates
+    FROM pt, ci
+    """,
+    doc="Deterministic Poisson bootstrap CI for total revenue in ONE "
+    "pass over the fact table: each (order, replicate) draws a "
+    "Poisson(1) resampling weight by inverse-CDF over the md5 integer "
+    "hash (the repo's cross-engine hash seam), so the 64 replicate "
+    "sums — and hence the 2.5%/97.5% order-statistic CI — are "
+    "bit-identical on any engine and any partitioning. This is how a "
+    "100 TB pipeline attaches error bars to a metric without a "
+    "second data-sized pass or driver-side sampling: the explode(64) "
+    "is map-side, the partial agg collapses to 64 x partitions rows "
+    "before the only shuffle, and the rank/CI stage runs over 64 "
+    "rows. The CI bounds come from integer order statistics "
+    "(ranks 2 and 63 of 64), not float percentile interpolation.",
+    tags=("analytics",),
+)
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    reps = od.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPLICATES - 1))).alias("r"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("o_orderkey").cast("string"), F.col("r").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = reps.select("r", "cents", h.alias("h"))
+    weight = F.lit(len(_POISSON_THRESHOLDS))
+    for k, t in reversed(list(enumerate(_POISSON_THRESHOLDS))):
+        weight = F.when(F.col("h") < t, k).otherwise(weight)
+    boot = (
+        hashed.select("r", (weight * F.col("cents")).alias("wc"))
+        .groupBy("r")
+        .agg(F.sum("wc").alias("s"))
+    )
+    ranked = boot.select(
+        "s", F.row_number().over(Window.orderBy("s", "r")).alias("rn")
+    )
+    ci = ranked.agg(
+        F.sum(F.when(F.col("rn") == 2, F.col("s"))).alias("ci_lo_cents"),
+        F.sum(F.when(F.col("rn") == _BOOT_REPLICATES - 1, F.col("s"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    point = od.agg(F.sum("cents").alias("point_sum_cents"))
+    return point.crossJoin(F.broadcast(ci)).select(
+        "point_sum_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        F.lit(_BOOT_REPLICATES).alias("n_replicates"),
+    )
+
+
+@query(
+    "orders_pareto_front",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS days
+      FROM orders),
+    scr AS (
+      SELECT o_orderkey, price_cents, d, days,
+             max(days) OVER (ORDER BY -price_cents
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+      FROM base)
+    SELECT o_orderkey, price_cents, d FROM scr WHERE best IS NULL OR days > best
+    """,
+    doc="Skyline (Pareto front) over (price, recency): keep every "
+    "order not STRICTLY dominated on both axes — the classic "
+    "multi-criteria OLAP operator (Borzsony/Kossmann/Stocker, ICDE "
+    "2001) expressed as a running max instead of the quadratic "
+    "NOT EXISTS: ordered by price descending, a row survives iff its "
+    "date beats the max date of all strictly-pricier rows (integer "
+    "cents make 'strictly pricier' an exact RANGE ... 1 PRECEDING "
+    "frame — ties never dominate each other). Scale shape: the "
+    "skyline-of-skylines identity (skyline(S) = skyline of the union "
+    "of per-bucket skylines) turns the global sort into 64 parallel "
+    "bucket-local windows over corpus/64 rows each; survivors are "
+    "O(log n)-ish, so the exact phase-2 window runs over a frame "
+    "bounded by the front size, not the corpus. The oracle keeps the "
+    "single global window (oracle-side scale is irrelevant).",
+    tags=("analytics",),
+)
+def orders_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.to_date("o_orderdate").alias("d"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("days"),
+        F.pmod(F.hash("o_orderkey"), F.lit(64)).alias("sb"),
+    )
+    base = base.withColumn("neg", -F.col("price_cents"))
+    w1 = (
+        Window.partitionBy("sb")
+        .orderBy("neg")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.select(
+        "o_orderkey", "price_cents", "d", "days", "neg",
+        F.max("days").over(w1).alias("best"),
+    ).filter(F.col("best").isNull() | (F.col("days") > F.col("best")))
+    w2 = Window.orderBy("neg").rangeBetween(Window.unboundedPreceding, -1)
+    return (
+        local.select(
+            "o_orderkey", "price_cents", "d", "days", "neg",
+            F.max("days").over(w2).alias("best2"),
+        )
+        .filter(F.col("best2").isNull() | (F.col("days") > F.col("best2")))
+        .select("o_orderkey", "price_cents", "d")
+    )

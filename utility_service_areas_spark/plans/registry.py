@@ -103,6 +103,10 @@ _DRIVER_PRIORITY = (
     "embedding_pca_map",
     "histogram_value_quantiles",
     "event_robust_outliers",
+    "orders_daily_gapfill",
+    "event_audience_overlap",
+    "revenue_bootstrap_ci",
+    "orders_pareto_front",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -121,7 +125,7 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 16 of the 46 oracled keys whose newest driver row is r6, in
+    # 4) 12 of the 46 oracled keys whose newest driver row is r6, in
     #    SURVEY order (deferring to r10: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
@@ -141,7 +145,8 @@ _DRIVER_PRIORITY = (
     #    lang_id_confusion, events_value_quartiles,
     #    supplier_count_by_part_type, nation_trade_volume,
     #    customers_above_avg_spend, max_size_parts_per_brand,
-    #    text_clean)
+    #    text_clean, ann_ivf_topk, text_top_tokens,
+    #    stratified_sample, events_json_extract)
     "geo_point_in_polygon",
     "geo_overlap_pairs",
     "dedup_ngram_jaccard",
@@ -154,10 +159,6 @@ _DRIVER_PRIORITY = (
     "events_tumbling_agg",
     "events_sessionize",
     "events_latest_per_user",
-    "events_json_extract",
-    "ann_ivf_topk",
-    "text_top_tokens",
-    "stratified_sample",
 )
 
 _PLAN_MODULES = (
