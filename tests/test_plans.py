@@ -413,3 +413,22 @@ def test_pareto_front_two_phase_skyline(spark, queries):
     plan = plan_of(queries["orders_pareto_front"](spark, SMOKE_SF), "formatted")
     assert len(re.findall(r"windowspecdefinition", plan)) == 2
     assert re.search(r"windowspecdefinition\(sb#\d+, neg#\d+", plan)
+
+
+def test_asof_tolerance_is_one_window_no_join(spark, queries):
+    """The bounded-lookback as-of keeps the union-marker shape: one
+    window pass, zero join operators (the tolerance is a map-side
+    post-filter, not a second inequality join)."""
+    plan = plan_of(queries["events_asof_tolerance"](spark, SMOKE_SF), "simple")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_cluster_quality_one_assign_pass_broadcast_sep(spark, queries):
+    """One Arrow-batched assignment pass, a k-row partial agg, and the
+    k x k separation attached as a broadcast — the corpus never
+    enters a shuffle join."""
+    plan = plan_of(queries["kmeans_cluster_quality"](spark, SMOKE_SF), "simple")
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -187,6 +187,8 @@ EXPECTED_KEYS = {
     "event_audience_overlap",
     "revenue_bootstrap_ci",
     "orders_pareto_front",
+    "events_asof_tolerance",
+    "kmeans_cluster_quality",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -1541,3 +1541,51 @@ def orders_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("best2").isNull() | (F.col("days") > F.col("best2")))
         .select("o_orderkey", "price_cents", "d")
     )
+
+
+@query(
+    "events_asof_tolerance",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 4 HOUR THEN c.event_id END
+             AS attributed_click_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 4 HOUR THEN c.ts END
+             AS attributed_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 4 HOUR THEN 1 ELSE 0 END
+             AS attributed
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join with a bounded lookback tolerance (pandas "
+    "merge_asof's `tolerance`, kdb wj's window): each purchase "
+    "attributes to the user's most recent prior click ONLY if it is "
+    "at most 4 hours old, else stays unattributed — the standard "
+    "attribution-window rule. Because the as-of match is the MOST "
+    "RECENT prior row, 'match older than horizon' implies no prior "
+    "row is in the horizon, so the tolerance is an exact map-side "
+    "post-filter on the one-shuffle union-marker as-of join "
+    "(operators/temporal.py) — no inequality-join explosion, no "
+    "second pass, same 100 TB shape as #41.",
+    tags=("temporal",),
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], ts_col="ts",
+        right_value_cols=["event_id", "ts"],
+    )
+    in_window = F.col("asof_ts") >= F.col("ts") - F.expr("INTERVAL 4 HOURS")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.when(in_window, F.col("asof_event_id")).alias("attributed_click_id"),
+        F.when(in_window, F.col("asof_ts")).alias("attributed_ts"),
+        F.when(in_window, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("attributed"),
+    )

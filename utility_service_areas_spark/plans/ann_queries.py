@@ -1759,3 +1759,95 @@ def embedding_pca_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         F.col("id").alias("vec_id"), "pc1_micros", "pc2_micros"
     )
+
+
+def _cluster_quality_oracle_sql(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
+    """Per-cluster quality over the replayed kmeans fit: the chain's
+    `fin` CTE gives assignments+distances, `c{n_iter}` the final
+    centroids; separation is the min inter-centroid d2 with the SAME
+    sequential fold + micros quantization the Spark side computes in
+    plain Python over the collected k x dim centroid list."""
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> (a.cvec[j] - b.cvec[j]) * (a.cvec[j] - b.cvec[j])))"
+    )
+    return (
+        _kmeans_cte_sql(k, n_iter, dim)
+        + f""",
+    per AS (
+      SELECT cluster, count(*) AS n_vectors,
+             CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS BIGINT)
+               AS sse_micros,
+             CAST(max(CAST(round(d * 1000000) AS BIGINT)) AS BIGINT)
+               AS max_dist2_micros
+      FROM fin GROUP BY cluster),
+    sep AS (
+      SELECT a.cluster,
+             min(CAST(floor({d2} * 1000000 + 0.5) AS BIGINT))
+               AS nearest_centroid_d2_micros
+      FROM c{n_iter} a, c{n_iter} b WHERE a.cluster != b.cluster
+      GROUP BY a.cluster)
+    SELECT p.cluster, p.n_vectors, p.sse_micros, p.max_dist2_micros,
+           s.nearest_centroid_d2_micros
+    FROM per p JOIN sep s USING (cluster)"""
+    )
+
+
+@query(
+    "kmeans_cluster_quality",
+    oracle=_cluster_quality_oracle_sql(),
+    doc="Cluster-quality report over the k-means fit (the "
+    "cohesion/separation health check a curation run reads before "
+    "trusting SemDeDup-style within-cluster dedup): per cluster the "
+    "member count, within-cluster SSE and max point distance (all "
+    "integer micros — per-row quantization makes the SSE "
+    "combine-order independent), plus the distance to the nearest "
+    "other centroid (a Davies-Bouldin-style separation denominator). "
+    "The separation is computed driver-side in plain Python over the "
+    "collected k x dim centroid list with the SAME sequential fold "
+    "and micros quantization the SQL replay uses — k*k tiny, never a "
+    "corpus op. Scale shape: one fit (bounded driver state per "
+    "round), one Arrow-batched assignment pass, one k-row partial "
+    "agg; the corpus never shuffles.",
+    tags=("ann",),
+)
+def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.kmeans import (
+        _np_final_assign,
+        fit_centroids_np,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    centroids = fit_centroids_np(base, k=8, n_iter=5)
+    assign = _np_final_assign(base, centroids)
+    per = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("dist2_micros").alias("sse_micros"),
+        F.max("dist2_micros").alias("max_dist2_micros"),
+    )
+    # k x k separation in plain Python: sequential left-fold per pair
+    # (== DuckDB list_sum(list_transform)), micros via floor(x*1e6+0.5).
+    import math
+
+    sep_rows = []
+    for ci, a in enumerate(centroids):
+        best = None
+        for cj, b in enumerate(centroids):
+            if ci == cj:
+                continue
+            d = 0.0
+            for j in range(len(a)):
+                diff = a[j] - b[j]
+                d += diff * diff
+            m = int(math.floor(d * 1_000_000 + 0.5))
+            if best is None or m < best:
+                best = m
+        sep_rows.append((ci, best))
+    sep = spark.createDataFrame(
+        sep_rows, "cluster long, nearest_centroid_d2_micros long"
+    )
+    return per.join(F.broadcast(sep), "cluster")
