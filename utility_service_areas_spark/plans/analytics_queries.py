@@ -1431,7 +1431,12 @@ _POISSON_CASE_SQL = (
     "is map-side, the partial agg collapses to 64 x partitions rows "
     "before the only shuffle, and the rank/CI stage runs over 64 "
     "rows. The CI bounds come from integer order statistics "
-    "(ranks 2 and 63 of 64), not float percentile interpolation.",
+    "(ranks 2 and 63 of 64), not float percentile interpolation. "
+    "Cost lever (measured, BENCH_TREND r9): the md5 seam is ~13x "
+    "slower than xxhash64 at 9.6M draws (7.8-10.8 s vs 0.6-0.7 s "
+    "warm noop) — md5 buys CROSS-ENGINE replay for the oracle; a "
+    "production run that only needs within-run determinism swaps in "
+    "xxhash64(o_orderkey, r) % 2^60 with the same thresholds.",
     tags=("analytics",),
 )
 def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
