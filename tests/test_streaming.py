@@ -662,3 +662,48 @@ def test_histogram_quantile_stream_matches_batch_bins(spark):
     }
     assert got == want
     assert len(want) > 50
+
+
+def test_audience_counts_stream_folds_to_batch_matrix(spark):
+    """S21: the streaming per-(user, type) counts, drained and folded
+    with the batch query's own bitmask arithmetic, reproduce
+    event_audience_overlap's matrix exactly; state is entity-bounded
+    (|users| x types rows)."""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.plans.analytics_queries import (
+        _CORE_AUDIENCE_MIN,
+        _EVENT_TYPE_BITS,
+        _TYPE_PAIRS,
+    )
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.streaming.events import (
+        audience_counts_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    out = audience_counts_stream(read_events_stream(spark, SMOKE_SF))
+    run_to_memory(out, "t_audience", "update")
+    drained = spark.sql("SELECT * FROM t_audience").collect()
+    # entity-bounded state: one row per (user, type)
+    assert len(drained) == len({(r.user_id, r.event_type) for r in drained})
+
+    bit_of = dict(_EVENT_TYPE_BITS)
+    masks: dict[int, int] = {}
+    for r in drained:
+        if r.n >= _CORE_AUDIENCE_MIN:
+            masks[r.user_id] = masks.get(r.user_id, 0) | (1 << bit_of[r.event_type])
+    got = {}
+    for a, i, b, j in _TYPE_PAIRS:
+        ua = sum((m >> i) & 1 for m in masks.values())
+        ub = sum((m >> j) & 1 for m in masks.values())
+        both = sum(((m >> i) & 1) * ((m >> j) & 1) for m in masks.values())
+        got[(a, b)] = (ua, ub, both)
+
+    want = {
+        (r.type_a, r.type_b): (r.users_a, r.users_b, r.users_both)
+        for r in all_queries()["event_audience_overlap"](spark, SMOKE_SF).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())

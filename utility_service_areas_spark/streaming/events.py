@@ -742,3 +742,26 @@ def histogram_quantile_stream(
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bin"))
     )
+
+
+def audience_counts_stream(stream: DataFrame) -> DataFrame:
+    """S21 — streaming substrate of the audience-overlap matrix
+    (plans/analytics_queries.py:event_audience_overlap): per
+    (user, event_type) event counts maintained incrementally in
+    update mode. State is one row per (user, type) pair — bounded by
+    the ENTITY space (|users| x 5), not by time (the same
+    entity/content-bounded posture as S19's chunk index; no watermark
+    needed because the key space does not grow with the stream).
+
+    The bitmask fold and the 10-row pair matrix are drain-side
+    arithmetic over these counts (mask = bit_or(1 << type_idx) over
+    types with n >= threshold, intersection = (mask>>i)&1 products) —
+    a dashboard-side fold over |users| rows, exactly the batch
+    query's post-count stages. Drained counts equal the batch
+    (user, type) counts row for row (tests/test_streaming.py), so the
+    folded matrix equals the batch query's output by construction.
+    """
+    return (
+        stream.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
