@@ -432,3 +432,11 @@ def test_cluster_quality_one_assign_pass_broadcast_sep(spark, queries):
     assert plan.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_areas_is_map_only(spark, queries):
+    """k-NN against the driver-inlined dim must be ONE map pass:
+    no Exchange, no join, no Window anywhere in the plan."""
+    plan = plan_of(queries["geo_knn_areas"](spark, SMOKE_SF), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan

@@ -189,6 +189,7 @@ EXPECTED_KEYS = {
     "orders_pareto_front",
     "events_asof_tolerance",
     "kmeans_cluster_quality",
+    "geo_knn_areas",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -940,3 +940,73 @@ def geo_shapefile_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("n_customers"),
         )
     )
+
+
+@query(
+    "geo_knn_areas",
+    oracle=f"""
+    SELECT c_custkey, CAST(rn AS INTEGER) AS rank, n_nationkey,
+           CAST(round(d2 * 1000000) AS BIGINT) AS dist2_micros
+    FROM (
+      SELECT c_custkey, n_nationkey, dx * dx + dy * dy AS d2,
+             row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY dx * dx + dy * dy, n_nationkey) AS rn
+      FROM (
+        SELECT p.c_custkey, r.n_nationkey,
+               greatest(r.x0 - p.px, p.px - (r.x0 + r.w), 0) AS dx,
+               greatest(r.y0 - p.py, p.py - (r.y0 + r.h), 0) AS dy
+        FROM ({_POINT_SQL}) p, ({_RECT_SQL}) r))
+    WHERE rn <= 3
+    """,
+    doc="k-nearest service areas per point (k=3): the fallback-"
+    "provider ranking geo_nearest_area's 1-NN can't answer (primary "
+    "unavailable -> who's second/third closest). Exact clamped "
+    "point-to-rectangle distance against the dim-sized polygon "
+    "layer, but ZERO shuffle: the 25-rect dim is collected driver-"
+    "side (bounded, like kmeans centroids) and inlined as an array "
+    "of (d2, key) struct expressions, so top-3 is a map-side "
+    "sort_array + slice + posexplode per point — strictly better "
+    "than the 1-NN's broadcast-cross + agg (no points x rects "
+    "intermediate at all). Ties break on nationkey inside the struct "
+    "sort, mirroring the oracle's (d2, key) window order; doubles "
+    "are dyadic-exact so the cross-engine ordering is bitwise. A "
+    ">100k-polygon layer switches to grid_cell ring-search candidates "
+    "first (operators/geo.py), then this same per-point fold.",
+    tags=("geo",),
+)
+def geo_knn_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    rects = (
+        _nation_rects(spark, sf_dir)
+        .select("n_nationkey", "x0", "y0", "w", "h")
+        .collect()
+    )
+    cands = []
+    for r in rects:
+        dx = F.greatest(
+            F.lit(r.x0) - F.col("px"),
+            F.col("px") - F.lit(r.x0 + r.w),
+            F.lit(0.0),
+        )
+        dy = F.greatest(
+            F.lit(r.y0) - F.col("py"),
+            F.col("py") - F.lit(r.y0 + r.h),
+            F.lit(0.0),
+        )
+        cands.append(
+            F.struct(
+                (dx * dx + dy * dy).alias("d2"),
+                F.lit(r.n_nationkey).alias("k"),
+            )
+        )
+    top3 = F.slice(F.sort_array(F.array(*cands)), 1, 3)
+    ex = pts.select(
+        "c_custkey", F.posexplode(top3).alias("pos", "cand")
+    )
+    return ex.select(
+        "c_custkey",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("cand.k").alias("n_nationkey"),
+        F.round(F.col("cand.d2") * 1_000_000).cast("long").alias("dist2_micros"),
+    )
