@@ -440,3 +440,11 @@ def test_knn_areas_is_map_only(spark, queries):
     plan = plan_of(queries["geo_knn_areas"](spark, SMOKE_SF), "simple")
     assert "Exchange" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_nearest_area_is_map_only(spark, queries):
+    """r9 retrofit: 1-NN against the driver-inlined dim is one map
+    pass — no Exchange, no join, no aggregate shuffle."""
+    plan = plan_of(queries["geo_nearest_area"](spark, SMOKE_SF), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan

@@ -638,35 +638,48 @@ def geo_morton_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "utility is CLOSEST when a location sits in no service area — "
     "e.g. routing an unserved community to its likely provider). "
     "Exact point-to-rectangle distance (clamped axis deltas, closed "
-    "form — no centroid approximation), argmin as ONE broadcast "
-    "cross-product against the dim-sized polygon layer + a min_by "
-    "aggregate: the point side never shuffles. A >100k-polygon layer "
-    "switches to the grid_cell equi-join + ring-search pattern "
-    "(operators/geo.py), same as the membership queries.",
+    "form — no centroid approximation). r9 retrofit to the "
+    "geo_knn_areas shape: the dim-sized polygon layer is collected "
+    "driver-side (bounded, the kmeans-centroid pattern) and inlined "
+    "as (d2, key) struct expressions, so the argmin is a map-side "
+    "array_min per point — ZERO shuffle, replacing the earlier "
+    "broadcast-cross + min_by aggregate (which still shuffled one "
+    "row per point for the groupBy). Oracle unchanged; ties break "
+    "on nationkey inside the struct compare, same as the window "
+    "order. A >100k-polygon layer switches to the grid_cell "
+    "equi-join + ring-search pattern (operators/geo.py).",
     tags=("geo",),
 )
 def geo_nearest_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
-    rects = _nation_rects(spark, sf_dir).select("n_nationkey", "x0", "y0", "w", "h")
-    dx = F.greatest(
-        F.col("x0") - F.col("px"), F.col("px") - (F.col("x0") + F.col("w")), F.lit(0.0)
+    rects = (
+        _nation_rects(spark, sf_dir)
+        .select("n_nationkey", "x0", "y0", "w", "h")
+        .collect()
     )
-    dy = F.greatest(
-        F.col("y0") - F.col("py"), F.col("py") - (F.col("y0") + F.col("h")), F.lit(0.0)
-    )
-    d2 = dx * dx + dy * dy
-    scored = pts.crossJoin(F.broadcast(rects)).select(
+    cands = []
+    for r in rects:
+        dx = F.greatest(
+            F.lit(r.x0) - F.col("px"),
+            F.col("px") - F.lit(r.x0 + r.w),
+            F.lit(0.0),
+        )
+        dy = F.greatest(
+            F.lit(r.y0) - F.col("py"),
+            F.col("py") - F.lit(r.y0 + r.h),
+            F.lit(0.0),
+        )
+        cands.append(
+            F.struct(
+                (dx * dx + dy * dy).alias("d2"),
+                F.lit(r.n_nationkey).alias("k"),
+            )
+        )
+    best = F.array_min(F.array(*cands))
+    return pts.select(
         "c_custkey",
-        "n_nationkey",
-        d2.alias("d2"),
-    )
-    best = scored.groupBy("c_custkey").agg(
-        F.min(F.struct(F.col("d2"), F.col("n_nationkey"))).alias("b")
-    )
-    return best.select(
-        "c_custkey",
-        F.col("b.n_nationkey").alias("nearest_nationkey"),
-        F.round(F.col("b.d2") * 1_000_000).cast("long").alias("dist2_micros"),
+        best.getField("k").alias("nearest_nationkey"),
+        F.round(best.getField("d2") * 1_000_000).cast("long").alias("dist2_micros"),
     )
 
 

@@ -82,9 +82,11 @@ _DRIVER_PRIORITY = (
     # they can only return err:no_oracle and would burn a slot
     # (VERDICT r8 "What's wrong" #2).
     # 1) keys whose plan was edited this round (stage-4 two-phase
-    #    salted quota; oracle hashes unchanged at 3 SFs) (2)
+    #    salted quota; 1-NN map-only retrofit; oracle hashes unchanged
+    #    at 3 SFs) (3)
     "curation_funnel_report",
     "curation_funnel_by_source",
+    "geo_nearest_area",
     # 2) new r9 keys — first-ever attestation (filled as they land;
     #    each displaces the tail r6 key so the budget stays 50)
     "geo_shapefile_roundtrip",
@@ -128,7 +130,7 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 9 of the 46 oracled keys whose newest driver row is r6, in
+    # 4) 8 of the 46 oracled keys whose newest driver row is r6, in
     #    SURVEY order (deferring to r10: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
@@ -144,13 +146,13 @@ _DRIVER_PRIORITY = (
     #    dedup_exact_substring, event_anomaly_zscore,
     #    customer_rfm_segments, embedding_pair_histogram,
     #    dedup_keep_best, hll_registers_users, user_session_stats,
-    #    geo_nearest_area, order_backlog_timeseries, geo_grid_density,
+    #    order_backlog_timeseries, geo_grid_density,
     #    lang_id_confusion, events_value_quartiles,
     #    supplier_count_by_part_type, nation_trade_volume,
     #    customers_above_avg_spend, max_size_parts_per_brand,
     #    text_clean, ann_ivf_topk, text_top_tokens,
     #    stratified_sample, events_json_extract, events_sessionize,
-    #    events_latest_per_user, events_tumbling_agg)
+    #    events_latest_per_user, events_tumbling_agg, text_token_count)
     "geo_point_in_polygon",
     "geo_overlap_pairs",
     "dedup_ngram_jaccard",
@@ -159,7 +161,6 @@ _DRIVER_PRIORITY = (
     "ann_lsh_topk",
     "text_lang_id",
     "text_quality_score",
-    "text_token_count",
 )
 
 _PLAN_MODULES = (
