@@ -448,3 +448,12 @@ def test_nearest_area_is_map_only(spark, queries):
     plan = plan_of(queries["geo_nearest_area"](spark, SMOKE_SF), "simple")
     assert "Exchange" not in plan
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_ewma_taps_fuse_into_one_window_one_sort(spark, queries):
+    """The 16 dyadic lag taps must compile into ONE Window node
+    stacked on the ffill window over the same partition+sort: exactly
+    two Window nodes, exactly one Sort (no re-sort between them)."""
+    plan = plan_of(queries["orders_daily_ewma"](spark, SMOKE_SF), "simple")
+    assert plan.count("Window") == 2
+    assert plan.count("Sort ") == 1

@@ -190,6 +190,7 @@ EXPECTED_KEYS = {
     "events_asof_tolerance",
     "kmeans_cluster_quality",
     "geo_knn_areas",
+    "orders_daily_ewma",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",
