@@ -457,3 +457,14 @@ def test_ewma_taps_fuse_into_one_window_one_sort(spark, queries):
     plan = plan_of(queries["orders_daily_ewma"](spark, SMOKE_SF), "simple")
     assert plan.count("Window") == 2
     assert plan.count("Sort ") == 1
+
+
+def test_dq_audit_no_duplicate_corpus_scans(spark, queries):
+    """The five orders-rule rows and two lineitem-rule rows must read
+    their 1-row lineage-cut stats, not re-scan the facts: at most one
+    orders scan (the orphan anti-join) and zero lineitem scans in the
+    final plan."""
+    plan = plan_of(queries["data_quality_audit"](spark, SMOKE_SF), "simple")
+    assert plan.count("orders.parquet") <= 1
+    assert plan.count("lineitem.parquet") == 0
+    assert "CartesianProduct" not in plan

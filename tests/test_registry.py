@@ -191,6 +191,7 @@ EXPECTED_KEYS = {
     "kmeans_cluster_quality",
     "geo_knn_areas",
     "orders_daily_ewma",
+    "data_quality_audit",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",
