@@ -468,3 +468,12 @@ def test_dq_audit_no_duplicate_corpus_scans(spark, queries):
     assert plan.count("orders.parquet") <= 1
     assert plan.count("lineitem.parquet") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_length_drift_single_partial_shuffle(spark, queries):
+    """Drift score: one partial-agged shuffle on (source, bin), one on
+    source — no join, no window, map-side combine visible."""
+    plan = plan_of(queries["source_length_drift"](spark, SMOKE_SF), "simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 2

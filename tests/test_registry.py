@@ -192,6 +192,7 @@ EXPECTED_KEYS = {
     "geo_knn_areas",
     "orders_daily_ewma",
     "data_quality_audit",
+    "source_length_drift",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

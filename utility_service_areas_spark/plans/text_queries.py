@@ -1318,3 +1318,60 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_oov_types"),
     )
+
+
+@query(
+    "source_length_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT source, n_chars // 256 AS bin,
+             sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS b
+      FROM documents GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+           CAST(sum((a - b) * (a - b) * 1000 // (a + b)) AS BIGINT)
+             AS chi2_milli
+    FROM binned GROUP BY source
+    """,
+    doc="Two-sample distribution-drift screen per source: split each "
+    "source's docs into two cohorts by the md5 integer-hash parity "
+    "(the deterministic stand-in for yesterday/today batches — "
+    "doc_id parity is degenerate here because ids stripe by source), "
+    "bin doc lengths into fixed 256-char buckets, and report the "
+    "chi-square-style drift score sum((a-b)^2*1000 div (a+b)) per "
+    "source. Every term is BIGINT (integer floor-division both "
+    "sides), so the score is bit-identical across engines — the "
+    "drift monitor a recurring ingest publishes next to "
+    "data_quality_audit. Scale shape: ONE partial-agged shuffle "
+    "whose key space is sources x occupied bins (never doc volume), "
+    "then a sources-sized fold. Overflow note: (a-b)^2*1000 fits "
+    "BIGINT up to per-bin cohort gaps of ~9.6e7 docs; beyond that "
+    "reorder to ((a-b)^2 div (a+b)) * 1000 or widen to decimal.",
+    tags=("text", "pipeline"),
+)
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    binned = (
+        docs.select(
+            "source",
+            (F.col("n_chars") / 256).cast("long").alias("bin"),
+            (h % 2).alias("cohort"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("b"),
+        )
+    )
+    comp = F.expr("(a - b) * (a - b) * 1000 div (a + b)")
+    return binned.groupBy("source").agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(comp).cast("long").alias("chi2_milli"),
+    )
