@@ -177,6 +177,41 @@ HEADLINE = {
         "one (source, token) partial-agg shuffle; top-K vocab "
         "broadcasts back onto vocab-sized counts"
     ),
+    "revenue_bootstrap_ci": (
+        "explode(64) combines map-side (partial_sum per replicate "
+        "BEFORE the exchange); the only corpus-wide shuffle carries "
+        "64 x partitions rows; CI scalars broadcast onto the point "
+        "estimate"
+    ),
+    "orders_pareto_front": (
+        "two-phase skyline: bucket-partitioned window first, exact "
+        "global window over survivors only (front-bounded frame)"
+    ),
+    "event_audience_overlap": (
+        "two grouped partial aggs collapse users to bitmasks; 10-row "
+        "pair dim is a BroadcastNestedLoopJoin — never a fact self-join"
+    ),
+    "orders_daily_ewma": (
+        "one partial-agged corpus shuffle to (priority, day); 16 lag "
+        "taps fuse into ONE Window stacked on the ffill window over "
+        "the same partition+sort (one Sort, zero extra shuffles)"
+    ),
+    "geo_knn_areas": (
+        "driver-inlined 25-rect dim; top-3 = map-side sort_array + "
+        "slice + posexplode — ZERO Exchange in the whole plan"
+    ),
+    "kmeans_cluster_quality": (
+        "one Arrow-batched assignment pass; k-row partial agg; k x k "
+        "separation attached as a broadcast — corpus never shuffles"
+    ),
+    "data_quality_audit": (
+        "stats frames are lineage-cut 1-row checkpoints (5/2 "
+        "consumers); orphan check is the only remaining orders scan"
+    ),
+    "source_length_drift": (
+        "one partial-agged shuffle keyed on sources x occupied bins; "
+        "integer chi-square components, no join/window"
+    ),
 }
 
 
