@@ -37,7 +37,33 @@ def main(argv: list[str] | None = None) -> int:
     fun.add_argument("--out", required=True)
     fun.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
 
+    aud = sub.add_parser(
+        "audit",
+        help="publish the data-quality audit report (rule violations, "
+        "per-source drift, _SUMMARY.json with a pass/fail verdict)",
+    )
+    aud.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    aud.add_argument("--out", required=True)
+    aud.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "audit":
+        from utility_service_areas_spark.plans.audit_report import (
+            write_audit_report,
+        )
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-cli-audit")
+        spark.sparkContext.setLogLevel("ERROR")
+        summary = write_audit_report(spark, args.sf_dir, args.out, args.format)
+        print(
+            f"wrote {args.out}: verdict={summary['verdict']} "
+            f"(failed rules: {summary['gating_rules_failed'] or 'none'}; "
+            f"top drift {summary['drift_top_source']} "
+            f"{summary['drift_top_chi2_milli']} milli)"
+        )
+        return 0
 
     if args.cmd == "funnel":
         from utility_service_areas_spark.plans.curation_report import (
