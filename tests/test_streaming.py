@@ -707,3 +707,37 @@ def test_audience_counts_stream_folds_to_batch_matrix(spark):
     }
     assert got == want
     assert any(v[2] > 0 for v in want.values())
+
+
+def test_drift_counts_stream_folds_to_batch_scores(spark):
+    """S22: the streaming (source, bin) cohort counts, drained and
+    folded with the batch query's integer chi-square arithmetic,
+    reproduce source_length_drift exactly; state is entity-bounded
+    (occupied source x bin rows)."""
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.streaming.events import (
+        drift_counts_stream,
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    out = drift_counts_stream(read_documents_stream(spark, SMOKE_SF))
+    run_to_memory(out, "t_drift", "update")
+    drained = spark.sql("SELECT * FROM t_drift").collect()
+    assert len(drained) == len({(r.source, r.bin) for r in drained})
+
+    got = {}
+    for r in drained:
+        na, nb, chi = got.get(r.source, (0, 0, 0))
+        got[r.source] = (
+            na + r.a,
+            nb + r.b,
+            chi + ((r.a - r.b) * (r.a - r.b) * 1000) // (r.a + r.b),
+        )
+
+    want = {
+        r.source: (r.n_a, r.n_b, r.chi2_milli)
+        for r in all_queries()["source_length_drift"](spark, SMOKE_SF).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())

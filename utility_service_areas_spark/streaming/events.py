@@ -765,3 +765,38 @@ def audience_counts_stream(stream: DataFrame) -> DataFrame:
         stream.groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def drift_counts_stream(stream: DataFrame) -> DataFrame:
+    """S22 — streaming substrate of the two-sample drift screen
+    (plans/text_queries.py:source_length_drift): per (source,
+    256-char length bin) cohort counts maintained incrementally in
+    update mode, cohort = md5 integer-hash parity (the identical
+    expression to the batch query, so the drained counts equal the
+    batch binned frame row for row). State is one row per occupied
+    (source, bin) — bounded by sources x bins, never by doc volume
+    (the S19/S21 entity-bounded posture; no watermark needed).
+
+    The chi-square fold sum((a-b)^2*1000 div (a+b)) is drain-side
+    integer arithmetic over these counts — the drift monitor a
+    streaming ingest evaluates per micro-batch without re-reading
+    the corpus."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        stream.select(
+            "source",
+            (F.col("n_chars") / 256).cast("long").alias("bin"),
+            (h % 2).alias("cohort"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
