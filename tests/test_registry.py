@@ -193,6 +193,7 @@ EXPECTED_KEYS = {
     "orders_daily_ewma",
     "data_quality_audit",
     "source_length_drift",
+    "simhash_hamming_histogram",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

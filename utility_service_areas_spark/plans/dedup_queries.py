@@ -193,14 +193,13 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs, "doc_id")
 
 
-@query(
-    "dedup_simhash",
-    # Mirrors the UDF kernel bit-for-bit in SQL: same md5-top-8-byte
-    # token hash, same bit-vote majority (2*ones > n), same 16-bit
-    # bands, same hamming cut — the UBIGINT/HUGEINT dance reproduces
-    # the signed-int64 signature two's complement exactly.
-    oracle=r"""
-    WITH toks AS (
+
+
+# The simhash signature replay (docstring of dedup_simhash documents
+# the UBIGINT/HUGEINT two's-complement dance) — shared by the
+# candidate query above and the hamming-histogram calibration below.
+_SIMHASH_SSIG_CTES = r"""
+    toks AS (
       SELECT doc_id AS doc,
              unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0b\f\r]+')) AS tok
       FROM documents),
@@ -223,7 +222,18 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CASE WHEN coalesce(u.u, 0) >= 9223372036854775808::HUGEINT
                        THEN coalesce(u.u, 0) - 18446744073709551616::HUGEINT
                        ELSE coalesce(u.u, 0) END AS BIGINT) AS sim
-      FROM documents d LEFT JOIN usig u ON d.doc_id = u.doc),
+      FROM documents d LEFT JOIN usig u ON d.doc_id = u.doc)
+"""
+
+
+@query(
+    "dedup_simhash",
+    # Mirrors the UDF kernel bit-for-bit in SQL: same md5-top-8-byte
+    # token hash, same bit-vote majority (2*ones > n), same 16-bit
+    # bands, same hamming cut — the UBIGINT/HUGEINT dance reproduces
+    # the signed-int64 signature two's complement exactly.
+    oracle=f"""
+    WITH {_SIMHASH_SSIG_CTES},
     bands AS (
       SELECT doc, i AS band_idx, (u >> (16 * i)) & 65535 AS band_val
       FROM ssig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
@@ -904,3 +914,55 @@ def minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("true_rate_micros"),
     ).withColumnRenamed("m", "n_matching_minhashes")
+
+
+_SIMHASH_HIST_STEP = 7919  # same prime-stride derangement sample as #132
+
+
+@query(
+    "simhash_hamming_histogram",
+    oracle=f"""
+    WITH {_SIMHASH_SSIG_CTES},
+    m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    p AS (
+      SELECT a.sim AS sa, b.sim AS sb
+      FROM ssig a, m, ssig b
+      WHERE b.doc = (a.doc + {_SIMHASH_HIST_STEP}) % m.n
+        AND a.doc != b.doc)
+    SELECT CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
+           count(*) AS n_pairs
+    FROM p GROUP BY 1
+    """,
+    doc="SimHash background-similarity histogram — the threshold-"
+    "calibration twin of embedding_pair_histogram (#132) for the bit "
+    "domain: each doc pairs with the doc at id+7919 mod n (the same "
+    "prime-stride content-independent sample), and the distribution "
+    "of 64-bit signature hamming distances shows where corpus "
+    "background sits, so dedup_simhash's max_hamming=8 cut can be "
+    "read off the gap instead of guessed. The signature frame is "
+    "lineage-cut (the Arrow-batched simhash UDF is the expensive "
+    "pass; both join sides read the cut result, not the UDF twice). "
+    "Scale shape: one equi-join on the derived partner id (linear, "
+    "never a cross join), one 65-key partial agg.",
+    tags=("dedup",),
+)
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.hashing import simhash64
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = lineage_cut(
+        docs.select(F.col("doc_id").alias("doc"), simhash64(F.col("text")).alias("sim"))
+    )
+    n = docs.agg((F.max("doc_id") + 1).alias("n"))
+    left = (
+        sig.join(F.broadcast(n))
+        .withColumn("partner", (F.col("doc") + _SIMHASH_HIST_STEP) % F.col("n"))
+        .filter(F.col("partner") != F.col("doc"))
+        .select("partner", F.col("sim").alias("sa"))
+    )
+    right = sig.select(F.col("doc").alias("partner"), F.col("sim").alias("sb"))
+    pairs = left.join(right, "partner")
+    return pairs.groupBy(
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

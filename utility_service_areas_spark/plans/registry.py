@@ -115,6 +115,7 @@ _DRIVER_PRIORITY = (
     "orders_daily_ewma",
     "data_quality_audit",
     "source_length_drift",
+    "simhash_hamming_histogram",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -133,7 +134,7 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 5 of the 46 oracled keys whose newest driver row is r6, in
+    # 4) 4 of the 46 oracled keys whose newest driver row is r6, in
     #    SURVEY order (deferring to r10: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
@@ -156,12 +157,12 @@ _DRIVER_PRIORITY = (
     #    text_clean, ann_ivf_topk, text_top_tokens,
     #    stratified_sample, events_json_extract, events_sessionize,
     #    events_latest_per_user, events_tumbling_agg, text_token_count,
-    #    text_quality_score, text_lang_id, ann_lsh_topk)
+    #    text_quality_score, text_lang_id, ann_lsh_topk,
+    #    ann_cosine_topk)
     "geo_point_in_polygon",
     "geo_overlap_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
 )
 
 _PLAN_MODULES = (
