@@ -194,6 +194,7 @@ EXPECTED_KEYS = {
     "data_quality_audit",
     "source_length_drift",
     "simhash_hamming_histogram",
+    "revenue_benford_audit",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -712,3 +712,88 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("ship_before_order", "ship_before", "n", li_stats))
         .unionByName(row("discount_out_of_range", "bad_disc", "n", li_stats))
     )
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed so no
+# logarithm is ever evaluated at runtime on either engine (ln/log10
+# are NOT cross-engine IEEE-exact — SURVEY §6).
+_BENFORD_MICROS = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_VALUES_SQL = ", ".join(
+    f"({d}, {m})" for d, m in _BENFORD_MICROS.items()
+)
+
+
+@query(
+    "revenue_benford_audit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS n_obs
+      FROM cents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM digits),
+    ben(digit, expected_micros) AS (VALUES {_BENFORD_VALUES_SQL})
+    SELECT b.digit, CAST(coalesce(d.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(coalesce(d.n_obs, 0) * 1000000 // t.n AS BIGINT)
+             AS observed_micros,
+           CAST(b.expected_micros AS BIGINT) AS expected_micros
+    FROM ben b LEFT JOIN digits d USING (digit), tot t
+    """,
+    doc="Benford's-law first-digit audit over order revenue — the "
+    "classic forensic-accounting screen for fabricated or truncated "
+    "financial figures: observed leading-digit shares (micros) next "
+    "to the Benford expectation floor(log10(1+1/d)*1e6), PRECOMPUTED "
+    "as integer literals so no logarithm is evaluated at runtime on "
+    "either engine (ln/log10 are not cross-engine IEEE-exact). The "
+    "leading digit comes from the integer cents' decimal string — "
+    "integer-to-string is format-stable across engines, unlike float "
+    "formatting. This substrate's uniform synthetic prices FAIL the "
+    "screen loudly (digit 1 at ~22% observed vs 30.1% expected only "
+    "for 4-digit-spanning uniforms), which is the point: the audit "
+    "detects non-Benford generation processes. Scale shape: one "
+    "partial-agged 9-key shuffle + a 1-row total broadcast onto a "
+    "9-row literal dim; the corpus is scanned once.",
+    tags=("etl",),
+)
+def revenue_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    digits = (
+        od.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    # 9-row frame consumed by the total AND the final join — cut so
+    # the corpus digit agg runs once, not twice.
+    digits = lineage_cut(digits)
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n"))
+    ben = spark.createDataFrame(
+        sorted(_BENFORD_MICROS.items()), "digit int, expected_micros long"
+    )
+    return (
+        ben.join(digits, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("coalesce(n_obs, 0) * 1000000 div n")
+            .cast("long")
+            .alias("observed_micros"),
+            F.col("expected_micros").cast("long"),
+        )
+    )
