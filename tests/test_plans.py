@@ -477,3 +477,20 @@ def test_length_drift_single_partial_shuffle(spark, queries):
     assert "Join" not in plan and "Window" not in plan
     assert "partial_sum" in plan
     assert plan.count("Exchange") == 2
+
+
+def test_abc_prefix_sum_is_two_phase(spark, queries):
+    """The cumulative share must never put the full parts frame on
+    one reducer: the running sum windows partition by the digit band,
+    and the only unpartitioned window is the <=19-row band-offset
+    frame."""
+    plan = plan_of(queries["part_abc_classification"](spark, SMOKE_SF), "formatted")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2
+    # the per-decade running sum: PARTITION BY digits, ORDER BY cents
+    banded = [s for s in specs if re.match(r"digits#\d+, cents#", s)]
+    assert len(banded) == 1
+    # the only unpartitioned window is the <=19-row offset frame
+    # (ORDER BY digits DESC, no partition columns)
+    offset = [s for s in specs if re.match(r"digits#\d+ DESC", s)]
+    assert len(offset) == 1

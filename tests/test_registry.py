@@ -195,6 +195,7 @@ EXPECTED_KEYS = {
     "source_length_drift",
     "simhash_hamming_histogram",
     "revenue_benford_audit",
+    "part_abc_classification",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

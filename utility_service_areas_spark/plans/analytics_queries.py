@@ -1694,3 +1694,96 @@ def orders_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.select(
         "o_orderpriority", "d", ewma.cast("long").alias("ewma_x65536_cents")
     )
+
+
+@query(
+    "part_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS p,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    cum AS (
+      SELECT p, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS c
+      FROM rev)
+    SELECT p AS p_partkey, cents AS rev_cents, c AS cum_cents,
+           CASE WHEN c * 100 <= t * 80 THEN 'A'
+                WHEN c * 100 <= t * 95 THEN 'B' ELSE 'C' END AS abc_class
+    FROM cum, tot
+    """,
+    doc="ABC inventory classification (the 80/15/5 cumulative-revenue "
+    "Pareto classes) — a DISTRIBUTED PREFIX SUM, the one aggregate "
+    "shape the repo had not yet shown scale-safe. The oracle's plain "
+    "global running sum would put the whole parts frame on one "
+    "reducer; instead the plan range-buckets parts by the decimal "
+    "DIGIT COUNT of their revenue cents (length of the integer "
+    "string — format-stable, and digits(cents) is monotone in cents, "
+    "so global order (cents DESC, p) == (digits DESC, cents DESC, "
+    "p)): phase 1 computes per-digit-band totals (<=19 rows), each "
+    "row's offset = the broadcast sum of strictly-higher bands; "
+    "phase 2 runs the running sum per band partition and adds the "
+    "offset — every window partition holds one revenue decade, never "
+    "the full frame. Class cuts are integer cross-multiplies "
+    "(c*100 <= t*80) against the 1-row broadcast total — no float, "
+    "no percentile. Skew note: a decade band CAN be populous (this "
+    "substrate's uniform prices put most parts in one decade); the "
+    "bands bound the sort by VALUE RANGE, and a hot band subdivides "
+    "by more digits of the same string (same trick, finer bands) — "
+    "documented lever, same family as the salted top-K.",
+    tags=("analytics",),
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            F.col("l_partkey").alias("p"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("c0"),
+        )
+        .groupBy("p")
+        .agg(F.sum("c0").alias("cents"))
+        .withColumn("digits", F.length(F.col("cents").cast("string")))
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    rev = lineage_cut(rev)  # consumed by band totals AND the window pass
+    bands = rev.groupBy("digits").agg(F.sum("cents").alias("band_cents"))
+    wb = (
+        Window.orderBy(F.col("digits").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # <=19 rows: offset = total of all strictly-higher decades
+    offsets = bands.select(
+        "digits",
+        F.coalesce(F.sum("band_cents").over(wb), F.lit(0)).alias("offset"),
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    wband = (
+        Window.partitionBy("digits")
+        .orderBy(F.col("cents").desc(), F.col("p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        rev.join(F.broadcast(offsets), "digits")
+        .select(
+            "p",
+            "cents",
+            (F.sum("cents").over(wband) + F.col("offset")).alias("c"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return cum.select(
+        F.col("p").alias("p_partkey"),
+        F.col("cents").alias("rev_cents"),
+        F.col("c").cast("long").alias("cum_cents"),
+        F.when(F.col("c") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("c") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
