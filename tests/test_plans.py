@@ -494,3 +494,14 @@ def test_abc_prefix_sum_is_two_phase(spark, queries):
     # (ORDER BY digits DESC, no partition columns)
     offset = [s for s in specs if re.match(r"digits#\d+ DESC", s)]
     assert len(offset) == 1
+
+
+def test_collocations_in_row_pairs_no_self_join(spark, queries):
+    """Pairs must come from the in-row combination lambda over the
+    per-doc basket, never a doc-token self-join: the only joins are
+    the broadcast vocab semi-filter and the two broadcast marginal
+    attaches — no SortMergeJoin anywhere."""
+    plan = plan_of(queries["token_collocations"](spark, SMOKE_SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the in-row pair explode

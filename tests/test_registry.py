@@ -196,6 +196,7 @@ EXPECTED_KEYS = {
     "simhash_hamming_histogram",
     "revenue_benford_audit",
     "part_abc_classification",
+    "token_collocations",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = (
     "simhash_hamming_histogram",
     "revenue_benford_audit",
     "part_abc_classification",
+    "token_collocations",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -136,7 +137,7 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 2 of the 46 oracled keys whose newest driver row is r6, in
+    # 4) 1 of the 46 oracled keys whose newest driver row is r6, in
     #    SURVEY order (deferring to r10: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
@@ -160,9 +161,9 @@ _DRIVER_PRIORITY = (
     #    stratified_sample, events_json_extract, events_sessionize,
     #    events_latest_per_user, events_tumbling_agg, text_token_count,
     #    text_quality_score, text_lang_id, ann_lsh_topk,
-    #    ann_cosine_topk, dedup_embedding_cosine, dedup_ngram_jaccard)
+    #    ann_cosine_topk, dedup_embedding_cosine, dedup_ngram_jaccard,
+    #    geo_overlap_pairs)
     "geo_point_in_polygon",
-    "geo_overlap_pairs",
 )
 
 _PLAN_MODULES = (

@@ -1375,3 +1375,103 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b").cast("long").alias("n_b"),
         F.sum(comp).cast("long").alias("chi2_milli"),
     )
+
+
+_COLLOC_VOCAB = 100
+_COLLOC_MIN_SUPPORT = 5
+
+
+@query(
+    "token_collocations",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token,
+               row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rk
+        FROM toks GROUP BY token) WHERE rk <= {_COLLOC_VOCAB}),
+    dt AS (
+      SELECT DISTINCT t.doc_id, t.token FROM toks t JOIN vocab v USING (token)),
+    df AS (SELECT token, count(*) AS n_docs FROM dt GROUP BY 1),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_docs_both
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2)
+    SELECT p.tok_a, p.tok_b, p.n_docs_both,
+           CAST(fa.n_docs AS BIGINT) AS n_docs_a,
+           CAST(fb.n_docs AS BIGINT) AS n_docs_b
+    FROM pairs p JOIN df fa ON p.tok_a = fa.token
+                 JOIN df fb ON p.tok_b = fb.token
+    WHERE p.n_docs_both >= {_COLLOC_MIN_SUPPORT}
+    """,
+    doc="Token collocations: co-document frequencies for every pair "
+    "of top-100 vocabulary tokens (with per-token marginals, so PMI/"
+    "lift/chi-square are one downstream division away — ln itself is "
+    "not cross-engine-exact, SURVEY §6, so the query publishes exact "
+    "integer counts). The collocation mining step of phrase/stopword "
+    "discovery over a corpus. Scale shape: the market-basket shape "
+    "on tokens — vocab is a top-K broadcast semi-filter, each doc "
+    "collapses to its sorted DISTINCT vocab-token set (<=100 "
+    "elements, in-row), pairs come from an in-row combination "
+    "lambda, never a per-doc self-join (the oracle's dt x dt join is "
+    "oracle-side only); pair counts partial-agg on a key space "
+    "bounded by C(100,2). Two tokenize passes over the corpus (vocab "
+    "count + doc-token sets) — a map pass each, cheaper than "
+    "checkpointing a corpus-sized token stream.",
+    tags=("text", "pipeline"),
+)
+def token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_COLLOC_VOCAB)
+        .select("token")
+    )
+    dt = (
+        toks.join(F.broadcast(vocab), "token")
+        .select("doc_id", "token")
+        .distinct()
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    dt = lineage_cut(dt)  # consumed by the marginals AND the baskets
+    df_marg = dt.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    baskets = dt.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("token")).alias("items")
+    )
+    pair_expr = (
+        "flatten(transform(items, (a, i) -> "
+        "transform(slice(items, i + 2, size(items) - i - 1), "
+        "b -> struct(a AS tok_a, b AS tok_b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+        .filter(F.col("n_docs_both") >= _COLLOC_MIN_SUPPORT)
+    )
+    fa = df_marg.select(
+        F.col("token").alias("tok_a"), F.col("n_docs").alias("n_docs_a")
+    )
+    fb = df_marg.select(
+        F.col("token").alias("tok_b"), F.col("n_docs").alias("n_docs_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .select(
+            "tok_a", "tok_b",
+            F.col("n_docs_both").cast("long"),
+            F.col("n_docs_a").cast("long"),
+            F.col("n_docs_b").cast("long"),
+        )
+    )
