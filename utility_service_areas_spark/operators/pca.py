@@ -161,6 +161,15 @@ def power_iteration_two_pc(
         "cvec2",
         F.zip_with(F.col("cvec"), v1_lit, lambda a, b: a - F.col("w1") * b),
     )
+    # Materialize the deflated doubles ONCE. cvec2 is a stack of
+    # INTERPRETED higher-order expressions (zip_with over zip_with
+    # plus the w1 fold); without the cut every v2 round AND the final
+    # projection re-evaluate that stack per row — measured 93.5 s vs
+    # 10.9 s at 10x (BENCH_TREND r9). Materialization does not change
+    # a bit: the frame holds finished doubles either way.
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    deflated = lineage_cut(deflated.select("id", "w1", "cvec2"))
     v2 = _fit_direction(deflated, "cvec2", dim, n_iter)
 
     proj = deflated.select(
