@@ -197,6 +197,8 @@ EXPECTED_KEYS = {
     "revenue_benford_audit",
     "part_abc_classification",
     "token_collocations",
+    "events_burst_detection",
+    "nation_supplier_hhi",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

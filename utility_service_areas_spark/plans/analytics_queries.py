@@ -1787,3 +1787,137 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "events_burst_detection",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, h, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail,
+             count(*) OVER (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_trail
+      FROM m)
+    SELECT event_type, h, CAST(cnt AS BIGINT) AS cnt,
+           CAST(coalesce(trail, 0) AS BIGINT) AS trail_cnt,
+           CAST(n_trail AS BIGINT) AS n_trail,
+           CASE WHEN n_trail >= 12 AND cnt * n_trail * 10 > 15 * trail
+                THEN 1 ELSE 0 END AS burst
+    FROM w
+    """,
+    doc="Rate-burst detection per event type: an hour is a burst when "
+    "its count exceeds 1.5x the trailing-24h hourly average (with a "
+    ">=12-observed-hours warmup guard) — the traffic-anomaly monitor "
+    "behind alerting/auto-throttling. The comparison is the integer "
+    "cross-multiply cnt*n_trail*10 > 15*trail, so no ratio or float "
+    "ever crosses rows. Scale shape: the corpus collapses to an "
+    "hourly rollup in ONE partial-agged shuffle (key space = types x "
+    "hours); the trailing windows run over calendar-bounded "
+    "partitions (8.8k rows per type-year), never events.",
+    tags=("analytics",),
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    w = m.select(
+        "event_type",
+        "h",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.coalesce(F.sum("cnt").over(wt), F.lit(0)).cast("long").alias("trail_cnt"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n_trail"),
+    )
+    return w.select(
+        "event_type",
+        "h",
+        "cnt",
+        "trail_cnt",
+        "n_trail",
+        F.when(
+            (F.col("n_trail") >= 12)
+            & (F.col("cnt") * F.col("n_trail") * 10 > 15 * F.col("trail_cnt")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("burst"),
+    )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT nation, CAST(sum(cents) AS BIGINT) AS t,
+             count(*) AS n_suppliers
+      FROM s GROUP BY 1),
+    sh AS (
+      SELECT s.nation, s.supp, (s.cents * 1000000) // t.t AS share_micros,
+             t.n_suppliers
+      FROM s JOIN tot t USING (nation))
+    SELECT nation, CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(sum(share_micros * share_micros) // 1000000 AS BIGINT)
+             AS hhi_micros
+    FROM sh GROUP BY nation
+    """,
+    doc="Herfindahl-Hirschman concentration index of supplier revenue "
+    "per nation — the market-concentration metric (10000 x sum of "
+    "squared shares, here in micros: 1e6 = monopoly, 1e6/n = perfect "
+    "competition). Shares quantize to integer micros BEFORE squaring "
+    "(share = cents*1e6 div total, so share^2 <= 1e12 never "
+    "overflows, unlike squaring raw cents), making the index "
+    "bit-identical cross-engine by integer floor-division definition. "
+    "Scale shape: one fact-side partial agg to (nation, supplier), a "
+    "nation-totals partial agg, a broadcast totals join, and a "
+    "nation-keyed final agg — the fact table shuffles once.",
+    tags=("analytics",),
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    s = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("c0"),
+        )
+        .groupBy("nation", "supp")
+        .agg(F.sum("c0").alias("cents"))
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    s = lineage_cut(s)  # consumed by totals AND shares
+    tot = s.groupBy("nation").agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    sh = s.join(F.broadcast(tot), "nation").select(
+        "nation",
+        "n_suppliers",
+        F.expr("cents * 1000000 div t").alias("share_micros"),
+    )
+    return sh.groupBy("nation").agg(
+        F.max("n_suppliers").cast("long").alias("n_suppliers"),
+        F.expr("CAST(sum(share_micros * share_micros) div 1000000 AS BIGINT)").alias(
+            "hhi_micros"
+        ),
+    )

@@ -119,6 +119,8 @@ _DRIVER_PRIORITY = (
     "revenue_benford_audit",
     "part_abc_classification",
     "token_collocations",
+    "events_burst_detection",
+    "nation_supplier_hhi",
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -137,7 +139,7 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 1 of the 46 oracled keys whose newest driver row is r6, in
+    # 4) 0 of the 46 oracled keys — all deferred to r10 whose newest driver row is r6, in
     #    SURVEY order (deferring to r10: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
@@ -162,7 +164,7 @@ _DRIVER_PRIORITY = (
     #    events_latest_per_user, events_tumbling_agg, text_token_count,
     #    text_quality_score, text_lang_id, ann_lsh_topk,
     #    ann_cosine_topk, dedup_embedding_cosine, dedup_ngram_jaccard,
-    #    geo_overlap_pairs)
+    #    geo_overlap_pairs, geo_point_in_polygon)
     "geo_point_in_polygon",
 )
 
