@@ -199,6 +199,8 @@ EXPECTED_KEYS = {
     "token_collocations",
     "events_burst_detection",
     "nation_supplier_hhi",
+    "signup_to_purchase_latency",
+    "customer_k_anonymity",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -1921,3 +1921,78 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi_micros"
         ),
     )
+
+
+@query(
+    "signup_to_purchase_latency",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY 1),
+    lat AS (
+      SELECT CAST(date_diff('second', s, p) AS BIGINT) AS sec
+      FROM f WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(round(quantile_cont(sec, 0.25)) AS BIGINT) AS p25_sec,
+           CAST(round(quantile_cont(sec, 0.5)) AS BIGINT) AS p50_sec,
+           CAST(round(quantile_cont(sec, 0.75)) AS BIGINT) AS p75_sec,
+           CAST(round(quantile_cont(sec, 0.9)) AS BIGINT) AS p90_sec
+    FROM lat
+    """,
+    doc="Conversion-latency quartiles: seconds from a user's first "
+    "signup to their first purchase (users converting before signing "
+    "up are excluded as data noise), the activation-funnel timing "
+    "metric. Latencies are integer whole-second boundary counts "
+    "(unix_timestamp truncation == date_diff('second') for positive "
+    "spans), percentiles interpolate over integers and round to "
+    "BIGINT — the established percentile seam. Scale shape: the "
+    "corpus collapses to per-user first-timestamps in ONE "
+    "partial-agged shuffle (conditional min — no filter-join, no "
+    "second scan); the percentile runs over converted users only.",
+    tags=("analytics",),
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    lat = f.filter(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("s"))
+    ).select(
+        (F.unix_timestamp("p") - F.unix_timestamp("s")).cast("long").alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(sec, 0.25)")).cast("long").alias("p25_sec"),
+        F.round(F.expr("percentile(sec, 0.5)")).cast("long").alias("p50_sec"),
+        F.round(F.expr("percentile(sec, 0.75)")).cast("long").alias("p75_sec"),
+        F.round(F.expr("percentile(sec, 0.9)")).cast("long").alias("p90_sec"),
+    )
+
+
+@query(
+    "customer_k_anonymity",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS n,
+           CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+    doc="k-anonymity risk profile over the (mktsegment, nationkey) "
+    "quasi-identifier pair: equivalence-class sizes with a k<5 risk "
+    "flag — the privacy audit published alongside the GDPR "
+    "deletion-cascade manifest (#156) before a dataset leaves the "
+    "curated zone; any at-risk class must be generalized or "
+    "suppressed. ONE partial-aggregated groupBy whose key space is "
+    "the quasi-identifier domain (segments x nations), never the "
+    "row count.",
+    tags=("etl",),
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.when(F.count(F.lit(1)) < 5, 1).otherwise(0).cast("int").alias("at_risk"),
+    )

@@ -120,7 +120,9 @@ _DRIVER_PRIORITY = (
     "part_abc_classification",
     "token_collocations",
     "events_burst_detection",
-    "nation_supplier_hhi",
+    # (r9 new keys past the 50-slot budget — first attestation
+    #  deferred to r10: nation_supplier_hhi,
+    #  signup_to_purchase_latency, customer_k_anonymity)
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
@@ -139,8 +141,8 @@ _DRIVER_PRIORITY = (
     "geo_union_grid_area",
     "geo_union_overlap_area",
     "geo_viewport_query",
-    # 4) 0 of the 46 oracled keys — all deferred to r10 whose newest driver row is r6, in
-    #    SURVEY order (deferring to r10: text_tfidf_top_term,
+    # 4) r6-stale keys: 0 fit this round — ALL deferred to r10
+    #    (in SURVEY order: text_tfidf_top_term,
     #    orders_with_late_items,
     #    customer_order_distribution,
     #    dormant_high_balance_customers,
@@ -165,7 +167,6 @@ _DRIVER_PRIORITY = (
     #    text_quality_score, text_lang_id, ann_lsh_topk,
     #    ann_cosine_topk, dedup_embedding_cosine, dedup_ngram_jaccard,
     #    geo_overlap_pairs, geo_point_in_polygon)
-    "geo_point_in_polygon",
 )
 
 _PLAN_MODULES = (
