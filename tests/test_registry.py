@@ -294,3 +294,27 @@ def test_oracle_output_surface_is_driver_safe(spark):
         if hits:
             bad[f"spark:{name}"] = hits
     assert not bad, f"driver-hostile output columns: {bad}"
+
+
+def test_driver_priority_prefix_invariants():
+    """The driver attests exactly the first 50 registry keys per
+    round: the prefix must be exactly 50 unique, registered names and
+    must never contain the three oracle-less rows-only sketches
+    (they can only burn a slot with err:no_oracle)."""
+    from utility_service_areas_spark.plans.registry import (
+        REGISTRY,
+        _DRIVER_PRIORITY,
+        _load_all,
+    )
+
+    _load_all()
+    assert len(_DRIVER_PRIORITY) == 50
+    assert len(set(_DRIVER_PRIORITY)) == 50
+    unknown = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
+    assert not unknown, unknown
+    sketches = {
+        "approx_distinct_users",
+        "tdigest_value_quantiles",
+        "heavy_hitter_tokens",
+    }
+    assert not sketches & set(_DRIVER_PRIORITY)
