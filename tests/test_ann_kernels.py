@@ -279,3 +279,36 @@ def test_power_iteration_two_pc_recovers_plane(spark):
     p1 = np.array([r.pc1_micros for r in rows], dtype=float)
     p2 = np.array([r.pc2_micros for r in rows], dtype=float)
     assert p1.std() > 1.5 * p2.std()
+
+
+def test_fused_multi_subspace_fit_bit_identical(spark):
+    """fit_centroids_np_multi must reproduce m independent
+    fit_centroids_np calls over the sliced frames EXACTLY — same
+    md5-seed rows, same per-batch numpy arithmetic per subspace, same
+    integer micros sums — so the per-subspace SQL replay chains keep
+    verifying the fused path."""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators.kmeans import (
+        fit_centroids_np,
+        fit_centroids_np_multi,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    m, k, n_iter = 4, 16, 2
+    sub = 64 // m
+    separate = [
+        fit_centroids_np(
+            base.select("id", F.slice("vec", si * sub + 1, sub).alias("vec")),
+            k,
+            n_iter,
+        )
+        for si in range(m)
+    ]
+    fused = fit_centroids_np_multi(base, k, n_iter, m)
+    assert fused == separate

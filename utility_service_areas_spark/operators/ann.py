@@ -567,7 +567,7 @@ def pq_encode(
 
     from utility_service_areas_spark.operators.kmeans import (
         _np_assign,
-        fit_centroids_np,
+        fit_centroids_np_multi,
     )
 
     base = df.select(
@@ -581,14 +581,11 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = [
-        fit_centroids_np(
-            base.select("id", F.slice("vec", s * sub + 1, sub).alias("vec")),
-            k,
-            n_iter,
-        )
-        for s in range(m)
-    ]
+    # r9: all m subspace fits fused into one corpus pass per round
+    # (was m independent fits = m x (n_iter + 1) passes); codebooks
+    # bit-identical (tests/test_ann_kernels.py), so the per-subspace
+    # SQL replay chains verify the fused path unchanged.
+    books = fit_centroids_np_multi(base, k, n_iter, m)
 
     schema = StructType(
         [StructField("id", LongType())]

@@ -293,3 +293,115 @@ def fit_centroids_np(base: DataFrame, k: int, n_iter: int) -> list[list[float]]:
                     (dims[d] / 1_000_000.0) / counts[ci] for d in range(dim)
                 ]
     return centroids
+
+
+def _np_iter_stats_multi(
+    base: DataFrame, books: list[list[list[float]]], sub: int
+):
+    """One Lloyd round's sufficient statistics for ALL m subspaces in
+    ONE blocked numpy pass: per-(sub, cluster, dim) micros-bigint sums
+    (dim = -1 carries the count). Per-batch arithmetic per subspace is
+    byte-identical to _np_iter_stats over the sliced frame — element
+    micros quantize elementwise (slice-before or slice-after is the
+    same), _np_assign sees exactly the sliced values, and the integer
+    partial sums are combine-order independent — so the driver-side
+    centroid trajectory equals m independent fits."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    m = len(books)
+    schema = StructType(
+        [
+            StructField("sub", LongType()),
+            StructField("cluster", LongType()),
+            StructField("dim", LongType()),
+            StructField("s", LongType()),
+        ]
+    )
+
+    def stats_batches(batches):
+        for pdf in batches:
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            if not len(X):
+                continue
+            micros = _np_half_away(X * 1_000_000.0).astype(np.int64)
+            out_sub, out_c, out_d, out_s = [], [], [], []
+            for si in range(m):
+                lo = si * sub
+                Xs = X[:, lo : lo + sub]
+                cl, _ = _np_assign(Xs, books[si])
+                ms = micros[:, lo : lo + sub]
+                for ci in range(len(books[si])):
+                    mask = cl == ci
+                    n = int(mask.sum())
+                    if not n:
+                        continue
+                    sums = ms[mask].sum(axis=0)
+                    out_sub.extend([si] * (sub + 1))
+                    out_c.extend([ci] * (sub + 1))
+                    out_d.extend(list(range(sub)) + [-1])
+                    out_s.extend(list(sums) + [n])
+            yield pd.DataFrame(
+                {"sub": out_sub, "cluster": out_c, "dim": out_d, "s": out_s}
+            )
+
+    return base.select("vec").mapInPandas(stats_batches, schema)
+
+
+def fit_centroids_np_multi(
+    base: DataFrame, k: int, n_iter: int, m: int
+) -> list[list[list[float]]]:
+    """All m per-subspace Lloyd fits FUSED: one seed collect and ONE
+    sufficient-stat corpus pass per round for every subspace, instead
+    of m independent fit_centroids_np calls = m x (n_iter + 1) corpus
+    passes. Bit-identical codebooks to the per-subspace fits (pinned
+    in tests/test_ann_kernels.py): the md5(id) seed order is the same
+    rows for every subspace, the per-batch numpy arithmetic per
+    subspace matches _np_iter_stats over the sliced frame exactly,
+    and the integer micros sums are combine-order independent, so the
+    SQL replay chains (_kmeans_cte_sql per subspace) verify the fused
+    path unchanged."""
+    seeds = (
+        base.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    full = [list(r.vec) for r in seeds]
+    if not full:
+        return [[] for _ in range(m)]
+    dim = len(full[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [
+        [row[si * sub : (si + 1) * sub] for row in full] for si in range(m)
+    ]
+    for _ in range(n_iter):
+        stats = (
+            _np_iter_stats_multi(base, books, sub)
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        per_sub: dict[int, dict[int, dict[int, int]]] = {}
+        counts: dict[int, dict[int, int]] = {}
+        for r in stats:
+            if r.dim == -1:
+                counts.setdefault(r.sub, {})[r.cluster] = r.s
+            else:
+                per_sub.setdefault(r.sub, {}).setdefault(r.cluster, {})[
+                    r.dim
+                ] = r.s
+        for si in range(m):
+            by_cluster = per_sub.get(si, {})
+            cnt = counts.get(si, {})
+            for ci in range(len(books[si])):
+                if ci in by_cluster:
+                    dims = by_cluster[ci]
+                    books[si][ci] = [
+                        (dims[d] / 1_000_000.0) / cnt[ci] for d in range(sub)
+                    ]
+    return books
