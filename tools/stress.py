@@ -54,6 +54,9 @@ DEFAULT_QUERIES = [
     "docs_cdc_chunks",
     "dedup_cdc_clusters",
     "embedding_pca_project",
+    "embedding_pca_map",
+    "token_collocations",
+    "simhash_hamming_histogram",
     "docs_repetition_signals",
     "embedding_pair_histogram",
     "hll_registers_users",
