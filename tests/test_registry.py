@@ -201,6 +201,7 @@ EXPECTED_KEYS = {
     "nation_supplier_hhi",
     "signup_to_purchase_latency",
     "customer_k_anonymity",
+    "user_daily_journey_match",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

