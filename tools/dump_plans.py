@@ -212,6 +212,32 @@ HEADLINE = {
         "one partial-agged shuffle keyed on sources x occupied bins; "
         "integer chi-square components, no join/window"
     ),
+    "part_abc_classification": (
+        "distributed prefix sum: per-decade running-sum window + the "
+        "<=19-row unpartitioned offset window — the full parts frame "
+        "never sorts on one reducer"
+    ),
+    "token_collocations": (
+        "top-K vocab broadcast semi-filter; in-row combination "
+        "lambda over per-doc baskets; pair counts partial-agg on "
+        "<=C(100,2) keys — no SortMergeJoin"
+    ),
+    "simhash_hamming_histogram": (
+        "signature frame lineage-cut (UDF runs once); linear partner "
+        "equi-join; 65-key partial agg"
+    ),
+    "revenue_benford_audit": (
+        "one 9-key partial agg; digits frame lineage-cut; 1-row "
+        "total broadcast onto the 9-row literal dim"
+    ),
+    "user_daily_journey_match": (
+        "one (user, day) shuffle; ordered sequence built in-row via "
+        "sort_array; pattern is a codegen rlike"
+    ),
+    "nation_supplier_hhi": (
+        "fact shuffles once to (nation, supplier); lineage-cut; "
+        "broadcast totals; integer-micros shares squared"
+    ),
 }
 
 
