@@ -202,6 +202,8 @@ EXPECTED_KEYS = {
     "signup_to_purchase_latency",
     "customer_k_anonymity",
     "user_daily_journey_match",
+    "customers_all_quarters_1996",
+    "customer_order_streaks",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

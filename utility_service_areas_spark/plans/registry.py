@@ -123,7 +123,8 @@ _DRIVER_PRIORITY = (
     # (r9 new keys past the 50-slot budget — first attestation
     #  deferred to r10: nation_supplier_hhi,
     #  signup_to_purchase_latency, customer_k_anonymity,
-    #  user_daily_journey_match)
+    #  user_daily_journey_match, customers_all_quarters_1996,
+    #  customer_order_streaks)
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",

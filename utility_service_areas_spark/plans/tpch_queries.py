@@ -1262,3 +1262,86 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lift.cast("long").alias("lift_micros"),
         )
     )
+
+
+@query(
+    "customers_all_quarters_1996",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders_1996
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_custkey
+    HAVING count(DISTINCT date_trunc('quarter', o_orderdate)) = 4
+    """,
+    doc="Relational DIVISION (the 'for all' quantifier — Codd's ÷): "
+    "customers who ordered in EVERY quarter of 1996. Division over an "
+    "enumerable divisor compiles to count(DISTINCT bucket) == |divisor| "
+    "— one grouped aggregate with a distinct-count, no divisor "
+    "cross-join, no NOT EXISTS double negation (which would cost two "
+    "correlated anti-joins). Scale shape: the year filter is pushed "
+    "to the parquet scan; ONE partial-agged shuffle on o_custkey; the "
+    "HAVING is evaluated post-agg on customer-count rows.",
+    tags=("tpch",),
+)
+def customers_all_quarters_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders_1996"),
+            F.countDistinct(F.date_trunc("quarter", "o_orderdate")).alias("nq"),
+        )
+        .filter(F.col("nq") == 4)
+        .select("o_custkey", "n_orders_1996")
+    )
+
+
+@query(
+    "customer_order_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+    isl AS (
+      SELECT o_custkey, d,
+             d - CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days)
+    SELECT o_custkey, CAST(count(DISTINCT grp) AS BIGINT) AS n_islands,
+           CAST(max(cnt) AS BIGINT) AS longest_streak_days
+    FROM (SELECT o_custkey, grp, count(*) AS cnt FROM isl GROUP BY 1, 2) t
+    GROUP BY o_custkey
+    """,
+    doc="Gaps-and-islands: consecutive-day order streaks per customer "
+    "via the classic date-minus-row_number trick (consecutive days "
+    "share the same difference, so islands fall out of one grouped "
+    "count — no self-join, no recursive CTE). Output: island count "
+    "and longest streak per customer — the engagement-continuity "
+    "metric. Scale shape: distinct (customer, day) in one "
+    "partial-agged shuffle; the row_number window partitions per "
+    "customer over activity DAYS (calendar-bounded), then two "
+    "small grouped aggs on the same key.",
+    tags=("tpch",),
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    days = od.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    isl = days.select(
+        "o_custkey",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    per_island = isl.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_island.groupBy("o_custkey").agg(
+        F.countDistinct("grp").cast("long").alias("n_islands"),
+        F.max("cnt").cast("long").alias("longest_streak_days"),
+    )
