@@ -741,3 +741,42 @@ def test_drift_counts_stream_folds_to_batch_scores(spark):
     }
     assert got == want
     assert any(v[2] > 0 for v in want.values())
+
+
+def test_hourly_counts_stream_folds_to_batch_bursts(spark):
+    """S23: the streaming hourly counts, drained and folded with the
+    batch query's integer burst arithmetic, reproduce
+    events_burst_detection exactly."""
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.streaming.events import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    out = hourly_counts_stream(read_events_stream(spark, SMOKE_SF))
+    run_to_memory(out, "t_hourly", "update")
+    drained = {
+        (r.event_type, r.h): r.cnt
+        for r in spark.sql("SELECT * FROM t_hourly").collect()
+    }
+
+    got = {}
+    by_type: dict = {}
+    for (et, h), cnt in drained.items():
+        by_type.setdefault(et, []).append((h, cnt))
+    for et, rows in by_type.items():
+        rows.sort()
+        for i, (h, cnt) in enumerate(rows):
+            trail_rows = rows[max(0, i - 24) : i]
+            trail = sum(c for _, c in trail_rows)
+            n_trail = len(trail_rows)
+            burst = 1 if n_trail >= 12 and cnt * n_trail * 10 > 15 * trail else 0
+            got[(et, h)] = (cnt, trail, n_trail, burst)
+
+    want = {
+        (r.event_type, r.h): (r.cnt, r.trail_cnt, r.n_trail, r.burst)
+        for r in all_queries()["events_burst_detection"](spark, SMOKE_SF).collect()
+    }
+    assert got == want
+    assert any(v[3] == 1 for v in want.values())

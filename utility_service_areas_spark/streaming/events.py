@@ -800,3 +800,24 @@ def drift_counts_stream(stream: DataFrame) -> DataFrame:
             .alias("b"),
         )
     )
+
+
+def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """S23 — streaming substrate of the burst monitor
+    (plans/analytics_queries.py:events_burst_detection): per
+    (event_type, hour) counts maintained incrementally in update
+    mode with an event-time watermark (hours are CALENDAR-bounded,
+    and unlike the S19/S21/S22 entity-bounded twins the key space
+    grows with time — the watermark lets completed hours evict, so
+    state is bounded by types x watermark-horizon hours).
+
+    The burst rule (cnt * n_trail * 10 > 15 * trail over the
+    trailing 24 closed hours, >=12-hour warmup) is drain-side integer
+    arithmetic over the tiny hourly table — evaluated per micro-batch
+    by the alerting consumer; the drained counts equal the batch
+    hourly rollup row for row (tests/test_streaming.py)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
