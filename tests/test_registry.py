@@ -204,6 +204,7 @@ EXPECTED_KEYS = {
     "user_daily_journey_match",
     "customers_all_quarters_1996",
     "customer_order_streaks",
+    "ann_ivf_probe_recall",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -1851,3 +1851,178 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         sep_rows, "cluster long, nearest_centroid_d2_micros long"
     )
     return per.join(F.broadcast(sep), "cluster")
+
+
+_SWEEP_PROBES = (1, 2, 4)
+
+
+@query(
+    "ann_ivf_probe_recall",
+    oracle=f"""
+    WITH cents0 AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16),
+    cents AS (
+      SELECT cent_id, cent_vec, {{cn}} AS cent_n
+      FROM cents0 WHERE {{cn}} > 0),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_vec, cent_id AS cell
+      FROM embeddings, cents
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY {{sc}} DESC, cent_id ASC) = 1),
+    q_assign AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                ORDER BY {{sc}} DESC, cent_id ASC) AS cell_rank
+      FROM embeddings, cents
+      WHERE vec_id < {{nq}}
+      QUALIFY cell_rank <= {{pmax}}),
+    probes(probe) AS (VALUES {{pvals}}),
+    cand AS (
+      SELECT p.probe, q.query_id, c.neighbor_id,
+             {{cos}} AS sim_micros
+      FROM q_assign q JOIN c_assign c USING (cell), probes p
+      WHERE q.cell_rank <= p.probe AND q.query_id <> c.neighbor_id),
+    approx AS (
+      SELECT probe, query_id, neighbor_id FROM (
+        SELECT probe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe, query_id
+                      ORDER BY sim_micros DESC, neighbor_id) AS rk
+        FROM cand) WHERE rk <= {{k}}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {{tcos}} DESC, c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {{nq}}) WHERE rk <= {{k}}),
+    costs AS (
+      SELECT probe, count(*) AS n_candidates FROM cand GROUP BY 1),
+    hits AS (
+      SELECT a.probe, count(*) AS n_hits
+      FROM approx a JOIN truth t USING (query_id, neighbor_id)
+      GROUP BY 1)
+    SELECT p.probe,
+           CAST({{nq}} AS BIGINT) AS n_queries,
+           CAST(co.n_candidates AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // ({{nq}} * {{k}}) AS BIGINT)
+             AS recall_micros
+    FROM probes p LEFT JOIN costs co USING (probe)
+                  LEFT JOIN hits h USING (probe)
+    """.format(
+        cn=_CENT_NORM,
+        sc=_IVF_SCORE,
+        nq=N_QUERIES,
+        pmax=max(_SWEEP_PROBES),
+        pvals=", ".join(f"({p})" for p in _SWEEP_PROBES),
+        cos=_cos_micros_sql("q.q_vec", "c.c_vec"),
+        tcos=_cos_micros_sql("q.embedding", "c.embedding"),
+        k=TOP_K,
+    ),
+    doc="IVF serving-tuning table: recall@10 AND candidate-scan cost "
+    "for n_probe in {1, 2, 4} in ONE pass — the matryoshka-style "
+    "lever table (#169) for the probe knob: a 100 TB serving tier "
+    "reads off how much recall each extra probed cell buys per "
+    "candidates scanned. Every stage is the deterministic IVF replay "
+    "(#51's oracle) extended with a probe dimension: the query cell "
+    "RANK is computed once, a candidate at rank r serves every probe "
+    ">= r, and recall joins against the exact brute-force truth. "
+    "recall_micros is integer floor-division. Scale shape: the "
+    "corpus assignment and the probe join run ONCE at the largest "
+    "probe; the probe dimension is a 3-row broadcast fan-out of the "
+    "CANDIDATE frame (bounded by n_probe_max * n/C per query), never "
+    "a corpus re-scan; the brute truth side is queries x corpus — "
+    "the calibration cost you pay once per tuning run, not per "
+    "query.",
+    tags=("ann",),
+)
+def ann_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import (
+        _paired_sim_micros,
+        brute_force_topk,
+        ivf_assignments,
+        ivf_centroids,
+        dot_expr,
+        norm2_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    pmax = max(_SWEEP_PROBES)
+
+    c_assigned, _ = ivf_assignments(
+        emb, queries_df, n_centroids=16, n_probe=pmax
+    )
+    # query cells WITH their rank (ivf_assignments drops it): tiny
+    # queries x 16-centroid cross, same score + tiebreak as the
+    # operator
+    cents = ivf_centroids(emb, n_centroids=16)
+    qs = (
+        queries_df.select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_score",
+            dot_expr(F.col("embedding"), F.col("cent_vec")) / F.col("cent_n"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_score").desc(), F.col("cent_id").asc()
+    )
+    q_cells = (
+        qs.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= pmax)
+        .select(
+            "query_id",
+            F.col("embedding").alias("q_vec"),
+            norm2_expr(F.col("embedding")).alias("q_n"),
+            F.col("cent_id").alias("cell"),
+            "cell_rank",
+        )
+    )
+    probes = spark.createDataFrame([(p,) for p in _SWEEP_PROBES], "probe int")
+    cand = (
+        q_cells.join(c_assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cell_rank") <= F.col("probe"))
+        .withColumn("sim_micros", _paired_sim_micros())
+        .select("probe", "query_id", "neighbor_id", "sim_micros")
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    cand = lineage_cut(cand)  # consumed by the rank stage AND the cost agg
+    wr = Window.partitionBy("probe", "query_id").orderBy(
+        F.col("sim_micros").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe", "query_id", "neighbor_id")
+    )
+    truth = brute_force_topk(emb, queries_df, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    costs = cand.groupBy("probe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        probes.join(F.broadcast(costs), "probe", "left")
+        .join(F.broadcast(hits), "probe", "left")
+        .select(
+            "probe",
+            F.lit(N_QUERIES).cast("long").alias("n_queries"),
+            F.col("n_candidates").cast("long"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"coalesce(n_hits, 0) * 1000000 div ({N_QUERIES} * {TOP_K})"
+            )
+            .cast("long")
+            .alias("recall_micros"),
+        )
+    )
