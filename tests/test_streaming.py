@@ -761,12 +761,20 @@ def test_hourly_counts_stream_folds_to_batch_bursts(spark):
         for r in spark.sql("SELECT * FROM t_hourly").collect()
     }
 
+    import datetime
+
     got = {}
     by_type: dict = {}
     for (et, h), cnt in drained.items():
-        by_type.setdefault(et, []).append((h, cnt))
-    for et, rows in by_type.items():
-        rows.sort()
+        by_type.setdefault(et, {})[h] = cnt
+    for et, sparse in by_type.items():
+        # densify onto the hour calendar (zero-fill) — the batch
+        # query's gapfill step, replicated drain-side
+        h0, h1 = min(sparse), max(sparse)
+        rows, h = [], h0
+        while h <= h1:
+            rows.append((h, sparse.get(h, 0)))
+            h = h + datetime.timedelta(hours=1)
         for i, (h, cnt) in enumerate(rows):
             trail_rows = rows[max(0, i - 24) : i]
             trail = sum(c for _, c in trail_rows)

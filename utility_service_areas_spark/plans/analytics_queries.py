@@ -1789,19 +1789,38 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_event_rollup(df: DataFrame) -> DataFrame:
+    """The (event_type, hour) count rollup — shared by
+    events_burst_detection and the S23 streaming twin
+    (streaming/events.py:hourly_counts_stream), so the twins'
+    'identical expression to the batch query' contract is true by
+    construction, not by transcription."""
+    return (
+        df.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 @query(
     "events_burst_detection",
     oracle="""
     WITH m AS (
       SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
       FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM m GROUP BY 1),
+    cal AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b),
+    dense AS (
+      SELECT c.event_type, c.h, coalesce(m.cnt, 0) AS cnt
+      FROM cal c LEFT JOIN m USING (event_type, h)),
     w AS (
       SELECT event_type, h, cnt,
              sum(cnt) OVER (PARTITION BY event_type ORDER BY h
                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail,
              count(*) OVER (PARTITION BY event_type ORDER BY h
                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_trail
-      FROM m)
+      FROM dense)
     SELECT event_type, h, CAST(cnt AS BIGINT) AS cnt,
            CAST(coalesce(trail, 0) AS BIGINT) AS trail_cnt,
            CAST(n_trail AS BIGINT) AS n_trail,
@@ -1810,28 +1829,32 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM w
     """,
     doc="Rate-burst detection per event type: an hour is a burst when "
-    "its count exceeds 1.5x the trailing-24h hourly average (with a "
-    ">=12-observed-hours warmup guard) — the traffic-anomaly monitor "
-    "behind alerting/auto-throttling. The comparison is the integer "
-    "cross-multiply cnt*n_trail*10 > 15*trail, so no ratio or float "
-    "ever crosses rows. Scale shape: the corpus collapses to an "
-    "hourly rollup in ONE partial-agged shuffle (key space = types x "
-    "hours); the trailing windows run over calendar-bounded "
-    "partitions (8.8k rows per type-year), never events.",
+    "its count exceeds 1.5x the trailing-24-CALENDAR-hour average "
+    "(>=12 elapsed hours of warmup). The sparse hourly rollup "
+    "densifies onto each type's full hour calendar first (zero-fill, "
+    "the gapfill pattern) — r9 code-review fix: a ROWS frame over the "
+    "sparse rollup silently reached back DAYS across quiet gaps and "
+    "missed genuine bursts after idle periods; on the dense frame "
+    "ROWS -24..-1 IS the trailing 24 hours. The burst test is the "
+    "integer cross-multiply cnt*n_trail*10 > 15*trail — no float "
+    "crosses rows. Scale shape: one partial-agged corpus shuffle to "
+    "the rollup; the calendar explode and windows are bounded by "
+    "types x hours, never events.",
     tags=("analytics",),
 )
 def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    m = (
-        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    m = hourly_event_rollup(ev)
+    b = m.groupBy("event_type").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    cal = b.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
     )
-    wt = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(-24, -1)
+    dense = cal.join(m, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
-    w = m.select(
+    wt = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    w = dense.select(
         "event_type",
         "h",
         F.col("cnt").cast("long").alias("cnt"),

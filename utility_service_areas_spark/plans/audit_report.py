@@ -45,14 +45,19 @@ def write_audit_report(
     table writes go through the Spark writer (any Hadoop-compatible
     path); the summary is a driver-side manifest over tiny frames
     (7 rules, |sources| drift rows)."""
+    from utility_service_areas_spark.operators.dedup import lineage_cut
     from utility_service_areas_spark.plans.etl_queries import data_quality_audit
     from utility_service_areas_spark.plans.text_queries import source_length_drift
 
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"fmt must be parquet or jsonl, got {fmt!r}")
 
-    rules = data_quality_audit(spark, sf_dir)
-    drift = source_length_drift(spark, sf_dir)
+    # Each frame has TWO consumers (the table write and the summary
+    # collect); without the cut the orphan anti-join and the drift
+    # corpus aggregation would re-run per consumer (r9 code review).
+    # Both frames are tiny (7 rules, |sources| rows) — the cut is free.
+    rules = lineage_cut(data_quality_audit(spark, sf_dir))
+    drift = lineage_cut(source_length_drift(spark, sf_dir))
 
     def write(df, name: str) -> str:
         path = os.path.join(out_dir, name)

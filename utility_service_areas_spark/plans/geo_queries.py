@@ -617,6 +617,41 @@ def geo_morton_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rect_distance_structs(spark: SparkSession, sf_dir: str) -> list:
+    """The driver-inlined polygon dim for the zero-shuffle nearest-
+    area queries: collect the bounded rect layer once and return one
+    (d2, key) struct expression per rect (exact clamped point-to-
+    rectangle distance against the px/py point columns). Shared by
+    geo_nearest_area and geo_knn_areas — r9 code review deduplicated
+    the two byte-identical construction blocks. Empty list on an
+    empty layer (callers return a typed empty frame instead of
+    building array() of nothing, which would fail analysis)."""
+    rects = (
+        _nation_rects(spark, sf_dir)
+        .select("n_nationkey", "x0", "y0", "w", "h")
+        .collect()
+    )
+    cands = []
+    for r in rects:
+        dx = F.greatest(
+            F.lit(r.x0) - F.col("px"),
+            F.col("px") - F.lit(r.x0 + r.w),
+            F.lit(0.0),
+        )
+        dy = F.greatest(
+            F.lit(r.y0) - F.col("py"),
+            F.col("py") - F.lit(r.y0 + r.h),
+            F.lit(0.0),
+        )
+        cands.append(
+            F.struct(
+                (dx * dx + dy * dy).alias("d2"),
+                F.lit(r.n_nationkey).alias("k"),
+            )
+        )
+    return cands
+
+
 @query(
     "geo_nearest_area",
     oracle=f"""
@@ -652,28 +687,10 @@ def geo_morton_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def geo_nearest_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
-    rects = (
-        _nation_rects(spark, sf_dir)
-        .select("n_nationkey", "x0", "y0", "w", "h")
-        .collect()
-    )
-    cands = []
-    for r in rects:
-        dx = F.greatest(
-            F.lit(r.x0) - F.col("px"),
-            F.col("px") - F.lit(r.x0 + r.w),
-            F.lit(0.0),
-        )
-        dy = F.greatest(
-            F.lit(r.y0) - F.col("py"),
-            F.col("py") - F.lit(r.y0 + r.h),
-            F.lit(0.0),
-        )
-        cands.append(
-            F.struct(
-                (dx * dx + dy * dy).alias("d2"),
-                F.lit(r.n_nationkey).alias("k"),
-            )
+    cands = _rect_distance_structs(spark, sf_dir)
+    if not cands:
+        return spark.createDataFrame(
+            [], "c_custkey long, nearest_nationkey int, dist2_micros long"
         )
     best = F.array_min(F.array(*cands))
     return pts.select(
@@ -990,28 +1007,10 @@ def geo_shapefile_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def geo_knn_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
-    rects = (
-        _nation_rects(spark, sf_dir)
-        .select("n_nationkey", "x0", "y0", "w", "h")
-        .collect()
-    )
-    cands = []
-    for r in rects:
-        dx = F.greatest(
-            F.lit(r.x0) - F.col("px"),
-            F.col("px") - F.lit(r.x0 + r.w),
-            F.lit(0.0),
-        )
-        dy = F.greatest(
-            F.lit(r.y0) - F.col("py"),
-            F.col("py") - F.lit(r.y0 + r.h),
-            F.lit(0.0),
-        )
-        cands.append(
-            F.struct(
-                (dx * dx + dy * dy).alias("d2"),
-                F.lit(r.n_nationkey).alias("k"),
-            )
+    cands = _rect_distance_structs(spark, sf_dir)
+    if not cands:
+        return spark.createDataFrame(
+            [], "c_custkey long, rank int, n_nationkey int, dist2_micros long"
         )
     top3 = F.slice(F.sort_array(F.array(*cands)), 1, 3)
     ex = pts.select(

@@ -1320,6 +1320,32 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_binned_counts(df: DataFrame) -> DataFrame:
+    """(source, bin, a, b) cohort counts — shared by
+    source_length_drift and the S22 streaming twin
+    (streaming/events.py:drift_counts_stream), so the twins'
+    'identical expression' contract is true by construction."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(
+            "source",
+            (F.col("n_chars") / 256).cast("long").alias("bin"),
+            (h % 2).alias("cohort"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+
+
 @query(
     "source_length_drift",
     oracle="""
@@ -1354,21 +1380,7 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    binned = (
-        docs.select(
-            "source",
-            (F.col("n_chars") / 256).cast("long").alias("bin"),
-            (h % 2).alias("cohort"),
-        )
-        .groupBy("source", "bin")
-        .agg(
-            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("a"),
-            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("b"),
-        )
-    )
+    binned = drift_binned_counts(docs)
     comp = F.expr("(a - b) * (a - b) * 1000 div (a + b)")
     return binned.groupBy("source").agg(
         F.sum("a").cast("long").alias("n_a"),

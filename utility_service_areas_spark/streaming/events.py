@@ -771,35 +771,22 @@ def drift_counts_stream(stream: DataFrame) -> DataFrame:
     """S22 — streaming substrate of the two-sample drift screen
     (plans/text_queries.py:source_length_drift): per (source,
     256-char length bin) cohort counts maintained incrementally in
-    update mode, cohort = md5 integer-hash parity (the identical
-    expression to the batch query, so the drained counts equal the
-    batch binned frame row for row). State is one row per occupied
-    (source, bin) — bounded by sources x bins, never by doc volume
-    (the S19/S21 entity-bounded posture; no watermark needed).
+    update mode. The select+agg is the batch query's own
+    `drift_binned_counts` — identical by construction, so the drained
+    counts equal the batch binned frame row for row. State is one row
+    per occupied (source, bin) — bounded by sources x bins, never by
+    doc volume (the S19/S21 entity-bounded posture; no watermark
+    needed).
 
     The chi-square fold sum((a-b)^2*1000 div (a+b)) is drain-side
     integer arithmetic over these counts — the drift monitor a
     streaming ingest evaluates per micro-batch without re-reading
     the corpus."""
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    return (
-        stream.select(
-            "source",
-            (F.col("n_chars") / 256).cast("long").alias("bin"),
-            (h % 2).alias("cohort"),
-        )
-        .groupBy("source", "bin")
-        .agg(
-            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("a"),
-            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("b"),
-        )
+    from utility_service_areas_spark.plans.text_queries import (
+        drift_binned_counts,
     )
+
+    return drift_binned_counts(stream)
 
 
 def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -809,15 +796,18 @@ def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataF
     mode with an event-time watermark (hours are CALENDAR-bounded,
     and unlike the S19/S21/S22 entity-bounded twins the key space
     grows with time — the watermark lets completed hours evict, so
-    state is bounded by types x watermark-horizon hours).
+    state is bounded by types x watermark-horizon hours). The rollup
+    expression is the batch query's own `hourly_event_rollup` —
+    identical by construction, not transcription.
 
-    The burst rule (cnt * n_trail * 10 > 15 * trail over the
-    trailing 24 closed hours, >=12-hour warmup) is drain-side integer
+    The burst rule (calendar-densify the drained counts per type,
+    zero-fill, then cnt * n_trail * 10 > 15 * trail over the trailing
+    24 calendar hours with >=12 hours warmup) is drain-side integer
     arithmetic over the tiny hourly table — evaluated per micro-batch
-    by the alerting consumer; the drained counts equal the batch
-    hourly rollup row for row (tests/test_streaming.py)."""
-    return (
-        stream.withWatermark("ts", watermark)
-        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    by the alerting consumer; the folded result equals the batch
+    query exactly (tests/test_streaming.py)."""
+    from utility_service_areas_spark.plans.analytics_queries import (
+        hourly_event_rollup,
     )
+
+    return hourly_event_rollup(stream.withWatermark("ts", watermark))
