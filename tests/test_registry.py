@@ -205,6 +205,7 @@ EXPECTED_KEYS = {
     "customers_all_quarters_1996",
     "customer_order_streaks",
     "ann_ivf_probe_recall",
+    "hll_audience_overlap",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

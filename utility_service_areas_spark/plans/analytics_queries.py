@@ -790,54 +790,21 @@ _HLL_WBITS = 60 - _HLL_B  # 50
     tags=("analytics", "sketch"),
 )
 def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: register derivation and the harmonic/linear-counting
+    # estimate are factored into _hll_regs / _hll_estimate_cols
+    # (defined below) and SHARED with the set-operations query #202 —
+    # one seam, two queries, no transcription drift.
     ev = load_table(spark, sf_dir, "events")
-    hv = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    wbits = _HLL_WBITS
-    parts = ev.select(
-        "event_type",
-        # shiftrightunsigned, NOT `/`: Spark's `/` is DOUBLE division,
-        # and hv is a 60-bit value (> 2^53) — the double rounding of hv
-        # can disagree with the oracle's exact integer `hv // 2^50`
-        # when hv lies within ~128 of a multiple of 2^50 (ADVICE r6).
-        # The shift is exact integer arithmetic on both engines.
-        F.shiftrightunsigned(hv, wbits).alias("idx"),
-        (hv % F.lit(1 << wbits)).alias("w"),
-    )
-    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits + 1) - F.length(F.bin(F.col("w")))
-    )
-    regs = parts.groupBy("event_type", "idx").agg(F.max(rho).alias("m"))
-    two51 = 1 << (wbits + 1)
-    agg = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_used"),
-        F.sum(
-            (F.lit(two51) / F.pow(F.lit(2.0), F.col("m"))).cast("long")
-        ).alias("z_present"),
-    )
-    alpha = 0.7213 / (1 + 1.079 / float(_HLL_M))
-    raw = (
-        F.lit(alpha)
-        * _HLL_M
-        * _HLL_M
-        * float(two51)
-        / (F.col("z_present") + (_HLL_M - F.col("n_used")) * float(two51))
-    )
-    # HLL small-range correction: with few occupied registers the raw
-    # harmonic estimate overshoots badly (measured 5.4x at n=150,
-    # m=1024); linear counting m*ln(m/V) is the standard fix below
-    # 2.5m (Flajolet et al. 2007).
-    est = F.round(
-        F.when(
-            (raw <= 2.5 * _HLL_M) & (F.col("n_used") < _HLL_M),
-            _HLL_M * F.log(float(_HLL_M) / (_HLL_M - F.col("n_used"))),
-        ).otherwise(raw)
-    ).cast("long")
-    return agg.select(
-        "event_type",
-        F.col("n_used").cast("long").alias("n_registers_used"),
-        est.alias("hll_estimate"),
+    regs = _hll_regs(ev)
+    n_used, z_present, est = _hll_estimate_cols()
+    return (
+        regs.groupBy("event_type")
+        .agg(n_used, z_present)
+        .select(
+            "event_type",
+            F.col("n_used").cast("long").alias("n_registers_used"),
+            est.alias("hll_estimate"),
+        )
     )
 
 
@@ -2018,4 +1985,164 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.groupBy("c_mktsegment", "c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.when(F.count(F.lit(1)) < 5, 1).otherwise(0).cast("int").alias("at_risk"),
+    )
+
+
+def _hll_regs(df: DataFrame) -> DataFrame:
+    """(event_type, idx, m) HLL registers — the mergeable state of
+    #134 factored out so the set-operations query (#202) unions the
+    SAME registers (register-wise max) instead of re-deriving them."""
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    wbits = _HLL_WBITS
+    parts = df.select(
+        "event_type",
+        F.shiftrightunsigned(hv, wbits).alias("idx"),
+        (hv % F.lit(1 << wbits)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(F.col("w")))
+    )
+    return parts.groupBy("event_type", "idx").agg(F.max(rho).alias("m"))
+
+
+def _hll_estimate_cols() -> tuple:
+    """(n_used agg, z_present agg, est expression over them) — the
+    harmonic estimate + linear-counting correction of #134, shared
+    with the set-operations query."""
+    two51 = 1 << (_HLL_WBITS + 1)
+    n_used = F.count(F.lit(1)).alias("n_used")
+    z_present = F.sum(
+        (F.lit(two51) / F.pow(F.lit(2.0), F.col("m"))).cast("long")
+    ).alias("z_present")
+    alpha = 0.7213 / (1 + 1.079 / float(_HLL_M))
+    raw = (
+        F.lit(alpha)
+        * _HLL_M
+        * _HLL_M
+        * float(two51)
+        / (F.col("z_present") + (_HLL_M - F.col("n_used")) * float(two51))
+    )
+    est = F.round(
+        F.when(
+            (raw <= 2.5 * _HLL_M) & (F.col("n_used") < _HLL_M),
+            _HLL_M * F.log(float(_HLL_M) / (_HLL_M - F.col("n_used"))),
+        ).otherwise(raw)
+    ).cast("long")
+    return n_used, z_present, est
+
+
+_HLL_EST_SQL = """
+      SELECT {key},
+             CAST(round(
+               CASE WHEN raw <= 2.5 * {m} AND n_used < {m}
+                    THEN {m} * ln({m}.0 / ({m} - n_used))
+                    ELSE raw END) AS BIGINT) AS est
+      FROM (
+        SELECT {key}, n_used,
+               (0.7213 / (1 + 1.079 / {m}.0)) * {m} * {m} * {two51}
+               / (z_present + ({m} - n_used) * {two51}) AS raw
+        FROM (
+          SELECT {key}, count(*) AS n_used,
+                 sum(CAST({itwo51} AS BIGINT) // (2 ** mm)) AS z_present
+          FROM {regs} GROUP BY {key}))
+"""
+
+
+@query(
+    "hll_audience_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events),
+    parts AS (
+      SELECT event_type,
+             hv // {1 << _HLL_WBITS} AS idx,
+             hv % {1 << _HLL_WBITS} AS w
+      FROM h),
+    regs AS (
+      SELECT event_type, idx,
+             max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                      ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS mm
+      FROM parts GROUP BY 1, 2),
+    p(type_a, type_b) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, _, b, _ in _TYPE_PAIRS)}),
+    uregs AS (
+      SELECT p.type_a, p.type_b, r.idx, max(r.mm) AS mm
+      FROM p JOIN regs r ON r.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3),
+    test AS ({_HLL_EST_SQL.format(key="event_type", m=_HLL_M,
+             two51=float(1 << (_HLL_WBITS + 1)),
+             itwo51=1 << (_HLL_WBITS + 1), regs="regs")}),
+    uest AS ({_HLL_EST_SQL.format(key="type_a, type_b", m=_HLL_M,
+             two51=float(1 << (_HLL_WBITS + 1)),
+             itwo51=1 << (_HLL_WBITS + 1), regs="uregs")})
+    SELECT p.type_a, p.type_b,
+           ta.est AS hll_a, tb.est AS hll_b, u.est AS hll_union,
+           CAST(greatest(0, ta.est + tb.est - u.est) AS BIGINT)
+             AS hll_intersection
+    FROM p JOIN test ta ON ta.event_type = p.type_a
+           JOIN test tb ON tb.event_type = p.type_b
+           JOIN uest u USING (type_a, type_b)
+    """,
+    doc="HLL set operations — the MERGEABLE-sketch twin of the exact "
+    "bitmask overlap #181: per event-type pair, distinct-user "
+    "estimates for A, B, A∪B (union = register-wise MAX of the two "
+    "types' registers — the defining mergeability of HLL state; at "
+    "100 TB these registers arrive pre-merged from every partition/ "
+    "day/datacenter) and A∩B by inclusion-exclusion, clamped at 0. "
+    "Registers and harmonic sums are the #134 value-oracled seams "
+    "(exact integers scaled 2^51); the union estimate reuses the "
+    "SAME register frame, never re-scans users. Sketch overlap vs "
+    "#181's exact counts is the intersection's known weakness "
+    "(inclusion-exclusion compounds three estimates' errors) — "
+    "publishing both queries side by side is the honest design. "
+    "Scale shape: one corpus-sized grouped max (the registers, "
+    "<= types x 1024 rows), then ALL set algebra runs on register "
+    "rows.",
+    tags=("analytics", "sketch"),
+)
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = lineage_cut(_hll_regs(ev))  # per-type ests AND pair unions
+    n_used, z_present, est = _hll_estimate_cols()
+    tests = regs.groupBy("event_type").agg(n_used, z_present).select(
+        "event_type", est.alias("est")
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, _, b, _ in _TYPE_PAIRS], "type_a string, type_b string"
+    )
+    uregs = (
+        pairs.join(
+            regs,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    uest = uregs.groupBy("type_a", "type_b").agg(n_used, z_present).select(
+        "type_a", "type_b", est.alias("uest")
+    )
+    ta = tests.select(F.col("event_type").alias("type_a"), F.col("est").alias("hll_a"))
+    tb = tests.select(F.col("event_type").alias("type_b"), F.col("est").alias("hll_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(uest), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "hll_a",
+            "hll_b",
+            F.col("uest").alias("hll_union"),
+            F.greatest(
+                F.lit(0), F.col("hll_a") + F.col("hll_b") - F.col("uest")
+            )
+            .cast("long")
+            .alias("hll_intersection"),
+        )
     )

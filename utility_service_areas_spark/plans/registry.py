@@ -124,7 +124,8 @@ _DRIVER_PRIORITY = (
     #  deferred to r10: nation_supplier_hhi,
     #  signup_to_purchase_latency, customer_k_anonymity,
     #  user_daily_journey_match, customers_all_quarters_1996,
-    #  customer_order_streaks, ann_ivf_probe_recall)
+    #  customer_order_streaks, ann_ivf_probe_recall,
+    #  hll_audience_overlap)
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
