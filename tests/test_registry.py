@@ -206,6 +206,7 @@ EXPECTED_KEYS = {
     "customer_order_streaks",
     "ann_ivf_probe_recall",
     "hll_audience_overlap",
+    "dedup_threshold_sweep",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -966,3 +966,68 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_SWEEP_THRESHOLDS_MICROS = (200000, 400000, 600000, 800000)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    capped AS (
+      SELECT doc, s FROM ex
+      WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100)),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM capped GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(round(n_common * 1000000.0 / (x.n_sh + y.n_sh - n_common))
+                  AS BIGINT) AS jaccard_micros
+      FROM common
+      JOIN sizes x ON doc_a = x.doc
+      JOIN sizes y ON doc_b = y.doc
+      WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.2),
+    t(threshold_micros) AS (VALUES {", ".join(f"({t})" for t in _SWEEP_THRESHOLDS_MICROS)})
+    SELECT t.threshold_micros,
+           CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_flagged
+    FROM t LEFT JOIN pairs p ON p.jaccard_micros >= t.threshold_micros
+    GROUP BY 1
+    """,
+    doc="Dedup threshold-calibration sweep: from ONE ngram-jaccard "
+    "pair pass (the #27 chain, floor 0.2), how many pairs survive — "
+    "and how many documents the pairwise min-keeper rule would flag "
+    "— at each candidate threshold {{0.2, 0.4, 0.6, 0.8}}. The lever "
+    "table a curation run reads before committing a dedup threshold "
+    "to a 100 TB pass (the removal counts are the PAIRWISE bound; "
+    "transitive-closure removal is #50/#165's job and is bounded "
+    "below by these numbers). Scale shape: the expensive pair "
+    "generation runs ONCE (lineage-cut); the sweep is a 4-row "
+    "broadcast fan-out of the PAIR frame with a per-threshold "
+    "count + distinct — never a corpus re-scan per threshold.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lineage_cut(
+        ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2, df_cap=100)
+    )
+    t = spark.createDataFrame(
+        [(x,) for x in _SWEEP_THRESHOLDS_MICROS], "threshold_micros long"
+    )
+    return (
+        t.join(
+            pairs, pairs.jaccard_micros >= t.threshold_micros, "left"
+        )
+        .groupBy("threshold_micros")
+        .agg(
+            F.count("doc_a").cast("long").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("long").alias("n_docs_flagged"),
+        )
+    )
