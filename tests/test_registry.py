@@ -207,6 +207,7 @@ EXPECTED_KEYS = {
     "ann_ivf_probe_recall",
     "hll_audience_overlap",
     "dedup_threshold_sweep",
+    "seq_len_packing_sweep",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -789,3 +789,107 @@ def dedup_cdc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return dedup_clusters(pairs, docs, "doc_id")
+
+
+_PACK_SWEEP_LENS = (32, 64, 128)  # test-scale sizings of the 512-8192 lever
+
+
+@query(
+    "seq_len_packing_sweep",
+    oracle=rf"""
+    WITH sized AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 8
+                 AS shard,
+             len({_TOKS}) AS n_tok
+      FROM documents),
+    l(seq_len) AS (VALUES {", ".join(f"({x})" for x in _PACK_SWEEP_LENS)}),
+    per_doc AS (
+      SELECT l.seq_len,
+             sum(CASE WHEN s.n_tok > l.seq_len THEN 1 ELSE 0 END)
+               AS n_docs_over,
+             CAST(sum(CASE WHEN s.n_tok > l.seq_len
+                      THEN s.n_tok - l.seq_len ELSE 0 END) AS BIGINT)
+               AS tokens_truncated
+      FROM sized s, l GROUP BY 1),
+    per_shard AS (
+      SELECT shard, CAST(sum(n_tok) AS BIGINT) AS tot FROM sized GROUP BY 1),
+    tail AS (
+      SELECT l.seq_len,
+             CAST(sum((tot + l.seq_len - 1) // l.seq_len) AS BIGINT)
+               AS n_sequences,
+             CAST(sum((tot + l.seq_len - 1) // l.seq_len * l.seq_len - tot)
+                  AS BIGINT) AS tail_waste_tokens
+      FROM per_shard, l GROUP BY 1)
+    SELECT l.seq_len, CAST(d.n_docs_over AS BIGINT) AS n_docs_over,
+           d.tokens_truncated, t.n_sequences, t.tail_waste_tokens
+    FROM l JOIN per_doc d USING (seq_len) JOIN tail t USING (seq_len)
+    """,
+    doc="Sequence-length cost sweep for the training packer: for each "
+    "candidate length (test-scale {32,64,128}; production 512-8192, "
+    "same lever) the two packing costs a data lead trades off — "
+    "boundary-respecting truncation loss (docs over L and the tokens "
+    "they lose) and the concat-split tail waste + sequence count per "
+    "shard (the #104 packer's actual output sizing). All integer "
+    "arithmetic (ceil-division as (t+L-1) div L both sides). Scale "
+    "shape: ONE tokenize pass collapses to per-doc sizes; per-doc "
+    "costs are a 3-row broadcast fan-out of the SIZES frame (doc-"
+    "count rows, not corpus text); tail costs fold over 8 shard "
+    "totals.",
+    tags=("pipeline", "text"),
+)
+def seq_len_packing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        % 8
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+"))
+    sized = lineage_cut(
+        docs.select(
+            "doc_id", shard.alias("shard"), n_tok.cast("long").alias("n_tok")
+        )
+    )  # consumed by the per-doc AND per-shard branches
+    lens = spark.createDataFrame(
+        [(x,) for x in _PACK_SWEEP_LENS], "seq_len int"
+    )
+    per_doc = (
+        sized.crossJoin(F.broadcast(lens))
+        .groupBy("seq_len")
+        .agg(
+            F.sum(
+                F.when(F.col("n_tok") > F.col("seq_len"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_over"),
+            F.sum(
+                F.when(
+                    F.col("n_tok") > F.col("seq_len"),
+                    F.col("n_tok") - F.col("seq_len"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_truncated"),
+        )
+    )
+    per_shard = sized.groupBy("shard").agg(F.sum("n_tok").alias("tot"))
+    tail = (
+        per_shard.crossJoin(F.broadcast(lens))
+        .groupBy("seq_len")
+        .agg(
+            F.sum(F.expr("(tot + seq_len - 1) div seq_len"))
+            .cast("long")
+            .alias("n_sequences"),
+            F.sum(
+                F.expr("(tot + seq_len - 1) div seq_len * seq_len - tot")
+            )
+            .cast("long")
+            .alias("tail_waste_tokens"),
+        )
+    )
+    return lens.join(F.broadcast(per_doc), "seq_len").join(
+        F.broadcast(tail), "seq_len"
+    )
