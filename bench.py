@@ -47,6 +47,10 @@ EXTENDED_NOOP = [
     # r8: the end-to-end curation pipeline — the single most
     # representative number for the LLM-pipeline stack.
     "curation_funnel_report",
+    # r9: the heaviest new text kernel (two tokenize passes + the
+    # in-row pair fold) — tracked so regressions in the tokenize /
+    # basket shapes show up in the round artifact.
+    "token_collocations",
 ]
 
 
