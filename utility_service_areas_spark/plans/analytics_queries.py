@@ -1468,14 +1468,17 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(days) OVER (ORDER BY -price_cents
                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
       FROM base)
-    SELECT o_orderkey, price_cents, d FROM scr WHERE best IS NULL OR days > best
+    SELECT o_orderkey, price_cents, d FROM scr WHERE best IS NULL OR days >= best
     """,
     doc="Skyline (Pareto front) over (price, recency): keep every "
     "order not STRICTLY dominated on both axes — the classic "
     "multi-criteria OLAP operator (Borzsony/Kossmann/Stocker, ICDE "
     "2001) expressed as a running max instead of the quadratic "
     "NOT EXISTS: ordered by price descending, a row survives iff its "
-    "date beats the max date of all strictly-pricier rows (integer "
+    "date is >= the max date of all strictly-pricier rows — >= not >, "
+    "so a same-date pricier row does NOT dominate (strict-strict "
+    "semantics; a hypothesis tie test caught the > variant silently "
+    "implementing weak-on-date dominance, r9) — (integer "
     "cents make 'strictly pricier' an exact RANGE ... 1 PRECEDING "
     "frame — ties never dominate each other). Scale shape: the "
     "skyline-of-skylines identity (skyline(S) = skyline of the union "
@@ -1503,14 +1506,14 @@ def orders_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = base.select(
         "o_orderkey", "price_cents", "d", "days", "neg",
         F.max("days").over(w1).alias("best"),
-    ).filter(F.col("best").isNull() | (F.col("days") > F.col("best")))
+    ).filter(F.col("best").isNull() | (F.col("days") >= F.col("best")))
     w2 = Window.orderBy("neg").rangeBetween(Window.unboundedPreceding, -1)
     return (
         local.select(
             "o_orderkey", "price_cents", "d", "days", "neg",
             F.max("days").over(w2).alias("best2"),
         )
-        .filter(F.col("best2").isNull() | (F.col("days") > F.col("best2")))
+        .filter(F.col("best2").isNull() | (F.col("days") >= F.col("best2")))
         .select("o_orderkey", "price_cents", "d")
     )
 
