@@ -158,3 +158,72 @@ def test_burst_detection_quiet_gap_reference(spark, tmp_path):
     cnt, trail, n_trail, burst = out[spike_ts]
     assert (cnt, trail, n_trail) == (5, 0, 24)  # trailing day was silent
     assert burst == 1  # 5 * 24 * 10 > 15 * 0
+
+
+def _write_lineitem(spark, tmpdir: str, rows) -> str:
+    """rows: (l_orderkey, l_partkey, extendedprice, discount)."""
+    df = spark.createDataFrame(
+        [
+            (
+                int(ok),
+                int(pk),
+                1,
+                1,
+                1.0,
+                float(px),
+                float(disc),
+                0.0,
+                "N",
+                "O",
+                datetime.datetime(1995, 1, 1),
+            )
+            for ok, pk, px, disc in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "lineitem.parquet")
+    )
+    return tmpdir
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(1, 30)),  # (part, price) — few
+        min_size=1,  # distinct values force heavy revenue ties
+        max_size=40,
+    )
+)
+def test_abc_prefix_sum_matches_brute_cumsum(spark, tmp_path_factory, items):
+    """The digit-band distributed prefix sum must equal the brute
+    global running sum under HEAVY revenue ties (many parts with
+    identical cents — the substrate's uniform prices rarely tie)."""
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    tmpdir = str(tmp_path_factory.mktemp("abc"))
+    rows = [(i, part, price, 0.0) for i, (part, price) in enumerate(items)]
+    sf = _write_lineitem(spark, tmpdir, rows)
+    got = {
+        r.p_partkey: (r.rev_cents, r.cum_cents, r.abc_class)
+        for r in all_queries()["part_abc_classification"](spark, sf).collect()
+    }
+    # brute reference
+    rev: dict[int, int] = {}
+    for _, part, price, _ in rows:
+        rev[part] = rev.get(part, 0) + round(price * 100)
+    total = sum(rev.values())
+    cum = 0
+    want = {}
+    for part, cents in sorted(rev.items(), key=lambda t: (-t[1], t[0])):
+        cum += cents
+        cls = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+        want[part] = (cents, cum, cls)
+    assert got == want
