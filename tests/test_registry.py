@@ -208,6 +208,7 @@ EXPECTED_KEYS = {
     "hll_audience_overlap",
     "dedup_threshold_sweep",
     "seq_len_packing_sweep",
+    "ann_lsh_plane_sweep",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

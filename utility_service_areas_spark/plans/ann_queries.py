@@ -2026,3 +2026,160 @@ def ann_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_micros"),
         )
     )
+
+
+_LSH_SWEEP_PLANES = (2, 4, 6)
+
+
+def _lsh_sweep_oracle_sql() -> str:
+    per_p = []
+    for p in _LSH_SWEEP_PLANES:
+        per_p.append(f"""
+    b{p} AS (
+      SELECT vec_id, embedding,
+             {_lsh_bucket_sql("embedding", n_planes=p)} AS bucket
+      FROM embeddings),
+    q{p} AS (SELECT query_id, q_vec, pb AS bucket FROM (
+            SELECT vec_id AS query_id, embedding AS q_vec, bucket
+            FROM b{p} WHERE vec_id < {N_QUERIES}),
+          unnest({_lsh_probes_sql("bucket", p)}) AS t(pb)),
+    cand{p} AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_micros_sql('q.q_vec', 'c.embedding')} AS sim_micros
+      FROM b{p} c JOIN q{p} q USING (bucket)
+      WHERE q.query_id <> c.vec_id),
+    stat{p} AS (
+      SELECT {p} AS n_planes,
+             count(*) AS n_candidates,
+             sum(hit) AS n_hits
+      FROM (
+        SELECT c.query_id, c.neighbor_id,
+               max(CASE WHEN t.neighbor_id IS NOT NULL AND c.rk <= {TOP_K}
+                   THEN 1 ELSE 0 END) AS hit
+        FROM (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_micros DESC, neighbor_id) AS rk
+              FROM cand{p}) c
+        LEFT JOIN truth t USING (query_id, neighbor_id)
+        GROUP BY 1, 2))""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM stat{p}" for p in _LSH_SWEEP_PLANES
+    )
+    return f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos_micros_sql('q.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}) WHERE rk <= {TOP_K}),
+    {",".join(per_p)}
+    SELECT n_planes, CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits * 1000000 // ({N_QUERIES} * {TOP_K}) AS BIGINT)
+             AS recall_micros
+    FROM ({unions})
+    """
+
+
+@query(
+    "ann_lsh_plane_sweep",
+    oracle=_lsh_sweep_oracle_sql(),
+    doc="LSH plane-count serving-tuning table: recall@10 and "
+    "candidate volume for n_planes in {2, 4, 6} — the bucket-"
+    "granularity lever (each plane halves expected bucket size and "
+    "costs recall; multi-probe Hamming-1 wins some back). Unlike the "
+    "IVF probe sweep (#201), plane counts are NOT nested — every p "
+    "re-buckets the corpus — so the sweep honestly pays one MAP-SIDE "
+    "bucketing pass per p (the md5-derived plane folds), never a "
+    "pair-explosion: candidates stay bucket-join bound per p, and "
+    "recall joins the shared brute-force truth. n_hits counts "
+    "DISTINCT (query, truth-neighbor) pairs found at rank <= 10 (a "
+    "candidate reachable via two probes counts once). Scale shape: "
+    "3 bucketing map passes + 3 bucket equi-joins + one truth "
+    "calibration join; the lever table a serving tier reads before "
+    "fixing its bucket granularity.",
+    tags=("ann",),
+)
+def ann_lsh_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import (
+        _bit_flip,
+        _paired_sim_micros,
+        brute_force_topk,
+        hyperplane_lsh_bucket,
+        norm2_expr,
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = lineage_cut(
+        brute_force_topk(emb, queries_df, k=TOP_K).select(
+            "query_id", "neighbor_id", F.lit(1).alias("is_truth")
+        )
+    )
+    per_p = []
+    for p in _LSH_SWEEP_PLANES:
+        bucket = hyperplane_lsh_bucket(F.col("embedding"), 64, p)
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            norm2_expr(F.col("embedding")).alias("c_n"),
+            bucket.alias("bucket"),
+        )
+        probes = F.array(
+            F.col("bucket"),
+            *[_bit_flip(F.col("bucket"), i, p) for i in range(p)],
+        )
+        q = queries_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            norm2_expr(F.col("embedding")).alias("q_n"),
+            bucket.alias("bucket"),
+        ).select("query_id", "q_vec", "q_n", F.explode(probes).alias("bucket"))
+        cand = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim_micros", _paired_sim_micros())
+            .select("query_id", "neighbor_id", "sim_micros")
+        )
+        cand = lineage_cut(cand)  # count + rank consumers
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim_micros").desc(), F.col("neighbor_id").asc()
+        )
+        ranked = cand.withColumn("rk", F.row_number().over(w))
+        hits = (
+            ranked.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("is_truth").isNotNull() & (F.col("rk") <= TOP_K),
+                        1,
+                    ).otherwise(0)
+                ).alias("hit")
+            )
+        )
+        per_p.append(
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(hits.agg(F.sum("hit").alias("n_hits")))
+            )
+            .select(
+                F.lit(p).alias("n_planes"),
+                F.col("n_candidates").cast("long"),
+                F.col("n_hits").cast("long"),
+                F.expr(
+                    f"n_hits * 1000000 div ({N_QUERIES} * {TOP_K})"
+                )
+                .cast("long")
+                .alias("recall_micros"),
+            )
+        )
+    out = per_p[0]
+    for frame in per_p[1:]:
+        out = out.unionByName(frame)
+    return out
