@@ -209,6 +209,7 @@ EXPECTED_KEYS = {
     "dedup_threshold_sweep",
     "seq_len_packing_sweep",
     "ann_lsh_plane_sweep",
+    "orders_winsorized_stats",
     # r8 additions
     "semantic_dedup_keep",
     "dedup_quote_containment",

@@ -2149,3 +2149,75 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hll_intersection"),
         )
     )
+
+
+@query(
+    "orders_winsorized_stats",
+    oracle="""
+    WITH cut AS (
+      SELECT o_orderpriority,
+             CAST(round(quantile_cont(o_totalprice, 0.05) * 100) AS BIGINT)
+               AS lo_cents,
+             CAST(round(quantile_cont(o_totalprice, 0.95) * 100) AS BIGINT)
+               AS hi_cents
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           CAST(sum(least(greatest(CAST(round(o.o_totalprice * 100) AS BIGINT),
+                                   c.lo_cents), c.hi_cents)) AS BIGINT)
+             AS winsorized_sum_cents,
+           CAST(sum(CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                              < c.lo_cents
+                          OR CAST(round(o.o_totalprice * 100) AS BIGINT)
+                              > c.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped
+    FROM orders o JOIN cut c USING (o_orderpriority)
+    GROUP BY 1
+    """,
+    doc="Winsorized revenue statistics per priority: clip each order "
+    "at its group's P5/P95 (quantized to cents-bigint at the "
+    "aggregate boundary, so the clip and the sum are pure integer) "
+    "and report the robust total + how many rows the clip touched — "
+    "the third member of the robust-stats family next to the z-score "
+    "(#130) and median/MAD (#179): winsorization keeps the SUM "
+    "meaningful under outliers where trimming would bias the "
+    "denominator. Scale shape: one grouped exact-percentile pass "
+    "(swap in #178's histogram sketch at 100 TB — same contract) "
+    "producing a groups-sized cutoff dim, broadcast back onto one "
+    "corpus pass with a partial-agged group fold.",
+    tags=("analytics",),
+)
+def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cut = od.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.05)") * 100)
+        .cast("long")
+        .alias("lo_cents"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)") * 100)
+        .cast("long")
+        .alias("hi_cents"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = od.join(F.broadcast(cut), "o_orderpriority").select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        "lo_cents",
+        "hi_cents",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+        )
+        .cast("long")
+        .alias("winsorized_sum_cents"),
+        F.sum(
+            F.when(
+                (F.col("cents") < F.col("lo_cents"))
+                | (F.col("cents") > F.col("hi_cents")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clipped"),
+    )

@@ -126,7 +126,8 @@ _DRIVER_PRIORITY = (
     #  user_daily_journey_match, customers_all_quarters_1996,
     #  customer_order_streaks, ann_ivf_probe_recall,
     #  hll_audience_overlap, dedup_threshold_sweep,
-    #  seq_len_packing_sweep, ann_lsh_plane_sweep)
+    #  seq_len_packing_sweep, ann_lsh_plane_sweep,
+    #  orders_winsorized_stats)
     # 3) the 16 keys whose newest driver row is r5 — the whole stale
     #    tail drains this round (16)
     "dedup_exact_docs",
