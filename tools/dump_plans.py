@@ -238,6 +238,28 @@ HEADLINE = {
         "fact shuffles once to (nation, supplier); lineage-cut; "
         "broadcast totals; integer-micros shares squared"
     ),
+    "ann_ivf_probe_recall": (
+        "assignment + probe join run ONCE at probe_max; probe "
+        "dimension is a 3-row broadcast fan-out of the lineage-cut "
+        "candidate frame"
+    ),
+    "hll_audience_overlap": (
+        "one corpus grouped max -> lineage-cut register frame; all "
+        "set algebra on <= types x 1024 register rows"
+    ),
+    "dedup_threshold_sweep": (
+        "the #27 pair chain runs once (lineage-cut); sweep is a "
+        "4-row broadcast fan-out of the PAIR frame"
+    ),
+    "orders_winsorized_stats": (
+        "grouped percentile cutoffs broadcast back; clip and sum are "
+        "integer cents; one partial-agged corpus pass"
+    ),
+    "events_burst_detection": (
+        "partial-agged hourly rollup; calendar densify (zero-fill) "
+        "BEFORE the trailing window — frames are types x hours, "
+        "never events"
+    ),
 }
 
 
