@@ -312,3 +312,39 @@ def test_fused_multi_subspace_fit_bit_identical(spark):
     ]
     fused = fit_centroids_np_multi(base, k, n_iter, m)
     assert fused == separate
+
+
+def test_pq_encode_drops_malformed_vectors(spark):
+    """ADVICE r9: pq_encode must survive null / wrong-cardinality
+    embeddings (np.stack in the fused fit+encode would otherwise crash
+    on one ragged Arrow row) — same contract as ivf_topk. Junk rows are
+    dropped BEFORE the fit, so codebooks equal the clean-corpus fit."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType
+
+    from utility_service_areas_spark.operators.ann import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    base = emb.select("vec_id", "embedding").limit(200)
+    junk = spark.createDataFrame(
+        [
+            (100_001, None),
+            (100_002, [float(i) for i in range(dim + 3)]),
+            (100_003, [1.0, 2.0]),
+        ],
+        schema=base.select(
+            F.col("vec_id").cast(LongType()),
+            F.col("embedding").cast(ArrayType(FloatType())),
+        ).schema,
+    )
+    codes_dirty, books_dirty = pq_encode(
+        base.unionByName(junk), "vec_id", "embedding", m=4, k=8, n_iter=1
+    )
+    codes_clean, books_clean = pq_encode(
+        base, "vec_id", "embedding", m=4, k=8, n_iter=1
+    )
+    assert books_dirty == books_clean
+    got = {r.id for r in codes_dirty.collect()}
+    want = {r.id for r in codes_clean.collect()}
+    assert got == want  # junk ids dropped, clean ids all encoded
+    assert not {100_001, 100_002, 100_003} & got

@@ -8,6 +8,7 @@ supported shape type, deleted .dbf rows, and truncated files.
 from __future__ import annotations
 
 import struct
+import time
 
 import pytest
 
@@ -96,6 +97,26 @@ def test_truncated_shp_yields_readable_prefix():
     assert 0 < len(cut) < 5
     assert parse_shp_bytes("f.shp", b"not a shapefile") == []
     assert parse_dbf_bytes("f.dbf", b"\x07garbage") == []
+
+
+def test_truncated_dbf_stops_at_readable_prefix():
+    """ADVICE r9: a truncated .dbf must stop at the readable prefix
+    (like parse_shp_bytes does), and a corrupt header over-claiming
+    the record count — n_rec is an untrusted u32, up to 2^32 — must
+    not spin through billions of empty slices."""
+    _, _, dbf = build_shapefile(RECORDS, FIELDS)
+    hdr_size, rec_size = struct.unpack("<HH", dbf[8:12])
+    # genuine truncation: cut mid-way through record 4
+    cut = dbf[: hdr_size + 3 * rec_size + rec_size // 2]
+    rows = parse_dbf_bytes("f.dbf", cut)
+    assert [r["recno"] for r in rows] == [1, 2, 3]
+    # hostile header: claims 50M records over the same 5-record body
+    forged = bytearray(dbf)
+    forged[4:8] = struct.pack("<I", 50_000_000)
+    t0 = time.time()
+    rows = parse_dbf_bytes("f.dbf", bytes(forged))
+    assert [r["recno"] for r in rows] == [1, 2, 3, 4, 5]
+    assert time.time() - t0 < 5.0  # prefix-stop, not a 50M-iteration spin
 
 
 def test_distributed_read_joins_geometry_and_attrs(spark, tmp_path):

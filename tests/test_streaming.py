@@ -788,3 +788,82 @@ def test_hourly_counts_stream_folds_to_batch_bursts(spark):
     }
     assert got == want
     assert any(v[3] == 1 for v in want.values())
+
+
+def test_hourly_counts_stream_evicts_completed_hours(spark, tmp_path):
+    """ADVICE r9: the S23 rollup must key on F.window('ts','1 hour') —
+    grouping by a date_trunc alias carries no watermark metadata, so
+    StateStoreSave never evicted and state grew with every (type, hour)
+    forever. Two time-ordered files drained one-per-batch: the watermark
+    set by batch 1 must REMOVE completed day-1 hour windows during
+    batch 2 (numRowsRemoved > 0, final state < total groups), while the
+    drained counts still equal the batch rollup row-for-row."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from utility_service_areas_spark.streaming.events import (
+        hourly_counts_stream,
+    )
+
+    rows_a, rows_b = [], []
+    d1 = dt.datetime(2024, 3, 1)
+    d2 = dt.datetime(2024, 3, 2)
+    for et in ("click", "view", "buy"):
+        for h in range(10):
+            for i in range(1 + (h % 3)):
+                rows_a.append((et, d1 + dt.timedelta(hours=h, minutes=i)))
+                rows_b.append((et, d2 + dt.timedelta(hours=h, minutes=i)))
+
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    for name, rows, mtime in (("a", rows_a, 1_000), ("b", rows_b, 2_000)):
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        dest = str(stream_dir / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))  # oldest-first file-source order
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        hourly_counts_stream(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_hourly_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    removed = sum(
+        so["numRowsRemoved"] for p in progresses for so in p["stateOperators"]
+    )
+    final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    n_groups = 3 * 20  # 3 types x (10 day-1 + 10 day-2) hours
+    assert removed > 0, "watermark never evicted any completed hour"
+    assert final_state < n_groups
+
+    got = {
+        (r.event_type, r.h): r.cnt
+        for r in spark.sql("SELECT * FROM t_hourly_evict").collect()
+    }
+    batch = spark.createDataFrame(
+        rows_a + rows_b, "event_type string, ts timestamp"
+    )
+    want = {
+        (r.event_type, r.h): r.cnt
+        for r in batch.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    assert got == want

@@ -574,10 +574,16 @@ def pq_encode(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    first = base.select(F.size("vec").alias("d")).first()
+    first = base.filter(F.col("vec").isNotNull()).select(F.size("vec").alias("d")).first()
     if first is None:
         raise ValueError("pq_encode: empty input")
     dim = first.d
+    # Malformed-vector contract (ADVICE r9, same posture as
+    # ivf_assignments): null or wrong-cardinality embeddings are
+    # dropped up front — np.stack in the fused fit+encode pass
+    # requires every Arrow-batch row to be a non-null fixed-dim
+    # vector, and one ragged row would otherwise crash the whole fit.
+    base = base.filter(F.col("vec").isNotNull() & (F.size("vec") == dim))
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m

@@ -1760,11 +1760,15 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hourly_event_rollup(df: DataFrame) -> DataFrame:
-    """The (event_type, hour) count rollup — shared by
-    events_burst_detection and the S23 streaming twin
-    (streaming/events.py:hourly_counts_stream), so the twins'
-    'identical expression to the batch query' contract is true by
-    construction, not by transcription."""
+    """The (event_type, hour) count rollup used by
+    events_burst_detection. The S23 streaming twin
+    (streaming/events.py:hourly_counts_stream) computes the same
+    counts but keys on F.window('ts', '1 hour') instead of this
+    date_trunc alias — a derived-expression alias carries no
+    watermark metadata, so sharing this exact expression would
+    silently disable state eviction (ADVICE r9); window.start equals
+    date_trunc('hour', ts) value-for-value and the fold equality is
+    pinned in tests/test_streaming.py."""
     return (
         df.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -275,7 +275,15 @@ def parse_dbf_bytes(path: str, blob: bytes) -> list[dict]:
     base = hdr_size
     for i in range(n_rec):
         rec = blob[base + i * rec_size : base + (i + 1) * rec_size]
-        if len(rec) < rec_size or rec[0] == 0x2A:  # short read / deleted
+        if len(rec) < rec_size:
+            # Truncated file (or a corrupt header over-claiming n_rec,
+            # which is read from untrusted bytes and may claim up to
+            # 2^32 records): no later record can be complete either,
+            # so STOP at the readable prefix — the same posture as
+            # parse_shp_bytes — instead of spinning through billions
+            # of empty slices (ADVICE r9).
+            break
+        if rec[0] == 0x2A:  # deleted-record flag
             continue
         attrs, off = {}, 1
         for name, _ftype, length in fields:

@@ -796,9 +796,19 @@ def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataF
     mode with an event-time watermark (hours are CALENDAR-bounded,
     and unlike the S19/S21/S22 entity-bounded twins the key space
     grows with time — the watermark lets completed hours evict, so
-    state is bounded by types x watermark-horizon hours). The rollup
-    expression is the batch query's own `hourly_event_rollup` —
-    identical by construction, not transcription.
+    state is bounded by types x watermark-horizon hours).
+
+    r10 fix (ADVICE r9): the streaming path must group by
+    ``F.window('ts', '1 hour')``, NOT by the batch rollup's
+    ``date_trunc('hour', ts)`` — an Alias over a derived expression
+    carries no watermark metadata, so StateStoreSave got no eviction
+    predicate and the state grew with every (type, hour) forever,
+    exactly the unbounded mode this twin exists to avoid. The
+    time-window grouping key keeps the watermark attached;
+    ``window.start`` IS ``date_trunc('hour', ts)`` value-for-value,
+    so the drained rows still fold to the batch query row-for-row
+    (tests/test_streaming.py pins both the fold equality and, in a
+    two-batch run, that state rows are actually REMOVED).
 
     The burst rule (calendar-densify the drained counts per type,
     zero-fill, then cnt * n_trail * 10 > 15 * trail over the trailing
@@ -806,8 +816,9 @@ def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataF
     arithmetic over the tiny hourly table — evaluated per micro-batch
     by the alerting consumer; the folded result equals the batch
     query exactly (tests/test_streaming.py)."""
-    from utility_service_areas_spark.plans.analytics_queries import (
-        hourly_event_rollup,
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select("event_type", F.col("window.start").alias("h"), "cnt")
     )
-
-    return hourly_event_rollup(stream.withWatermark("ts", watermark))
