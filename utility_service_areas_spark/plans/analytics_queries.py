@@ -1407,6 +1407,23 @@ _POISSON_CASE_SQL = (
     tags=("analytics",),
 )
 def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bootstrap_ci_plan(spark, sf_dir, hash_seam="md5")
+
+
+def _bootstrap_ci_plan(
+    spark: SparkSession, sf_dir: str, hash_seam: str
+) -> DataFrame:
+    """Shared plan for the two bootstrap-CI variants: IDENTICAL stages
+    and the SAME `_POISSON_THRESHOLDS` integer literals; only the
+    per-(order, replicate) integer hash in [0, 2^60) differs.
+    hash_seam='md5' is the cross-engine-replayable anchor (oracled);
+    hash_seam='xxhash64' is the production seam — the r9 A/B measured
+    md5 at ~13x the CPU of xxhash64 at 9.6M draws, a real cluster-CPU
+    multiplier at 100 TB x 64 replicates (VERDICT r9 'What's wrong'
+    #2). Threshold sharing is by construction, and the twin pin
+    (tests/test_r10_operators.py) asserts both variants agree on the
+    point sum and produce CIs within the bootstrap's own sampling
+    error of each other."""
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
@@ -1415,19 +1432,28 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPLICATES - 1))).alias("r"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.col("o_orderkey").cast("string"), F.col("r").cast("string")
-                )
+    if hash_seam == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
             ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+            16,
+            10,
+        ).cast("long")
+    elif hash_seam == "xxhash64":
+        # low 60 bits of the uniform 64-bit hash — uniform on
+        # [0, 2^60), the same range the thresholds are scaled to
+        h = F.xxhash64("o_orderkey", "r").bitwiseAND(F.lit((1 << 60) - 1))
+    else:
+        raise ValueError(f"unknown hash_seam {hash_seam!r}")
     hashed = reps.select("r", "cents", h.alias("h"))
     weight = F.lit(len(_POISSON_THRESHOLDS))
     for k, t in reversed(list(enumerate(_POISSON_THRESHOLDS))):
@@ -1453,6 +1479,30 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi_cents",
         F.lit(_BOOT_REPLICATES).alias("n_replicates"),
     )
+
+
+@query(
+    "revenue_bootstrap_ci_fast",
+    oracle=None,  # xxhash64 is Spark-native — no DuckDB replay exists;
+    # the md5 twin above is the cross-engine-verified anchor and the
+    # twin pin (tests/test_r10_operators.py) holds this variant to it
+    doc="Production seam of revenue_bootstrap_ci: the SAME one-pass "
+    "Poisson-bootstrap plan and the SAME precomputed integer "
+    "thresholds (shared helper — sharing is by construction), with "
+    "the per-(order, replicate) draw taken from "
+    "xxhash64(o_orderkey, r) & (2^60 - 1) instead of the md5 hex "
+    "seam. Measured ~13x cheaper at 9.6M draws (BENCH_TREND r9 A/B: "
+    "0.6-0.7 s vs 7.8-10.8 s warm noop) — at 100 TB x 64 replicates "
+    "the md5 seam is a real cluster-CPU multiplier, so verification "
+    "cost is now opt-in rather than the default production shape. "
+    "Still fully deterministic under any partitioning (the hash is a "
+    "pure row function), but NOT replayable in DuckDB, hence "
+    "rows-only by design; correctness is pinned by the md5-twin "
+    "agreement test, not by a SQL oracle.",
+    tags=("analytics",),
+)
+def revenue_bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bootstrap_ci_plan(spark, sf_dir, hash_seam="xxhash64")
 
 
 @query(
