@@ -94,6 +94,11 @@ def main() -> None:
                 "queries": timings,
                 "extended_noop": extended,
                 "sf": float(sf),
+                # 1/5/15-min load averages at measurement end: lets a
+                # reader tell an idle-band artifact from a load-inflated
+                # one (r9's committed number was ~10% load-inflated and
+                # only BENCH_TREND prose recorded why).
+                "la": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -225,6 +225,8 @@ EXPECTED_KEYS = {
     "dataset_snapshot_diff",
     "minhash_estimator_quality",
     "curation_funnel_by_source",
+    # r10 additions
+    "revenue_bootstrap_ci_fast",
 }
 
 
@@ -239,6 +241,43 @@ def test_registry_key_set_pinned():
         f"new queries {sorted(extra)} — add them to EXPECTED_KEYS so the "
         "pin stays exact"
     )
+
+
+def test_survey_section2_matches_registry():
+    """Mechanical SURVEY.md §2 ↔ registry check (VERDICT r10 task #4):
+    every §2 row's key must be registered, every registered key must
+    have a §2 row, and the row's oracle cell must agree with whether
+    the key actually carries a SQL oracle — so neither the table nor
+    the oracle annotations can go stale again."""
+    import os
+    import re
+
+    from utility_service_areas_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    survey = os.path.join(os.path.dirname(os.path.dirname(__file__)), "SURVEY.md")
+    with open(survey, encoding="utf-8") as f:
+        text = f.read()
+    rows = re.findall(r"^\| \d+ \| `([a-z0-9_]+)` \|.*\| ([^|]+)\|$", text, re.M)
+    survey_keys = {k for k, _ in rows}
+    assert len(rows) == len(survey_keys), "duplicate §2 rows"
+    reg_keys = set(REGISTRY)
+    assert survey_keys == reg_keys, (
+        f"SURVEY §2 drift: missing rows {sorted(reg_keys - survey_keys)}, "
+        f"orphan rows {sorted(survey_keys - reg_keys)}"
+    )
+    stale = {}
+    for key, cell in rows:
+        cell = cell.strip()
+        has_oracle = REGISTRY[key].oracle is not None
+        if has_oracle and not cell.startswith("sql"):
+            stale[key] = f"has SQL oracle but cell says {cell!r}"
+        if not has_oracle and not cell.startswith("rows"):
+            stale[key] = f"rows-only but cell says {cell!r}"
+    assert not stale, f"stale SURVEY oracle cells: {stale}"
 
 
 def test_load_all_raises_on_broken_module(monkeypatch):
@@ -321,9 +360,7 @@ def test_driver_priority_prefix_invariants():
     assert len(set(_DRIVER_PRIORITY)) == 50
     unknown = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
     assert not unknown, unknown
-    sketches = {
-        "approx_distinct_users",
-        "tdigest_value_quantiles",
-        "heavy_hitter_tokens",
-    }
-    assert not sketches & set(_DRIVER_PRIORITY)
+    oracle_less = {n for n, spec in REGISTRY.items() if spec.oracle is None}
+    assert not oracle_less & set(_DRIVER_PRIORITY), (
+        "oracle-less keys can only burn a driver slot"
+    )

@@ -75,103 +75,76 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-9 rotation (VERDICT r8 tasks 2, 3): exactly 50 names =
-    # the driver's per-round attestation budget. No red rows in r8.
-    # The three oracle-less rows-only sketches (approx_distinct_users,
-    # tdigest_value_quantiles, heavy_hitter_tokens) are EXCLUDED —
-    # they can only return err:no_oracle and would burn a slot
-    # (VERDICT r8 "What's wrong" #2).
-    # 1) keys whose plan was edited this round (stage-4 two-phase
-    #    salted quota; 1-NN map-only retrofit; oracle hashes unchanged
-    #    at 3 SFs) (3)
-    "curation_funnel_report",
-    "curation_funnel_by_source",
-    "geo_nearest_area",
-    # 2) new r9 keys — first-ever attestation (filled as they land;
-    #    each displaces the tail r6 key so the budget stays 50)
-    "geo_shapefile_roundtrip",
-    "dedup_cluster_density",
-    "cms_token_counts",
-    "docs_shard_manifest",
-    "ann_pq_topk",
-    "embedding_matryoshka_recall",
-    "ann_ivfpq_topk",
-    "tokenizer_vocab_coverage",
-    "ann_ivfpq_residual_topk",
-    "docs_cdc_chunks",
-    "dedup_cdc_clusters",
-    "geo_shapefile_pip",
-    "embedding_pca_project",
-    "embedding_pca_map",
-    "histogram_value_quantiles",
-    "event_robust_outliers",
-    "orders_daily_gapfill",
-    "event_audience_overlap",
-    "revenue_bootstrap_ci",
-    "orders_pareto_front",
-    "events_asof_tolerance",
-    "kmeans_cluster_quality",
-    "geo_knn_areas",
-    "orders_daily_ewma",
-    "data_quality_audit",
-    "source_length_drift",
-    "simhash_hamming_histogram",
-    "revenue_benford_audit",
-    "part_abc_classification",
-    "token_collocations",
-    "events_burst_detection",
-    # (r9 new keys past the 50-slot budget — first attestation
-    #  deferred to r10: nation_supplier_hhi,
-    #  signup_to_purchase_latency, customer_k_anonymity,
-    #  user_daily_journey_match, customers_all_quarters_1996,
-    #  customer_order_streaks, ann_ivf_probe_recall,
-    #  hll_audience_overlap, dedup_threshold_sweep,
-    #  seq_len_packing_sweep, ann_lsh_plane_sweep,
-    #  orders_winsorized_stats)
-    # 3) the 16 keys whose newest driver row is r5 — the whole stale
-    #    tail drains this round (16)
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "doc_fingerprint",
-    "geo_area_rank",
-    "geo_bbox_centroid",
-    "geo_combine_multipolygon",
-    "geo_dissolve_true_union",
-    "geo_make_valid",
-    "geo_morton_order",
-    "geo_plss_cells",
-    "geo_simplify",
-    "geo_union_grid_area",
-    "geo_union_overlap_area",
-    "geo_viewport_query",
-    # 4) r6-stale keys: 0 fit this round — ALL deferred to r10
-    #    (in SURVEY order: text_tfidf_top_term,
-    #    orders_with_late_items,
-    #    customer_order_distribution,
-    #    dormant_high_balance_customers,
-    #    order_status_priority_cube,
-    #    supplier_ship_gap_stats,
-    #    customer_retention_setops,
-    #    embedding_kmeans_assign,
-    #    small_lot_revenue_by_brand,
-    #    geo_pip_grid_cells,
-    #    geo_overlap_grid_cells,
-    #    docs_repetition_signals, domain_quota_sample,
-    #    dedup_exact_substring, event_anomaly_zscore,
-    #    customer_rfm_segments, embedding_pair_histogram,
-    #    dedup_keep_best, hll_registers_users, user_session_stats,
-    #    order_backlog_timeseries, geo_grid_density,
-    #    lang_id_confusion, events_value_quartiles,
-    #    supplier_count_by_part_type, nation_trade_volume,
-    #    customers_above_avg_spend, max_size_parts_per_brand,
-    #    text_clean, ann_ivf_topk, text_top_tokens,
-    #    stratified_sample, events_json_extract, events_sessionize,
-    #    events_latest_per_user, events_tumbling_agg, text_token_count,
-    #    text_quality_score, text_lang_id, ann_lsh_topk,
-    #    ann_cosine_topk, dedup_embedding_cosine, dedup_ngram_jaccard,
-    #    geo_overlap_pairs, geo_point_in_polygon)
+    # Round-11 rotation (VERDICT r10 task #2 — r10 skipped the
+    # rotation entirely, re-attesting r9's byte-identical key set):
+    # exactly 50 names = the driver's per-round attestation budget.
+    # No red rows in r10. The three oracle-less rows-only sketches
+    # AND the oracle-less xxhash64 twin (revenue_bootstrap_ci_fast,
+    # rows-only by design, twin-pinned in tests/test_r10_operators.py)
+    # are excluded — they'd burn a slot on err:no_oracle/rows-only.
+    # 1) the 12 r9-overflow keys that have NEVER seen a driver row
+    #    (deferred r9→r10→now; judge-verified hash-green at sf0.01
+    #    in the r10 review, but a driver row is the real attestation)
+    "nation_supplier_hhi",
+    "signup_to_purchase_latency",
+    "customer_k_anonymity",
+    "user_daily_journey_match",
+    "customers_all_quarters_1996",
+    "customer_order_streaks",
+    "ann_ivf_probe_recall",
+    "hll_audience_overlap",
+    "dedup_threshold_sweep",
+    "seq_len_packing_sweep",
+    "ann_lsh_plane_sweep",
+    "orders_winsorized_stats",
+    # 2) new r11 keys — first-ever attestation (each displaces the
+    #    tail stale key below so the budget stays exactly 50)
+    # 3) 38 of the 48 keys whose newest driver row is r6, heaviest
+    #    dedup/geo kernels first (their plans changed most since r6)
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "geo_point_in_polygon",
+    "geo_overlap_pairs",
+    "dedup_keep_best",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_kmeans_assign",
+    "geo_pip_grid_cells",
+    "geo_overlap_grid_cells",
+    "geo_grid_density",
+    "multimodal_features",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_clean",
+    "text_top_tokens",
+    "stratified_sample",
+    "text_tfidf_top_term",
+    "lang_id_confusion",
+    "docs_repetition_signals",
+    "domain_quota_sample",
+    "dedup_exact_substring",
+    "event_anomaly_zscore",
+    "customer_rfm_segments",
+    "embedding_pair_histogram",
+    "hll_registers_users",
+    "user_session_stats",
+    "order_backlog_timeseries",
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_latest_per_user",
+    "events_json_extract",
+    "events_value_quartiles",
+    "supplier_count_by_part_type",
+    "nation_trade_volume",
+    "customers_above_avg_spend",
+    # r6-stale keys that don't fit the 50 budget this round (next
+    # rotation's head): max_size_parts_per_brand,
+    # orders_with_late_items, customer_order_distribution,
+    # dormant_high_balance_customers, order_status_priority_cube,
+    # supplier_ship_gap_stats, customer_retention_setops,
+    # small_lot_revenue_by_brand
 )
 
 _PLAN_MODULES = (
