@@ -63,3 +63,102 @@ def test_bootstrap_ci_fast_is_deterministic(spark):
         .collect()[0]
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (r11): validated against a brute-force Python
+# reference on adversarial inputs — l==r symbol runs ("aaaa"), pair
+# count ties (tiebreak is count DESC, left ASC, right ASC), and words
+# collapsing to a single symbol — none of which the fixed substrate
+# reliably produces. Pattern per tests/test_r9_properties.py: write a
+# tiny documents parquet into tmp_path and call the REGISTERED query.
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _brute_bpe(texts, n_merges, vocab_n):
+    import re
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in re.findall("[a-z]+", t.lower()))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_n]
+    vocab = [(list(w), f) for w, f in top]
+    merges = []
+    for rnd in range(n_merges):
+        counts = Counter()
+        for syms, f in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd + 1, l, r, l + r, c))
+        nxt = []
+        for syms, f in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, f))
+        vocab = nxt
+    return merges
+
+
+def _run_bpe(spark, tmpdir, texts):
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.plans.text_queries import (
+        _BPE_MERGES,
+        _BPE_VOCAB_N,
+    )
+
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "documents.parquet")
+    )
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
+        for r in all_queries()["tokenizer_bpe_merges"](spark, tmpdir)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    want = _brute_bpe(texts, _BPE_MERGES, _BPE_VOCAB_N)
+    assert got == want
+
+
+def test_bpe_fixed_adversarial_cases(spark, tmp_path_factory):
+    cases = [
+        # l==r runs: greedy non-overlap must pair even offsets only
+        ["aaaa aaa aa a", "aaaaa"],
+        # classic repeated-bigram word + tie-heavy tiny alphabet
+        ["banana bananas ban", "abab baba abba"],
+        # every word collapses to one symbol before rounds run out
+        ["ab ab ab", "cd cd"],
+    ]
+    for i, texts in enumerate(cases):
+        _run_bpe(spark, str(tmp_path_factory.mktemp(f"bpe{i}")), texts)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_matches_brute_reference(spark, tmp_path_factory, texts):
+    _run_bpe(spark, str(tmp_path_factory.mktemp("bpeh")), texts)

@@ -227,6 +227,8 @@ EXPECTED_KEYS = {
     "curation_funnel_by_source",
     # r10 additions
     "revenue_bootstrap_ci_fast",
+    # r11 additions
+    "tokenizer_bpe_merges",
 }
 
 
