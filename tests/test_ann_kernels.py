@@ -348,3 +348,23 @@ def test_pq_encode_drops_malformed_vectors(spark):
     want = {r.id for r in codes_clean.collect()}
     assert got == want  # junk ids dropped, clean ids all encoded
     assert not {100_001, 100_002, 100_003} & got
+
+    # ADVICE r10: a malformed FIRST row must not define the corpus
+    # dim (first-row inference would drop the whole clean corpus, or
+    # raise on dim % m). Dim is the MODAL size, so junk-first input
+    # yields the same codebooks and ids as the clean corpus.
+    codes_jf, books_jf = pq_encode(
+        junk.unionByName(base).coalesce(1), "vec_id", "embedding",
+        m=4, k=8, n_iter=1,
+    )
+    assert books_jf == books_clean
+    assert {r.id for r in codes_jf.collect()} == want
+
+    # expected_dim seam: callers that know the schema skip the modal
+    # probe and get identical results.
+    codes_ed, books_ed = pq_encode(
+        base.unionByName(junk), "vec_id", "embedding",
+        m=4, k=8, n_iter=1, expected_dim=dim,
+    )
+    assert books_ed == books_clean
+    assert {r.id for r in codes_ed.collect()} == want

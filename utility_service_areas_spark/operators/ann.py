@@ -544,6 +544,7 @@ def pq_encode(
     m: int = 4,
     k: int = 16,
     n_iter: int = 2,
+    expected_dim: int | None = None,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Product quantization (Jégou et al., "Product Quantization for
     Nearest Neighbor Search"): split each vector into ``m`` contiguous
@@ -574,10 +575,27 @@ def pq_encode(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    first = base.filter(F.col("vec").isNotNull()).select(F.size("vec").alias("d")).first()
-    if first is None:
-        raise ValueError("pq_encode: empty input")
-    dim = first.d
+    if expected_dim is not None:
+        dim = expected_dim
+        if base.filter(F.col("vec").isNotNull()).first() is None:
+            raise ValueError("pq_encode: empty input")
+    else:
+        # Corpus dimensionality = the MODAL vector size (count DESC,
+        # size ASC tiebreak), not the first non-null row's — a
+        # malformed FIRST row (ADVICE r10) would otherwise silently
+        # define dim and drop the entire clean corpus, or raise on
+        # dim % m. One extra size-only agg over the pruned vec column;
+        # callers that know the schema pass expected_dim and skip it.
+        mode = (
+            base.filter(F.col("vec").isNotNull())
+            .groupBy(F.size("vec").alias("d"))
+            .count()
+            .orderBy(F.col("count").desc(), F.col("d"))
+            .first()
+        )
+        if mode is None:
+            raise ValueError("pq_encode: empty input")
+        dim = mode.d
     # Malformed-vector contract (ADVICE r9, same posture as
     # ivf_assignments): null or wrong-cardinality embeddings are
     # dropped up front — np.stack in the fused fit+encode pass

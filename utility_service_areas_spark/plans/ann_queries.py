@@ -1062,7 +1062,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     codes, books = pq_encode(
-        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER,
+        expected_dim=_PQ_DIM,
     )
     book_lits = [
         F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
@@ -1336,7 +1337,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     codes, books = pq_encode(
-        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER,
+        expected_dim=_PQ_DIM,
     )
     book_lits = [
         F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
@@ -1525,7 +1527,8 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     codes, books = pq_encode(
-        resid, "neighbor_id", "rvec", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+        resid, "neighbor_id", "rvec", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER,
+        expected_dim=_PQ_DIM,
     )
     book_lits = [
         F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
