@@ -46,7 +46,35 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--out", required=True)
     aud.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
 
+    tun = sub.add_parser(
+        "tuning",
+        help="publish the serving/curation lever tables (dedup "
+        "thresholds, IVF probes, LSH planes, seq-len packing, "
+        "matryoshka dims) + recommended operating points",
+    )
+    tun.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    tun.add_argument("--out", required=True)
+    tun.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "tuning":
+        from utility_service_areas_spark.plans.tuning_report import (
+            write_tuning_report,
+        )
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-cli-tuning")
+        spark.sparkContext.setLogLevel("ERROR")
+        summary = write_tuning_report(spark, args.sf_dir, args.out, args.format)
+        print(
+            f"wrote {args.out}: probe={summary['ivf_probes']['recommended_probe']} "
+            f"planes={summary['lsh_planes']['recommended_planes']} "
+            f"dim={summary['matryoshka_dims']['recommended_dim']} "
+            f"seq_len={summary['seq_len_packing']['recommended_seq_len']} "
+            f"threshold_knee={summary['dedup_thresholds']['knee_threshold_micros']}"
+        )
+        return 0
 
     if args.cmd == "audit":
         from utility_service_areas_spark.plans.audit_report import (
