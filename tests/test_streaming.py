@@ -867,3 +867,40 @@ def test_hourly_counts_stream_evicts_completed_hours(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_bootstrap_sums_stream_folds_to_batch_ci(spark):
+    """S24: the streaming per-replicate Poisson-bootstrap sums,
+    drained and folded with the batch rank arithmetic (integer order
+    statistics at ranks 2/63, tiebreak by replicate id), reproduce
+    BOTH batch CI variants' full output rows; state is fixed at
+    _BOOT_REPLICATES + 1 rows (the replicate index + the r=-1 point
+    sum) regardless of stream volume."""
+    from utility_service_areas_spark.plans.analytics_queries import (
+        _BOOT_REPLICATES,
+    )
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.streaming.events import (
+        bootstrap_sums_stream,
+        read_orders_stream,
+        run_to_memory,
+    )
+
+    for seam, qname in (
+        ("xxhash64", "revenue_bootstrap_ci_fast"),
+        ("md5", "revenue_bootstrap_ci"),
+    ):
+        out = bootstrap_sums_stream(read_orders_stream(spark, SMOKE_SF), seam)
+        run_to_memory(out, f"t_boot_{seam}", "update")
+        drained = {
+            r.r: r.s for r in spark.sql(f"SELECT * FROM t_boot_{seam}").collect()
+        }
+        assert len(drained) == _BOOT_REPLICATES + 1
+        sums = sorted((s, r) for r, s in drained.items() if r >= 0)
+        got = (drained[-1], sums[1][0], sums[_BOOT_REPLICATES - 2][0])
+        want = all_queries()[qname](spark, SMOKE_SF).collect()[0]
+        assert got == (
+            want.point_sum_cents,
+            want.ci_lo_cents,
+            want.ci_hi_cents,
+        ), seam

@@ -1410,6 +1410,45 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bootstrap_ci_plan(spark, sf_dir, hash_seam="md5")
 
 
+def _bootstrap_hash_col(hash_seam: str):
+    """Per-(o_orderkey, r) integer draw uniform on [0, 2^60) — the
+    seam shared by the two batch CI variants AND the S24 streaming
+    twin (streaming/events.py:bootstrap_sums_stream), so \'identical
+    expression\' is true by construction. \'md5\' is the
+    cross-engine-replayable anchor; \'xxhash64\' the production seam
+    (~13x cheaper, no DuckDB replay)."""
+    if hash_seam == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    if hash_seam == "xxhash64":
+        # low 60 bits of the uniform 64-bit hash — uniform on
+        # [0, 2^60), the same range the thresholds are scaled to
+        return F.xxhash64("o_orderkey", "r").bitwiseAND(F.lit((1 << 60) - 1))
+    raise ValueError(f"unknown hash_seam {hash_seam!r}")
+
+
+def _poisson_weight_col(h):
+    """Poisson(1) resampling weight by inverse-CDF over the integer
+    draw against the precomputed _POISSON_THRESHOLDS literals."""
+    weight = F.lit(len(_POISSON_THRESHOLDS))
+    for k, t in reversed(list(enumerate(_POISSON_THRESHOLDS))):
+        weight = F.when(h < t, k).otherwise(weight)
+    return weight
+
+
 def _bootstrap_ci_plan(
     spark: SparkSession, sf_dir: str, hash_seam: str
 ) -> DataFrame:
@@ -1432,32 +1471,8 @@ def _bootstrap_ci_plan(
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPLICATES - 1))).alias("r"),
     )
-    if hash_seam == "md5":
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("r").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-    elif hash_seam == "xxhash64":
-        # low 60 bits of the uniform 64-bit hash — uniform on
-        # [0, 2^60), the same range the thresholds are scaled to
-        h = F.xxhash64("o_orderkey", "r").bitwiseAND(F.lit((1 << 60) - 1))
-    else:
-        raise ValueError(f"unknown hash_seam {hash_seam!r}")
-    hashed = reps.select("r", "cents", h.alias("h"))
-    weight = F.lit(len(_POISSON_THRESHOLDS))
-    for k, t in reversed(list(enumerate(_POISSON_THRESHOLDS))):
-        weight = F.when(F.col("h") < t, k).otherwise(weight)
+    hashed = reps.select("r", "cents", _bootstrap_hash_col(hash_seam).alias("h"))
+    weight = _poisson_weight_col(F.col("h"))
     boot = (
         hashed.select("r", (weight * F.col("cents")).alias("wc"))
         .groupBy("r")

@@ -822,3 +822,65 @@ def hourly_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataF
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select("event_type", F.col("window.start").alias("h"), "cnt")
     )
+
+
+def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the orders table (the fact-ingest side of
+    a streaming metrics pipeline; stand-in for Kafka)."""
+    from utility_service_areas_spark.sources.tables import raw_table_schema
+
+    return (
+        spark.readStream.schema(raw_table_schema(spark, sf_dir, "orders"))
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(os.path.join(sf_dir))
+    )
+
+
+def bootstrap_sums_stream(
+    stream: DataFrame, hash_seam: str = "xxhash64"
+) -> DataFrame:
+    """S24 — streaming twin of the Poisson-bootstrap CI family
+    (plans/analytics_queries.py:revenue_bootstrap_ci / _fast): the
+    replicate sums are MERGEABLE state, because each row's
+    contribution to replicate r is a pure row function
+    (poisson_weight(hash(o_orderkey, r)) * cents) — so per-replicate
+    running sums maintained incrementally in update mode ARE the
+    bootstrap, with no re-resampling and no second pass. State is
+    _BOOT_REPLICATES + 1 rows FOREVER (the S21/S22 entity-bounded
+    posture taken to its limit: the key space is the replicate index,
+    fixed at plan time; no watermark needed). r = -1 carries the
+    unweighted point sum so a single drain feeds both the estimate
+    and its error bars.
+
+    The hash and weight expressions are the batch queries' own
+    `_bootstrap_hash_col` / `_poisson_weight_col` (shared seam —
+    identical by construction); the CI extraction (integer order
+    statistics, ranks 2 and 63 of the 64 replicate sums) is
+    drain-side arithmetic over 64 rows, exactly the batch plan's
+    rank stage (tests/test_streaming.py pins the drained fold equal
+    to BOTH batch variants' full output rows)."""
+    from utility_service_areas_spark.plans.analytics_queries import (
+        _BOOT_REPLICATES,
+        _bootstrap_hash_col,
+        _poisson_weight_col,
+    )
+
+    od = stream.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = od.select(
+        "o_orderkey",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(-1), F.lit(_BOOT_REPLICATES - 1))
+        ).alias("r"),
+    )
+    weight = F.when(F.col("r") < 0, F.lit(1)).otherwise(
+        _poisson_weight_col(_bootstrap_hash_col(hash_seam))
+    )
+    return (
+        reps.select("r", (weight * F.col("cents")).alias("wc"))
+        .groupBy("r")
+        .agg(F.sum("wc").alias("s"))
+    )
