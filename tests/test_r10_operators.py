@@ -113,6 +113,49 @@ def _brute_bpe(texts, n_merges, vocab_n):
     return merges
 
 
+def _brute_bpe_stats(texts, n_merges, vocab_n):
+    """Per-round corpus-cost replay with the same early-stop semantics
+    as the Spark fold: stats for round 0, then one row per COMPLETED
+    merge round."""
+    import re
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in re.findall("[a-z]+", t.lower()))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_n]
+    vocab = [(list(w), f) for w, f in top]
+
+    def stat(rnd):
+        total = sum(f * len(syms) for syms, f in vocab)
+        types = len({s for syms, _ in vocab for s in syms})
+        return (rnd, total, types)
+
+    stats = [stat(0)]
+    for rnd in range(n_merges):
+        counts = Counter()
+        for syms, f in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), _ = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        nxt = []
+        for syms, f in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, f))
+        vocab = nxt
+        stats.append(stat(rnd + 1))
+    return stats
+
+
 def _run_bpe(spark, tmpdir, texts):
     from utility_service_areas_spark.plans.registry import all_queries
     from utility_service_areas_spark.plans.text_queries import (
@@ -133,6 +176,15 @@ def _run_bpe(spark, tmpdir, texts):
     ]
     want = _brute_bpe(texts, _BPE_MERGES, _BPE_VOCAB_N)
     assert got == want
+
+    got_stats = [
+        (r.merge_round, r.total_symbols, r.n_symbol_types)
+        for r in all_queries()["bpe_compression_sweep"](spark, tmpdir)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    want_stats = _brute_bpe_stats(texts, _BPE_MERGES, _BPE_VOCAB_N)
+    assert got_stats == want_stats
 
 
 def test_bpe_fixed_adversarial_cases(spark, tmp_path_factory):

@@ -229,6 +229,7 @@ EXPECTED_KEYS = {
     "revenue_bootstrap_ci_fast",
     # r11 additions
     "tokenizer_bpe_merges",
+    "bpe_compression_sweep",
 }
 
 

@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = (
     # 2) new r11 keys — first-ever attestation (each displaces the
     #    tail stale key below so the budget stays exactly 50)
     "tokenizer_bpe_merges",
+    "bpe_compression_sweep",
     # 3) 38 of the 48 keys whose newest driver row is r6, heaviest
     #    dedup/geo kernels first (their plans changed most since r6)
     "dedup_ngram_jaccard",
@@ -138,9 +139,9 @@ _DRIVER_PRIORITY = (
     "events_json_extract",
     "events_value_quartiles",
     "supplier_count_by_part_type",
-    "nation_trade_volume",
     # r6-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): customers_above_avg_spend,
+    # rotation's head): nation_trade_volume,
+    # customers_above_avg_spend,
     # max_size_parts_per_brand,
     # orders_with_late_items, customer_order_distribution,
     # dormant_high_balance_customers, order_status_priority_cube,

@@ -1499,7 +1499,11 @@ _BPE_MERGES = 6  # trained merge rounds (production: thousands; same loop)
 _BPE_WORD_RE = "[a-z]+"  # alphabetic pre-tokenizer, RE2- and Java-safe
 
 
-def _bpe_cte_sql(n_merges: int = _BPE_MERGES, vocab_n: int = _BPE_VOCAB_N) -> str:
+def _bpe_cte_sql(
+    n_merges: int = _BPE_MERGES,
+    vocab_n: int = _BPE_VOCAB_N,
+    final: str = "merges",
+) -> str:
     """Unrolled DuckDB CTE chain replaying tokenizer_bpe_merges round
     by round. The greedy left-to-right non-overlapping merge is
     expressed with window functions (no lambdas): adjacent-match flags,
@@ -1553,43 +1557,50 @@ def _bpe_cte_sql(n_merges: int = _BPE_MERGES, vocab_n: int = _BPE_VOCAB_N) -> st
             f"        FROM sel{i}) n, b{i} b",
             "  WHERE NOT n.consumed),",
         ]
-    unions = [
-        (
-            f"SELECT CAST({i + 1} AS BIGINT) AS merge_round, l AS left_sym, "
-            f"r AS right_sym, l || r AS merged_sym, c AS pair_count FROM b{i}"
-        )
-        for i in range(n_merges)
-    ]
+    if final == "merges":
+        unions = [
+            (
+                f"SELECT CAST({i + 1} AS BIGINT) AS merge_round, l AS left_sym, "
+                f"r AS right_sym, l || r AS merged_sym, c AS pair_count FROM b{i}"
+            )
+            for i in range(n_merges)
+        ]
+    elif final == "round_stats":
+        # after-round-i corpus cost: s{i} holds one row per (word,
+        # pos), so sum(freq) = sum_w freq_w * |syms_w| and the
+        # distinct sym count is the symbol inventory (chars + i
+        # merged symbols actually in use).
+        unions = [
+            (
+                f"SELECT CAST({i} AS BIGINT) AS merge_round, "
+                f"CAST(sum(freq) AS BIGINT) AS total_symbols, "
+                f"CAST(count(DISTINCT sym) AS BIGINT) AS n_symbol_types "
+                f"FROM s{i}"
+            )
+            for i in range(n_merges + 1)
+        ]
+    else:
+        raise ValueError(f"unknown final {final!r}")
     parts[-1] = parts[-1].rstrip(",")  # close the WITH list
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(unions)
 
 
-@query(
-    "tokenizer_bpe_merges",
-    oracle=_bpe_cte_sql(),
-    doc=f"Byte-pair-encoding merge training (Sennrich et al. 2016; the "
-    "HF-tokenizers trainer shape): collapse the corpus ONCE to a "
-    f"word-frequency table (top {_BPE_VOCAB_N} alphabetic words, "
-    "freq-desc/word-asc deterministic cap), split words into character "
-    f"symbols, then {_BPE_MERGES} rounds of: count adjacent symbol "
-    "pairs weighted by word frequency, pick the argmax pair "
-    "(count DESC, left ASC, right ASC — a total order), and greedily "
-    "merge its non-overlapping occurrences left-to-right in every "
-    "word. Output = the learned merge table (round, pair, merged "
-    "symbol, count) — the artifact a tokenizer ships. Scale shape: "
-    "the ONLY corpus-sized work is the word-count collapse (one "
-    "partial-agged shuffle); every training round runs on the "
-    "vocab-sized symbol frame (<= vocab_n rows, lineage-cut per round "
-    "because its syms column stacks interpreted fold HOFs — the "
-    "pca_map lesson), and per-round driver state is ONE collected "
-    "best-pair row (the k-means bounded-centroid convention). The "
-    "merge fold and the oracle's window-function islands formulation "
-    "are independent implementations of the same greedy semantics; "
-    "overlapping matches only arise for l==r runs, where both select "
-    "even offsets within each run.",
-    tags=("text", "pipeline"),
-)
-def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _BPE_MERGES,
+    vocab_n: int = _BPE_VOCAB_N,
+    want_stats: bool = False,
+) -> tuple[
+    list[tuple[int, str, str, str, int]], list[tuple[int, int, int]]
+]:
+    """Shared BPE trainer behind tokenizer_bpe_merges and
+    bpe_compression_sweep: one corpus-sized word-count collapse, then
+    n_merges rounds of vocab-sized argmax + greedy fold. When
+    want_stats, also collects the per-round corpus cost — ONE extra
+    vocab-sized action per round (sum(freq) over the exploded symbol
+    frame == sum_w freq_w * |syms_w|, plus the distinct-symbol
+    inventory), bounded driver state like the merge rows themselves."""
     from utility_service_areas_spark.operators.dedup import lineage_cut
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1602,7 +1613,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(_BPE_VOCAB_N)
+        .limit(vocab_n)
     )
     vocab = lineage_cut(
         words.select(
@@ -1613,7 +1624,24 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rnd in range(_BPE_MERGES):
+    stats: list[tuple[int, int, int]] = []
+
+    def _stat(rnd: int) -> None:
+        row = (
+            vocab.select("freq", F.explode("syms").alias("sym"))
+            .agg(
+                # coalesce: an empty vocab (corpus with no [a-z]+ words)
+                # sums to NULL; report 0 like the brute reference.
+                F.coalesce(F.sum("freq"), F.lit(0)).alias("total_symbols"),
+                F.countDistinct("sym").alias("n_symbol_types"),
+            )
+            .collect()[0]
+        )
+        stats.append((rnd, int(row.total_symbols), int(row.n_symbol_types)))
+
+    if want_stats:
+        _stat(0)
+    for rnd in range(n_merges):
         best = (
             vocab.filter(F.size("syms") >= 2)
             .select(
@@ -1651,8 +1679,69 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("syms"),
             )
         )
+        if want_stats:
+            _stat(rnd + 1)
+    return merges, stats
+
+
+@query(
+    "tokenizer_bpe_merges",
+    oracle=_bpe_cte_sql(),
+    doc=f"Byte-pair-encoding merge training (Sennrich et al. 2016; the "
+    "HF-tokenizers trainer shape): collapse the corpus ONCE to a "
+    f"word-frequency table (top {_BPE_VOCAB_N} alphabetic words, "
+    "freq-desc/word-asc deterministic cap), split words into character "
+    f"symbols, then {_BPE_MERGES} rounds of: count adjacent symbol "
+    "pairs weighted by word frequency, pick the argmax pair "
+    "(count DESC, left ASC, right ASC — a total order), and greedily "
+    "merge its non-overlapping occurrences left-to-right in every "
+    "word. Output = the learned merge table (round, pair, merged "
+    "symbol, count) — the artifact a tokenizer ships. Scale shape: "
+    "the ONLY corpus-sized work is the word-count collapse (one "
+    "partial-agged shuffle); every training round runs on the "
+    "vocab-sized symbol frame (<= vocab_n rows, lineage-cut per round "
+    "because its syms column stacks interpreted fold HOFs — the "
+    "pca_map lesson), and per-round driver state is ONE collected "
+    "best-pair row (the k-means bounded-centroid convention). The "
+    "merge fold and the oracle's window-function islands formulation "
+    "are independent implementations of the same greedy semantics; "
+    "overlapping matches only arise for l==r runs, where both select "
+    "even offsets within each run.",
+    tags=("text", "pipeline"),
+)
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "merge_round long, left_sym string, right_sym string, "
         "merged_sym string, pair_count long",
+    )
+
+
+@query(
+    "bpe_compression_sweep",
+    oracle=_bpe_cte_sql(final="round_stats"),
+    doc="The BPE lever table (completes the tuning-lever family: dedup "
+    "thresholds #203, IVF probes #201, LSH planes #205, seq lens #204, "
+    "matryoshka dims #169): corpus cost after each merge round 0..N of "
+    "the SAME training run as tokenizer_bpe_merges (shared _bpe_train "
+    "fold, so the two outputs are consistent by construction). "
+    "total_symbols = sum_w freq_w * |syms_w| — the frequency-weighted "
+    "token count the corpus would encode to under the vocab learned so "
+    "far (round 0 = raw character count); n_symbol_types = the symbol "
+    "inventory actually in use. Both are exact integers, so the DuckDB "
+    "replay (same CTE chain as the merge oracle, aggregating each s{i} "
+    "stage instead of each b{i} argmax) is engine-divergence-free. "
+    "Scale shape: identical to #208 — one corpus-sized word-count "
+    "collapse, then every per-round stat is ONE vocab-sized action "
+    "(<= vocab_n exploded rows) with one collected row of driver "
+    "state; the operator a tokenizer-training pipeline uses to pick "
+    "its merge budget (marginal compression per round).",
+    tags=("text", "pipeline"),
+)
+def bpe_compression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, stats = _bpe_train(spark, sf_dir, want_stats=True)
+    return spark.createDataFrame(
+        stats,
+        "merge_round long, total_symbols long, n_symbol_types long",
     )
