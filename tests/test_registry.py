@@ -230,6 +230,8 @@ EXPECTED_KEYS = {
     # r11 additions
     "tokenizer_bpe_merges",
     "bpe_compression_sweep",
+    "kmv_distinct_customers",
+    "kmv_customer_overlap",
 }
 
 

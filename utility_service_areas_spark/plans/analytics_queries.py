@@ -2290,3 +2290,200 @@ def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches (r11): the fourth mergeable-sketch family
+# (HLL #134, t-digest #108, CMS #166, histogram #178) — and the only
+# one whose SET INTERSECTION is native (HLL #202 must go through
+# inclusion-exclusion, whose variance explodes for small overlaps).
+# The sketch state is the k smallest DISTINCT hash values per group;
+# unlike HLL registers it is fully SQL-expressible, so both queries
+# carry real DuckDB value oracles — no rows-only carve-out needed.
+
+_KMV_K = 64  # sketch size: RSE ~ 1/sqrt(k-2) ~ 13%
+_KMV_SALT = 32  # phase-1 fan-out of the salted min-k (domain_quota pattern)
+_KMV_SCALE = 1 << 60  # md5 15-hex-char integer seam domain [0, 2^60)
+# (k-1) * 2^60 as a float literal: 63 needs 6 mantissa bits, so the
+# product is EXACTLY representable; the estimate is then ONE IEEE
+# division + round on both engines (correctly rounded => identical),
+# never a cross-row float sum.
+_KMV_NUM = float((_KMV_K - 1) * _KMV_SCALE)
+
+
+def _kmv_sketch(df: DataFrame, key: str, hash_col: str) -> DataFrame:
+    """(key, hv, rk<=k) k-minimum-values sketch rows. Scale shape: the
+    salted two-phase min-k of domain_quota_sample (#128) — phase 1
+    ranks within (key, hv%SALT) so no single sort ever sees a full
+    group, phase 2 ranks the <= k*SALT survivors per key. hv is
+    DISTINCT before ranking (KMV is a set sketch), which also makes
+    ORDER BY hv a total order — no tiebreak needed."""
+    hv = F.conv(F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    distinct = df.select(F.col(key), hv.alias("hv")).distinct()
+    salted = distinct.withColumn("s", F.pmod(F.col("hv"), F.lit(_KMV_SALT)))
+    w1 = Window.partitionBy(key, "s").orderBy("hv")
+    pre = salted.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= _KMV_K
+    )
+    w2 = Window.partitionBy(key).orderBy("hv")
+    return (
+        pre.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _KMV_K)
+        .select(key, "hv", "rk")
+    )
+
+
+_KMV_HV_SQL = "('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT"
+
+_KMV_SKETCH_SQL = f"""
+    h AS (SELECT DISTINCT o_orderpriority AS prio, {_KMV_HV_SQL} AS hv
+          FROM orders),
+    r AS (SELECT prio, hv,
+                 row_number() OVER (PARTITION BY prio ORDER BY hv) AS rk
+          FROM h),
+    sk AS (SELECT prio, hv, rk FROM r WHERE rk <= {_KMV_K}),
+    st AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_sketch,
+                  CAST(max(hv) AS BIGINT) AS sketch_max
+           FROM sk GROUP BY prio)
+"""
+
+
+@query(
+    "kmv_distinct_customers",
+    oracle=f"""
+    WITH {_KMV_SKETCH_SQL}
+    SELECT prio AS o_orderpriority, n_sketch, sketch_max,
+           CAST(CASE WHEN n_sketch < {_KMV_K} THEN n_sketch
+                ELSE CAST(round({_KMV_NUM!r} / CAST(sketch_max AS DOUBLE))
+                          AS BIGINT) END AS BIGINT) AS kmv_estimate
+    FROM st
+    """,
+    doc=f"K-minimum-values distinct-count sketch (Bar-Yossef et al. "
+    "2002; the Theta-sketch base): per order priority, keep the "
+    f"{_KMV_K} smallest distinct md5-seam hashes of o_custkey; "
+    f"estimate = (k-1)*2^60 / kth_min (exact n when the group has "
+    f"fewer than k distinct values). The sketch is MERGEABLE (min-k "
+    "of a union = min-k over partial min-k sets) and, unlike the HLL "
+    "registers of #134, supports native intersection (#211). Scale "
+    "shape: one distinct shuffle on (prio, hv), then the salted "
+    "two-phase min-k of #128 — phase 1 ranks within (prio, hv mod "
+    f"{_KMV_SALT}) so no sort sees a full group, phase 2 ranks <= "
+    f"k*{_KMV_SALT} survivors; estimate arithmetic is ONE exactly-"
+    "representable float literal divided by the kth hash (IEEE "
+    "division is correctly rounded on both engines), never a "
+    "cross-row float sum.",
+    tags=("analytics", "sketch"),
+)
+def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sk = _kmv_sketch(orders, "o_orderpriority", "o_custkey")
+    st = sk.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("hv").alias("sketch_max"),
+    )
+    est = F.when(F.col("n_sketch") < _KMV_K, F.col("n_sketch")).otherwise(
+        F.round(F.lit(_KMV_NUM) / F.col("sketch_max").cast("double")).cast("long")
+    )
+    return st.select(
+        "o_orderpriority",
+        "n_sketch",
+        "sketch_max",
+        est.cast("long").alias("kmv_estimate"),
+    )
+
+
+@query(
+    "kmv_customer_overlap",
+    oracle=f"""
+    WITH {_KMV_SKETCH_SQL},
+    th AS (SELECT prio, n_sketch,
+                  CASE WHEN n_sketch < {_KMV_K}
+                       THEN {_KMV_SCALE} ELSE sketch_max END AS theta
+           FROM st),
+    pairs AS (SELECT a.prio AS prio_a, b.prio AS prio_b,
+                     least(a.theta, b.theta) AS theta
+              FROM th a, th b WHERE a.prio < b.prio),
+    common AS (SELECT p.prio_a, p.prio_b,
+                      CAST(count(*) AS BIGINT) AS n_common
+               FROM pairs p
+               JOIN sk x ON x.prio = p.prio_a
+               JOIN sk y ON y.prio = p.prio_b AND y.hv = x.hv
+               WHERE x.hv < p.theta
+               GROUP BY 1, 2)
+    SELECT p.prio_a, p.prio_b,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST(p.theta AS BIGINT) AS theta,
+           CAST(round((CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                       * {float(_KMV_SCALE)!r})
+                      / CAST(p.theta AS DOUBLE)) AS BIGINT)
+               AS intersection_estimate
+    FROM pairs p LEFT JOIN common c
+      ON c.prio_a = p.prio_a AND c.prio_b = p.prio_b
+    """,
+    doc="Theta-sketch set intersection over the #210 KMV sketches: for "
+    "every priority pair, theta = min of the two sketch thresholds "
+    "(a non-full sketch holds its WHOLE set, so its theta is the full "
+    "hash domain and the estimate degrades to exact), D = common hash "
+    "values strictly below theta, estimate = D * 2^60 / theta. This "
+    "is the operation HLL fundamentally lacks: #202's inclusion-"
+    "exclusion variance scales with the UNION size, theta-intersection "
+    "variance with the intersection itself (Dasgupta et al. 2016, the "
+    "DataSketches theta model). Scale shape: everything after the "
+    "shared sketch build (lineage-cut — thresholds AND both join "
+    "sides consume it) is arithmetic on <= 5*k sketch rows: a 10-row "
+    "pair frame joins two k-row sides; the float step is one exact "
+    "product and one IEEE division per pair, identical cross-engine.",
+    tags=("analytics", "sketch"),
+)
+def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = lineage_cut(_kmv_sketch(orders, "o_orderpriority", "o_custkey"))
+    th = sk.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("sketch_max")
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.when(F.col("n_sketch") < _KMV_K, F.lit(_KMV_SCALE))
+        .otherwise(F.col("sketch_max"))
+        .alias("theta"),
+    )
+    pairs = (
+        th.alias("a")
+        .join(th.alias("b"), F.col("a.prio") < F.col("b.prio"))
+        .select(
+            F.col("a.prio").alias("prio_a"),
+            F.col("b.prio").alias("prio_b"),
+            F.least(F.col("a.theta"), F.col("b.theta")).alias("theta"),
+        )
+    )
+    common = (
+        pairs.alias("p")
+        .join(
+            sk.select(F.col("o_orderpriority").alias("pa"), F.col("hv")).alias("x"),
+            (F.col("x.pa") == F.col("p.prio_a")) & (F.col("x.hv") < F.col("p.theta")),
+        )
+        .join(
+            sk.select(F.col("o_orderpriority").alias("pb"), F.col("hv").alias("hvb")).alias("y"),
+            (F.col("y.pb") == F.col("p.prio_b")) & (F.col("y.hvb") == F.col("x.hv")),
+        )
+        .groupBy("prio_a", "prio_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    est = F.round(
+        (F.col("n_common").cast("double") * F.lit(float(_KMV_SCALE)))
+        / F.col("theta").cast("double")
+    ).cast("long")
+    return (
+        pairs.join(common, ["prio_a", "prio_b"], "left")
+        .na.fill({"n_common": 0})
+        .select(
+            "prio_a",
+            "prio_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("theta").cast("long").alias("theta"),
+            est.alias("intersection_estimate"),
+        )
+    )
