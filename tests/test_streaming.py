@@ -904,3 +904,93 @@ def test_bootstrap_sums_stream_folds_to_batch_ci(spark):
             want.ci_lo_cents,
             want.ci_hi_cents,
         ), seam
+
+
+def test_kmv_sketch_stream_matches_batch(spark):
+    """S25: one availableNow drain of the streaming KMV fold emits
+    exactly the batch `_kmv_sketch` rows — state equality, the
+    strongest pin (any downstream estimate folds identically)."""
+    from utility_service_areas_spark.plans.analytics_queries import _kmv_sketch
+    from utility_service_areas_spark.sources.tables import load_table
+    from utility_service_areas_spark.streaming.events import (
+        kmv_sketch_stream,
+        read_orders_stream,
+        run_to_memory,
+    )
+
+    out = kmv_sketch_stream(read_orders_stream(spark, SMOKE_SF))
+    run_to_memory(out, "t_kmv", "update")
+    drained = {
+        (r.o_orderpriority, r.rk, r.hv)
+        for r in spark.sql("SELECT * FROM t_kmv").collect()
+    }
+    want = {
+        (r.o_orderpriority, r.rk, r.hv)
+        for r in _kmv_sketch(
+            load_table(spark, SMOKE_SF, "orders"), "o_orderpriority", "o_custkey"
+        ).collect()
+    }
+    assert drained == want
+
+
+def test_kmv_sketch_stream_incremental_fold(spark, tmp_path):
+    """S25 incrementality: two micro-batches (orders split by parity,
+    one file per trigger) must converge to the full-data batch sketch.
+    The i-th smallest of a growing set is monotone nonincreasing, so
+    the element-wise MIN over all update-mode emissions per (key, rk)
+    IS the final state — no batch-id bookkeeping needed."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.plans.analytics_queries import _kmv_sketch
+    from utility_service_areas_spark.sources.tables import load_table
+    from utility_service_areas_spark.streaming.events import kmv_sketch_stream
+
+    orders = load_table(spark, SMOKE_SF, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey"
+    )
+    stream_dir = tmp_path / "orders_stream"
+    stream_dir.mkdir()
+    for name, par, mtime in (("a", 0, 1_000), ("b", 1, 2_000)):
+        out = str(tmp_path / f"stage_{name}")
+        orders.filter(F.col("o_orderkey") % 2 == par).coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        dest = str(stream_dir / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderpriority string, o_custkey bigint, o_orderkey bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        kmv_sketch_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_kmv_inc")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 2, "expected one micro-batch per file"
+
+    folded = {
+        (r.o_orderpriority, r.rk, r.hv)
+        for r in spark.sql(
+            "SELECT o_orderpriority, rk, min(hv) AS hv FROM t_kmv_inc GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r.o_orderpriority, r.rk, r.hv)
+        for r in _kmv_sketch(
+            load_table(spark, SMOKE_SF, "orders"), "o_orderpriority", "o_custkey"
+        ).collect()
+    }
+    assert folded == want

@@ -2311,6 +2311,15 @@ _KMV_SCALE = 1 << 60  # md5 15-hex-char integer seam domain [0, 2^60)
 _KMV_NUM = float((_KMV_K - 1) * _KMV_SCALE)
 
 
+def _kmv_hash_col(col_name: str):
+    """The md5 integer-hash seam over [0, 2^60) — shared with the S25
+    streaming sketch (streaming/events.py:kmv_sketch_stream) so batch
+    and stream hash identically by construction."""
+    return F.conv(
+        F.substring(F.md5(F.col(col_name).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def _kmv_sketch(df: DataFrame, key: str, hash_col: str) -> DataFrame:
     """(key, hv, rk<=k) k-minimum-values sketch rows. Scale shape: the
     salted two-phase min-k of domain_quota_sample (#128) — phase 1
@@ -2318,9 +2327,7 @@ def _kmv_sketch(df: DataFrame, key: str, hash_col: str) -> DataFrame:
     group, phase 2 ranks the <= k*SALT survivors per key. hv is
     DISTINCT before ranking (KMV is a set sketch), which also makes
     ORDER BY hv a total order — no tiebreak needed."""
-    hv = F.conv(F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    hv = _kmv_hash_col(hash_col)
     distinct = df.select(F.col(key), hv.alias("hv")).distinct()
     salted = distinct.withColumn("s", F.pmod(F.col("hv"), F.lit(_KMV_SALT)))
     w1 = Window.partitionBy(key, "s").orderBy("hv")

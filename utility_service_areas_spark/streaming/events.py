@@ -884,3 +884,65 @@ def bootstrap_sums_stream(
         .groupBy("r")
         .agg(F.sum("wc").alias("s"))
     )
+
+
+_KMV_STREAM_STATE = StructType([StructField("hvs", ArrayType(LongType()))])
+_KMV_STREAM_OUT = StructType(
+    [
+        StructField("o_orderpriority", StringType()),
+        StructField("rk", LongType()),
+        StructField("hv", LongType()),
+    ]
+)
+
+
+def _kmv_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from utility_service_areas_spark.plans.analytics_queries import _KMV_K
+
+    kept = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        kept.update(int(h) for h in pdf["hv"])
+    merged = sorted(kept)[:_KMV_K]
+    state.update((merged,))
+    yield pd.DataFrame(
+        {
+            "o_orderpriority": [key[0]] * len(merged),
+            "rk": range(1, len(merged) + 1),
+            "hv": merged,
+        }
+    )
+
+
+def kmv_sketch_stream(stream: DataFrame) -> DataFrame:
+    """S25 — streaming twin of the KMV sketch family
+    (plans/analytics_queries.py:kmv_distinct_customers /
+    kmv_customer_overlap): the k smallest distinct hashes per key are
+    MERGEABLE state (min-k of a union == min-k over partial min-k
+    sets — the pytest-pinned mergeability contract), so a keyed
+    applyInPandasWithState fold that merges each micro-batch's hashes
+    into a sorted k-array IS the sketch, incrementally. State is
+    bounded at k int64s per key FOREVER (the S21/S22 entity-bounded
+    posture: the key space is the 5 order priorities; no watermark
+    needed). Every emission is the key's CURRENT sketch rows —
+    identical, row for row, to the batch `_kmv_sketch` output over
+    the rows seen so far (the hash expression is the batch family's
+    own `_kmv_hash_col`, shared by construction), so ANY downstream
+    estimate — distinct count, theta intersection — folds from the
+    drain with the batch queries' own arithmetic."""
+    from utility_service_areas_spark.plans.analytics_queries import _kmv_hash_col
+
+    return (
+        stream.select(
+            "o_orderpriority", _kmv_hash_col("o_custkey").alias("hv")
+        )
+        .groupBy("o_orderpriority")
+        .applyInPandasWithState(
+            _kmv_state_fn,
+            outputStructType=_KMV_STREAM_OUT,
+            stateStructType=_KMV_STREAM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
