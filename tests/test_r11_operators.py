@@ -143,3 +143,66 @@ def test_kmv_sketch_is_mergeable(spark):
         .collect()
     }
     assert merged == whole
+
+
+def test_autocorr_components_match_numpy(spark, tmp_path):
+    """Semantics pin the mirrored SQL can't give: the integer
+    components, divided offline, must produce the true Pearson
+    autocorrelation of a hand-built series with a known period —
+    including a GAP hour that densification must zero-fill (the r9
+    burst lesson: a row-offset lag would silently skip it)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from utility_service_areas_spark.plans.analytics_queries import _ACF_LAGS
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    # 72 hours of a period-24 pattern; hour 10 left EMPTY (gap).
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    counts = {}
+    for h in range(72):
+        n = 1 + (h % 24) % 5  # periodic, nonconstant
+        if h == 10:
+            n = 0  # the densification gap
+        counts[h] = n
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=7)))
+            eid += 1
+    spark.createDataFrame(rows, "event_id long, ts timestamp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    x = np.array([counts[h] for h in range(72)], dtype=np.float64)
+    got = {
+        r.lag: r
+        for r in all_queries()["events_hourly_autocorr"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == set(_ACF_LAGS)
+    for L in _ACF_LAGS:
+        a, b = x[:-L], x[L:]
+        r = got[L]
+        assert r.n_pairs == len(a)
+        assert r.sum_x == int(a.sum()) and r.sum_y == int(b.sum())
+        assert r.sum_xy == int((a * b).sum())
+        assert r.sum_x2 == int((a * a).sum()) and r.sum_y2 == int((b * b).sum())
+        # offline fold == numpy corrcoef
+        n = r.n_pairs
+        num = n * r.sum_xy - r.sum_x * r.sum_y
+        den = (n * r.sum_x2 - r.sum_x**2) ** 0.5 * (
+            n * r.sum_y2 - r.sum_y**2
+        ) ** 0.5
+        assert abs(num / den - np.corrcoef(a, b)[0, 1]) < 1e-9
+    # the period-24 series must autocorrelate near 1 at lag 24 and the
+    # gap must NOT shift the phase
+    r24 = got[24]
+    n = r24.n_pairs
+    num = n * r24.sum_xy - r24.sum_x * r24.sum_y
+    den = (n * r24.sum_x2 - r24.sum_x**2) ** 0.5 * (
+        n * r24.sum_y2 - r24.sum_y**2
+    ) ** 0.5
+    assert num / den > 0.9

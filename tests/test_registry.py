@@ -232,6 +232,7 @@ EXPECTED_KEYS = {
     "bpe_compression_sweep",
     "kmv_distinct_customers",
     "kmv_customer_overlap",
+    "events_hourly_autocorr",
 }
 
 

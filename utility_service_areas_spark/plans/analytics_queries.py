@@ -2494,3 +2494,93 @@ def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("intersection_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly-count autocorrelation (r11): seasonality diagnostics for the
+# events stream — the statistic a capacity planner reads before
+# trusting the burst detector's trailing-24h baseline (#194).
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+@query(
+    "events_hourly_autocorr",
+    oracle=f"""
+    WITH hc AS (SELECT date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+    cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM b),
+    d AS (SELECT cal.h, coalesce(hc.n, 0) AS n
+          FROM cal LEFT JOIN hc ON cal.h = hc.h),
+    l AS (SELECT n,
+                 {", ".join(f"lead(n, {L}) OVER (ORDER BY h) AS y{L}" for L in _ACF_LAGS)}
+          FROM d)
+    {" UNION ALL ".join(
+        f'''SELECT CAST({L} AS BIGINT) AS lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(n) AS BIGINT) AS sum_x,
+               CAST(sum(y{L}) AS BIGINT) AS sum_y,
+               CAST(sum(n * y{L}) AS BIGINT) AS sum_xy,
+               CAST(sum(n * n) AS BIGINT) AS sum_x2,
+               CAST(sum(y{L} * y{L}) AS BIGINT) AS sum_y2
+        FROM l WHERE y{L} IS NOT NULL''' for L in _ACF_LAGS)}
+    """,
+    doc="Autocorrelation components of the hourly event-count series "
+    f"at lags {_ACF_LAGS} — the seasonality diagnostic read before "
+    "trusting #194's trailing-24h burst baseline (a strong lag-24 "
+    "component says the baseline must be day-of-week aware). The "
+    "series is CALENDAR-DENSIFIED first (quiet hours = 0 rows — the "
+    "r9 burst lesson: row-offset lags over a sparse rollup reach back "
+    "across gaps), then ONE window pass computes every lag tap "
+    "(lead taps over the same ordering fuse into a single Window — "
+    "the EWMA lesson), and per-lag Pearson components (n, sum_x, "
+    "sum_y, sum_xy, sum_x2, sum_y2) are reported as EXACT BIGINTs "
+    "(#121's covariance-components posture: the reader divides, the "
+    "engine never crosses a float). Scale shape: the corpus collapses "
+    "to one calendar-sized frame (hours since epoch — bounded by "
+    "wall-clock, not data volume; ~9k rows/year), so the single-"
+    "partition ordered window is bounded by the calendar too; the "
+    "only corpus-sized work is the partial-agged hourly rollup.",
+    tags=("analytics", "events"),
+)
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    cal = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    dense = cal.join(hourly, "h", "left").na.fill({"n": 0})
+    w = Window.orderBy("h")  # calendar-bounded: rows = hours of span
+    taps = dense.select(
+        "n", *[F.lead("n", L).over(w).alias(f"y{L}") for L in _ACF_LAGS]
+    )
+    pairs = taps.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("long").alias("lag"),
+                        F.col("n").alias("x"),
+                        F.col(f"y{L}").alias("y"),
+                    )
+                    for L in _ACF_LAGS
+                ]
+            )
+        ).alias("p")
+    ).select("p.lag", "p.x", "p.y").filter(F.col("y").isNotNull())
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+    )
