@@ -206,3 +206,33 @@ def test_autocorr_components_match_numpy(spark, tmp_path):
         n * r24.sum_y2 - r24.sum_y**2
     ) ** 0.5
     assert num / den > 0.9
+
+
+def test_zonemap_prune_invariants(spark):
+    """Pruning-rule pins the mirrored SQL can't independently give
+    (both sides could invert the overlap test together): a pruned
+    shard must contain NO matching rows — so scanned rows >= matched
+    rows under EVERY layout; the hash layout must scan everything
+    (content-independent shards span the full value range); the range
+    layout must scan strictly less than hash on at least one selective
+    predicate."""
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, SMOKE_SF, "documents").count()
+    rows = all_queries()["shard_zonemap_prune"](spark, SMOKE_SF).collect()
+    by = {(r.layout, r.pred_id): r for r in rows}
+    assert len(by) == len(rows)
+    layouts = {r.layout for r in rows}
+    assert layouts == {"hash", "range"}
+    for r in rows:
+        assert r.n_docs_scanned >= r.n_docs_matched, r
+        assert r.n_shards_scanned <= r.n_shards, r
+        # both layouts see the same truth
+        assert r.n_docs_matched == by[("hash", r.pred_id)].n_docs_matched
+    for r in rows:
+        if r.layout == "hash":
+            assert r.n_docs_scanned == n_docs, r  # hash never prunes
+    assert any(
+        r.n_docs_scanned < n_docs for r in rows if r.layout == "range"
+    ), "range layout pruned nothing — zone maps are broken"

@@ -233,6 +233,7 @@ EXPECTED_KEYS = {
     "kmv_distinct_customers",
     "kmv_customer_overlap",
     "events_hourly_autocorr",
+    "shard_zonemap_prune",
 }
 
 

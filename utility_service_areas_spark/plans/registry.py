@@ -104,7 +104,8 @@ _DRIVER_PRIORITY = (
     "kmv_distinct_customers",
     "kmv_customer_overlap",
     "events_hourly_autocorr",
-    # 3) 38 of the 48 keys whose newest driver row is r6, heaviest
+    "shard_zonemap_prune",
+    # 3) the r6-stale keys that fit the remaining budget, heaviest
     #    dedup/geo kernels first (their plans changed most since r6)
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -138,9 +139,9 @@ _DRIVER_PRIORITY = (
     "order_backlog_timeseries",
     "events_tumbling_agg",
     "events_sessionize",
-    "events_latest_per_user",
     # r6-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): events_json_extract, events_value_quartiles,
+    # rotation's head): events_latest_per_user,
+    # events_json_extract, events_value_quartiles,
     # supplier_count_by_part_type, nation_trade_volume,
     # customers_above_avg_spend,
     # max_size_parts_per_brand,
