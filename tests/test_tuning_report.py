@@ -16,6 +16,7 @@ _TABLE_TO_QUERY = {
     "lsh_planes": "ann_lsh_plane_sweep",
     "seq_len_packing": "seq_len_packing_sweep",
     "matryoshka_dims": "embedding_matryoshka_recall",
+    "bpe_compression": "bpe_compression_sweep",
 }
 
 
@@ -67,6 +68,14 @@ def test_written_tuning_matches_registered_queries(spark, tmp_path):
             r["seq_len"],
         ),
     )["seq_len"]
+    bpe = manifest["bpe_compression"]["rows"]
+    assert bpe == sorted(bpe, key=lambda r: r["merge_round"])
+    floor = max(bpe[0]["total_symbols"] * 5_000 // 1_000_000, 1)
+    want_pick = 0
+    for prev, cur in zip(bpe, bpe[1:]):
+        if prev["total_symbols"] - cur["total_symbols"] >= floor:
+            want_pick = cur["merge_round"]
+    assert manifest["bpe_compression"]["recommended_merge_rounds"] == want_pick
 
 
 def test_cli_tuning_jsonl(spark, tmp_path, capsys):

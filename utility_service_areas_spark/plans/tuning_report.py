@@ -1,7 +1,7 @@
 """The serving/curation TUNING levers as one PUBLISHED artifact.
 
 Companion to plans/curation_report.py (`funnel`) and
-plans/audit_report.py (`audit`): one CLI invocation writes the five
+plans/audit_report.py (`audit`): one CLI invocation writes the six
 lever tables a data lead reads side-by-side before committing a
 pipeline config —
 
@@ -40,8 +40,13 @@ from pyspark.sql import SparkSession
 #                   (largest threshold whose pair count still grows
 #                   vs the next-larger threshold, i.e. where the
 #                   curve flattens)
+#   bpe_compression the LAST merge round whose marginal
+#                   total_symbols reduction is still >=
+#                   _BPE_MARGINAL_FLOOR_MICROS of the round-0
+#                   corpus cost (diminishing-returns cutoff)
 _RECALL_SLACK_MICROS = 100_000  # within 10pp of best recall
 _MATRYOSHKA_FLOOR_MICROS = 900_000  # >= 90% recall vs full dim
+_BPE_MARGINAL_FLOOR_MICROS = 5_000  # >= 0.5% of round-0 cost per round
 
 
 def write_tuning_report(
@@ -67,6 +72,9 @@ def write_tuning_report(
     from utility_service_areas_spark.plans.pipeline_queries import (
         seq_len_packing_sweep,
     )
+    from utility_service_areas_spark.plans.text_queries import (
+        bpe_compression_sweep,
+    )
 
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"fmt must be parquet or jsonl, got {fmt!r}")
@@ -82,6 +90,7 @@ def write_tuning_report(
         "matryoshka_dims": lineage_cut(
             embedding_matryoshka_recall(spark, sf_dir)
         ),
+        "bpe_compression": lineage_cut(bpe_compression_sweep(spark, sf_dir)),
     }
 
     for name, df in frames.items():
@@ -106,6 +115,9 @@ def write_tuning_report(
     )
     thresholds = sorted(
         frames["dedup_thresholds"].collect(), key=lambda r: r.threshold_micros
+    )
+    bpe_rounds = sorted(
+        frames["bpe_compression"].collect(), key=lambda r: r.merge_round
     )
 
     best_recall = max(r.recall_micros for r in probes)
@@ -136,6 +148,19 @@ def write_tuning_report(
         packing,
         key=lambda r: (r.tokens_truncated + r.tail_waste_tokens, r.seq_len),
     ).seq_len
+
+    # BPE merge budget: marginal compression per round vs the
+    # round-0 corpus cost; stop at the last round still clearing
+    # the floor (reductions are near-monotone, the rule is exact
+    # either way because it takes the MAX qualifying round).
+    bpe_floor = max(
+        bpe_rounds[0].total_symbols * _BPE_MARGINAL_FLOOR_MICROS // 1_000_000,
+        1,
+    )
+    bpe_pick = 0
+    for prev, cur in zip(bpe_rounds, bpe_rounds[1:]):
+        if prev.total_symbols - cur.total_symbols >= bpe_floor:
+            bpe_pick = cur.merge_round
 
     # threshold knee: largest threshold where the pair count still
     # drops vs the previous (smaller) threshold — past it the curve
@@ -198,6 +223,17 @@ def write_tuning_report(
                 for r in thresholds
             ],
             "knee_threshold_micros": knee,
+        },
+        "bpe_compression": {
+            "rows": [
+                {
+                    "merge_round": r.merge_round,
+                    "total_symbols": r.total_symbols,
+                    "n_symbol_types": r.n_symbol_types,
+                }
+                for r in bpe_rounds
+            ],
+            "recommended_merge_rounds": bpe_pick,
         },
     }
     os.makedirs(out_dir, exist_ok=True)
