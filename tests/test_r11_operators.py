@@ -236,3 +236,65 @@ def test_zonemap_prune_invariants(spark):
     assert any(
         r.n_docs_scanned < n_docs for r in rows if r.layout == "range"
     ), "range layout pruned nothing — zone maps are broken"
+
+
+def test_ohlc_matches_brute_python(spark, tmp_path):
+    """Positional-aggregate semantics pin: open/close must be the
+    value at the MIN/MAX o_orderkey within the day — including when
+    the extreme values sit in the middle of the day (inputs a mirrored
+    arg_min/arg_max pair can't distinguish from first/last if both
+    engines inverted the same way)."""
+    import datetime as dt
+
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    d = dt.date(2024, 5, 1)
+    # (orderkey, price): open=7.00 (k=1), close=3.00 (k=9),
+    # high=99.00 / low=0.50 strictly inside the day.
+    rows = [
+        (1, d, 7.00),
+        (3, d, 99.00),
+        (5, d, 0.50),
+        (9, d, 3.00),
+        (2, dt.date(2024, 5, 2), 11.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = {
+        r.day: r
+        for r in all_queries()["orders_daily_ohlc"](spark, str(tmp_path)).collect()
+    }
+    r = got[d]
+    assert (r.open_cents, r.high_cents, r.low_cents, r.close_cents) == (
+        700,
+        9900,
+        50,
+        300,
+    )
+    assert r.n_orders == 4 and r.volume_cents == 700 + 9900 + 50 + 300
+    r2 = got[dt.date(2024, 5, 2)]
+    assert (r2.open_cents, r2.close_cents, r2.n_orders) == (1100, 1100, 1)
+
+
+def test_dataset_split_partitions_corpus(spark):
+    """The three splits must PARTITION the corpus (doc and char totals
+    conserved) and the train share must sit near its 80% design point
+    — a broken bucket boundary or a non-uniform hash shifts it far
+    outside the binomial band."""
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    total = docs.count()
+    rows = all_queries()["dataset_split_assign"](spark, SMOKE_SF).collect()
+    assert {r.split for r in rows} <= {"train", "valid", "test"}
+    assert sum(r.n_docs for r in rows) == total
+    from pyspark.sql import functions as F
+
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r.sum_chars for r in rows) == total_chars
+    train = sum(r.n_docs for r in rows if r.split == "train")
+    assert 0.72 * total <= train <= 0.88 * total  # ~4 sigma at n=500

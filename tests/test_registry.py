@@ -234,6 +234,8 @@ EXPECTED_KEYS = {
     "kmv_customer_overlap",
     "events_hourly_autocorr",
     "shard_zonemap_prune",
+    "orders_daily_ohlc",
+    "dataset_split_assign",
 }
 
 

@@ -2584,3 +2584,52 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
     )
+
+
+@query(
+    "orders_daily_ohlc",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(arg_min(CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderkey) AS BIGINT) AS open_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS high_cents,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS low_cents,
+           CAST(arg_max(CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderkey) AS BIGINT) AS close_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS volume_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="OHLC downsampling of the order-value series per day — the "
+    "hypertable-rollup shape (TimescaleDB continuous aggregates / "
+    "kdb+ bar queries): open/close are the first/last value under a "
+    "TOTAL order (o_orderkey is unique, so arg_min/arg_max are "
+    "deterministic — the window-tiebreak discipline of SURVEY §6 "
+    "applied to positional aggregates), high/low/volume plain "
+    "min/max/sum, everything integer cents at the aggregate boundary. "
+    "Scale shape: ONE partial-aggregated shuffle keyed by day — "
+    "min_by/max_by carry (value, key) pairs through the map-side "
+    "combine, so no window, no sort, no per-day row enumeration; the "
+    "output is calendar-sized. The downsample a 100 TB metrics store "
+    "runs as its first reduction.",
+    tags=("analytics", "events"),
+)
+def orders_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_orderkey").alias("k"),
+        cents.alias("c"),
+    )
+    return base.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min_by("c", "k").cast("long").alias("open_cents"),
+        F.max("c").cast("long").alias("high_cents"),
+        F.min("c").cast("long").alias("low_cents"),
+        F.max_by("c", "k").cast("long").alias("close_cents"),
+        F.sum("c").cast("long").alias("volume_cents"),
+    )

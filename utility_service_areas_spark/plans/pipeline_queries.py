@@ -1041,3 +1041,54 @@ def shard_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_matched",
         )
     )
+
+
+_SPLIT_BOUNDS = (80, 90)  # train < 80 <= valid < 90 <= test, of hv % 100
+
+
+@query(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH a AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+      FROM documents)
+    SELECT CASE WHEN b < {_SPLIT_BOUNDS[0]} THEN 'train'
+                WHEN b < {_SPLIT_BOUNDS[1]} THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM a GROUP BY 1, 2
+    """,
+    doc="Deterministic train/valid/test assignment (80/10/10) by the "
+    "md5 integer-hash seam on doc_id, with the per-(split, lang) "
+    "manifest a training run records before touching the data. "
+    "Hashing the STABLE id — never random(), never row position — is "
+    "the property that matters at 100 TB: the split is reproducible "
+    "across reruns, engines (the DuckDB oracle replays it exactly), "
+    "partitionings, and incremental ingests (a new document never "
+    "moves an old one between splits, unlike modulo-on-row-number "
+    "schemes). Scale shape: assignment is a pure map-side row "
+    "function; the only shuffle is the partial-aggregated manifest "
+    "keyed by (split, lang) — 3 x |langs| rows.",
+    tags=("pipeline", "etl"),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < _SPLIT_BOUNDS[0], "train")
+        .when(b < _SPLIT_BOUNDS[1], "valid")
+        .otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), F.col("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
