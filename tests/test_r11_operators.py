@@ -231,8 +231,10 @@ def test_zonemap_prune_invariants(spark):
         # both layouts see the same truth
         assert r.n_docs_matched == by[("hash", r.pred_id)].n_docs_matched
     for r in rows:
-        if r.layout == "hash":
-            assert r.n_docs_scanned == n_docs, r  # hash never prunes
+        # hash shards span the global value range, so hash can only
+        # prune a predicate DISJOINT from it (which implies 0 matches)
+        if r.layout == "hash" and r.n_docs_matched > 0:
+            assert r.n_docs_scanned == n_docs, r
     assert any(
         r.n_docs_scanned < n_docs for r in rows if r.layout == "range"
     ), "range layout pruned nothing — zone maps are broken"

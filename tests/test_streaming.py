@@ -977,7 +977,7 @@ def test_kmv_sketch_stream_incremental_fold(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream drain timed out"
     batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(batches) >= 2, "expected one micro-batch per file"
 

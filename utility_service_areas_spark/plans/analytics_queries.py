@@ -2312,9 +2312,12 @@ _KMV_NUM = float((_KMV_K - 1) * _KMV_SCALE)
 
 
 def _kmv_hash_col(col_name: str):
-    """The md5 integer-hash seam over [0, 2^60) — shared with the S25
-    streaming sketch (streaming/events.py:kmv_sketch_stream) so batch
-    and stream hash identically by construction."""
+    """The md5 integer-hash seam over [0, 2^60) — the ONE Spark
+    expression mirroring DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT.
+    Shared by the KMV sketches, the S25 streaming sketch
+    (streaming/events.py:kmv_sketch_stream), shard_zonemap_prune and
+    dataset_split_assign, so every consumer hashes identically by
+    construction."""
     return F.conv(
         F.substring(F.md5(F.col(col_name).cast("string")), 1, 15), 16, 10
     ).cast("long")

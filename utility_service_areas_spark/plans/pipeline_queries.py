@@ -971,15 +971,12 @@ _ZM_PRED_SQL = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _ZM_PREDS)
     tags=("pipeline", "etl"),
 )
 def shard_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.plans.analytics_queries import _kmv_hash_col
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     assign = docs.select(
         "n_chars",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-            ).cast("long")
-            % _ZM_HASH_SHARDS
-        ).alias("hash_shard"),
+        (_kmv_hash_col("doc_id") % _ZM_HASH_SHARDS).alias("hash_shard"),
         F.expr(f"n_chars DIV {_ZM_BAND}").alias("range_shard"),
     )
     shards = assign.select(
@@ -1076,13 +1073,10 @@ _SPLIT_BOUNDS = (80, 90)  # train < 80 <= valid < 90 <= test, of hv % 100
     tags=("pipeline", "etl"),
 )
 def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.plans.analytics_queries import _kmv_hash_col
+
     docs = load_table(spark, sf_dir, "documents")
-    b = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % 100
-    )
+    b = _kmv_hash_col("doc_id") % 100
     split = (
         F.when(b < _SPLIT_BOUNDS[0], "train")
         .when(b < _SPLIT_BOUNDS[1], "valid")

@@ -1569,15 +1569,24 @@ def _bpe_cte_sql(
         # after-round-i corpus cost: s{i} holds one row per (word,
         # pos), so sum(freq) = sum_w freq_w * |syms_w| and the
         # distinct sym count is the symbol inventory (chars + i
-        # merged symbols actually in use).
+        # merged symbols actually in use). Early-stop parity with the
+        # Spark fold: when training exhausts pairs before round i,
+        # b{i-1} is empty so s{i} is empty — HAVING drops the arm
+        # exactly where _bpe_train's break stops emitting (arm 0 keeps
+        # the coalesce-0 empty-corpus row the Spark side documents).
         unions = [
+            "SELECT CAST(0 AS BIGINT) AS merge_round, "
+            "CAST(coalesce(sum(freq), 0) AS BIGINT) AS total_symbols, "
+            "CAST(count(DISTINCT sym) AS BIGINT) AS n_symbol_types "
+            "FROM s0"
+        ] + [
             (
                 f"SELECT CAST({i} AS BIGINT) AS merge_round, "
                 f"CAST(sum(freq) AS BIGINT) AS total_symbols, "
                 f"CAST(count(DISTINCT sym) AS BIGINT) AS n_symbol_types "
-                f"FROM s{i}"
+                f"FROM s{i} HAVING count(*) > 0"
             )
-            for i in range(n_merges + 1)
+            for i in range(1, n_merges + 1)
         ]
     else:
         raise ValueError(f"unknown final {final!r}")
