@@ -994,3 +994,123 @@ def test_kmv_sketch_stream_incremental_fold(spark, tmp_path):
         ).collect()
     }
     assert folded == want
+
+
+def test_daily_ohlc_stream_matches_batch(spark):
+    """S26: one availableNow drain of the watermarked daily OHLC
+    rollup equals the batch orders_daily_ohlc row for row — including
+    the positional open/close (min_by/max_by state merges carry the
+    (value, key) pair, so merge order across tasks is immaterial)."""
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.streaming.events import (
+        daily_ohlc_stream,
+        read_orders_stream,
+        run_to_memory,
+    )
+
+    out = daily_ohlc_stream(read_orders_stream(spark, SMOKE_SF))
+    run_to_memory(out, "t_ohlc", "update")
+    drained = {
+        r.day: (
+            r.n_orders,
+            r.open_cents,
+            r.high_cents,
+            r.low_cents,
+            r.close_cents,
+            r.volume_cents,
+        )
+        for r in spark.sql("SELECT * FROM t_ohlc").collect()
+    }
+    want = {
+        r.day: (
+            r.n_orders,
+            r.open_cents,
+            r.high_cents,
+            r.low_cents,
+            r.close_cents,
+            r.volume_cents,
+        )
+        for r in all_queries()["orders_daily_ohlc"](spark, SMOKE_SF).collect()
+    }
+    assert drained == want
+
+
+def test_daily_ohlc_stream_evicts_completed_days(spark, tmp_path):
+    """S26 eviction: the day key space grows with time, so the group
+    key must be F.window (watermark metadata) — two time-ordered files
+    drained one per micro-batch must REMOVE completed day-1 bars from
+    the state store during batch 2 while the drained bars still fold
+    to the batch rollup (element-wise last emission per day == final
+    bar; both batches emit disjoint days here, so plain dict fold)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.streaming.events import daily_ohlc_stream
+
+    rows_a = [
+        (1, dt.date(2024, 3, 1), 10.00),
+        (3, dt.date(2024, 3, 1), 99.00),
+        (5, dt.date(2024, 3, 2), 5.00),
+    ]
+    rows_b = [
+        (7, dt.date(2024, 3, 10), 20.00),
+        (9, dt.date(2024, 3, 11), 1.00),
+    ]
+    stream_dir = tmp_path / "orders_stream"
+    stream_dir.mkdir()
+    all_rows = []
+    for name, rows, mtime in (("a", rows_a, 1_000), ("b", rows_b, 2_000)):
+        all_rows += rows
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        )
+        out = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        dest = str(stream_dir / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderdate date, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        daily_ohlc_stream(stream, watermark="2 days")
+        .writeStream.format("memory")
+        .queryName("t_ohlc_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream drain timed out"
+    removed = sum(
+        op["numRowsRemoved"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert removed > 0, "watermark never evicted completed days"
+
+    drained = {
+        r.day: (r.n_orders, r.open_cents, r.close_cents, r.volume_cents)
+        for r in spark.sql("SELECT * FROM t_ohlc_evict").collect()
+    }
+    # batch twin over the union substrate
+    full = str(tmp_path / "full")
+    os.makedirs(full, exist_ok=True)
+    spark.createDataFrame(
+        all_rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(full, "orders.parquet")
+    )
+    want = {
+        r.day: (r.n_orders, r.open_cents, r.close_cents, r.volume_cents)
+        for r in all_queries()["orders_daily_ohlc"](spark, full).collect()
+    }
+    assert drained == want

@@ -946,3 +946,45 @@ def kmv_sketch_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def daily_ohlc_stream(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """S26 — streaming twin of orders_daily_ohlc
+    (plans/analytics_queries.py): the OHLC bar is pure aggregate state
+    (count/min/max/sum plus min_by/max_by, whose merge carries the
+    (value, key) pair — positional UNDER A TOTAL ORDER, o_orderkey, so
+    incremental merge order is immaterial), maintained per event-time
+    day in update mode WITH a watermark: like S23's hourly rollup —
+    and unlike the entity-bounded S21/S22/S25 twins — the day key
+    space grows with TIME, so the group key must be F.window (carries
+    watermark metadata; a bare date_trunc alias would never evict) and
+    completed days leave the store. State = one 6-number bar per day
+    inside the horizon, forever bounded. Drained bars == the batch
+    query's rows day for day (pytest), eviction pinned via
+    numRowsRemoved > 0 on a two-batch time-ordered drain."""
+    od = stream.select(
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    return (
+        od.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min_by("c", "k").cast("long").alias("open_cents"),
+            F.max("c").cast("long").alias("high_cents"),
+            F.min("c").cast("long").alias("low_cents"),
+            F.max_by("c", "k").cast("long").alias("close_cents"),
+            F.sum("c").cast("long").alias("volume_cents"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "n_orders",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume_cents",
+        )
+    )
