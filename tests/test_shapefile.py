@@ -243,3 +243,59 @@ def test_shapefile_pip_fixture_layout(spark):
     out2 = {r.n_nationkey: r.n_customers for r in geo_shapefile_pip(spark, sf_dir).collect()}
     assert out2 == out1
     assert {p: os.path.getmtime(p) for p in shps + dbfs} == mtimes  # reused
+
+
+def test_python_datasource_matches_composition_reader(spark, tmp_path):
+    """spark.read.format('shapefile') (the Spark 4 Python DataSource
+    connector, sources/pyds.py) must return exactly the rows of the
+    binaryFile+mapInPandas composition (read_shapefile) on the same
+    directory — same kernels, two packagings. Also pins partition
+    planning: one input partition per .shp/.dbf pair."""
+    from utility_service_areas_spark.sources.shapefile import (
+        read_shapefile,
+        write_shapefile,
+    )
+
+    d = str(tmp_path)
+    fields = [("NAME", "C", 16, 0), ("CODE", "N", 4, 0)]
+    write_shapefile(
+        d,
+        "areas_a",
+        [
+            (
+                5,
+                [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 0.0]]],
+                {"NAME": "alpha", "CODE": 1},
+            ),
+            (
+                5,
+                [[[5.0, 5.0], [9.0, 5.0], [9.0, 9.0], [5.0, 5.0]]],
+                {"NAME": "beta", "CODE": 2},
+            ),
+        ],
+        fields,
+    )
+    write_shapefile(
+        d,
+        "areas_b",
+        [(1, [[[3.5, 4.5]]], {"NAME": "gamma", "CODE": 3})],
+        fields,
+    )
+
+    ds = spark.read.format("shapefile").load(d)
+    got = {
+        (r.base.split("/")[-1], r.recno, r.shape_type, str(r.geometry), str(dict(r.attrs)))
+        for r in ds.collect()
+    }
+    want = {
+        (
+            r.base.split("/")[-1].replace("file:", ""),
+            r.recno,
+            r.shape_type,
+            str(r.geometry),
+            str(dict(r.attrs)),
+        )
+        for r in read_shapefile(spark, d).collect()
+    }
+    assert got == want and len(got) == 3
+    assert ds.rdd.getNumPartitions() == 2  # one per shapefile pair

@@ -43,4 +43,14 @@ def build_session(app_name: str = "usa-spark", master: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _register_python_datasources(spark)
+    return spark
+
+
+def _register_python_datasources(spark: SparkSession) -> None:
+    """Engine-register the repo's Spark 4 Python DataSource connectors
+    (idempotent — re-registering overwrites with the same class)."""
+    from utility_service_areas_spark.sources.pyds import ShapefileDataSource
+
+    spark.dataSource.register(ShapefileDataSource)
