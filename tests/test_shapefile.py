@@ -299,3 +299,61 @@ def test_python_datasource_matches_composition_reader(spark, tmp_path):
     }
     assert got == want and len(got) == 3
     assert ds.rdd.getNumPartitions() == 2  # one per shapefile pair
+
+
+def test_python_datasource_stream_is_incremental(spark, tmp_path):
+    """S28: readStream.format('shapefile') — the streaming half of the
+    Python DataSource connector. Two drains against ONE checkpoint:
+    the first sees both initial files, the second (after a third file
+    drops) processes ONLY the new pair — the positional offset into
+    the sorted base listing is the incremental contract."""
+    from utility_service_areas_spark.sources.shapefile import write_shapefile
+
+    data_dir = tmp_path / "shp"
+    data_dir.mkdir()
+    fields = [("NAME", "C", 16, 0)]
+
+    def drop(base, name, x):
+        write_shapefile(
+            str(data_dir),
+            base,
+            [(1, [[[x, x]]], {"NAME": name})],
+            fields,
+        )
+
+    drop("a_first", "alpha", 1.0)
+    drop("b_second", "beta", 2.0)
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("shapefile")
+            .load(str(data_dir))
+            .select("base", "attrs")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream drain timed out"
+        return sorted(
+            (r.base.rsplit("/", 1)[-1], r.attrs["NAME"])
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    first = drain()
+    assert first == [("a_first", "alpha"), ("b_second", "beta")]
+
+    drop("c_third", "gamma", 3.0)  # append-only, lexicographically after
+    second = drain()
+    # exactly-once across restarts: the old pairs are NOT re-emitted,
+    # only the newly dropped pair lands in the sink
+    assert second == [
+        ("a_first", "alpha"),
+        ("b_second", "beta"),
+        ("c_third", "gamma"),
+    ], "second drain must process ONLY the newly dropped pair"

@@ -29,7 +29,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from utility_service_areas_spark.sources.shapefile import (
@@ -80,29 +85,77 @@ class ShapefileReader(DataSourceReader):
         # Executor-side: parse the pair with the SAME kernels as the
         # mapInPandas composition, join geometry⋈attrs locally on
         # recno (no shuffle — the pair is one task by construction).
-        base = partition.base
-        with open(base + ".shp", "rb") as f:
-            geo = parse_shp_bytes(base + ".shp", f.read())
-        attrs_by_recno: dict[int, dict] = {}
-        dbf = base + ".dbf"
-        if os.path.exists(dbf):
-            with open(dbf, "rb") as f:
-                for rec in parse_dbf_bytes(dbf, f.read()):
-                    attrs_by_recno[rec["recno"]] = rec["attrs"]
-        for rec in geo:
-            yield (
-                base,
-                rec["recno"],
-                rec["shape_type"],
-                rec["geometry"],
-                attrs_by_recno.get(rec["recno"]),
-            )
+        yield from _read_pair(partition.base)
+
+
+def _read_pair(base: str):
+    """Executor-side parse of one .shp/.dbf pair — shared by the batch
+    and streaming readers (one task per pair, local geometry⋈attrs)."""
+    with open(base + ".shp", "rb") as f:
+        geo = parse_shp_bytes(base + ".shp", f.read())
+    attrs_by_recno: dict[int, dict] = {}
+    dbf = base + ".dbf"
+    if os.path.exists(dbf):
+        with open(dbf, "rb") as f:
+            for rec in parse_dbf_bytes(dbf, f.read()):
+                attrs_by_recno[rec["recno"]] = rec["attrs"]
+    for rec in geo:
+        yield (
+            base,
+            rec["recno"],
+            rec["shape_type"],
+            rec["geometry"],
+            attrs_by_recno.get(rec["recno"]),
+        )
+
+
+class ShapefileStreamReader(DataSourceStreamReader):
+    """Incremental shapefile-directory ingest: each micro-batch picks
+    up shapefile pairs not seen before. The offset is an index into
+    the LEXICOGRAPHICALLY SORTED base listing — correct under the
+    append-only, monotone-naming discipline every file-drop ingest
+    contract assumes (a WebDataset shard drop, a nightly GIS export);
+    files renamed or inserted out of order are a contract violation,
+    same as Spark's own file source with latestFirst. Parsing stays
+    executor-side: one InputPartition per NEW pair, exactly the batch
+    reader's granularity."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("shapefile source requires a path: .load(dir)")
+        self._path = path
+
+    def _bases(self) -> list[str]:
+        return sorted(
+            os.path.join(self._path, f[:-4])
+            for f in os.listdir(self._path)
+            if f.endswith(".shp")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._bases())}
+
+    def partitions(self, start: dict, end: dict):
+        new = self._bases()[start["idx"] : end["idx"]]
+        return [ShapefilePartition(b) for b in new]
+
+    def read(self, partition: ShapefilePartition):
+        yield from _read_pair(partition.base)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positional; nothing to clean up
 
 
 class ShapefileDataSource(DataSource):
     """`spark.dataSource.register(ShapefileDataSource)` once per
     session (session.py does it), then
-    `spark.read.format("shapefile").load(dir)`."""
+    `spark.read.format("shapefile").load(dir)` — or
+    `spark.readStream.format("shapefile").load(dir)` for the
+    incremental file-drop ingest."""
 
     @classmethod
     def name(cls) -> str:
@@ -113,3 +166,6 @@ class ShapefileDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ShapefileReader:
         return ShapefileReader(self.options)
+
+    def streamReader(self, schema: StructType) -> ShapefileStreamReader:
+        return ShapefileStreamReader(self.options)
