@@ -283,22 +283,37 @@ def test_python_datasource_matches_composition_reader(spark, tmp_path):
     )
 
     ds = spark.read.format("shapefile").load(d)
-    got = {
-        (r.base.split("/")[-1], r.recno, r.shape_type, str(r.geometry), str(dict(r.attrs)))
-        for r in ds.collect()
-    }
-    want = {
-        (
-            r.base.split("/")[-1].replace("file:", ""),
-            r.recno,
-            r.shape_type,
-            str(r.geometry),
-            str(dict(r.attrs)),
-        )
-        for r in read_shapefile(spark, d).collect()
-    }
+    # FULL-ROW parity including base: the connector normalizes base to
+    # binaryFile's file:/abs/path form, so no column needs stripping.
+    key = lambda r: (  # noqa: E731
+        r.base,
+        r.recno,
+        r.shape_type,
+        str(r.geometry),
+        str(dict(r.attrs)),
+    )
+    got = {key(r) for r in ds.collect()}
+    want = {key(r) for r in read_shapefile(spark, d).collect()}
     assert got == want and len(got) == 3
     assert ds.rdd.getNumPartitions() == 2  # one per shapefile pair
+
+
+def test_python_datasource_empty_dir_and_fixed_schema(spark, tmp_path):
+    """Behavioral parity with the composition reader: an empty (or
+    not-yet-created) directory is an EMPTY frame, never an error; and
+    a user-supplied schema is rejected loudly — read() yields tuples
+    positionally, so honoring a reordered schema would silently
+    mislabel columns."""
+    import pytest
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert spark.read.format("shapefile").load(str(empty)).count() == 0
+
+    with pytest.raises(Exception, match="fixed schema"):
+        spark.read.format("shapefile").schema(
+            "recno bigint, base string"
+        ).load(str(empty)).collect()
 
 
 def test_python_datasource_stream_is_incremental(spark, tmp_path):

@@ -11,13 +11,24 @@ while this stays in-engine):
 
 - **file-level partition planning**: `partitions()` returns one
   InputPartition per shapefile BASE (the .shp/.dbf pair), so a
-  directory of a million shapefiles parallelizes by file with the
+  directory of many shapefiles parallelizes by file with the
   geometry⋈attrs join done LOCALLY inside each task — the
   composition's (base, recno) hash join disappears entirely.
 - driver does listing only (a FileIndex's job); bytes are read and
   parsed executor-side.
 - the reader is engine-registered, so `.format("shapefile")` works
   anywhere a format string does.
+
+SCOPE — local/NFS paths only. Listing uses os.listdir on the driver
+and executors open() the planned paths, so the directory must be a
+plain path visible on every node (local mode, or a shared mount). For
+object stores (s3a://, hdfs://) use the composition reader
+`sources/shapefile.py:read_shapefile`, which rides binaryFile's
+Hadoop filesystem layer; this module's value is the connector
+packaging and partition planning, demonstrated where the env can run
+it. The `base` output column is normalized to the same
+`file:/abs/path` form binaryFile produces, so the two readers agree
+row for row (pytest-pinned).
 
 Scale note: one partition per file pair is the right granularity for
 the many-small-files reality of shapefile corpora (the format caps a
@@ -44,6 +55,7 @@ from utility_service_areas_spark.sources.shapefile import (
     parse_shp_bytes,
 )
 
+
 def _ds_schema() -> StructType:
     # (base, recno, shape_type, geometry, attrs) — the composition
     # reader's output shape (sources/shapefile.py:read_shapefile).
@@ -59,38 +71,35 @@ def _ds_schema() -> StructType:
 SHAPEFILE_DS_SCHEMA = _ds_schema()
 
 
-class ShapefilePartition(InputPartition):
-    def __init__(self, base: str):
-        self.base = base  # path without extension; .shp/.dbf appended
+def _path_option(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("shapefile source requires a path: .load(dir)")
+    # Absolutize ON THE DRIVER so executor tasks never depend on cwd.
+    return os.path.abspath(path.removeprefix("file:"))
 
 
-class ShapefileReader(DataSourceReader):
-    def __init__(self, options: dict):
-        path = options.get("path")
-        if not path:
-            raise ValueError("shapefile source requires a path: .load(dir)")
-        self._path = path
-
-    def partitions(self):  # driver-side listing only
-        bases = sorted(
-            os.path.join(self._path, f[:-4])
-            for f in os.listdir(self._path)
-            if f.endswith(".shp")
-        )
-        if not bases:
-            raise FileNotFoundError(f"no .shp files under {self._path!r}")
-        return [ShapefilePartition(b) for b in bases]
-
-    def read(self, partition: ShapefilePartition):
-        # Executor-side: parse the pair with the SAME kernels as the
-        # mapInPandas composition, join geometry⋈attrs locally on
-        # recno (no shuffle — the pair is one task by construction).
-        yield from _read_pair(partition.base)
+def _list_bases(path: str, require_dbf: bool = False) -> list[str]:
+    """Sorted absolute base paths (no extension) of the .shp files
+    under ``path``. Missing directory → empty listing (matching the
+    composition reader / Spark's own file source, which tolerate a
+    not-yet-created drop directory instead of crashing the job).
+    With ``require_dbf`` a base is only visible once its .dbf sibling
+    exists — the streaming visibility gate (see ShapefileStreamReader)."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    bases = [os.path.join(path, f[:-4]) for f in names if f.endswith(".shp")]
+    if require_dbf:
+        bases = [b for b in bases if os.path.exists(b + ".dbf")]
+    return sorted(bases)
 
 
 def _read_pair(base: str):
     """Executor-side parse of one .shp/.dbf pair — shared by the batch
-    and streaming readers (one task per pair, local geometry⋈attrs)."""
+    and streaming readers (one task per pair, local geometry⋈attrs).
+    Emits base as the same file:/abs/path form binaryFile produces."""
     with open(base + ".shp", "rb") as f:
         geo = parse_shp_bytes(base + ".shp", f.read())
     attrs_by_recno: dict[int, dict] = {}
@@ -99,14 +108,35 @@ def _read_pair(base: str):
         with open(dbf, "rb") as f:
             for rec in parse_dbf_bytes(dbf, f.read()):
                 attrs_by_recno[rec["recno"]] = rec["attrs"]
+    uri_base = "file:" + base
     for rec in geo:
         yield (
-            base,
+            uri_base,
             rec["recno"],
             rec["shape_type"],
             rec["geometry"],
             attrs_by_recno.get(rec["recno"]),
         )
+
+
+class ShapefilePartition(InputPartition):
+    def __init__(self, base: str):
+        self.base = base  # absolute path without extension
+
+
+class ShapefileReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = _path_option(options)
+
+    def partitions(self):  # driver-side listing only
+        # Empty directory → zero partitions → empty DataFrame, same
+        # as the binaryFile composition (never an error).
+        return [ShapefilePartition(b) for b in _list_bases(self._path)]
+
+    def read(self, partition: ShapefilePartition):
+        if partition is None:  # Spark's stand-in for an empty plan
+            return
+        yield from _read_pair(partition.base)
 
 
 class ShapefileStreamReader(DataSourceStreamReader):
@@ -116,34 +146,44 @@ class ShapefileStreamReader(DataSourceStreamReader):
     append-only, monotone-naming discipline every file-drop ingest
     contract assumes (a WebDataset shard drop, a nightly GIS export);
     files renamed or inserted out of order are a contract violation,
-    same as Spark's own file source with latestFirst. Parsing stays
-    executor-side: one InputPartition per NEW pair, exactly the batch
-    reader's granularity."""
+    same as Spark's own file source with latestFirst.
+
+    Visibility gate: a base is only COUNTED once both .shp and .dbf
+    exist, so a trigger firing between the two writes cannot commit
+    the pair half-read and lose its attributes forever (the positional
+    offset never revisits). write_shapefile's own order (.shp, .shx,
+    .dbf last) satisfies the gate; producers of attribute-less
+    shapefiles can drop an empty .dbf or use the batch reader. For
+    torn single files, the standard temp-name-then-rename drop
+    discipline applies — same as any file source.
+
+    Parsing stays executor-side: one InputPartition per NEW pair,
+    exactly the batch reader's granularity. The listing observed by
+    latestOffset() is cached and sliced by partitions() — one
+    directory scan per trigger, and planning can never see a
+    different listing than the offset it plans for."""
 
     def __init__(self, options: dict):
-        path = options.get("path")
-        if not path:
-            raise ValueError("shapefile source requires a path: .load(dir)")
-        self._path = path
-
-    def _bases(self) -> list[str]:
-        return sorted(
-            os.path.join(self._path, f[:-4])
-            for f in os.listdir(self._path)
-            if f.endswith(".shp")
-        )
+        self._path = _path_option(options)
+        self._listing: list[str] = []
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
     def latestOffset(self) -> dict:
-        return {"idx": len(self._bases())}
+        self._listing = _list_bases(self._path, require_dbf=True)
+        return {"idx": len(self._listing)}
 
     def partitions(self, start: dict, end: dict):
-        new = self._bases()[start["idx"] : end["idx"]]
+        listing = self._listing
+        if len(listing) < end["idx"]:  # replay after restart: re-list
+            listing = _list_bases(self._path, require_dbf=True)
+        new = listing[start["idx"] : end["idx"]]
         return [ShapefilePartition(b) for b in new]
 
     def read(self, partition: ShapefilePartition):
+        if partition is None:  # empty micro-batch plan
+            return
         yield from _read_pair(partition.base)
 
     def commit(self, end: dict) -> None:
@@ -164,8 +204,20 @@ class ShapefileDataSource(DataSource):
     def schema(self) -> StructType:
         return SHAPEFILE_DS_SCHEMA
 
+    def _check_schema(self, schema: StructType) -> None:
+        # read() yields tuples bound POSITIONALLY: honoring a
+        # user-reordered schema silently would mislabel columns.
+        if schema != SHAPEFILE_DS_SCHEMA:
+            raise ValueError(
+                "shapefile source has a fixed schema "
+                f"{SHAPEFILE_DS_SCHEMA.simpleString()}; drop .schema(...) "
+                "and select()/cast() after the load instead"
+            )
+
     def reader(self, schema: StructType) -> ShapefileReader:
+        self._check_schema(schema)
         return ShapefileReader(self.options)
 
     def streamReader(self, schema: StructType) -> ShapefileStreamReader:
+        self._check_schema(schema)
         return ShapefileStreamReader(self.options)
