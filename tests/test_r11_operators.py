@@ -300,3 +300,69 @@ def test_dataset_split_partitions_corpus(spark):
     assert sum(r.sum_chars for r in rows) == total_chars
     train = sum(r.n_docs for r in rows if r.split == "train")
     assert 0.72 * total <= train <= 0.88 * total  # ~4 sigma at n=500
+
+
+def test_kmv_union_within_bound_and_exact_path(spark, tmp_path):
+    from utility_service_areas_spark.plans.analytics_queries import _KMV_K
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    # error bound on the real substrate
+    truth = _exact_truth(spark, SMOKE_SF)
+    exact_union = len(set().union(*truth.values()))
+    got = all_queries()["kmv_union_distinct"](spark, SMOKE_SF).collect()[0]
+    assert abs(got.kmv_union_estimate - exact_union) <= _REL_TOL * exact_union
+
+    # exact degradation: all group sketches complete -> union exact
+    rows = [("A", c) for c in range(10)] + [("B", c) for c in range(5, 15)]
+    assert len(rows) < _KMV_K
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "orders.parquet")
+    )
+    small = all_queries()["kmv_union_distinct"](spark, str(tmp_path)).collect()[0]
+    assert small.n_sketch == 15 and small.kmv_union_estimate == 15
+
+
+def test_weekly_ohlc_folds_daily_bars(spark, tmp_path):
+    """Bar-algebra pin: the weekly bar must take open from the week's
+    FIRST day and close from its LAST day — with the week's high/low
+    strictly inside — and a day in the NEXT ISO week must start a new
+    bar (date_trunc('week') Monday convention on both engines)."""
+    import datetime as dt
+
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    mon = dt.date(2024, 5, 6)  # a Monday
+    rows = [
+        # Monday: open 7.00 (k=1) ... close 3.00 (k=4)
+        (1, mon, 7.00),
+        (4, mon, 3.00),
+        # Wednesday: the week's high and low, strictly inside
+        (5, mon + dt.timedelta(days=2), 99.00),
+        (6, mon + dt.timedelta(days=2), 0.50),
+        # Friday: close of the week = 8.00 (k=9, last key of last day)
+        (9, mon + dt.timedelta(days=4), 8.00),
+        # next Monday: its own bar
+        (2, mon + dt.timedelta(days=7), 11.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = {
+        r.week: r
+        for r in all_queries()["orders_weekly_ohlc"](spark, str(tmp_path)).collect()
+    }
+    w1 = got[mon]
+    assert (w1.open_cents, w1.high_cents, w1.low_cents, w1.close_cents) == (
+        700,
+        9900,
+        50,
+        800,
+    )
+    assert w1.n_days == 3 and w1.n_orders == 5
+    assert w1.volume_cents == 700 + 300 + 9900 + 50 + 800
+    w2 = got[mon + dt.timedelta(days=7)]
+    assert (w2.open_cents, w2.close_cents, w2.n_days) == (1100, 1100, 1)

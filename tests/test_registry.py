@@ -236,6 +236,8 @@ EXPECTED_KEYS = {
     "shard_zonemap_prune",
     "orders_daily_ohlc",
     "dataset_split_assign",
+    "orders_weekly_ohlc",
+    "kmv_union_distinct",
 }
 
 

@@ -2620,7 +2620,9 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs as its first reduction.",
     tags=("analytics", "events"),
 )
-def orders_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _daily_ohlc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-bar frame — shared by #214, the weekly rollup-of-rollup
+    (#217) and the S26 streaming twin's batch anchor."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     base = orders.select(
@@ -2635,4 +2637,119 @@ def orders_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").cast("long").alias("low_cents"),
         F.max_by("c", "k").cast("long").alias("close_cents"),
         F.sum("c").cast("long").alias("volume_cents"),
+    )
+
+
+def orders_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _daily_ohlc_frame(spark, sf_dir)
+
+
+_DAILY_OHLC_SQL = """
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(arg_min(CAST(round(o_totalprice * 100) AS BIGINT),
+                          o_orderkey) AS BIGINT) AS open_cents,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS high_cents,
+             CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS low_cents,
+             CAST(arg_max(CAST(round(o_totalprice * 100) AS BIGINT),
+                          o_orderkey) AS BIGINT) AS close_cents,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS volume_cents
+      FROM orders GROUP BY 1)
+"""
+
+
+@query(
+    "orders_weekly_ohlc",
+    oracle=f"""
+    WITH {_DAILY_OHLC_SQL}
+    SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(arg_min(open_cents, day) AS BIGINT) AS open_cents,
+           CAST(max(high_cents) AS BIGINT) AS high_cents,
+           CAST(min(low_cents) AS BIGINT) AS low_cents,
+           CAST(arg_max(close_cents, day) AS BIGINT) AS close_cents,
+           CAST(sum(volume_cents) AS BIGINT) AS volume_cents
+    FROM daily GROUP BY 1
+    """,
+    doc="Hierarchical rollup chaining (the TimescaleDB continuous-"
+    "aggregate-on-continuous-aggregate shape): weekly OHLC bars "
+    "derived from the DAILY bars of #214 — open = open of the week's "
+    "first day (arg_min over day, a total order within the week), "
+    "close = close of its last, high/low/volume fold as max/min/sum. "
+    "Bar algebra is associative, so the weekly level NEVER re-reads "
+    "the corpus: its input is the calendar-sized daily frame (shared "
+    "builder `_daily_ohlc_frame` — one definition, three consumers: "
+    "#214, this, and S26's batch anchor). At 100 TB this is the whole "
+    "point of bar hierarchies: each coarser level costs a rollup over "
+    "the previous level's ~365 rows/year, not a data pass. ISO-Monday "
+    "week truncation agrees between Spark and DuckDB date_trunc.",
+    tags=("analytics", "events"),
+)
+def orders_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlc_frame(spark, sf_dir)
+    return daily.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.min_by("open_cents", "day").cast("long").alias("open_cents"),
+        F.max("high_cents").cast("long").alias("high_cents"),
+        F.min("low_cents").cast("long").alias("low_cents"),
+        F.max_by("close_cents", "day").cast("long").alias("close_cents"),
+        F.sum("volume_cents").cast("long").alias("volume_cents"),
+    )
+
+
+@query(
+    "kmv_union_distinct",
+    oracle=f"""
+    WITH {_KMV_SKETCH_SQL},
+    u AS (SELECT DISTINCT hv FROM sk),
+    ur AS (SELECT hv, row_number() OVER (ORDER BY hv) AS urk FROM u),
+    us AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+                  CAST(max(hv) AS BIGINT) AS sketch_max
+           FROM ur WHERE urk <= {_KMV_K})
+    SELECT n_sketch, sketch_max,
+           CAST(CASE WHEN n_sketch < {_KMV_K} THEN n_sketch
+                ELSE CAST(round({_KMV_NUM!r} / CAST(sketch_max AS DOUBLE))
+                          AS BIGINT) END AS BIGINT) AS kmv_union_estimate
+    FROM us
+    """,
+    doc="KMV set-algebra completed: the UNION sketch, built from the "
+    "#210 per-priority sketches ALONE — min-k over the union of min-k "
+    "sets equals min-k of the union set (any global k-smallest value "
+    "is k-smallest within its own group), so the union estimate needs "
+    "no second corpus pass; this is the mergeability theorem the "
+    "pytest pins, here VALUE-ORACLED end to end. With #211's "
+    "intersections this gives the full inclusion-exclusion toolkit "
+    "over pre-built sketches. Exactness degrades correctly: fewer "
+    "than k union sketch rows implies every group sketch was "
+    "complete, so the union is exact. Scale shape: input is <= 5k "
+    "sketch rows (bounded by construction), so the global min-k is a "
+    "bounded sort_array fold — one stage, no corpus work at all "
+    "beyond the shared sketch build.",
+    tags=("analytics", "sketch"),
+)
+def kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sk = _kmv_sketch(orders, "o_orderpriority", "o_custkey")
+    # <= k * n_groups input rows by construction, so collect_set is
+    # bounded — the one place an in-agg set is scale-safe by design.
+    arr = F.slice(F.sort_array(F.collect_set("hv")), 1, _KMV_K)
+    u = sk.agg(arr.alias("a")).select(
+        F.size("a").cast("long").alias("n_sketch"),
+        F.element_at("a", -1).alias("sketch_max"),
+    )
+    est = F.when(F.col("n_sketch") < _KMV_K, F.col("n_sketch")).otherwise(
+        F.round(F.lit(_KMV_NUM) / F.col("sketch_max").cast("double")).cast("long")
+    )
+    return u.select(
+        "n_sketch",
+        F.col("sketch_max").cast("long").alias("sketch_max"),
+        est.cast("long").alias("kmv_union_estimate"),
     )

@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = (
     "shard_zonemap_prune",
     "orders_daily_ohlc",
     "dataset_split_assign",
+    "orders_weekly_ohlc",
+    "kmv_union_distinct",
     # 3) the r6-stale keys that fit the remaining budget, heaviest
     #    dedup/geo kernels first (their plans changed most since r6)
     "dedup_ngram_jaccard",
@@ -137,10 +139,9 @@ _DRIVER_PRIORITY = (
     "customer_rfm_segments",
     "embedding_pair_histogram",
     "hll_registers_users",
-    "user_session_stats",
-    "order_backlog_timeseries",
     # r6-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): events_tumbling_agg, events_sessionize,
+    # rotation's head): user_session_stats, order_backlog_timeseries,
+    # events_tumbling_agg, events_sessionize,
     # events_latest_per_user,
     # events_json_extract, events_value_quartiles,
     # supplier_count_by_part_type, nation_trade_volume,
