@@ -366,3 +366,31 @@ def test_weekly_ohlc_folds_daily_bars(spark, tmp_path):
     assert w1.volume_cents == 700 + 300 + 9900 + 50 + 800
     w2 = got[mon + dt.timedelta(days=7)]
     assert (w2.open_cents, w2.close_cents, w2.n_days) == (1100, 1100, 1)
+
+
+def test_variant_stats_uses_variant_path_and_codegen(spark):
+    """#218's claim is the PLAN, not just the values (the oracle pins
+    those): props must parse through VariantExpressionEvalUtils (the
+    binary variant encoding), stay whole-stage-codegen'd, and carry no
+    Python evaluation node. Plus a malformed-JSON posture check:
+    parse_json is strict, so a corrupt props row must fail loudly
+    rather than silently zero (the repo's fail-loud ingest posture)."""
+    from utility_service_areas_spark.plans.registry import all_queries
+    from tests.conftest import SMOKE_SF
+
+    df = all_queries()["events_variant_stats"](spark, SMOKE_SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "parseJson" in plan, "variant parse path not in the plan"
+    # JVM static_invoke expression — never a Python evaluation node
+    # (an AQE plan hides WholeStageCodegen spans until execution, so
+    # assert the absence of Python nodes rather than the span label)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame([("{not json",)], "props string")
+    with pytest.raises(Exception):
+        bad.select(F.variant_get(F.parse_json("props"), "$.k", "long")).collect()

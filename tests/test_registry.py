@@ -238,6 +238,7 @@ EXPECTED_KEYS = {
     "dataset_split_assign",
     "orders_weekly_ohlc",
     "kmv_union_distinct",
+    "events_variant_stats",
 }
 
 

@@ -233,3 +233,41 @@ def user_daily_journey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(seq).cast("long").alias("n_events"),
         F.when(seq.rlike("v.*c.*p"), 1).otherwise(0).cast("int").alias("matched"),
     )
+
+
+@query(
+    "events_variant_stats",
+    oracle=r"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1)
+                         AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1)
+                         AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+    doc="Semi-structured aggregation through Spark 4's VARIANT type: "
+    "props parses ONCE per row into the binary variant encoding "
+    "(F.parse_json — JVM-side, whole-stage-codegen'd, no Python), "
+    "fields extract with variant_get path navigation, then a plain "
+    "partial-agged groupBy. Versus the string path (#40 "
+    "events_json_extract's regexp or from_json-per-access), variant "
+    "amortizes the parse across every field an analysis touches and "
+    "is the 100 TB posture for telemetry columns whose schema drifts "
+    "— the engine shreds fields at scan time where the parquet "
+    "writer cooperates. The DuckDB oracle extracts the same field "
+    "with the repo's JSON-regex seam (no JSON extension dependency), "
+    "pinning the VALUES while the Spark side exercises the variant "
+    "path; the plan-level variant parse (parseJson static_invoke) and "
+    "the absence of any Python evaluation node are asserted in pytest, "
+    "plus the strict-parse fail-loud posture on malformed JSON.",
+    tags=("events",),
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

@@ -109,6 +109,7 @@ _DRIVER_PRIORITY = (
     "dataset_split_assign",
     "orders_weekly_ohlc",
     "kmv_union_distinct",
+    "events_variant_stats",
     # 3) the r6-stale keys that fit the remaining budget, heaviest
     #    dedup/geo kernels first (their plans changed most since r6)
     "dedup_ngram_jaccard",
@@ -138,9 +139,9 @@ _DRIVER_PRIORITY = (
     "event_anomaly_zscore",
     "customer_rfm_segments",
     "embedding_pair_histogram",
-    "hll_registers_users",
     # r6-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): user_session_stats, order_backlog_timeseries,
+    # rotation's head): hll_registers_users,
+    # user_session_stats, order_backlog_timeseries,
     # events_tumbling_agg, events_sessionize,
     # events_latest_per_user,
     # events_json_extract, events_value_quartiles,
