@@ -54,9 +54,19 @@ EXTENDED_NOOP = [
 ]
 
 
+# A 1-min load average above this at measurement START means another
+# workload is competing for the same cores — the numbers will be
+# load-inflated (r11's committed artifact ran at la 7-10 and read +6.5%
+# on UNCHANGED plans). The warning is embedded in the artifact itself
+# so a loaded run can never silently become the round's number.
+LA_WARN_THRESHOLD = 2.0
+
+
 def main() -> None:
     from utility_service_areas_spark.plans.registry import all_queries
     from utility_service_areas_spark.session import build_session
+
+    la_start = [round(x, 2) for x in os.getloadavg()]
 
     spark = build_session("usa-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,27 +91,30 @@ def main() -> None:
         extended[name] = round(time.time() - t0, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                # value stays the 14-query headline total (count()
-                # convention) — the series comparable to the r1
-                # de-facto baseline; the noop-forced extended set is
-                # reported alongside, not summed in.
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "extended_noop": extended,
-                "sf": float(sf),
-                # 1/5/15-min load averages at measurement end: lets a
-                # reader tell an idle-band artifact from a load-inflated
-                # one (r9's committed number was ~10% load-inflated and
-                # only BENCH_TREND prose recorded why).
-                "la": [round(x, 2) for x in os.getloadavg()],
-            }
+    out = {
+        "metric": "headline_queries_total",
+        # value stays the 14-query headline total (count()
+        # convention) — the series comparable to the r1
+        # de-facto baseline; the noop-forced extended set is
+        # reported alongside, not summed in.
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "extended_noop": extended,
+        "sf": float(sf),
+        # 1/5/15-min load averages at measurement end: lets a
+        # reader tell an idle-band artifact from a load-inflated
+        # one (r9's committed number was ~10% load-inflated and
+        # only BENCH_TREND prose recorded why).
+        "la": [round(x, 2) for x in os.getloadavg()],
+        "la_start": la_start,
+    }
+    if la_start[0] > LA_WARN_THRESHOLD:
+        out["la_warning"] = (
+            f"1-min load {la_start[0]} > {LA_WARN_THRESHOLD} at start: "
+            "timings are load-inflated; re-run idle before citing"
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

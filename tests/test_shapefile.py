@@ -372,3 +372,18 @@ def test_python_datasource_stream_is_incremental(spark, tmp_path):
         ("b_second", "beta"),
         ("c_third", "gamma"),
     ], "second drain must process ONLY the newly dropped pair"
+
+
+def test_stream_reader_raises_when_committed_offset_uncoverable(tmp_path):
+    """ADVICE r11 (pyds.py): if a replayed offset promises more pairs
+    than the directory can list (files deleted/renamed after commit),
+    partitions() must raise — silently slicing short would drop
+    records while the stream keeps reporting success, violating the
+    exactly-once contract."""
+    import pytest
+
+    from utility_service_areas_spark.sources.pyds import ShapefileStreamReader
+
+    reader = ShapefileStreamReader({"path": str(tmp_path)})
+    with pytest.raises(RuntimeError, match="append-only"):
+        reader.partitions({"idx": 0}, {"idx": 3})

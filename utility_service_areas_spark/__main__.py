@@ -50,7 +50,8 @@ def main(argv: list[str] | None = None) -> int:
         "tuning",
         help="publish the serving/curation lever tables (dedup "
         "thresholds, IVF probes, LSH planes, seq-len packing, "
-        "matryoshka dims) + recommended operating points",
+        "matryoshka dims, BPE merge rounds) + recommended operating "
+        "points",
     )
     tun.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     tun.add_argument("--out", required=True)
@@ -72,7 +73,8 @@ def main(argv: list[str] | None = None) -> int:
             f"planes={summary['lsh_planes']['recommended_planes']} "
             f"dim={summary['matryoshka_dims']['recommended_dim']} "
             f"seq_len={summary['seq_len_packing']['recommended_seq_len']} "
-            f"threshold_knee={summary['dedup_thresholds']['knee_threshold_micros']}"
+            f"threshold_knee={summary['dedup_thresholds']['knee_threshold_micros']} "
+            f"bpe_rounds={summary['bpe_compression']['recommended_merge_rounds']}"
         )
         return 0
 

@@ -115,7 +115,8 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle=r"""
     SELECT event_id,
-           CAST(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1) AS BIGINT) AS k_value
+           CAST(NULLIF(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1), '')
+                AS BIGINT) AS k_value
     FROM events
     """,
     doc="Typed extraction from a JSON props column (kept regex-based so "
@@ -240,10 +241,10 @@ def user_daily_journey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1)
-                         AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(max(CAST(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1)
-                         AS BIGINT)) AS BIGINT) AS max_k
+           CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1),
+                                '') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(NULLIF(regexp_extract(props, '"k":[ \t\n\x0b\f\r]*(\d+)', 1),
+                                '') AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY 1
     """,
     doc="Semi-structured aggregation through Spark 4's VARIANT type: "

@@ -10,6 +10,7 @@ pipeline config —
   <out>/lsh_planes/          #205 recall vs candidate volume per n_planes
   <out>/seq_len_packing/     #204 truncation loss vs tail waste per L
   <out>/matryoshka_dims/     #169 neighbor recall per truncated dim
+  <out>/bpe_compression/     #209 corpus symbols per BPE merge round
   <out>/_SUMMARY.json        driver-side recommended operating points
 
 Every table IS the exact frame of a value-oracled registry query
@@ -36,10 +37,10 @@ from pyspark.sql import SparkSession
 #   seq_len_packing the L minimizing total wasted tokens
 #                   (tokens_truncated + tail_waste_tokens)
 #   dedup_thresholds no single winner — the table reports the
-#                   pair-volume curve; the summary echoes the knee
-#                   (largest threshold whose pair count still grows
-#                   vs the next-larger threshold, i.e. where the
-#                   curve flattens)
+#                   pair-volume curve; the summary echoes the knee:
+#                   the LARGER threshold of the last strict pair-count
+#                   drop when walking thresholds ascending (past it
+#                   the curve is flat — tightening buys nothing)
 #   bpe_compression the LAST merge round whose marginal
 #                   total_symbols reduction is still >=
 #                   _BPE_MARGINAL_FLOOR_MICROS of the round-0
@@ -162,9 +163,9 @@ def write_tuning_report(
         if prev.total_symbols - cur.total_symbols >= bpe_floor:
             bpe_pick = cur.merge_round
 
-    # threshold knee: largest threshold where the pair count still
-    # drops vs the previous (smaller) threshold — past it the curve
-    # is flat and a tighter threshold buys nothing.
+    # threshold knee: the larger threshold of the LAST strict
+    # pair-count drop (walking ascending) — past it the curve is
+    # flat and a tighter threshold buys nothing.
     knee = thresholds[0].threshold_micros
     for prev, cur in zip(thresholds, thresholds[1:]):
         if cur.n_pairs < prev.n_pairs:

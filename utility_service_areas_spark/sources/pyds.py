@@ -178,6 +178,17 @@ class ShapefileStreamReader(DataSourceStreamReader):
         listing = self._listing
         if len(listing) < end["idx"]:  # replay after restart: re-list
             listing = _list_bases(self._path, require_dbf=True)
+        if len(listing) < end["idx"]:
+            # The committed offset promises end["idx"] pairs exist; a
+            # shorter re-listing means files were deleted/renamed after
+            # commit. Silently slicing short would DROP records while
+            # still reporting success — fail the stream loudly instead
+            # (exactly-once is a contract, not best-effort).
+            raise RuntimeError(
+                f"shapefile stream: committed offset {end['idx']} but only "
+                f"{len(listing)} .shp/.dbf pairs are listable under "
+                f"{self._path}; the append-only naming contract was violated"
+            )
         new = listing[start["idx"] : end["idx"]]
         return [ShapefilePartition(b) for b in new]
 
