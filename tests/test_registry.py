@@ -239,6 +239,8 @@ EXPECTED_KEYS = {
     "orders_weekly_ohlc",
     "kmv_union_distinct",
     "events_variant_stats",
+    # r12 additions
+    "text_bm25_topk",
 }
 
 

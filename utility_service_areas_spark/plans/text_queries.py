@@ -1754,3 +1754,141 @@ def bpe_compression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "merge_round long, total_symbols long, n_symbol_types long",
     )
+
+
+# BM25 ranked retrieval (#219). Robertson/Lucene parameters k1=1.2,
+# b=0.75 — kept RATIONAL so the whole tf normalization clears to a
+# ratio of exact BIGINTs:
+#   norm = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+#        = 22*L*tf / (10*L*tf + 3*L + 9*dl*N)        (avgdl = L/N)
+# with N = corpus docs, L = corpus tokens, dl = doc tokens. Both sides
+# of the division are < 2^53 at any tested SF, so the DOUBLE casts are
+# exact and the single IEEE division is correctly rounded identically
+# in both engines (the KMV precedent — the only float allowed to
+# cross). idf folds the +0.5 smoothing into integer log arguments:
+#   idf = ln((N-df+0.5)/(df+0.5) + 1) = log((2N+2)/(2df+1))
+#       -> idf_bits = log2(2N+2) - log2(2df+1)       (exact-int args,
+# the #89 surprisal posture). Per-(query-term, doc) contributions are
+# rounded to MILLIBITS before the per-doc integer sum, so float
+# summation order can never flip the hash.
+_BM25_QUERIES = (
+    ("q_join", "hash join merge"),
+    ("q_stream", "stream window batch"),
+    ("q_scan", "scan filter sort"),
+)
+_BM25_K = 10
+_BM25_QUERY_SQL = " UNION ALL ".join(
+    f"SELECT '{qid}' AS query_id, unnest(['"
+    + "', '".join(qs.split())
+    + "']) AS t"
+    for qid, qs in _BM25_QUERIES
+)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=rf"""
+    WITH q AS ({_BM25_QUERY_SQL}),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS l_total FROM dl),
+    pruned AS (SELECT tf.* FROM tf
+               WHERE t IN (SELECT DISTINCT t FROM q)),
+    dfreq AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM pruned GROUP BY t),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round((log2(2 * s.n_docs + 2) - log2(2 * dfreq.df + 1))
+                        * (CAST(22 * s.l_total * p.tf AS DOUBLE)
+                           / CAST(10 * s.l_total * p.tf + 3 * s.l_total
+                                  + 9 * dl.dl * s.n_docs AS DOUBLE))
+                        * 1000) AS BIGINT) AS term_millibits
+      FROM pruned p
+      JOIN q ON q.t = p.t
+      JOIN dfreq ON dfreq.t = p.t
+      JOIN dl ON dl.doc_id = p.doc_id
+      CROSS JOIN stats s),
+    scores AS (
+      SELECT query_id, doc_id,
+             CAST(sum(term_millibits) AS BIGINT) AS score_millibits,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM contrib GROUP BY 1, 2)
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id,
+           score_millibits, n_terms_matched
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_millibits DESC,
+                                                doc_id ASC) AS rk
+          FROM scores)
+    WHERE rk <= {_BM25_K}
+    """,
+    doc="BM25 ranked retrieval: top-10 documents per query for a "
+    "3-query literal workload (k1=1.2, b=0.75). Every score is an "
+    "integer MILLIBIT: idf = log2(2N+2) - log2(2df+1) (exact-integer "
+    "log args, the #89 surprisal posture), the tf/length norm clears "
+    "to one correctly-rounded IEEE division of exact BIGINTs "
+    "(22*L*tf / (10*L*tf + 3*L + 9*dl*N)), and per-term contributions "
+    "round to millibits BEFORE the per-doc integer sum — engine-"
+    "divergence-free end to end. Scale shape: the broadcast query-term "
+    "dim prunes the postings list FIRST (the inverted-index access "
+    "pattern — scoring work is per-posting of query terms, never "
+    "corpus-sized), df/stats are tiny broadcast frames, and the "
+    "per-query top-10 compiles to the WindowGroupLimit top-k pushdown "
+    "(#210's shape — no full sort of the score table).",
+    tags=("text",),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_total")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, qs in _BM25_QUERIES for t in qs.split()],
+        "query_id string, t string",
+    )
+    pruned = tf.join(F.broadcast(qterms.select("t").distinct()), "t")
+    dfreq = pruned.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+
+    idf_bits = F.log2(2 * F.col("n_docs") + 2) - F.log2(2 * F.col("df") + 1)
+    norm = (22 * F.col("l_total") * F.col("tf")).cast("double") / (
+        10 * F.col("l_total") * F.col("tf")
+        + 3 * F.col("l_total")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    term_millibits = F.round(idf_bits * norm * 1000).cast("long")
+
+    scores = (
+        pruned.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfreq), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(term_millibits).alias("score_millibits"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_millibits").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_K)
+        .select(
+            "query_id",
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            "score_millibits",
+            "n_terms_matched",
+        )
+    )
