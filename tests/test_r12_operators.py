@@ -91,3 +91,76 @@ def test_bm25_scores_match_float_reference(spark, tmp_path):
         grk, gmilli, gnm = got[key]
         assert (grk, gnm) == (rk, nm), f"rank/match drift at {key}"
         assert abs(gmilli - milli) <= 1, f"score drift at {key}"
+
+
+def _brute_maxrep(docs):
+    """Brute-force per-doc LRS stats: maxrep(p) = longest prefix of
+    the suffix at p equal to the prefix of ANY other position's suffix
+    (overlaps allowed). O(n^2 * L) — test-scale only."""
+    toks = {d: t.split() for d, t in docs}
+    pos = [(d, i) for d, tk in toks.items() for i in range(len(tk))]
+    out = {}
+    for d, i in pos:
+        a = toks[d][i:]
+        best = 0
+        for e, j in pos:
+            if (d, i) == (e, j):
+                continue
+            b = toks[e][j:]
+            l = 0
+            while l < len(a) and l < len(b) and a[l] == b[l]:
+                l += 1
+            best = max(best, l)
+        out.setdefault(d, []).append(best)
+    return {
+        d: (len(v), max(v), sum(1 for x in v if x >= 8))
+        for d, v in out.items()
+    }
+
+
+def test_suffix_lrs_planted_long_repeat(spark, tmp_path):
+    """The capability #129's fixed window can't deliver: two docs share
+    a 37-token verbatim passage — max_rep_len must be exactly 37, and
+    a doc made of a repeated token run must report its self-overlap
+    repeat (run length - 1)."""
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    passage = " ".join(f"p{j}" for j in range(37))
+    docs = [
+        (1, "a1 b1 c1 " + passage + " d1 e1"),
+        (2, "x2 y2 " + passage + " z2"),
+        (3, " ".join(["loop"] * 20)),
+        (4, "only unique tokens here nothing repeats at all"),
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    got = {
+        r.doc_id: (r.n_positions, r.max_rep_len, r.n_pos_rep_ge8)
+        for r in all_queries()["dedup_suffix_lrs"](spark, str(tmp_path)).collect()
+    }
+    assert got[1][1] == 37 and got[2][1] == 37
+    assert got[3][1] == 19  # overlap-allowed self-repeat of a 20-run
+    assert got[4][1] <= 1  # singleton tokens ('at'/'all' share no pair)
+    assert got == _brute_maxrep(docs)
+
+
+def test_suffix_lrs_matches_brute_on_mixed_corpus(spark, tmp_path):
+    """Randomized-shape corpus (fixed seed, ~35 docs over a 12-token
+    vocabulary so repeats of every length arise naturally) vs the
+    brute-force reference — pins the full semantics: cross-doc,
+    intra-doc, overlapping, and boundary-truncated repeats."""
+    import random
+
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    rng = random.Random(12)
+    vocab = [f"w{j}" for j in range(12)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24))))
+        for d in range(35)
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    got = {
+        r.doc_id: (r.n_positions, r.max_rep_len, r.n_pos_rep_ge8)
+        for r in all_queries()["dedup_suffix_lrs"](spark, str(tmp_path)).collect()
+    }
+    assert got == _brute_maxrep(docs)

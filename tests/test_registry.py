@@ -241,6 +241,7 @@ EXPECTED_KEYS = {
     "events_variant_stats",
     # r12 additions
     "text_bm25_topk",
+    "dedup_suffix_lrs",
 }
 
 

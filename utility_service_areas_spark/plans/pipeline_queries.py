@@ -1086,3 +1086,130 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# --- #220 exact longest-repeated-substring (suffix ranks) -----------
+# Upgrades #129's fixed 8-token windowed stand-in to the Lee et al.
+# exact-substring method: suffix ranks by prefix doubling (operators/
+# suffix.py), repeats read off order-adjacent LCPs. K levels fixed (no
+# data-dependent early stop) so the oracle replays the construction as
+# an unrolled CTE chain; dense ranks and the descent are pure integers
+# — nothing engine-divergent crosses.
+_LRS_K = 8  # suffix resolution 2^K = 256 tokens (substrate max ~120)
+_LRS_MIN_REP = 8  # the #129 span length, for apples-to-apples counts
+
+
+def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
+    parts = [
+        f"""
+    WITH tok AS (
+      SELECT doc_id, i, toks[i] AS t, CAST(len(toks) AS BIGINT) AS dl
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+           unnest(range(1, 4096)) AS s(i)
+      WHERE i <= len(toks)),
+    r0 AS MATERIALIZED (
+           SELECT doc_id, CAST(i AS BIGINT) AS i, dl,
+                  CAST(dense_rank() OVER (ORDER BY md5(t)) AS BIGINT) AS rk
+           FROM tok)"""
+    ]
+    # every r{k} is referenced 4x (both sides of r{k+1}'s shift join and
+    # both sides of d{k}'s descent probes) — without MATERIALIZED DuckDB
+    # inlines CTEs per reference and the chain recomputes exponentially
+    # (measured 59 s at sf0.001 vs ~1 s materialized)
+    for k in range(1, k_levels + 1):
+        half = 1 << (k - 1)
+        parts.append(
+            f"""
+    r{k} AS MATERIALIZED (
+      SELECT a.doc_id, a.i, a.dl,
+             CAST(dense_rank() OVER (ORDER BY a.rk, coalesce(b.rk, 0))
+                  AS BIGINT) AS rk
+      FROM r{k - 1} a LEFT JOIN r{k - 1} b
+        ON b.doc_id = a.doc_id AND b.i = a.i + {half})"""
+        )
+    parts.append(
+        f"""
+    grp AS (SELECT rk, CAST(count(*) AS BIGINT) AS gs
+            FROM r{k_levels} GROUP BY rk),
+    reps AS MATERIALIZED (SELECT rk, doc_id, i, dl FROM (
+        SELECT rk, doc_id, i, dl,
+               row_number() OVER (PARTITION BY rk ORDER BY doc_id, i) AS rn
+        FROM r{k_levels}) WHERE rn = 1),
+    d_start AS (
+      SELECT a.rk AS rka, a.doc_id AS da, a.i AS ia, a.dl AS dla,
+             b.doc_id AS db, b.i AS ib, b.dl AS dlb,
+             CAST(0 AS BIGINT) AS off
+      FROM reps a JOIN reps b ON b.rk = a.rk + 1)"""
+    )
+    prev = "d_start"
+    for k in range(k_levels, -1, -1):
+        step = 1 << k
+        parts.append(
+            f"""
+    d{k} AS (
+      SELECT p.rka, p.da, p.ia, p.dla, p.db, p.ib, p.dlb,
+             CASE WHEN ka.rk IS NOT NULL AND kb.rk IS NOT NULL
+                       AND p.ia + p.off + {step - 1} <= p.dla
+                       AND p.ib + p.off + {step - 1} <= p.dlb
+                       AND ka.rk = kb.rk
+                  THEN p.off + {step} ELSE p.off END AS off
+      FROM {prev} p
+      LEFT JOIN r{k} ka ON ka.doc_id = p.da AND ka.i = p.ia + p.off
+      LEFT JOIN r{k} kb ON kb.doc_id = p.db AND kb.i = p.ib + p.off)"""
+        )
+        prev = f"d{k}"
+    parts.append(
+        f"""
+    nbr AS (SELECT rk, CAST(max(lcp) AS BIGINT) AS nbr_lcp FROM (
+        SELECT rka AS rk, off AS lcp FROM d0
+        UNION ALL SELECT rka + 1 AS rk, off AS lcp FROM d0) GROUP BY rk),
+    rep AS (
+      SELECT p.doc_id, p.i,
+             greatest(coalesce(n.nbr_lcp, 0),
+                      CASE WHEN g.gs >= 2 THEN p.dl - p.i + 1
+                           ELSE 0 END) AS maxrep
+      FROM r{k_levels} p JOIN grp g ON g.rk = p.rk
+      LEFT JOIN nbr n ON n.rk = p.rk)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(max(maxrep) AS BIGINT) AS max_rep_len,
+           CAST(sum(CASE WHEN maxrep >= {_LRS_MIN_REP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos_rep_ge{_LRS_MIN_REP}
+    FROM rep GROUP BY doc_id"""
+    )
+    return ",".join(parts[:1] + [p for p in parts[1:]]).replace(
+        "WITH tok AS", "WITH tok AS", 1
+    )
+
+
+@query(
+    "dedup_suffix_lrs",
+    oracle=_lrs_oracle_sql(),
+    doc="EXACT longest-repeated-substring per document via distributed "
+    "suffix ranks (prefix doubling, operators/suffix.py) — the Lee et "
+    "al. 2022 exact-substring dedup method, where #129's fixed 8-token "
+    "window could only FLAG a repeat, this measures it: max_rep_len is "
+    "the true token length of the longest substring starting in the "
+    "doc that occurs >= 2 times anywhere in the corpus (overlaps "
+    "allowed), n_pos_rep_ge8 counts positions opening a repeat of the "
+    "#129 span length. rank_k tables are built in K=8 fixed rounds "
+    "(dense rank of (rank, rank-shifted) pairs); maximal-LCP-is-with-"
+    "an-order-neighbor reads repeats off adjacent rank groups by "
+    "integer binary descent. Scale: NO global-window ranking — dense "
+    "ranks factorize into per-band windows (banding key monotone in "
+    "the sort key) + a <=256-row collected offset table per round "
+    "(bounded driver state, the BPE/k-means pattern); all shuffles "
+    "keyed; every rank level lineage_cut (each feeds the next round "
+    "AND the descent). The DuckDB oracle replays all K rounds + the "
+    "9-step descent as one unrolled CTE chain — dense ranks are "
+    "integers, so the replay is bit-exact. Resolution: exact for docs "
+    "<= 256 tokens (substrate max ~120), saturating beyond.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.suffix import doc_repeat_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_repeat_stats(
+        spark, docs, min_rep=_LRS_MIN_REP, k_levels=_LRS_K
+    )
