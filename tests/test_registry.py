@@ -242,6 +242,7 @@ EXPECTED_KEYS = {
     # r12 additions
     "text_bm25_topk",
     "dedup_suffix_lrs",
+    "embedding_knn_graph",
 }
 
 

@@ -628,3 +628,137 @@ def pq_encode(
             yield pd.DataFrame(cols)
 
     return base.mapInPandas(encode, schema), books
+
+
+def nn_descent_graph(
+    emb: DataFrame,
+    k: int = 10,
+    rounds: int = 3,
+    n_init: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN graph by NN-descent (Dong, Moses & Li, WWW'11)
+    in pure DataFrame algebra — FIXED rounds, fully deterministic, so a
+    SQL oracle can replay every round bit-for-bit.
+
+    Init: for each vector, up to ``n_init`` md5-seeded candidates
+    (('0x'||md5(vid:j))::BIGINT % n — the repo's integer-hash seam;
+    duplicates/self collapse, top-k survive). Each round applies the
+    NN-descent step: the undirected neighborhood U = out-edges ∪
+    reverse edges CAPPED at k per head (deterministic (sim DESC, id)
+    rank — the cap bounds hub blow-up, candidates per vertex stay
+    O(k²)), candidate set = U ∘ U (neighbors of neighbors) ∪ U, then
+    re-select top-k by cosine. Cosine is the shared sequential-fold
+    dot (dot_expr) with per-row precomputed norms — bitwise equal to
+    the oracle's inline form (see _paired_sim_micros).
+
+    Scale: every shuffle is keyed (vertex id); per-round state is the
+    k-regular edge list (n·k rows) lineage_cut (it feeds the reverse
+    cap, the closure AND the union); candidate volume is bounded by
+    the reverse cap, never by hub degree. No collect of anything
+    data-sized, no Python in any hot path."""
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    vecs = lineage_cut(
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            norm2_expr(F.col(vec_col)).alias("nrm"),
+        )
+    )
+    n1 = vecs.agg(F.count(F.lit(1)).alias("n"))
+
+    def score_topk(pairs: DataFrame) -> DataFrame:
+        a = vecs.select(
+            F.col("vid").alias("src"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        b = vecs.select(
+            F.col("vid").alias("dst"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        scored = (
+            pairs.join(a, "src")
+            .join(b, "dst")
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    dot_expr(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
+                    * 1_000_000
+                )
+                .cast("long")
+                .alias("sim_micros"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("sim_micros").desc(), F.col("dst").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+    init = (
+        vecs.select("vid")
+        .join(F.broadcast(n1))
+        .select(
+            "vid",
+            F.explode(F.sequence(F.lit(1), F.lit(n_init))).alias("j"),
+            "n",
+        )
+        .select(
+            F.col("vid").alias("src"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("vid"), F.col("j"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+    edges = score_topk(init)
+    for _ in range(rounds):
+        edges = lineage_cut(edges)
+        wrev = Window.partitionBy("dst").orderBy(
+            F.col("sim_micros").desc(), F.col("src").asc()
+        )
+        rev = (
+            edges.withColumn("rr", F.row_number().over(wrev))
+            .filter(F.col("rr") <= k)
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        undirected = lineage_cut(
+            edges.select("src", "dst").unionAll(rev).distinct()
+        )
+        cand = (
+            undirected.alias("x")
+            .join(
+                undirected.alias("y"),
+                F.col("x.dst") == F.col("y.src"),
+            )
+            .select(
+                F.col("x.src").alias("src"), F.col("y.dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .unionAll(undirected)
+            .distinct()
+        )
+        edges = score_topk(cand)
+    return edges.select(
+        F.col("src").alias(id_col),
+        F.col("dst").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "sim_micros",
+    )
