@@ -57,7 +57,59 @@ def main(argv: list[str] | None = None) -> int:
     tun.add_argument("--out", required=True)
     tun.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
 
+    pipe = sub.add_parser(
+        "pipeline",
+        help="run the reference service-areas pipeline as a memoized "
+        "DAG ({targets} tar_make parity): stages whose input content "
+        "hashes are unchanged are skipped and served from the store",
+    )
+    pipe.add_argument("--kml-dir", required=True)
+    pipe.add_argument("--certificates-csv", required=True)
+    pipe.add_argument("--chronology-csv", required=True)
+    pipe.add_argument("--store", required=True)
+    pipe.add_argument(
+        "--force",
+        action="store_true",
+        help="rebuild every stage even if content hashes match",
+    )
+    pipe.add_argument("--operator-ids", default="", help="comma-separated")
+    pipe.add_argument("--inactive-ids", default="", help="comma-separated")
+    pipe.add_argument(
+        "--merge-patches",
+        default="",
+        help="comma-separated cert1:cert2 acquisition merges",
+    )
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        from utility_service_areas_spark.plans.targets import (
+            run_pipeline,
+            service_areas_stages,
+        )
+        from utility_service_areas_spark.session import build_session
+
+        spark = build_session("usa-cli-pipeline")
+        spark.sparkContext.setLogLevel("ERROR")
+        ints = lambda s: [int(x) for x in s.split(",") if x]  # noqa: E731
+        merges = [
+            (int(a), int(b))
+            for a, b in (p.split(":") for p in args.merge_patches.split(",") if p)
+        ]
+        stages = service_areas_stages(
+            args.kml_dir,
+            args.certificates_csv,
+            args.chronology_csv,
+            ints(args.operator_ids),
+            ints(args.inactive_ids),
+            merges,
+        )
+        report = run_pipeline(
+            spark, stages, args.store, incremental=not args.force
+        )
+        for name, what in report.items():
+            print(f"{name}: {what}")
+        return 0
 
     if args.cmd == "tuning":
         from utility_service_areas_spark.plans.tuning_report import (

@@ -1,0 +1,225 @@
+"""{targets}-parity memoized pipeline runs (VERDICT r11 task #3).
+
+The reference pipeline is an R {targets} DAG: `tar_make` re-runs ONLY
+the stages whose inputs' content hashes changed, reading everything
+else from the stage store (_targets.R:1-60 pipeline definitions).
+This module is that contract for the Spark pipeline:
+
+  Stage     = name + file inputs + upstream stages + params + build fn
+  stage key = md5(input file CONTENT ++ upstream stage keys ++ params)
+  manifest  = <store>/_MANIFEST.json  (stage -> key, rows, output)
+
+`run_pipeline` walks the DAG in declaration order; a stage whose key
+matches the manifest AND whose parquet output exists is SKIPPED — its
+output is served to downstream builds straight from the store (the
+`tar_read` move). Editing one input file recomputes exactly that
+stage's cone of the DAG; an unchanged run is a no-op.
+
+Hashing posture: inputs here are the reference's scrape artifacts
+(KML / CSV / chronology files — dim-sized by construction), so the
+content hash is a driver-side streaming md5, exactly what {targets}
+does. A TABLE-sized input at 100 TB would use the #161 snapshot-diff
+shape instead (Spark-side md5-of-content per key, one partial-agg
+fold to a corpus digest) — the manifest format already carries any
+hex digest, so that swap is local to `_content_hash`.
+
+Parity: _targets.R:1-60 (tar_make skip-unchanged), R/functions.R
+stage list mapped in plans/service_areas.py's module docstring.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+@dataclass(frozen=True)
+class Stage:
+    name: str
+    build: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    inputs: tuple[str, ...] = ()  # files or directories, content-hashed
+    deps: tuple[str, ...] = ()  # upstream stage names
+    params: str = ""  # config that must invalidate the stage on change
+
+
+def _iter_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in files)
+        return sorted(out)
+    return [path]
+
+
+def _content_hash(paths: tuple[str, ...]) -> str:
+    h = hashlib.md5()
+    for p in sorted(paths):
+        for f in _iter_files(p):
+            h.update(f.encode("utf-8"))
+            with open(f, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+    return h.hexdigest()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    stages: list[Stage],
+    store: str,
+    incremental: bool = True,
+) -> dict[str, str]:
+    """Run the DAG against ``store``, memoized. Returns
+    {stage name -> 'built' | 'skipped'}. ``incremental=False`` forces
+    a full rebuild (still writing a fresh manifest)."""
+    os.makedirs(store, exist_ok=True)
+    mpath = os.path.join(store, MANIFEST_NAME)
+    manifest: dict[str, dict] = {}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+
+    by_name = {s.name: s for s in stages}
+    for s in stages:
+        missing = [d for d in s.deps if d not in by_name]
+        if missing:
+            raise ValueError(f"stage {s.name!r}: unknown deps {missing}")
+
+    keys: dict[str, str] = {}
+    outputs: dict[str, str] = {}
+    report: dict[str, str] = {}
+    for s in stages:
+        h = hashlib.md5()
+        h.update(_content_hash(s.inputs).encode())
+        for d in s.deps:
+            h.update(keys[d].encode())
+        h.update(s.params.encode("utf-8"))
+        key = h.hexdigest()
+        keys[s.name] = key
+        out_path = os.path.join(store, s.name)
+        outputs[s.name] = out_path
+
+        prev = manifest.get(s.name)
+        fresh = (
+            incremental
+            and prev is not None
+            and prev.get("key") == key
+            and os.path.exists(os.path.join(out_path, "_SUCCESS"))
+        )
+        if fresh:
+            report[s.name] = "skipped"
+            continue
+        dep_frames = {
+            d: spark.read.parquet(outputs[d]) for d in s.deps
+        }
+        df = s.build(spark, dep_frames)
+        df.write.mode("overwrite").parquet(out_path)
+        manifest[s.name] = {
+            "key": key,
+            "output": out_path,
+            "rows": spark.read.parquet(out_path).count(),
+        }
+        report[s.name] = "built"
+
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return report
+
+
+# --- the reference pipeline as a memoized DAG -----------------------
+
+CHRONOLOGY_CSV_SCHEMA = (
+    "certificate_number DOUBLE, docket_number STRING, order_id STRING, "
+    "order_date STRING, order_type STRING, comment STRING"
+)
+
+
+def service_areas_stages(
+    kml_dir: str,
+    certificates_csv: str,
+    chronology_csv: str,
+    operator_ids: list[int],
+    inactive_ids: list[int],
+    merge_patches: list[tuple[int, int]],
+) -> list[Stage]:
+    """The _targets.R DAG: certificates_csv -> chronology ->
+    raw layer -> cleaned/patched layer, each stage memoized on its
+    input content + upstream keys + config."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from utility_service_areas_spark.plans.service_areas import (
+        build_raw_service_areas,
+        build_service_areas,
+    )
+    from utility_service_areas_spark.sources.certificates import (
+        CERTIFICATES_CSV_SCHEMA,
+        clean_certificates,
+    )
+
+    # the scrape CSV plus the KML drop date (as text; typed here, once)
+    ext_schema = StructType(
+        list(CERTIFICATES_CSV_SCHEMA.fields)
+        + [StructField("kml_update_date", StringType())]
+    )
+
+    def certs_build(spark: SparkSession, _deps) -> DataFrame:
+        raw = spark.read.csv(certificates_csv, header=True, schema=ext_schema)
+        df = clean_certificates(raw)
+        return df.withColumn(
+            "kml_update_date",
+            F.to_date(F.nullif(F.col("kml_update_date"), F.lit(""))),
+        )
+
+    def chron_build(spark: SparkSession, _deps) -> DataFrame:
+        return spark.read.csv(
+            chronology_csv, header=True, schema=CHRONOLOGY_CSV_SCHEMA
+        )
+
+    def raw_build(spark: SparkSession, deps) -> DataFrame:
+        return build_raw_service_areas(
+            spark, kml_dir + "/*.kml", deps["certificates"]
+        )
+
+    def cleaned_build(spark: SparkSession, deps) -> DataFrame:
+        return build_service_areas(
+            spark,
+            kml_dir + "/*.kml",
+            deps["certificates"],
+            deps["chronology"],
+            operator_ids,
+            inactive_ids,
+            merge_patches,
+        )
+
+    params = json.dumps(
+        {
+            "operator_ids": sorted(operator_ids),
+            "inactive_ids": sorted(inactive_ids),
+            "merge_patches": sorted(merge_patches),
+        },
+        sort_keys=True,
+    )
+    return [
+        Stage("certificates", certs_build, inputs=(certificates_csv,)),
+        Stage("chronology", chron_build, inputs=(chronology_csv,)),
+        Stage(
+            "raw_service_areas",
+            raw_build,
+            inputs=(kml_dir,),
+            deps=("certificates",),
+        ),
+        Stage(
+            "service_areas",
+            cleaned_build,
+            inputs=(kml_dir,),
+            deps=("certificates", "chronology"),
+            params=params,
+        ),
+    ]
