@@ -1114,3 +1114,27 @@ def test_daily_ohlc_stream_evicts_completed_days(spark, tmp_path):
         for r in all_queries()["orders_daily_ohlc"](spark, full).collect()
     }
     assert drained == want
+
+
+def test_variant_stats_stream_matches_batch(spark):
+    """S30: one availableNow drain of the update-mode VARIANT-typed
+    aggregation equals batch events_variant_stats row for row — the
+    parse is stateless map-side, count/sum/max merge incrementally."""
+    from utility_service_areas_spark.plans.registry import all_queries
+    from utility_service_areas_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        variant_stats_stream,
+    )
+
+    out = variant_stats_stream(read_events_stream(spark, SMOKE_SF))
+    run_to_memory(out, "t_variant", "update")
+    drained = {
+        r.event_type: (r.n_events, r.sum_k, r.max_k)
+        for r in spark.sql("SELECT * FROM t_variant").collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.sum_k, r.max_k)
+        for r in all_queries()["events_variant_stats"](spark, SMOKE_SF).collect()
+    }
+    assert drained == want and len(drained) > 0

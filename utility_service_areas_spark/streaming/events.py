@@ -988,3 +988,23 @@ def daily_ohlc_stream(stream: DataFrame, watermark: str = "2 days") -> DataFrame
             "volume_cents",
         )
     )
+
+
+def variant_stats_stream(stream: DataFrame) -> DataFrame:
+    """S30 — streaming twin of events_variant_stats
+    (plans/event_queries.py #218): the VARIANT parse
+    (parse_json/variant_get) is a stateless map-side projection, so
+    the twin is a plain update-mode aggregate over it. The group key
+    space is event_type (entity-bounded, like S21/S22/S25 — state is
+    3 numbers per type, no watermark needed); count/sum/max merge
+    incrementally, so a drain equals the batch frame row for row."""
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        stream.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
