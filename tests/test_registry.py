@@ -243,6 +243,10 @@ EXPECTED_KEYS = {
     "text_bm25_topk",
     "dedup_suffix_lrs",
     "embedding_knn_graph",
+    "multimodal_aspect_buckets",
+    "docs_novelty_profile",
+    "source_token_entropy",
+    "text_rake_keyphrases",
 }
 
 

@@ -136,3 +136,86 @@ def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nbytes").cast("long").alias("total_bytes"),
         )
     )
+
+
+# Canonical aspect buckets (name, bw, bh) + the exact-integer nearest-
+# ratio metric: |w/h - bw/bh| compared across buckets by clearing both
+# denominators — metric = |w*bh - h*bw| * (144 / bh), 144 = lcm of the
+# bucket heights {1,3,4,9,16}. Pure BIGINT, no float ratio anywhere.
+_ASPECT_BUCKETS = (
+    ("1:1", 1, 1),
+    ("4:3", 4, 3),
+    ("3:4", 3, 4),
+    ("16:9", 16, 9),
+    ("9:16", 9, 16),
+)
+_ASPECT_LCM = 144
+
+
+@query(
+    "multimodal_aspect_buckets",
+    oracle=f"""
+    WITH meta AS ({_META_SQL}),
+    buckets(bidx, bucket, bw, bh) AS (VALUES
+      {", ".join(f"({i}, '{n}', {bw}, {bh})" for i, (n, bw, bh) in enumerate(_ASPECT_BUCKETS))}),
+    assigned AS (
+      SELECT doc_id, bucket, width, height,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY abs(width * bh - height * bw) * ({_ASPECT_LCM} // bh),
+                        bidx) AS rk
+      FROM meta JOIN buckets ON true
+      WHERE mime LIKE 'image%')
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(width * height) AS BIGINT) AS total_pixels,
+           CAST(min(doc_id) AS BIGINT) AS sample_doc_id
+    FROM assigned WHERE rk = 1 GROUP BY bucket
+    """,
+    doc="Aspect-ratio bucketing for image-batch training (the "
+    "SDXL-style move: batches mix only images of one aspect bucket, "
+    "so the loader needs the per-bucket manifest): every image maps "
+    "to the NEAREST canonical ratio of {1:1, 4:3, 3:4, 16:9, 9:16} "
+    "under an exact-integer metric — |w/h - bw/bh| with both "
+    "denominators cleared (|w*bh - h*bw| * lcm/bh), ties to the "
+    "canonical order — then per-bucket image counts + pixel volume "
+    "(the batch-cost proxy). Dims come from the decode seam's "
+    "md5-derived fake (the #47/#49 posture: plumbing + arithmetic "
+    "real and SQL-mirrored; swap PIL in at deploy). Scale: the "
+    "5-row bucket dim broadcasts, assignment is map-side (5x row "
+    "expansion before a keyed min), the only shuffle is the 5-key "
+    "final agg; bytes never leave the scan.",
+    tags=("multimodal",),
+)
+def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_media(docs, "doc_id", "text"))
+    imgs = decoded.filter(F.col("meta.mime").startswith("image")).select(
+        "doc_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+    )
+    buckets = spark.createDataFrame(
+        [
+            (i, name, bw, bh, _ASPECT_LCM // bh)
+            for i, (name, bw, bh) in enumerate(_ASPECT_BUCKETS)
+        ],
+        "bidx int, bucket string, bw long, bh long, scale long",
+    )
+    metric = (
+        F.abs(F.col("width") * F.col("bh") - F.col("height") * F.col("bw"))
+        * F.col("scale")
+    )
+    w = Window.partitionBy("doc_id").orderBy(metric.asc(), F.col("bidx").asc())
+    assigned = (
+        imgs.join(F.broadcast(buckets))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum(F.col("width") * F.col("height")).cast("long").alias("total_pixels"),
+        F.min("doc_id").cast("long").alias("sample_doc_id"),
+    )

@@ -1213,3 +1213,86 @@ def dedup_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repeat_stats(
         spark, docs, min_rep=_LRS_MIN_REP, k_levels=_LRS_K
     )
+
+
+@query(
+    "docs_novelty_profile",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    spans AS (SELECT DISTINCT doc_id,
+                     md5(array_to_string(
+                         list_slice(ts, i, i + {_SPAN - 1}), ' ')) AS h
+              FROM toks,
+                   unnest(CASE WHEN len(ts) >= {_SPAN}
+                               THEN generate_series(1, len(ts) - {_SPAN - 1})
+                               ELSE [] END) AS t(i)),
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM spans GROUP BY h),
+    per AS (SELECT s.doc_id,
+                   count(*) AS ns,
+                   sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                       AS novel
+            FROM spans s JOIN firsts f USING (h) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(p.ns, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.novel, 0) AS BIGINT) AS n_novel_spans,
+           CASE WHEN p.ns > 0
+                THEN CAST(floor(p.novel * 1000000.0 / p.ns + 0.5) AS BIGINT)
+           END AS novelty_micros
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc=f"Corpus novelty profile: per document, the fraction of its "
+    f"distinct {_SPAN}-token spans whose FIRST corpus occurrence (min "
+    "doc_id over the span hash) is this document — 'how much text "
+    "does this doc add that the corpus hasn't seen before'. The "
+    "data-ordering / dedup-ROI signal: sorting an ingest by novelty "
+    "shows where marginal documents stop contributing, and a "
+    "low-novelty tail is exactly what #129/#220 would then dedup. "
+    "Same plan skeleton as #129 (span explode -> two linear keyed "
+    "shuffles, a repeated span is ONE counter row, never a pair "
+    "explosion); the ratio is one correctly-rounded IEEE division "
+    "quantized to micros (the shard-manifest fill_micros precedent).",
+    tags=("pipeline", "text"),
+)
+def docs_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
+    starts = F.expr(
+        f"CASE WHEN size(toks) >= {_SPAN} "
+        f"THEN sequence(1, size(toks) - {_SPAN - 1}) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    spans = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("toks", F.col("i"), _SPAN), " ")).alias("h"),
+        )
+        .distinct()
+    )
+    firsts = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        spans.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ns", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("novel", F.lit(0)).cast("long").alias("n_novel_spans"),
+            F.when(
+                F.col("ns") > 0,
+                F.floor(F.col("novel") * 1_000_000.0 / F.col("ns") + 0.5),
+            )
+            .cast("long")
+            .alias("novelty_micros"),
+        )
+    )

@@ -1892,3 +1892,181 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_terms_matched",
         )
     )
+
+
+@query(
+    "source_token_entropy",
+    oracle=rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+    freq AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1, 2),
+    per AS (SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   CAST(sum(CAST(round(c * log2(c) * 1000) AS BIGINT))
+                        AS BIGINT) AS s_milli
+            FROM freq GROUP BY source)
+    SELECT source, n_tokens, vocab_size,
+           CAST(round(log2(n_tokens) * 1000) AS BIGINT)
+             - CAST(floor(s_milli / (n_tokens * 1.0) + 0.5) AS BIGINT)
+               AS entropy_millibits
+    FROM per
+    """,
+    doc="Per-source Shannon entropy of the token distribution, in "
+    "millibits: H = log2(N) - (1/N)*sum(c*log2(c)) — the corpus "
+    "DIVERSITY metric that complements #153's mixing weights (a "
+    "source can be large yet low-entropy boilerplate; mixing on "
+    "volume alone overweights it). Engine-exactness: log2 runs on "
+    "exact integers only (the #89 posture), each vocab term is "
+    "rounded to millibits BEFORE the per-source integer sum (float "
+    "summation order can never flip the hash), and the final 1/N is "
+    "one correctly-rounded IEEE division. Scale: one token-count "
+    "shuffle (vocab-sized, partial-agg) then a source-sized agg — "
+    "the same two-shuffle skeleton as #52.",
+    tags=("text",),
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    term_milli = F.round(
+        F.col("c") * F.log2("c") * 1000
+    ).cast("long")
+    per = freq.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(term_milli).cast("long").alias("s_milli"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        (
+            F.round(F.log2("n_tokens") * 1000).cast("long")
+            - F.floor(F.col("s_milli") / (F.col("n_tokens") * 1.0) + 0.5).cast(
+                "long"
+            )
+        ).alias("entropy_millibits"),
+    )
+
+
+_RAKE_MAX_PHRASE = 4  # candidate phrases capped at 4 tokens (RAKE convention)
+_RAKE_TOP = 20
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, i, toks[i] AS t
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+           unnest(generate_series(1, 4096)) AS s(i)
+      WHERE i <= len(toks)),
+    nonstop AS (
+      SELECT doc_id, i, t,
+             CAST(i AS BIGINT)
+               - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM tok WHERE t NOT IN ({_STOP_SQL})),
+    islands AS (
+      SELECT doc_id, grp,
+             array_to_string(list(t ORDER BY i), ' ') AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM nonstop GROUP BY doc_id, grp),
+    members AS (
+      SELECT n.doc_id, n.grp, n.t, isl.plen
+      FROM nonstop n JOIN islands isl
+        ON isl.doc_id = n.doc_id AND isl.grp = n.grp
+      WHERE isl.plen <= {_RAKE_MAX_PHRASE}),
+    wordstats AS (
+      SELECT t,
+             CAST(sum(plen) * 1000000 AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS w_score_micros
+      FROM members GROUP BY t),
+    scored AS (
+      SELECT isl.phrase,
+             CAST(sum(w.w_score_micros) AS BIGINT) AS inst_score
+      FROM islands isl
+      JOIN nonstop n ON n.doc_id = isl.doc_id AND n.grp = isl.grp
+      JOIN wordstats w ON w.t = n.t
+      WHERE isl.plen <= {_RAKE_MAX_PHRASE}
+      GROUP BY isl.doc_id, isl.grp, isl.phrase),
+    byphrase AS (
+      SELECT phrase,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(max(inst_score) AS BIGINT) AS score_micros
+      FROM scored GROUP BY phrase)
+    SELECT phrase, n_occurrences, score_micros FROM (
+      SELECT *, row_number() OVER (ORDER BY score_micros DESC, phrase ASC)
+                  AS rk
+      FROM byphrase)
+    WHERE rk <= {_RAKE_TOP}
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010): candidate "
+    "phrases are maximal stopword-free token runs (gaps-and-islands: "
+    "grp = i - row_number per doc, a KEYED window) capped at "
+    f"{_RAKE_MAX_PHRASE} tokens; word score = degree/frequency where "
+    "degree sums the lengths of phrases containing the word; phrase "
+    "score sums member word scores; top-20 by score. Engine-exact "
+    "with NO float anywhere: word score is (deg*1e6) integer-DIV "
+    "freq (Spark `div` == DuckDB `//` on positives), phrase score an "
+    "integer sum. Identical phrases score identically by "
+    "construction (max == any). Scale: two keyed windows + "
+    "vocab-sized word stats (broadcastable); the final top-20 is "
+    "TakeOrdered (no global window on the Spark side).",
+    tags=("text",),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.functions.textops import (
+        STOPWORDS,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i0", "t")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "t")
+    nonstop = (
+        tok.filter(~F.col("t").isin(*STOPWORDS))
+        .withColumn(
+            "grp",
+            F.col("i")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("i")
+            ),
+        )
+    )
+    islands = nonstop.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "t"))),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    short = islands.filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    members = nonstop.join(short, ["doc_id", "grp"])
+    wordstats = members.groupBy("t").agg(
+        F.expr("CAST(sum(plen) * 1000000 AS BIGINT) div count(*)").alias(
+            "w_score_micros"
+        )
+    )
+    scored = (
+        members.join(F.broadcast(wordstats), "t")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("w_score_micros").cast("long").alias("inst_score"))
+    )
+    byphrase = scored.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("inst_score").cast("long").alias("score_micros"),
+    )
+    return (
+        byphrase.orderBy(F.col("score_micros").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOP)
+        .select("phrase", "n_occurrences", "score_micros")
+    )
