@@ -247,6 +247,7 @@ EXPECTED_KEYS = {
     "docs_novelty_profile",
     "source_token_entropy",
     "text_rake_keyphrases",
+    "geo_simplify_vw",
 }
 
 

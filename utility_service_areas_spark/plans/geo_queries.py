@@ -1022,3 +1022,202 @@ def geo_knn_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand.k").alias("n_nationkey"),
         F.round(F.col("cand.d2") * 1_000_000).cast("long").alias("dist2_micros"),
     )
+
+# --- #226 Visvalingam-Whyatt simplification in window algebra --------
+# The densified 9-point rect ring (#109's substrate): corners at odd
+# positions, collinear edge midpoints at even ones. Offsets of vertex
+# pos (1-based, ring closed at pos 9 == pos 1) as (fx_num, fy_num) in
+# HALF-UNITS of (w, h): x = x0 + w * fx_num / 2, y = y0 + h * fy_num / 2.
+_VW_OFFSETS = (
+    (0, 0), (1, 0), (2, 0), (2, 1), (2, 2), (1, 2), (0, 2), (0, 1), (0, 0),
+)
+_VW_ROUNDS = 2
+_VW_TOL4 = 0  # remove only exactly-collinear vertices (4x eff area = 0)
+
+
+def _vw_round_sql(src: str, out: str) -> str:
+    """One parallel-VW round: effective area per interior vertex from
+    lag/lead windows (x4 so half-unit coords integerize), remove
+    vertices at or under tolerance, guarded so two ADJACENT removables
+    never drop in one round (the earlier position wins, the later one
+    waits for the next round — the standard parallel-VW compromise),
+    then re-number the ring."""
+    return f"""
+    {out}_eff AS (
+      SELECT n_nationkey, pos, x, y,
+             CAST(round(abs(
+               (lag(x)  OVER w - x) * (lead(y) OVER w - y)
+             - (lead(x) OVER w - x) * (lag(y)  OVER w - y)) * 4) AS BIGINT)
+               AS eff4
+      FROM {src}
+      WINDOW w AS (PARTITION BY n_nationkey ORDER BY pos)),
+    {out}_mark AS (
+      SELECT *,
+             (eff4 IS NOT NULL AND eff4 <= {_VW_TOL4}) AS removable
+      FROM {out}_eff),
+    {out} AS (
+      SELECT n_nationkey,
+             CAST(row_number() OVER (PARTITION BY n_nationkey ORDER BY pos)
+                  AS BIGINT) AS pos,
+             x, y
+      FROM (SELECT *,
+                   removable AND NOT coalesce(
+                     lag(removable) OVER (PARTITION BY n_nationkey
+                                          ORDER BY pos), false) AS rm
+            FROM {out}_mark)
+      WHERE NOT rm)"""
+
+
+def _vw_oracle_sql() -> str:
+    x_case = " ".join(
+        f"WHEN {i + 1} THEN {fx}" for i, (fx, _) in enumerate(_VW_OFFSETS)
+    )
+    y_case = " ".join(
+        f"WHEN {i + 1} THEN {fy}" for i, (_, fy) in enumerate(_VW_OFFSETS)
+    )
+    rounds = ",".join(
+        _vw_round_sql("v0" if r == 1 else f"v{r - 1}", f"v{r}")
+        for r in range(1, _VW_ROUNDS + 1)
+    )
+    return f"""
+    WITH rect AS ({_RECT_SQL}),
+    v0 AS (
+      SELECT n_nationkey, CAST(pos AS BIGINT) AS pos,
+             x0 + w * (CASE pos {x_case} END) / 2 AS x,
+             y0 + h * (CASE pos {y_case} END) / 2 AS y
+      FROM rect, unnest(generate_series(1, {len(_VW_OFFSETS)})) AS t(pos)),
+    {rounds},
+    counts AS (
+      SELECT n_nationkey, CAST(count(*) AS BIGINT) AS n_r1
+      FROM v1 GROUP BY 1),
+    shoe AS (
+      SELECT n_nationkey,
+             CAST(count(*) AS BIGINT) AS n_out,
+             CAST(abs(sum(CAST(round((x * lead_y - lead_x * y) * 4)
+                               AS BIGINT))) AS BIGINT) AS sum4
+      FROM (SELECT n_nationkey, pos, x, y,
+                   lead(x) OVER (PARTITION BY n_nationkey ORDER BY pos)
+                     AS lead_x,
+                   lead(y) OVER (PARTITION BY n_nationkey ORDER BY pos)
+                     AS lead_y
+            FROM v{_VW_ROUNDS})
+      WHERE lead_x IS NOT NULL GROUP BY n_nationkey)
+    SELECT s.n_nationkey,
+           CAST({len(_VW_OFFSETS)} AS BIGINT) AS n_points_in,
+           c.n_r1 AS n_after_round1,
+           s.n_out + 1 AS n_points_out,
+           s.sum4 * 125 AS area_milli
+    FROM shoe s JOIN counts c USING (n_nationkey)"""
+
+
+@query(
+    "geo_simplify_vw",
+    oracle=_vw_oracle_sql(),
+    doc="Visvalingam-Whyatt simplification as WINDOW ALGEBRA (vs "
+    "#109's per-row Arrow-UDF Douglas-Peucker): vertices explode to "
+    "rows, each round computes every interior vertex's effective "
+    "triangle area from lag/lead (x4 so the half-unit substrate "
+    "coords integerize — pure BIGINT compares), removes vertices at "
+    "or under tolerance with an adjacency guard (two adjacent "
+    "removables never drop in one round; the earlier position wins, "
+    "the later waits — the standard parallel-VW compromise), and "
+    "re-numbers. 2 fixed rounds, both replayed by the oracle; the "
+    "final ring's shoelace area is an integer sum (x4 terms, x125 to "
+    "milli). On the densified rects the collinear midpoints (eff "
+    "area 0) vanish in round 1 and round 2 is a fixpoint — "
+    "area preserved exactly. The plan shape is the 100 TB story: a "
+    "RING TOO BIG FOR ONE ROW simplifies as keyed windows over its "
+    "vertex rows (bounded rounds, no geometry blob ever built), "
+    "where a per-row UDF needs the whole ring in memory.",
+    tags=("geo",),
+)
+def geo_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _nation_rects(spark, sf_dir)
+    x0, y0, w, h = (F.col(c) for c in ("x0", "y0", "w", "h"))
+    verts = rects.select(
+        "n_nationkey",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        (x0 + w * fx / 2).alias("x"),
+                        (y0 + h * fy / 2).alias("y"),
+                    )
+                    for fx, fy in _VW_OFFSETS
+                ]
+            )
+        ).alias("p0", "v"),
+    ).select(
+        "n_nationkey",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.col("v.x").alias("x"),
+        F.col("v.y").alias("y"),
+    )
+
+    def vw_round(df: DataFrame) -> DataFrame:
+        wnd = Window.partitionBy("n_nationkey").orderBy("pos")
+        eff4 = F.round(
+            F.abs(
+                (F.lag("x").over(wnd) - F.col("x"))
+                * (F.lead("y").over(wnd) - F.col("y"))
+                - (F.lead("x").over(wnd) - F.col("x"))
+                * (F.lag("y").over(wnd) - F.col("y"))
+            )
+            * 4
+        ).cast("long")
+        marked = df.withColumn("eff4", eff4).withColumn(
+            "removable",
+            F.col("eff4").isNotNull() & (F.col("eff4") <= _VW_TOL4),
+        )
+        rm = F.col("removable") & ~F.coalesce(
+            F.lag("removable").over(wnd), F.lit(False)
+        )
+        return (
+            marked.withColumn("rm", rm)
+            .filter(~F.col("rm"))
+            .select(
+                "n_nationkey",
+                F.row_number().over(wnd).cast("long").alias("pos"),
+                "x",
+                "y",
+            )
+        )
+
+    v = verts
+    counts_r1 = None
+    for r in range(_VW_ROUNDS):
+        v = vw_round(v)
+        if r == 0:
+            counts_r1 = v.groupBy("n_nationkey").agg(
+                F.count(F.lit(1)).cast("long").alias("n_after_round1")
+            )
+    wnd = Window.partitionBy("n_nationkey").orderBy("pos")
+    shoe = (
+        v.withColumn("lead_x", F.lead("x").over(wnd))
+        .withColumn("lead_y", F.lead("y").over(wnd))
+        .filter(F.col("lead_x").isNotNull())
+        .groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.abs(
+                F.sum(
+                    F.round(
+                        (
+                            F.col("x") * F.col("lead_y")
+                            - F.col("lead_x") * F.col("y")
+                        )
+                        * 4
+                    ).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("sum4"),
+        )
+    )
+    return shoe.join(counts_r1, "n_nationkey").select(
+        "n_nationkey",
+        F.lit(len(_VW_OFFSETS)).cast("long").alias("n_points_in"),
+        "n_after_round1",
+        (F.col("n_out") + 1).cast("long").alias("n_points_out"),
+        (F.col("sum4") * 125).cast("long").alias("area_milli"),
+    )
