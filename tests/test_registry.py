@@ -248,6 +248,8 @@ EXPECTED_KEYS = {
     "source_token_entropy",
     "text_rake_keyphrases",
     "geo_simplify_vw",
+    "search_rrf_fusion",
+    "trade_graph_lpa",
 }
 
 

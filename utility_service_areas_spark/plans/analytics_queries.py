@@ -2753,3 +2753,113 @@ def kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sketch_max").cast("long").alias("sketch_max"),
         est.cast("long").alias("kmv_union_estimate"),
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle_sql(n_rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled SQL replay of synchronous label propagation over the
+    trade graph — integer labels, deterministic (count DESC, label
+    ASC) tie rule, so every round replays exactly."""
+    parts = [
+        f"""
+    WITH eb AS (
+      SELECT DISTINCT o_custkey AS c, {_PR_SUPP_OFFSET} + l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb
+          UNION ALL SELECT s AS src, c AS dst FROM eb),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM e)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+    n{r} AS (
+      SELECT e.src AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+      FROM e JOIN l{r - 1} l ON l.v = e.dst GROUP BY 1, 2),
+    l{r} AS MATERIALIZED (
+      SELECT v, lbl FROM (
+        SELECT v, lbl,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM n{r}) WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""
+    SELECT lbl AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN v < {_PR_SUPP_OFFSET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN v >= {_PR_SUPP_OFFSET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppliers,
+           CAST(min(v) AS BIGINT) AS min_node
+    FROM l{n_rounds} GROUP BY lbl"""
+    )
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@query(
+    "trade_graph_lpa",
+    oracle=_lpa_oracle_sql(),
+    doc="Community detection by synchronous label propagation "
+    "(Raghavan et al. 2007) over the same customer<->supplier trade "
+    "graph as #145's PageRank: labels init to node ids, each of 4 "
+    "FIXED rounds re-labels every node with its neighbors' most "
+    "frequent label (ties -> smallest label — the determinism rule "
+    "that makes the unrolled DuckDB replay exact; synchronous LPA "
+    "can oscillate on bipartite graphs, and a FIXED round count "
+    "replays identically regardless). Output: per-community size "
+    "split by node side. Per round: one edge<->label join + one "
+    "partial-agg (node, label) count + one KEYED argmax window — "
+    "label state is node-sized, the edge list is lineage_cut once "
+    "and re-partitioned by join key, the iterative-join shape Spark "
+    "graph libraries (GraphX/GraphFrames) use internally.",
+    tags=("graph", "analytics"),
+)
+def trade_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = lineage_cut(
+        eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+            eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("v"), F.col("src").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nbr = edges.join(
+            labels.select(F.col("v").alias("_nv"), "lbl"),
+            F.col("dst") == F.col("_nv"),
+        ).select(F.col("src").alias("v"), "lbl")
+        cnt = nbr.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("v").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        labels = lineage_cut(
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.when(F.col("v") < _PR_SUPP_OFFSET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("v") >= _PR_SUPP_OFFSET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+        F.min("v").cast("long").alias("min_node"),
+    )

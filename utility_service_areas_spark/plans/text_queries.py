@@ -1784,11 +1784,11 @@ _BM25_QUERY_SQL = " UNION ALL ".join(
     for qid, qs in _BM25_QUERIES
 )
 
-
-@query(
-    "text_bm25_topk",
-    oracle=rf"""
-    WITH q AS ({_BM25_QUERY_SQL}),
+# Shared CTE chain (composed verbatim by #219 and the RRF fusion #227)
+# ending in `bm25_ranked` (query_id, doc_id, score_millibits,
+# n_terms_matched, rk) — unfiltered ranks.
+_BM25_CTES = rf"""
+    q AS ({_BM25_QUERY_SQL}),
     tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
     tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
            FROM tok GROUP BY 1, 2),
@@ -1812,17 +1812,25 @@ _BM25_QUERY_SQL = " UNION ALL ".join(
       JOIN dfreq ON dfreq.t = p.t
       JOIN dl ON dl.doc_id = p.doc_id
       CROSS JOIN stats s),
-    scores AS (
+    bm25_scores AS (
       SELECT query_id, doc_id,
              CAST(sum(term_millibits) AS BIGINT) AS score_millibits,
              CAST(count(*) AS BIGINT) AS n_terms_matched
-      FROM contrib GROUP BY 1, 2)
-    SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id,
-           score_millibits, n_terms_matched
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY score_millibits DESC,
-                                                doc_id ASC) AS rk
-          FROM scores)
+      FROM contrib GROUP BY 1, 2),
+    bm25_ranked AS (
+      SELECT query_id, doc_id, score_millibits, n_terms_matched,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_millibits DESC,
+                                              doc_id ASC) AS BIGINT) AS rk
+      FROM bm25_scores)"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=rf"""
+    WITH {_BM25_CTES}
+    SELECT query_id, rk, doc_id, score_millibits, n_terms_matched
+    FROM bm25_ranked
     WHERE rk <= {_BM25_K}
     """,
     doc="BM25 ranked retrieval: top-10 documents per query for a "
@@ -2069,4 +2077,121 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         byphrase.orderBy(F.col("score_micros").desc(), F.col("phrase").asc())
         .limit(_RAKE_TOP)
         .select("phrase", "n_occurrences", "score_micros")
+    )
+
+
+_RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_TOP = 5
+
+
+@query(
+    "search_rrf_fusion",
+    oracle=rf"""
+    WITH {_BM25_CTES},
+    qual AS (
+      SELECT doc_id,
+             CAST(floor((0.4 * (alpha / chars)
+                       + 0.3 * least(1.0, n_tok / 100.0)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0))) * 1000000
+                       + 0.5) AS BIGINT) AS quality_micros
+      FROM (
+        SELECT doc_id,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    AS DOUBLE) AS alpha,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS chars,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+        FROM documents)),
+    cand AS (SELECT DISTINCT doc_id FROM bm25_ranked WHERE rk <= {_BM25_K}),
+    cand_q AS (SELECT c.doc_id, q.quality_micros
+               FROM cand c JOIN qual q USING (doc_id)),
+    qrank AS (
+      SELECT c.doc_id,
+             CAST(1 + count(e.doc_id) AS BIGINT) AS rank_quality
+      FROM cand_q c LEFT JOIN qual e
+        ON e.quality_micros > c.quality_micros
+        OR (e.quality_micros = c.quality_micros AND e.doc_id < c.doc_id)
+      GROUP BY c.doc_id),
+    fused AS (
+      SELECT b.query_id, b.doc_id, b.rk AS rank_bm25, r.rank_quality,
+             CAST(1000000 // (({_RRF_C} + b.rk))
+                + 1000000 // (({_RRF_C} + r.rank_quality)) AS BIGINT)
+               AS rrf_micros
+      FROM bm25_ranked b JOIN qrank r USING (doc_id)
+      WHERE b.rk <= {_BM25_K})
+    SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id,
+           rank_bm25, rank_quality, rrf_micros
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_micros DESC, doc_id ASC)
+                      AS rk
+          FROM fused)
+    WHERE rk <= {_RRF_TOP}
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al. 2009, the standard "
+    "hybrid-retrieval combiner): each query's BM25 top-10 (#219's "
+    "shared ranking CTEs, composed verbatim) fuses with a GLOBAL "
+    "document-quality ranking (#34's score) via "
+    "rrf = 1e6 div (60+rank_a) + 1e6 div (60+rank_b) — pure integer "
+    "division, no float anywhere past the two source rankings. The "
+    "quality rank of the <=30-doc shortlist is computed by "
+    "COUNT-GREATER against the corpus (1 + #docs strictly ahead "
+    "under (quality DESC, doc_id)): one broadcast of the shortlist "
+    "against the scored scan — a global rank with NO global sort, "
+    "the move that makes reranking a shortlist free at 100 TB. "
+    "Top-5 fused per query, WindowGroupLimit shape.",
+    tags=("text", "ann"),
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    bm25 = text_bm25_topk(spark, sf_dir)  # query_id, rk, doc_id, ...
+    docs = load_table(spark, sf_dir, "documents")
+    qual = docs.select(
+        "doc_id", quality_score_micros(F.col("text")).alias("quality_micros")
+    )
+    cand = bm25.select("doc_id").distinct()
+    cand_q = cand.join(qual, "doc_id").select(
+        F.col("doc_id").alias("c_doc"), F.col("quality_micros").alias("c_q")
+    )
+    ahead = (
+        qual.join(
+            F.broadcast(cand_q),
+            (F.col("quality_micros") > F.col("c_q"))
+            | (
+                (F.col("quality_micros") == F.col("c_q"))
+                & (F.col("doc_id") < F.col("c_doc"))
+            ),
+            "inner",
+        )
+        .groupBy("c_doc")
+        .agg(F.count(F.lit(1)).alias("n_ahead"))
+        .select(F.col("c_doc").alias("a_doc"), "n_ahead")
+    )
+    qrank = cand_q.join(
+        ahead, F.col("c_doc") == F.col("a_doc"), "left"
+    ).select(
+        F.col("c_doc").alias("doc_id"),
+        (F.coalesce("n_ahead", F.lit(0)) + 1).cast("long").alias("rank_quality"),
+    )
+    fused = bm25.join(qrank, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.col("rk").alias("rank_bm25"),
+        "rank_quality",
+        (
+            F.expr(f"CAST(1000000 AS BIGINT) div ({_RRF_C} + rk)")
+            + F.expr(f"CAST(1000000 AS BIGINT) div ({_RRF_C} + rank_quality)")
+        )
+        .cast("long")
+        .alias("rrf_micros"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micros").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOP)
+        .select(
+            "query_id", "rank", "doc_id", "rank_bm25", "rank_quality", "rrf_micros"
+        )
     )
