@@ -260,6 +260,55 @@ HEADLINE = {
         "BEFORE the trailing window — frames are types x hours, "
         "never events"
     ),
+    # r12 additions
+    "text_bm25_topk": (
+        "broadcast query-term dim prunes postings FIRST; df/stats "
+        "broadcast; per-query top-10 is WindowGroupLimit (no full "
+        "sort of the score table)"
+    ),
+    "dedup_suffix_lrs": (
+        "NO global-window ranking: dense ranks are per-band windows "
+        "+ a <=256-row offset map per round; every shuffle keyed "
+        "(doc, pos) or band; descent joins are equi-joins on "
+        "computed (doc, pos+off) keys"
+    ),
+    "embedding_knn_graph": (
+        "every shuffle keyed by vertex id; candidate volume bounded "
+        "by the reverse-edge cap (O(k^2) per vertex, hub-proof); "
+        "per-round state is the lineage-cut k-regular edge list"
+    ),
+    "multimodal_aspect_buckets": (
+        "5-row bucket dim broadcast; assignment map-side (5x "
+        "expansion before a keyed min); only shuffle is the 5-key agg"
+    ),
+    "docs_novelty_profile": (
+        "#129's span skeleton: map-side explode, two linear keyed "
+        "shuffles; a repeated span is one counter row, never a pair "
+        "explosion"
+    ),
+    "source_token_entropy": (
+        "vocab-sized (source, token) partial agg then a source-sized "
+        "agg — the #52 two-shuffle skeleton; log2 on exact integers"
+    ),
+    "text_rake_keyphrases": (
+        "gaps-and-islands phrase runs via KEYED windows per doc; "
+        "word stats broadcast; final top-20 is TakeOrdered, never a "
+        "global window"
+    ),
+    "geo_simplify_vw": (
+        "vertex rows through keyed lag/lead windows, two fixed "
+        "rounds; no geometry blob, no UDF, no Python node"
+    ),
+    "search_rrf_fusion": (
+        "shortlist quality rank via count-greater broadcast "
+        "nested-loop against the scored scan — global rank with NO "
+        "global sort; fusion is integer div arithmetic"
+    ),
+    "trade_graph_lpa": (
+        "per round: edge<->label equi-join + partial-agg count + "
+        "KEYED argmax window; edge list lineage_cut once, label "
+        "state node-sized"
+    ),
 }
 
 
