@@ -204,3 +204,27 @@ def test_knn_graph_recall_on_clustered_substrate(spark, tmp_path):
     assert recall >= 0.9, f"recall@10 = {recall:.3f}"
     # k-regular out-degree: every vertex carries exactly k neighbors
     assert all(len(v) == 10 for v in got.values())
+
+
+def test_r12_heavy_kernels_have_no_single_partition_exchange(spark):
+    """The r12 kernels' scale claims hinge on NO stage funneling into
+    one reducer: dense ranks are banded windows (suffix LRS), top-k is
+    TakeOrdered/WindowGroupLimit (RAKE, BM25), the shortlist rank is a
+    count-greater broadcast (RRF). An `Exchange SinglePartition` in
+    any of their plans would falsify that — pin its absence.
+    (TakeOrderedAndProject does its own bounded final merge, which is
+    k-row, not data-sized.)"""
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "dedup_suffix_lrs",
+        "text_rake_keyphrases",
+        "search_rrf_fusion",
+        "trade_graph_lpa",
+        "embedding_knn_graph",
+        "geo_simplify_vw",
+    ):
+        df = qs[name](spark, SMOKE_SF)
+        plan = _plan(df)
+        assert "Exchange SinglePartition" not in plan, name
