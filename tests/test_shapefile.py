@@ -387,3 +387,112 @@ def test_stream_reader_raises_when_committed_offset_uncoverable(tmp_path):
     reader = ShapefileStreamReader({"path": str(tmp_path)})
     with pytest.raises(RuntimeError, match="append-only"):
         reader.partitions({"idx": 0}, {"idx": 3})
+
+
+def test_python_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
+    """S31 — df.write.format('shapefile'): each task writes temp files,
+    only the driver-side commit renames them to part-N (the Spark
+    write protocol). Round-trip: write via the connector, read via the
+    connector, full record parity; overwrite mode replaces prior
+    part files; no _tmp- leftovers survive a successful commit."""
+    out = str(tmp_path / "out")
+    rows = [
+        ("polygon", [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 0.0]]], {"NAME": "alpha", "CODE": "1"}),
+        ("polygon", [[[5.0, 5.0], [9.0, 5.0], [9.0, 9.0], [5.0, 5.0]]], {"NAME": "beta", "CODE": "2"}),
+        ("point", [[[3.5, 4.5]]], {"NAME": "gamma", "CODE": "3"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "shape_type string, geometry array<array<array<double>>>, "
+        "attrs map<string,string>",
+    ).repartition(2)
+    (
+        df.write.format("shapefile")
+        .option("fields", "NAME:C:16:0,CODE:N:4:0")
+        .mode("append")
+        .save(out)
+    )
+    import os
+
+    names = sorted(os.listdir(out))
+    assert not any(n.startswith("_tmp-") for n in names), names
+    assert any(n.startswith("part-") and n.endswith(".shp") for n in names)
+
+    back = spark.read.format("shapefile").load(out)
+    got = sorted(
+        (r.shape_type, str(r.geometry), r.attrs["NAME"], r.attrs["CODE"].strip())
+        for r in back.collect()
+    )
+    want = sorted(
+        (st, str(geom), a["NAME"], a["CODE"]) for st, geom, a in rows
+    )
+    assert got == want
+
+    # overwrite: a 1-row write replaces all previous parts
+    one = spark.createDataFrame(
+        rows[:1],
+        "shape_type string, geometry array<array<array<double>>>, "
+        "attrs map<string,string>",
+    ).coalesce(1)
+    (
+        one.write.format("shapefile")
+        .option("fields", "NAME:C:16:0,CODE:N:4:0")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert spark.read.format("shapefile").load(out).count() == 1
+
+
+def test_python_datasource_writer_abort_leaves_no_temps(spark, tmp_path):
+    """A failing task must abort the job and leave the directory free
+    of temp files — a crashed write can never surface half a pair to
+    a reader."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "out")
+    bad = spark.createDataFrame(
+        [("polygon", [[["oops", 0.0]]], {"NAME": "x"})],
+        "shape_type string, geometry array<array<array<string>>>, "
+        "attrs map<string,string>",
+    ).selectExpr(
+        "shape_type",
+        "CAST(geometry AS array<array<array<double>>>) AS geometry",
+        "attrs",
+    ).selectExpr(
+        "shape_type",
+        # NULL point x -> float(None) raises inside write()
+        "transform(geometry, p -> transform(p, q -> array(q[0], q[1]))) AS geometry",
+        "attrs",
+    )
+    with pytest.raises(Exception):
+        (
+            bad.write.format("shapefile")
+            .option("fields", "NAME:C:16:0")
+            .mode("append")
+            .save(out)
+        )
+    leftovers = [n for n in os.listdir(out)] if os.path.exists(out) else []
+    assert not any(n.startswith("_tmp-") for n in leftovers), leftovers
+    assert not any(n.startswith("part-") for n in leftovers), leftovers
+
+
+def test_python_datasource_writer_rejects_wrong_schema_and_missing_fields(
+    spark, tmp_path
+):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(Exception, match="expects columns"):
+        df.write.format("shapefile").option("fields", "A:C:4:0").mode(
+            "append"
+        ).save(str(tmp_path / "o1"))
+
+    ok = spark.createDataFrame(
+        [(1, [[[0.0, 0.0]]], {"A": "v"})],
+        "shape_type string, geometry array<array<array<double>>>, "
+        "attrs map<string,string>",
+    )
+    with pytest.raises(Exception, match="fields"):
+        ok.write.format("shapefile").mode("append").save(str(tmp_path / "o2"))

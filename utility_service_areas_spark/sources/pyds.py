@@ -44,7 +44,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -232,3 +234,160 @@ class ShapefileDataSource(DataSource):
     def streamReader(self, schema: StructType) -> ShapefileStreamReader:
         self._check_schema(schema)
         return ShapefileStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        # Write-side contract: exactly (shape_type, geometry, attrs).
+        # write() reads rows by FIELD NAME, so order is free but the
+        # names and types must match.
+        want = {f.name: f.dataType for f in SHAPEFILE_WRITE_SCHEMA.fields}
+        got = {f.name: f.dataType for f in schema.fields}
+        if got != want:
+            raise ValueError(
+                "shapefile write expects columns "
+                f"{SHAPEFILE_WRITE_SCHEMA.simpleString()}, got "
+                f"{schema.simpleString()}"
+            )
+        return ShapefileWriter(self.options, overwrite)
+
+
+# --------------------------------------------------------------------------
+# S31: the writer half — df.write.format("shapefile")
+# --------------------------------------------------------------------------
+
+# (shape_type, geometry, attrs) — shape_type uses the READER's string
+# names ('point', 'polygon', ...) so a read → transform → write
+# pipeline composes without translation. Built without fromDDL, which
+# needs an active session at import time.
+SHAPEFILE_WRITE_SCHEMA = (
+    StructType()
+    .add(SHP_SCHEMA["shape_type"])
+    .add(SHP_SCHEMA["geometry"])
+    .add(DBF_SCHEMA["attrs"])
+)
+
+
+def _parse_fields(spec: str) -> list[tuple[str, str, int, int]]:
+    """'NAME:C:16:0,CODE:N:4:0' -> dBase III field descriptors.
+    An explicit spec is the contract (same as the fixture writer):
+    deriving widths from data would make the file layout depend on
+    the partition that happened to write first."""
+    out = []
+    for part in spec.split(","):
+        bits = part.split(":")
+        if len(bits) != 4:
+            raise ValueError(
+                f"bad field spec {part!r}: want NAME:TYPE:WIDTH:DECIMALS"
+            )
+        name, ftype, width, dec = bits
+        if ftype not in ("C", "N", "F", "L", "D"):
+            raise ValueError(f"bad dBase field type {ftype!r} in {part!r}")
+        out.append((name, ftype, int(width), int(dec)))
+    if not out:
+        raise ValueError("fields option must name at least one column")
+    return out
+
+
+class ShapefileCommit(WriterCommitMessage):
+    def __init__(self, tmp_base: str | None, final_base: str | None):
+        self.tmp_base = tmp_base  # basename (no ext) of the temp trio
+        self.final_base = final_base
+
+
+class ShapefileWriter(DataSourceWriter):
+    """Exactly-once directory commit via the Spark write protocol:
+    each task writes its partition to `_tmp-{run}-{task uuid}-part-N`
+    files INSIDE the target directory and reports them in its commit
+    message; only the driver-side commit() renames temps to their
+    final `part-N` names (os.replace — atomic on POSIX). A failed or
+    retried task's temps are never renamed, and both commit() and
+    abort() sweep every `_tmp-{run}-*` leftover, so readers (whose
+    listing keys on `.shp` bases — temps carry no final extension
+    visible to a glob of part bases only after rename) never observe
+    a half-written pair. Same local/NFS scope as the reader."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = _path_option(options)
+        spec = options.get("fields")
+        if not spec:
+            raise ValueError(
+                "shapefile write requires .option('fields', "
+                "'NAME:C:16:0,...') — dBase III descriptors"
+            )
+        self._fields = _parse_fields(spec)
+        self._overwrite = overwrite
+        import uuid
+
+        self._run = uuid.uuid4().hex[:12]  # driver-generated job token
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        from utility_service_areas_spark.sources.shapefile import (
+            build_shapefile,
+        )
+
+        from utility_service_areas_spark.sources.shapefile import (
+            _SHAPE_NAMES,
+        )
+
+        codes = {name: code for code, name in _SHAPE_NAMES.items()}
+        pid = TaskContext.get().partitionId()
+        records = []
+        for row in iterator:
+            if row.shape_type not in codes:
+                raise ValueError(
+                    f"unknown shape_type {row.shape_type!r}; "
+                    f"want one of {sorted(codes)}"
+                )
+            geometry = [
+                [[float(x), float(y)] for x, y in part]
+                for part in (row.geometry or [])
+            ]
+            records.append(
+                (codes[row.shape_type], geometry, dict(row.attrs or {}))
+            )
+        if not records:
+            return ShapefileCommit(None, None)
+        os.makedirs(self._path, exist_ok=True)
+        tmp = f"_tmp-{self._run}-{uuid.uuid4().hex[:8]}-part-{pid:05d}"
+        shp, shx, dbf = build_shapefile(records, self._fields)
+        for ext, blob in (("shp", shp), ("shx", shx), ("dbf", dbf)):
+            with open(os.path.join(self._path, f"{tmp}.{ext}"), "wb") as f:
+                f.write(blob)
+        return ShapefileCommit(tmp, f"part-{pid:05d}")
+
+    def _sweep(self) -> None:
+        try:
+            names = os.listdir(self._path)
+        except FileNotFoundError:
+            return
+        for n in names:
+            if n.startswith(f"_tmp-{self._run}-"):
+                os.remove(os.path.join(self._path, n))
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            try:
+                for n in os.listdir(self._path):
+                    if n.startswith("part-") and n.rsplit(".", 1)[-1] in (
+                        "shp",
+                        "shx",
+                        "dbf",
+                    ):
+                        os.remove(os.path.join(self._path, n))
+            except FileNotFoundError:
+                pass
+        for m in messages:
+            if m is None or m.tmp_base is None:
+                continue
+            for ext in ("shp", "shx", "dbf"):
+                os.replace(
+                    os.path.join(self._path, f"{m.tmp_base}.{ext}"),
+                    os.path.join(self._path, f"{m.final_base}.{ext}"),
+                )
+        self._sweep()
+
+    def abort(self, messages) -> None:
+        self._sweep()
