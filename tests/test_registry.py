@@ -250,6 +250,7 @@ EXPECTED_KEYS = {
     "geo_simplify_vw",
     "search_rrf_fusion",
     "trade_graph_lpa",
+    "ann_mmr_rerank",
 }
 
 

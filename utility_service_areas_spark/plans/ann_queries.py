@@ -2281,3 +2281,195 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn_descent_graph(
         emb, k=_KNNG_K, rounds=_KNNG_ROUNDS, n_init=_KNNG_INIT
     )
+
+
+# --- #229 MMR diverse reranking --------------------------------------
+_MMR_SELECT = 5  # diverse picks per query (from the cosine top-10)
+# lambda = 0.7 kept RATIONAL: mmr ordering by 7*rel - 3*max_sim (x10 of
+# the textbook score) — pure BIGINT, division only for the output col.
+
+
+def _mmr_oracle_sql(n_select: int = _MMR_SELECT) -> str:
+    cos = _cos_micros_sql("a.embedding", "b.embedding")
+    parts = [
+        f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c0 AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_cos_micros_sql('q_vec', 'c_vec')} AS sim_micros
+      FROM q JOIN c0 ON query_id <> neighbor_id),
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, sim_micros AS rel, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_micros DESC, neighbor_id ASC) AS BIGINT)
+                    AS rank
+        FROM scored)
+      WHERE rank <= {TOP_K}),
+    pair AS MATERIALIZED (
+      SELECT x.query_id, x.neighbor_id AS na, y.neighbor_id AS nb,
+             {cos} AS sim_micros
+      FROM cand x
+      JOIN cand y ON y.query_id = x.query_id
+                 AND y.neighbor_id <> x.neighbor_id
+      JOIN embeddings a ON a.vec_id = x.neighbor_id
+      JOIN embeddings b ON b.vec_id = y.neighbor_id),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel,
+             CAST(1 AS BIGINT) AS mmr_rank,
+             CAST(rel AS BIGINT) AS mmr10
+      FROM cand WHERE rank = 1)"""
+    ]
+    for r in range(2, n_select + 1):
+        prev = f"sel{r - 1}"
+        parts.append(
+            f"""
+    m{r} AS (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+             CAST(7 * c.rel - 3 * max(p.sim_micros) AS BIGINT) AS mmr10
+      FROM cand c
+      LEFT JOIN {prev} x ON x.query_id = c.query_id
+                        AND x.neighbor_id = c.neighbor_id
+      JOIN {prev} s ON s.query_id = c.query_id
+      JOIN pair p ON p.query_id = c.query_id
+                 AND p.na = c.neighbor_id AND p.nb = s.neighbor_id
+      WHERE x.neighbor_id IS NULL
+      GROUP BY 1, 2, 3),
+    sel{r} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel, mmr_rank, mmr10 FROM (
+        SELECT query_id, neighbor_id, rel,
+               CAST({r} AS BIGINT) AS mmr_rank, mmr10,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr10 DESC, neighbor_id ASC) AS rn
+        FROM m{r}) WHERE rn = 1
+      UNION ALL SELECT * FROM {prev})"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, mmr_rank, neighbor_id,
+           CAST(rel AS BIGINT) AS rel_micros,
+           CAST(mmr10 // 10 AS BIGINT) AS mmr_score_micros
+    FROM sel{n_select}"""
+    )
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@query(
+    "ann_mmr_rerank",
+    oracle=_mmr_oracle_sql(),
+    doc="Maximal Marginal Relevance diverse reranking (Carbonell & "
+    "Goldstein 1998): from each query's cosine top-10, greedily pick "
+    "5 results maximizing lambda*relevance - (1-lambda)*max-similarity"
+    "-to-already-picked (lambda=0.7, kept rational: the ordering key "
+    "is 7*rel - 3*max_sim, pure BIGINT; the textbook /10 only touches "
+    "the output column). The redundancy cure for near-duplicate "
+    "corpora: a dup cluster spends ONE result slot, not five. Greedy "
+    "rounds are inherently sequential, so they unroll — 4 fixed "
+    "rounds over QUERY-BOUNDED frames (<=50 candidates, <=450 pair "
+    "sims — broadcast-sized by construction at ANY corpus scale, "
+    "because the expensive part stays inside the top-k retrieval this "
+    "composes over). Round r: anti-join out the picked, max pair-sim "
+    "to the picked set, keyed argmax window. First pick = relevance "
+    "rank 1 (the MMR base case).",
+    tags=("ann",),
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import cosine_micros
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = lineage_cut(
+        brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
+        ).select(
+            "query_id", "neighbor_id", F.col("sim_micros").alias("rel"), "rank"
+        )
+    )
+    ea = emb.select(F.col("vec_id").alias("na"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
+    pair = lineage_cut(
+        cand.alias("x")
+        .join(
+            cand.alias("y"),
+            (F.col("y.query_id") == F.col("x.query_id"))
+            & (F.col("y.neighbor_id") != F.col("x.neighbor_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            F.col("x.neighbor_id").alias("na"),
+            F.col("y.neighbor_id").alias("nb"),
+        )
+        .join(ea, "na")
+        .join(eb, "nb")
+        .select(
+            "query_id",
+            "na",
+            "nb",
+            cosine_micros(F.col("va"), F.col("vb")).alias("sim_micros"),
+        )
+    )
+    sel = cand.filter(F.col("rank") == 1).select(
+        "query_id",
+        "neighbor_id",
+        "rel",
+        F.lit(1).cast("long").alias("mmr_rank"),
+        F.col("rel").cast("long").alias("mmr10"),
+    )
+    for r in range(2, _MMR_SELECT + 1):
+        sel = lineage_cut(sel)
+        picked = sel.select(
+            F.col("query_id").alias("s_q"), F.col("neighbor_id").alias("s_n")
+        )
+        remaining = cand.join(
+            picked,
+            (F.col("query_id") == F.col("s_q"))
+            & (F.col("neighbor_id") == F.col("s_n")),
+            "left_anti",
+        )
+        scored = (
+            remaining.join(
+                picked, F.col("query_id") == F.col("s_q")
+            )
+            .join(
+                pair.select(
+                    F.col("query_id").alias("p_q"),
+                    F.col("na").alias("p_a"),
+                    F.col("nb").alias("p_b"),
+                    "sim_micros",
+                ),
+                (F.col("p_q") == F.col("query_id"))
+                & (F.col("p_a") == F.col("neighbor_id"))
+                & (F.col("p_b") == F.col("s_n")),
+            )
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(
+                (7 * F.col("rel") - 3 * F.max("sim_micros"))
+                .cast("long")
+                .alias("mmr10")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr10").desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                F.lit(r).cast("long").alias("mmr_rank"),
+                "mmr10",
+            )
+        )
+        sel = sel.unionAll(pick)
+    return sel.select(
+        "query_id",
+        "mmr_rank",
+        "neighbor_id",
+        F.col("rel").cast("long").alias("rel_micros"),
+        F.expr("mmr10 div 10").cast("long").alias("mmr_score_micros"),
+    )
