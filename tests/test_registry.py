@@ -251,6 +251,8 @@ EXPECTED_KEYS = {
     "search_rrf_fusion",
     "trade_graph_lpa",
     "ann_mmr_rerank",
+    "corpus_zipf_fit",
+    "orders_ols_trend",
 }
 
 

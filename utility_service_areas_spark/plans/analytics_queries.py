@@ -2863,3 +2863,86 @@ def trade_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_suppliers"),
         F.min("v").cast("long").alias("min_node"),
     )
+
+
+@query(
+    "orders_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2),
+    s AS (
+      SELECT priority,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY priority)
+    SELECT priority, n_days,
+           CAST(round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_days * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS slope_cents_per_day,
+           CAST(round((CAST(sy AS DOUBLE)
+                       - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+                          / CAST(n_days * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / n_days) AS BIGINT)
+             AS intercept_cents
+    FROM s
+    """,
+    doc="Per-priority revenue time trend by OLS: daily revenue (exact "
+    "cents) regressed on the day index — the is-this-line-going-up "
+    "primitive behind every ops dashboard, as a first-class operator "
+    "(complements #121's covariance components and #187's EWMA: OLS "
+    "gives the RATE, EWMA the level). Engine-exact: x is an integer "
+    "day offset, y integer cents, all four OLS sums pure BIGINTs "
+    "(order-free), slope and intercept are the same correctly-rounded "
+    "IEEE expressions mirrored operand-for-operand. One partial-agged "
+    "daily rollup + a priority-sized agg; nothing data-sized leaves "
+    "the executors.",
+    tags=("analytics",),
+)
+def orders_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("priority", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    s = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope_f = num / den
+    return s.select(
+        "priority",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(slope_f).cast("long").alias("slope_cents_per_day"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - slope_f * F.col("sx").cast("double")
+            )
+            / F.col("n_days")
+        )
+        .cast("long")
+        .alias("intercept_cents"),
+    )

@@ -2195,3 +2195,101 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "rank", "doc_id", "rank_bm25", "rank_quality", "rrf_micros"
         )
     )
+
+
+_ZIPF_TOP = 100  # fit over the top-100 tokens (the standard Zipf range)
+
+
+@query(
+    "corpus_zipf_fit",
+    oracle=rf"""
+    WITH freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+      GROUP BY token),
+    top AS (
+      SELECT token, c,
+             CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS BIGINT)
+               AS rnk
+      FROM freq QUALIFY rnk <= {_ZIPF_TOP}),
+    pts AS (
+      SELECT CAST(round(log2(rnk) * 1000) AS BIGINT) AS x,
+             CAST(round(log2(c) * 1000) AS BIGINT) AS y
+      FROM top),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts)
+    SELECT n,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+                AS BIGINT) AS slope_micros,
+           CAST(round((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / n) AS BIGINT)
+             AS intercept_millibits
+    FROM s
+    """,
+    doc="Zipf's-law fit for the corpus: OLS of log2(freq) on "
+    "log2(rank) over the top-100 tokens — slope ~ -1 is the "
+    "natural-language signature, and a corpus whose slope drifts "
+    "(template spam flattens it, narrow-domain text steepens it) "
+    "fails the fit before a human reads a single document. Engine-"
+    "exact: log2 on exact integers rounded to millibits (the #89 "
+    "posture), OLS sums are pure BIGINTs, the slope is one "
+    "correctly-rounded IEEE division and the intercept reuses that "
+    "exact expression operand-for-operand. Scale: one vocab-sized "
+    "partial-agg count, top-100 via TakeOrdered, the fit over a "
+    "100-row bounded frame.",
+    tags=("text", "analytics"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # TakeOrdered top-100, then rank within the bounded frame (a
+    # 100-row global window is k-row, not data-sized)
+    top = (
+        freq.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(_ZIPF_TOP)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("token").asc())
+            ),
+        )
+    )
+    pts = top.select(
+        F.round(F.log2("rnk") * 1000).cast("long").alias("x"),
+        F.round(F.log2("c") * 1000).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_f = num / den
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope_f * 1_000_000).cast("long").alias("slope_micros"),
+        F.round(
+            (F.col("sy").cast("double") - slope_f * F.col("sx").cast("double"))
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("intercept_millibits"),
+    )
