@@ -253,6 +253,7 @@ EXPECTED_KEYS = {
     "ann_mmr_rerank",
     "corpus_zipf_fit",
     "orders_ols_trend",
+    "geo_quadkey_pyramid",
 }
 
 

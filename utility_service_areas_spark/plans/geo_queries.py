@@ -1221,3 +1221,75 @@ def geo_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_out") + 1).cast("long").alias("n_points_out"),
         (F.col("sum4") * 125).cast("long").alias("area_milli"),
     )
+
+
+# --- #232 tile-pyramid rollup over the Morton code -------------------
+_PYR_ZMAX = 6  # finest zoom: the full 6-bit-per-axis Morton grid
+_PYR_ZMIN = 3
+
+_MORTON_SQL = """
+             ((gx & 1))       | ((gy & 1) << 1) |
+             ((gx & 2) << 1)  | ((gy & 2) << 2) |
+             ((gx & 4) << 2)  | ((gy & 4) << 3) |
+             ((gx & 8) << 3)  | ((gy & 8) << 4) |
+             ((gx & 16) << 4) | ((gy & 16) << 5) |
+             ((gx & 32) << 5) | ((gy & 32) << 6)
+"""
+
+
+@query(
+    "geo_quadkey_pyramid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST((c_custkey % 40) AS BIGINT) AS gx,
+             CAST(((c_custkey * 7) % 25) AS BIGINT) AS gy
+      FROM customer),
+    fine AS (
+      SELECT CAST(({_MORTON_SQL}) AS BIGINT) AS tile,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1),
+    levels AS (
+      SELECT CAST(z AS BIGINT) AS zoom,
+             CAST(tile // (1 << (2 * ({_PYR_ZMAX} - z))) AS BIGINT) AS tile,
+             CAST(sum(n) AS BIGINT) AS n_points
+      FROM fine, unnest(generate_series({_PYR_ZMIN}, {_PYR_ZMAX})) AS t(z)
+      GROUP BY 1, 2)
+    SELECT zoom, tile, n_points FROM levels
+    """,
+    doc="Tile-pyramid rollup (the map-server / heat-map aggregation): "
+    "per-tile point counts at zooms 3..6, where the zoom-z tile id is "
+    "the Morton code (#116's bit-interleave, shared SQL) truncated by "
+    "2 bits per level — a quadkey prefix. The pyramid builds from the "
+    "FINEST level only: one corpus scan to zoom-6 counts (partial-"
+    "agg), then every coarser level re-aggregates the tile table, "
+    "never the corpus — the rollup-of-rollup shape (#216), and the "
+    "mergeability is what a tile server ships between zoom layers. "
+    "Pure JVM bit arithmetic, no UDF; shuffles are tile-count-sized "
+    "past the first.",
+    tags=("geo",),
+)
+def geo_quadkey_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (k % 40).cast("long").alias("gx"),
+        ((k * 7) % 25).cast("long").alias("gy"),
+    )
+    morton = F.expr(f"CAST(({_MORTON_SQL}) AS BIGINT)")
+    fine = lineage_cut(
+        pts.select(morton.alias("tile"))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    levels = None
+    for z in range(_PYR_ZMIN, _PYR_ZMAX + 1):
+        shift = 2 * (_PYR_ZMAX - z)
+        lvl = fine.groupBy(
+            (F.col("tile") / (1 << shift)).cast("long").alias("tile")
+        ).agg(F.sum("n").cast("long").alias("n_points")).select(
+            F.lit(z).cast("long").alias("zoom"), "tile", "n_points"
+        )
+        levels = lvl if levels is None else levels.unionAll(lvl)
+    return levels
