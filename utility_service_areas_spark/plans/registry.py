@@ -75,83 +75,87 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-11 rotation (VERDICT r10 task #2 — r10 skipped the
-    # rotation entirely, re-attesting r9's byte-identical key set):
-    # exactly 50 names = the driver's per-round attestation budget.
-    # No red rows in r10. The three oracle-less rows-only sketches
-    # AND the oracle-less xxhash64 twin (revenue_bootstrap_ci_fast,
-    # rows-only by design, twin-pinned in tests/test_r10_operators.py)
-    # are excluded — they'd burn a slot on err:no_oracle/rows-only.
-    # 1) the 12 r9-overflow keys that have NEVER seen a driver row
-    #    (deferred r9→r10→now; judge-verified hash-green at sf0.01
-    #    in the r10 review, but a driver row is the real attestation)
-    "nation_supplier_hhi",
-    "signup_to_purchase_latency",
-    "customer_k_anonymity",
-    "user_daily_journey_match",
-    "customers_all_quarters_1996",
-    "customer_order_streaks",
-    "ann_ivf_probe_recall",
-    "hll_audience_overlap",
-    "dedup_threshold_sweep",
-    "seq_len_packing_sweep",
-    "ann_lsh_plane_sweep",
-    "orders_winsorized_stats",
-    # 2) new r11 keys — first-ever attestation (each displaces the
-    #    tail stale key below so the budget stays exactly 50)
-    "tokenizer_bpe_merges",
-    "bpe_compression_sweep",
-    "kmv_distinct_customers",
-    "kmv_customer_overlap",
-    "events_hourly_autocorr",
-    "shard_zonemap_prune",
-    "orders_daily_ohlc",
-    "dataset_split_assign",
-    "orders_weekly_ohlc",
-    "kmv_union_distinct",
-    "events_variant_stats",
-    # 3) the r6-stale keys that fit the remaining budget, heaviest
-    #    dedup/geo kernels first (their plans changed most since r6)
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_lsh_topk",
-    "geo_point_in_polygon",
-    "geo_overlap_pairs",
-    "dedup_keep_best",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "embedding_kmeans_assign",
-    "geo_pip_grid_cells",
-    "geo_overlap_grid_cells",
-    "geo_grid_density",
-    "multimodal_features",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_clean",
-    "text_top_tokens",
-    "stratified_sample",
-    "text_tfidf_top_term",
-    "lang_id_confusion",
-    "docs_repetition_signals",
-    "domain_quota_sample",
-    "dedup_exact_substring",
-    "event_anomaly_zscore",
-    "customer_rfm_segments",
-    "embedding_pair_histogram",
-    # r6-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): hll_registers_users,
-    # user_session_stats, order_backlog_timeseries,
-    # events_tumbling_agg, events_sessionize,
-    # events_latest_per_user,
-    # events_json_extract, events_value_quartiles,
-    # supplier_count_by_part_type, nation_trade_volume,
-    # customers_above_avg_spend,
-    # max_size_parts_per_brand,
-    # orders_with_late_items, customer_order_distribution,
-    # dormant_high_balance_customers, order_status_priority_cube,
-    # supplier_ship_gap_stats, customer_retention_setops,
-    # small_lot_revenue_by_brand
+    # Round-12 rotation (VERDICT r11 task #2: drain the r6-stale
+    # attestation tail): exactly 50 names = the driver's per-round
+    # attestation budget. No red rows in r11 (50/50 green). The three
+    # oracle-less rows-only sketches AND the oracle-less xxhash64 twin
+    # (revenue_bootstrap_ci_fast) stay excluded — they'd burn a slot
+    # on err:no_oracle/rows-only.
+    # 1) the 14 new r12 keys — first-ever attestation
+    "text_bm25_topk",
+    "dedup_suffix_lrs",
+    "embedding_knn_graph",
+    "multimodal_aspect_buckets",
+    "docs_novelty_profile",
+    "source_token_entropy",
+    "text_rake_keyphrases",
+    "geo_simplify_vw",
+    "search_rrf_fusion",
+    "trade_graph_lpa",
+    "ann_mmr_rerank",
+    "corpus_zipf_fit",
+    "orders_ols_trend",
+    "geo_quadkey_pyramid",
+    # 2) ALL 19 remaining r6-stale keys (their newest green driver
+    #    row is r6 — the oldest attestations in the repo)
+    "hll_registers_users",
+    "user_session_stats",
+    "order_backlog_timeseries",
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_latest_per_user",
+    "events_json_extract",
+    "events_value_quartiles",
+    "supplier_count_by_part_type",
+    "nation_trade_volume",
+    "customers_above_avg_spend",
+    "max_size_parts_per_brand",
+    "orders_with_late_items",
+    "customer_order_distribution",
+    "dormant_high_balance_customers",
+    "order_status_priority_cube",
+    "supplier_ship_gap_stats",
+    "customer_retention_setops",
+    "small_lot_revenue_by_brand",
+    # 3) 17 of the r7-stale tail — keys whose FAMILIES changed this
+    #    round first (graph: LPA shares #145's edge construction;
+    #    multimodal: aspect buckets joined the family; text/pipeline
+    #    span machinery: novelty reuses #129's skeleton), then the
+    #    heaviest r7 kernels
+    "trade_graph_pagerank",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_dedup_bytes",
+    "docs_chunk_split",
+    "docs_pack_sequences",
+    "docs_block_dedup",
+    "docs_benchmark_overlap",
+    "text_redact_pii",
+    "docs_bigram_surprisal",
+    "dedup_incremental_ingest",
+    "dedup_minhash_verified",
+    "ann_ivf_quantized_topk",
+    "fuzzy_match_part_names",
+    "scd2_customer_history",
+    "reservoir_sample_docs",
+    "bloom_new_customer_orders",
+    # r7-stale keys that don't fit the 50 budget this round (next
+    # rotation's head): flagship_service_area_report,
+    # filter_tag_entities, latest_update_per_entity,
+    # earliest_year_per_entity, dedup_first_per_key,
+    # regex_extract_fields, merge_upsert_customers,
+    # pivot_status_by_year, unpivot_part_metrics, salted_hot_key_join,
+    # embedding_centroid_by_label, docs_training_filter,
+    # token_count_histogram, corpus_clean_sample,
+    # weighted_sample_orders, docs_unigram_surprisal,
+    # large_volume_orders, promo_revenue_share_by_month,
+    # nation_market_share_inputs, disjunctive_bracket_revenue,
+    # order_fulfillment_latency, simple_revenue_delta,
+    # returned_item_report, profit_by_nation_year,
+    # part_revenue_concentration, top_revenue_supplier,
+    # excess_quantity_suppliers, supplier_order_exclusivity,
+    # dedup_keep_best_quality, ann_ivf_sqrtn_topk, ann_quantized_topk,
+    # ann_ivf_quantized_topk (if not attested this round)
 )
 
 _PLAN_MODULES = (
