@@ -254,6 +254,8 @@ EXPECTED_KEYS = {
     "corpus_zipf_fit",
     "orders_ols_trend",
     "geo_quadkey_pyramid",
+    "cdc_latest_version_merge",
+    "abtest_two_proportion",
 }
 
 

@@ -2946,3 +2946,112 @@ def orders_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("intercept_cents"),
     )
+
+
+@query(
+    "abtest_two_proportion",
+    oracle="""
+    WITH assign AS (
+      SELECT c.c_custkey,
+             CASE WHEN ('0x' || substr(md5('ab1:' || CAST(c.c_custkey AS VARCHAR)),
+                                       1, 15))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             max(CASE WHEN o.o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS converted
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    arms AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant),
+    wide AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n_users END) AS n1,
+             max(CASE WHEN variant = 'A' THEN n_converted END) AS x1,
+             max(CASE WHEN variant = 'B' THEN n_users END) AS n2,
+             max(CASE WHEN variant = 'B' THEN n_converted END) AS x2
+      FROM arms)
+    SELECT n1, x1, n2, x2,
+           CAST(floor(x1 * 1000000.0 / n1 + 0.5) AS BIGINT) AS p1_micros,
+           CAST(floor(x2 * 1000000.0 / n2 + 0.5) AS BIGINT) AS p2_micros,
+           CAST(round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                      / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                             * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                             * (1.0 / n1 + 1.0 / n2)) * 1000) AS BIGINT)
+             AS z_milli
+    FROM wide
+    """,
+    doc="Two-proportion z-test for an A/B experiment: customers "
+    "assigned to arms by the #215 deterministic md5-hash split "
+    "(seeded 'ab1:'), conversion = has at least one URGENT order "
+    "(non-degenerate at every SF: a third of customers have no "
+    "orders and priorities stripe), z = (p1-p2)/sqrt(p_pool*"
+    "(1-p_pool)*(1/n1+1/n2)) — the experimentation readout every "
+    "pipeline ends in, and a null-hypothesis sanity check on the "
+    "split itself (a hash split MUST read |z| small; a significant z "
+    "here means the bucketing leaks). Engine-exact: counts are "
+    "integers; the z expression is division/sqrt of exact-integer-"
+    "valued doubles, each IEEE-correctly-rounded and mirrored "
+    "operand-for-operand (sqrt IS exact cross-engine, SURVEY §6 — "
+    "unlike pow/ln), rounded to MILLI so a half-ulp can never flip "
+    "the hash. One per-customer partial agg, a 2-row arm agg, a "
+    "1-row readout.",
+    tags=("analytics",),
+)
+def abtest_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ab1:"), F.col("c_custkey").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select("c_custkey", variant.alias("variant"), "o_orderpriority")
+        .groupBy("c_custkey", "variant")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("x1"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n2"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("x2"),
+    )
+    x1, x2 = F.col("x1").cast("double"), F.col("x2").cast("double")
+    pool = (x1 + x2) / (F.col("n1") + F.col("n2"))
+    z = (x1 / F.col("n1") - x2 / F.col("n2")) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return wide.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("x2").cast("long").alias("x2"),
+        F.floor(F.col("x1") * 1_000_000.0 / F.col("n1") + 0.5)
+        .cast("long")
+        .alias("p1_micros"),
+        F.floor(F.col("x2") * 1_000_000.0 / F.col("n2") + 0.5)
+        .cast("long")
+        .alias("p2_micros"),
+        F.round(z * 1000).cast("long").alias("z_milli"),
+    )

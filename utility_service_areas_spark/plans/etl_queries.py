@@ -797,3 +797,111 @@ def revenue_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("expected_micros").cast("long"),
         )
     )
+
+
+@query(
+    "cdc_latest_version_merge",
+    oracle="""
+    WITH log AS (
+      -- Debezium-style changelog derived from the snapshot: keys
+      -- %7=1 get one update (v2); %7=2 get DELETED (v2); %7=3 get
+      -- TWO updates delivered out of order (v3 then v2 — the apply
+      -- must pick v3); %7=4 get an update (v2) then a delete (v3 —
+      -- the delete must win).
+      SELECT c_custkey AS k, 2 AS v, 'U' AS op,
+             CAST(round(c_acctbal * 100) AS BIGINT) + 10000 AS bal_cents
+      FROM customer WHERE c_custkey % 7 IN (1, 3, 4)
+      UNION ALL
+      SELECT c_custkey, 2, 'D', NULL FROM customer WHERE c_custkey % 7 = 2
+      UNION ALL
+      SELECT c_custkey, 3, 'U',
+             CAST(round(c_acctbal * 100) AS BIGINT) + 30000
+      FROM customer WHERE c_custkey % 7 = 3
+      UNION ALL
+      SELECT c_custkey, 3, 'D', NULL FROM customer WHERE c_custkey % 7 = 4),
+    latest AS (
+      SELECT k, op, bal_cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        FROM log) WHERE rn = 1),
+    final AS (
+      SELECT s.c_mktsegment,
+             CASE WHEN l.op = 'U' THEN l.bal_cents
+                  ELSE CAST(round(s.c_acctbal * 100) AS BIGINT) END AS bal
+      FROM customer s LEFT JOIN latest l ON l.k = s.c_custkey
+      WHERE l.op IS NULL OR l.op <> 'D')
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(bal) AS BIGINT) AS sum_bal_cents
+    FROM final GROUP BY c_mktsegment
+    """,
+    doc="CDC changelog apply (the Debezium/Delta CDF consume side, "
+    "completing the ETL family: #62 is a single-batch upsert, #115 "
+    "keeps SCD2 history — this applies a VERSIONED, out-of-order "
+    "changelog with deletes): latest version per key wins "
+    "(row_number over version DESC — one keyed window over the "
+    "changelog, never the base), updates override, deletes drop. The "
+    "sim plants the three hard cases: out-of-order delivery (v3 "
+    "before v2), update-then-delete (delete must win), and untouched "
+    "keys. Per-segment row count + exact-cents checksum make any "
+    "mis-apply visible. Scale: changelog-sized window + ONE "
+    "broadcast-or-keyed left join against the base — the base is "
+    "never shuffled by version logic.",
+    tags=("etl",),
+)
+def cdc_latest_version_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    k = F.col("c_custkey")
+    log = (
+        cust.filter((k % 7).isin(1, 3, 4))
+        .select(
+            k.alias("k"),
+            F.lit(2).alias("v"),
+            F.lit("U").alias("op"),
+            (bal + 10000).alias("bal_cents"),
+        )
+        .unionByName(
+            cust.filter(k % 7 == 2).select(
+                k.alias("k"),
+                F.lit(2).alias("v"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("bal_cents"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 7 == 3).select(
+                k.alias("k"),
+                F.lit(3).alias("v"),
+                F.lit("U").alias("op"),
+                (bal + 30000).alias("bal_cents"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 7 == 4).select(
+                k.alias("k"),
+                F.lit(3).alias("v"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("bal_cents"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "bal_cents")
+    )
+    final = (
+        cust.join(latest, F.col("c_custkey") == F.col("k"), "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_mktsegment",
+            F.when(F.col("op") == "U", F.col("bal_cents"))
+            .otherwise(bal)
+            .alias("bal"),
+        )
+    )
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("bal").cast("long").alias("sum_bal_cents"),
+    )
