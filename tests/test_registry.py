@@ -256,6 +256,7 @@ EXPECTED_KEYS = {
     "geo_quadkey_pyramid",
     "cdc_latest_version_merge",
     "abtest_two_proportion",
+    "minhash_bbit_tradeoff",
 }
 
 

@@ -1031,3 +1031,191 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_b").cast("long").alias("n_docs_flagged"),
         )
     )
+
+
+# --- #235 b-bit minwise hashing tradeoff ------------------------------
+# Li & Koenig 2010: storing only the lowest b bits of each minhash
+# cuts signature memory 64/b x; a random b-bit collision inflates the
+# match rate by (1-J)/2^b, and the UNBIASED estimator divides it out:
+#   J_hat_b = (rate_b - 2^-b) / (1 - 2^-b)
+#           = (m_b * 2^b - n_hashes) / (n_hashes * (2^b - 1))
+# — a ratio of exact BIGINTs. bits=64 rows use the raw m/n_hashes
+# estimator (the full-hash baseline; 2^-64 bias is below micros).
+_BBIT_LEVELS = (1, 2, 4, 8)
+
+
+def _bbit_oracle_sql() -> str:
+    per_b = []
+    for b in _BBIT_LEVELS:
+        mod = 1 << b
+        # signatures are md5 HEX STRINGS (min over shingles) — the
+        # "lowest b bits" read the last hex byte through the integer
+        # seam on both engines
+        m_b = " + ".join(
+            f"(('0x' || substr(sa.h{i}, 31, 2))::BIGINT % {mod} = "
+            f"('0x' || substr(sb.h{i}, 31, 2))::BIGINT % {mod})::INT"
+            for i in range(8)
+        )
+        per_b.append(
+            f"""
+      SELECT doc_a, doc_b, CAST({b} AS BIGINT) AS bits,
+             CAST(({m_b}) * {mod} - 8 AS DOUBLE)
+               / (8 * ({mod} - 1)) AS est
+      FROM cand JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc"""
+        )
+    m_full = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(8))
+    per_b.append(
+        f"""
+      SELECT doc_a, doc_b, CAST(64 AS BIGINT) AS bits,
+             CAST(({m_full}) AS DOUBLE) / 8 AS est
+      FROM cand JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc"""
+    )
+    union = " UNION ALL ".join(per_b)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_bands_sql()},
+    {_lsh_pairs_sql("cand")},
+    sizes AS (SELECT doc, count(*) AS n FROM ex GROUP BY doc),
+    common AS (
+      SELECT e.doc_a, e.doc_b, count(*) AS n_common
+      FROM cand e
+      JOIN ex a ON a.doc = e.doc_a
+      JOIN ex b ON b.doc = e.doc_b AND b.s = a.s
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+               / (sa.n + sb.n - coalesce(cm.n_common, 0)) AS j_true
+      FROM cand c
+      LEFT JOIN common cm ON c.doc_a = cm.doc_a AND c.doc_b = cm.doc_b
+      JOIN sizes sa ON c.doc_a = sa.doc
+      JOIN sizes sb ON c.doc_b = sb.doc),
+    ests AS ({union}),
+    errs AS (
+      SELECT e.bits,
+             CAST(floor(abs(e.est - t.j_true) * 1000000 + 0.5) AS BIGINT)
+               AS err_micros
+      FROM ests e JOIN truth t
+        ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b)
+    SELECT bits,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(floor(sum(err_micros) * 1.0 / count(*) + 0.5) AS BIGINT)
+             AS mean_abs_err_micros
+    FROM errs GROUP BY bits"""
+
+
+@query(
+    "minhash_bbit_tradeoff",
+    oracle=_bbit_oracle_sql(),
+    doc="b-bit minwise hashing tradeoff (Li & Koenig 2010 — the "
+    "memory lever the sketch family lacked): keep only the lowest b "
+    "bits of each minhash (64/b x smaller signatures) and divide out "
+    "the random-collision inflation with the unbiased estimator "
+    "J_hat = (rate - 2^-b)/(1 - 2^-b). For every LSH candidate pair "
+    "(#162's machinery: same shingles, signatures, bands), the table "
+    "reports mean |J_hat_b - J_exact| at b=1,2,4,8 vs the full-hash "
+    "baseline (bits=64) — read it to pick the smallest b whose error "
+    "is tolerable, the same lever-table shape as #203/#201/#205. "
+    "Engine-exact: J_hat_b is a ratio of exact BIGINTs ((m*2^b - 8)/"
+    "(8*(2^b-1))), J_exact a ratio of shingle counts, each pair's "
+    "|error| quantized to micros BEFORE the integer mean. Cost: the "
+    "near-linear verified-pairs shape + a 5-way map-side estimate "
+    "per pair (no new shuffle).",
+    tags=("dedup", "sketch", "bench"),
+)
+def minhash_bbit_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import (
+        lineage_cut,
+        shingle_exploded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = lineage_cut(minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8))
+    cand = lineage_cut(lsh_candidate_pairs(sig, n_hashes=8, band_size=2))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    ex = lineage_cut(
+        shingle_exploded(docs, "doc_id", "text", k=3).join(
+            cand_docs, "doc", "left_semi"
+        )
+    )
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ex_a = ex.select(F.col("doc").alias("doc_a"), F.col("s").alias("sa"))
+    ex_b = ex.select(F.col("doc").alias("eb_doc"), F.col("s").alias("sb"))
+    common = (
+        cand.join(ex_a, "doc_a")
+        .join(
+            ex_b,
+            (F.col("doc_b") == F.col("eb_doc")) & (F.col("sa") == F.col("sb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce("n_common", F.lit(0))
+                )
+            ).alias("j_true"),
+        )
+    )
+    siga = sig.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sigb = sig.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
+    )
+    paired = cand.join(siga, "doc_a").join(sigb, "doc_b")
+    def low_byte(c: str):
+        return F.conv(F.substring(F.col(c), 31, 2), 16, 10).cast("long")
+
+    ests = None
+    for b in _BBIT_LEVELS:
+        mod = 1 << b
+        m_b = sum(
+            F.when(low_byte(f"a{i}") % mod == low_byte(f"b{i}") % mod, 1).otherwise(0)
+            for i in range(8)
+        )
+        est = (m_b * mod - 8).cast("double") / (8 * (mod - 1))
+        cur = paired.select(
+            "doc_a", "doc_b", F.lit(b).cast("long").alias("bits"), est.alias("est")
+        )
+        ests = cur if ests is None else ests.unionAll(cur)
+    m_full = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    ests = ests.unionAll(
+        paired.select(
+            "doc_a",
+            "doc_b",
+            F.lit(64).cast("long").alias("bits"),
+            (m_full.cast("double") / 8).alias("est"),
+        )
+    )
+    errs = ests.join(truth, ["doc_a", "doc_b"]).select(
+        "bits",
+        F.floor(F.abs(F.col("est") - F.col("j_true")) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("err_micros"),
+    )
+    return errs.groupBy("bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.floor(F.sum("err_micros") * 1.0 / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("mean_abs_err_micros"),
+    )
