@@ -17,6 +17,7 @@ _TABLE_TO_QUERY = {
     "seq_len_packing": "seq_len_packing_sweep",
     "matryoshka_dims": "embedding_matryoshka_recall",
     "bpe_compression": "bpe_compression_sweep",
+    "minhash_bbit": "minhash_bbit_tradeoff",
 }
 
 
@@ -76,6 +77,17 @@ def test_written_tuning_matches_registered_queries(spark, tmp_path):
         if prev["total_symbols"] - cur["total_symbols"] >= floor:
             want_pick = cur["merge_round"]
     assert manifest["bpe_compression"]["recommended_merge_rounds"] == want_pick
+    bbit = manifest["minhash_bbit"]["rows"]
+    baseline = next(r["mean_abs_err_micros"] for r in bbit if r["bits"] == 64)
+    ok_bits = [
+        r["bits"]
+        for r in bbit
+        if r["bits"] != 64
+        and r["mean_abs_err_micros"] <= baseline + 30_000
+    ]
+    assert manifest["minhash_bbit"]["recommended_bits"] == (
+        min(ok_bits) if ok_bits else 64
+    )
 
 
 def test_cli_tuning_jsonl(spark, tmp_path, capsys):

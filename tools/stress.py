@@ -58,6 +58,9 @@ DEFAULT_QUERIES = [
     "token_collocations",
     "simhash_hamming_histogram",
     "docs_repetition_signals",
+    "dedup_suffix_lrs",
+    "embedding_knn_graph",
+    "text_bm25_topk",
     "embedding_pair_histogram",
     "hll_registers_users",
     "tdigest_value_quantiles",

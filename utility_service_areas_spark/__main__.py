@@ -126,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
             f"dim={summary['matryoshka_dims']['recommended_dim']} "
             f"seq_len={summary['seq_len_packing']['recommended_seq_len']} "
             f"threshold_knee={summary['dedup_thresholds']['knee_threshold_micros']} "
-            f"bpe_rounds={summary['bpe_compression']['recommended_merge_rounds']}"
+            f"bpe_rounds={summary['bpe_compression']['recommended_merge_rounds']} "
+            f"minhash_bits={summary['minhash_bbit']['recommended_bits']}"
         )
         return 0
 

@@ -11,6 +11,7 @@ pipeline config —
   <out>/seq_len_packing/     #204 truncation loss vs tail waste per L
   <out>/matryoshka_dims/     #169 neighbor recall per truncated dim
   <out>/bpe_compression/     #209 corpus symbols per BPE merge round
+  <out>/minhash_bbit/        #235 estimator error per signature bit width
   <out>/_SUMMARY.json        driver-side recommended operating points
 
 Every table IS the exact frame of a value-oracled registry query
@@ -45,9 +46,13 @@ from pyspark.sql import SparkSession
 #                   total_symbols reduction is still >=
 #                   _BPE_MARGINAL_FLOOR_MICROS of the round-0
 #                   corpus cost (diminishing-returns cutoff)
+#   minhash_bbit    the SMALLEST bit width whose mean estimator error
+#                   is within _BBIT_ERR_SLACK_MICROS of the full-hash
+#                   baseline row (bits=64) — memory is 64/b x
 _RECALL_SLACK_MICROS = 100_000  # within 10pp of best recall
 _MATRYOSHKA_FLOOR_MICROS = 900_000  # >= 90% recall vs full dim
 _BPE_MARGINAL_FLOOR_MICROS = 5_000  # >= 0.5% of round-0 cost per round
+_BBIT_ERR_SLACK_MICROS = 30_000  # within 3pp of the full-hash error
 
 
 def write_tuning_report(
@@ -73,6 +78,9 @@ def write_tuning_report(
     from utility_service_areas_spark.plans.pipeline_queries import (
         seq_len_packing_sweep,
     )
+    from utility_service_areas_spark.plans.dedup_queries import (
+        minhash_bbit_tradeoff,
+    )
     from utility_service_areas_spark.plans.text_queries import (
         bpe_compression_sweep,
     )
@@ -92,6 +100,7 @@ def write_tuning_report(
             embedding_matryoshka_recall(spark, sf_dir)
         ),
         "bpe_compression": lineage_cut(bpe_compression_sweep(spark, sf_dir)),
+        "minhash_bbit": lineage_cut(minhash_bbit_tradeoff(spark, sf_dir)),
     }
 
     for name, df in frames.items():
@@ -120,6 +129,7 @@ def write_tuning_report(
     bpe_rounds = sorted(
         frames["bpe_compression"].collect(), key=lambda r: r.merge_round
     )
+    bbit = sorted(frames["minhash_bbit"].collect(), key=lambda r: r.bits)
 
     best_recall = max(r.recall_micros for r in probes)
     probe_pick = min(
@@ -162,6 +172,15 @@ def write_tuning_report(
     for prev, cur in zip(bpe_rounds, bpe_rounds[1:]):
         if prev.total_symbols - cur.total_symbols >= bpe_floor:
             bpe_pick = cur.merge_round
+
+    baseline_err = next(r.mean_abs_err_micros for r in bbit if r.bits == 64)
+    bbit_ok = [
+        r.bits
+        for r in bbit
+        if r.bits != 64
+        and r.mean_abs_err_micros <= baseline_err + _BBIT_ERR_SLACK_MICROS
+    ]
+    bbit_pick = min(bbit_ok) if bbit_ok else 64
 
     # threshold knee: the larger threshold of the LAST strict
     # pair-count drop (walking ascending) — past it the curve is
@@ -235,6 +254,17 @@ def write_tuning_report(
                 for r in bpe_rounds
             ],
             "recommended_merge_rounds": bpe_pick,
+        },
+        "minhash_bbit": {
+            "rows": [
+                {
+                    "bits": r.bits,
+                    "n_pairs": r.n_pairs,
+                    "mean_abs_err_micros": r.mean_abs_err_micros,
+                }
+                for r in bbit
+            ],
+            "recommended_bits": bbit_pick,
         },
     }
     os.makedirs(out_dir, exist_ok=True)
