@@ -257,6 +257,7 @@ EXPECTED_KEYS = {
     "cdc_latest_version_merge",
     "abtest_two_proportion",
     "minhash_bbit_tradeoff",
+    "text_hashing_trick_features",
 }
 
 

@@ -81,7 +81,8 @@ _DRIVER_PRIORITY = (
     # oracle-less rows-only sketches AND the oracle-less xxhash64 twin
     # (revenue_bootstrap_ci_fast) stay excluded — they'd burn a slot
     # on err:no_oracle/rows-only.
-    # 1) the 17 new r12 keys — first-ever attestation
+    # 1) the 18 new r12 keys — first-ever attestation
+    "text_hashing_trick_features",
     "minhash_bbit_tradeoff",
     "cdc_latest_version_merge",
     "abtest_two_proportion",
@@ -138,9 +139,9 @@ _DRIVER_PRIORITY = (
     "dedup_incremental_ingest",
     "dedup_minhash_verified",
     "ann_ivf_quantized_topk",
-    "fuzzy_match_part_names",
     # r7-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): scd2_customer_history, reservoir_sample_docs,
+    # rotation's head): fuzzy_match_part_names, scd2_customer_history,
+    # reservoir_sample_docs,
     # bloom_new_customer_orders, flagship_service_area_report,
     # filter_tag_entities, latest_update_per_entity,
     # earliest_year_per_entity, dedup_first_per_key,

@@ -2293,3 +2293,51 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("intercept_millibits"),
     )
+
+
+_HASHTF_DIM = 64  # feature-hash buckets (MLlib HashingTF's numFeatures)
+
+
+@query(
+    "text_hashing_trick_features",
+    oracle=rf"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('tf:' || t), 1, 15))::BIGINT % {_HASHTF_DIM}
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, tf
+    FROM feat
+    """,
+    doc="Feature hashing (the 'hashing trick' — MLlib HashingTF "
+    "re-expressed as a plan): token -> md5 bucket mod 64, per-doc "
+    "bucket counts as the sparse bag-of-words feature vector in long "
+    "form (doc_id, bucket, tf). The featurizer that needs NO "
+    "vocabulary pass at all — the property that makes it the default "
+    "at 100 TB where a vocab dictionary is itself a big-data problem "
+    "(vs #171's top-512 vocab encoder, which pays a corpus pass and "
+    "a broadcast). One explode + one partial-agged (doc, bucket) "
+    "shuffle; the md5 bucket is the repo's integer seam so the "
+    "oracle replays every cell.",
+    tags=("text", "pipeline"),
+)
+def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("tf:"), F.col("t"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _HASHTF_DIM
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
