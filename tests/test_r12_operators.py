@@ -283,3 +283,95 @@ def test_mmr_rerank_spends_one_slot_on_a_dup_cluster(spark, tmp_path):
         r.neighbor_id for r in brute if r.query_id == 0 and r.rank <= 3
     }
     assert top3_plain == cluster, top3_plain
+
+
+def test_rake_matches_brute_reference(spark, tmp_path):
+    """RAKE semantics vs an independent Python implementation (same
+    spec: stopword-free runs capped at 4 tokens, word score =
+    degree/frequency as (deg*1e6)//freq, phrase score = sum of member
+    word scores, top-20 by (score DESC, phrase ASC))."""
+    import random
+
+    from utility_service_areas_spark.functions.textops import STOPWORDS
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    rng = random.Random(5)
+    vocab = ["red", "apple", "green", "banana", "fast", "query", "plan"]
+    stops = list(STOPWORDS)
+    docs = []
+    for d in range(30):
+        words = [
+            rng.choice(stops) if rng.random() < 0.35 else rng.choice(vocab)
+            for _ in range(rng.randint(3, 20))
+        ]
+        docs.append((d, " ".join(words)))
+    _write_docs(spark, str(tmp_path), docs)
+
+    got = {
+        r.phrase: (r.n_occurrences, r.score_micros)
+        for r in all_queries()["text_rake_keyphrases"](spark, str(tmp_path)).collect()
+    }
+
+    # brute reference
+    stopset = set(stops)
+    instances = []  # (phrase tuple)
+    for _, text in docs:
+        run = []
+        for t in text.split() + ["the"]:  # sentinel flush
+            if t in stopset:
+                if run:
+                    instances.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    short = [p for p in instances if len(p) <= 4]
+    freq, deg = {}, {}
+    for p in short:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    wscore = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+    byphrase = {}
+    for p in short:
+        s = sum(wscore[w] for w in p)
+        key = " ".join(p)
+        n, _ = byphrase.get(key, (0, s))
+        byphrase[key] = (n + 1, s)
+    want = dict(
+        sorted(byphrase.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    )
+    assert got == want
+
+
+def test_lpa_never_mixes_disconnected_components(spark, tmp_path):
+    """Label propagation soundness on a hand-built graph: two
+    DISCONNECTED customer<->supplier bicliques must land in disjoint
+    community label sets (synchronous LPA may oscillate WITHIN a
+    bipartite component — fixed rounds make that deterministic — but
+    a label can never cross a cut)."""
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    # component 1: customers 1-3 x suppliers 1-2 (orders 10-12)
+    # component 2: customers 101-102 x suppliers 11-13 (orders 20-21)
+    orders = [(10, 1), (11, 2), (12, 3), (20, 101), (21, 102)]
+    lines = [
+        (10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2),
+        (20, 11), (20, 12), (20, 13), (21, 11), (21, 12), (21, 13),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    out = all_queries()["trade_graph_lpa"](spark, str(tmp_path)).collect()
+    comp1_nodes = {1, 2, 3, 10_000_001, 10_000_002}
+    comp2_nodes = {101, 102, 10_000_011, 10_000_012, 10_000_013}
+    comm1 = {r.community for r in out if r.min_node in comp1_nodes}
+    comm2 = {r.community for r in out if r.min_node in comp2_nodes}
+    assert comm1 and comm2 and not (comm1 & comm2)
+    assert sum(r.n_nodes for r in out) == len(comp1_nodes) + len(comp2_nodes)
+    # community ids are themselves node ids of the right component
+    assert all(c in comp1_nodes for c in comm1)
+    assert all(c in comp2_nodes for c in comm2)
