@@ -309,6 +309,38 @@ HEADLINE = {
         "KEYED argmax window; edge list lineage_cut once, label "
         "state node-sized"
     ),
+    "ann_mmr_rerank": (
+        "4 unrolled greedy rounds over query-bounded frames; "
+        "anti-join out the picked, keyed argmax window per round"
+    ),
+    "corpus_zipf_fit": (
+        "vocab partial-agg -> TakeOrdered top-100 -> 100-row bounded "
+        "fit; log2 on exact integers"
+    ),
+    "orders_ols_trend": (
+        "partial-agged daily rollup -> 5-key agg; OLS sums are "
+        "order-free BIGINTs"
+    ),
+    "geo_quadkey_pyramid": (
+        "one corpus scan to finest-zoom counts; coarser levels "
+        "re-aggregate the tile table, never the corpus"
+    ),
+    "cdc_latest_version_merge": (
+        "keyed window over the CHANGELOG only + one join against the "
+        "base; base never shuffled by version logic"
+    ),
+    "abtest_two_proportion": (
+        "per-customer partial agg -> 2-row arm agg -> 1-row readout; "
+        "no data-sized driver state"
+    ),
+    "minhash_bbit_tradeoff": (
+        "the verified-pairs shape; the 5-way b-bit estimate is "
+        "map-side on the paired signatures (no new shuffle)"
+    ),
+    "text_hashing_trick_features": (
+        "one explode + one partial-agged (doc, bucket) shuffle; NO "
+        "vocabulary pass, no broadcast, no Python"
+    ),
 }
 
 
