@@ -1138,3 +1138,55 @@ def test_variant_stats_stream_matches_batch(spark):
         for r in all_queries()["events_variant_stats"](spark, SMOKE_SF).collect()
     }
     assert drained == want and len(drained) > 0
+
+
+def test_cdc_apply_stream_survives_out_of_order_batches(spark, tmp_path):
+    """S32: the CDC latest-version state fold must pick the highest
+    VERSION even when versions arrive out of order ACROSS micro-batch
+    boundaries (v3 in batch 1, v2 in batch 2 — the arrival order a
+    naive last-write-wins fold would get wrong). maxFilesPerTrigger=1
+    forces one batch per dropped file; the final update emission per
+    key must equal the known winners, including a delete that must
+    beat an earlier-arriving lower-version update."""
+    import os
+
+    from utility_service_areas_spark.streaming.events import cdc_apply_stream
+
+    d = tmp_path / "cdc"
+    d.mkdir()
+    schema = "k long, v long, op string, bal_cents long"
+    # batch 1: the HIGH versions arrive first
+    spark.createDataFrame(
+        [(1, 3, "U", 300), (2, 3, "D", None), (3, 1, "U", 100)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "f1.parquet"))
+    # batch 2: stale lower versions + one genuinely newer row
+    spark.createDataFrame(
+        [(1, 2, "U", 200), (2, 2, "U", 999), (3, 4, "U", 400)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    q = (
+        cdc_apply_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_cdc")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "drain timed out"
+    rows = spark.sql(
+        "SELECT * FROM t_cdc"
+    ).collect()
+    # last emission per key (memory sink appends update-mode emissions
+    # in batch order; take the final state per key)
+    final = {}
+    for r in rows:
+        final[r.k] = (r.v, r.op, r.bal_cents)
+    assert final[1] == (3, "U", 300)  # v2 arriving later never regresses
+    assert final[2] == (3, "D", None)  # delete outranks the late v2 update
+    assert final[3] == (4, "U", 400)  # genuinely newer row does win

@@ -1008,3 +1008,65 @@ def variant_stats_stream(stream: DataFrame) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+_CDC_STREAM_STATE = StructType(
+    [
+        StructField("v", LongType()),
+        StructField("op", StringType()),
+        StructField("bal_cents", LongType()),
+    ]
+)
+
+_CDC_STREAM_OUT = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("v", LongType()),
+        StructField("op", StringType()),
+        StructField("bal_cents", LongType()),
+    ]
+)
+
+
+def _cdc_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    best = tuple(state.get) if state.exists else None  # (v, op, bal)
+    for pdf in pdfs:
+        for v, op, bal in zip(pdf["v"], pdf["op"], pdf["bal_cents"]):
+            v = int(v)
+            if best is None or v > best[0]:
+                best = (v, str(op), None if pd.isna(bal) else int(bal))
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "k": [int(key[0])],
+            "v": [best[0]],
+            "op": [best[1]],
+            "bal_cents": [best[2]],
+        }
+    )
+
+
+def cdc_apply_stream(stream: DataFrame) -> DataFrame:
+    """S32 — streaming twin of cdc_latest_version_merge's apply rule
+    (plans/etl_queries.py #233): a CDC changelog consumed as a stream,
+    per-key state = the highest VERSION seen so far (not the latest
+    ARRIVAL — the property that makes out-of-order delivery safe: a
+    v2 arriving after v3 must not regress the row). update-mode
+    emission of the current winner per key; state is 3 scalars per
+    key (entity-bounded, the S21/S25 posture). The batch query's
+    latest-version window and this fold compute the same winner by
+    construction — pinned across micro-batch boundaries in pytest
+    (the out-of-order versions arrive in SEPARATE batches)."""
+    return (
+        stream.select("k", "v", "op", "bal_cents")
+        .groupBy("k")
+        .applyInPandasWithState(
+            _cdc_state_fn,
+            outputStructType=_CDC_STREAM_OUT,
+            stateStructType=_CDC_STREAM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
