@@ -164,7 +164,7 @@ def test_numpy_ivf_assign_on_empty(spark):
 def test_suffix_lrs_on_empty(spark):
     from utility_service_areas_spark.operators.suffix import doc_repeat_stats
 
-    out = doc_repeat_stats(spark, _empty_docs(spark))
+    out = doc_repeat_stats(_empty_docs(spark))
     assert out.count() == 0
     assert out.columns == [
         "doc_id", "n_positions", "max_rep_len", "n_pos_rep_ge8",

@@ -375,3 +375,27 @@ def test_lpa_never_mixes_disconnected_components(spark, tmp_path):
     # community ids are themselves node ids of the right component
     assert all(c in comp1_nodes for c in comm1)
     assert all(c in comp2_nodes for c in comm2)
+
+
+def test_suffix_lrs_saturates_at_rank_resolution(spark, tmp_path):
+    """Code-review r12: rank_K equality certifies only the first 2^K
+    tokens, so the equal-rank branch must CAP at 2^K instead of
+    claiming the whole remaining suffix. With k_levels=4 (resolution
+    16), two 24-token docs sharing their first 20 tokens report
+    max_rep_len == 16 (saturated) — never the uncapped 24."""
+    from utility_service_areas_spark.operators.suffix import doc_repeat_stats
+    from utility_service_areas_spark.sources.tables import load_table
+
+    shared = " ".join(f"s{j}" for j in range(20))
+    docs = [
+        (1, shared + " x1 x2 x3 x4"),
+        (2, shared + " y1 y2 y3 y4"),
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    out = {
+        r.doc_id: r.max_rep_len
+        for r in doc_repeat_stats(
+            load_table(spark, str(tmp_path), "documents"), k_levels=4
+        ).collect()
+    }
+    assert out == {1: 16, 2: 16}

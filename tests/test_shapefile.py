@@ -496,3 +496,23 @@ def test_python_datasource_writer_rejects_wrong_schema_and_missing_fields(
     )
     with pytest.raises(Exception, match="fields"):
         ok.write.format("shapefile").mode("append").save(str(tmp_path / "o2"))
+
+
+def test_reader_ignores_underscore_temp_files(spark, tmp_path):
+    """Code-review r12: uncommitted writer temps (`_tmp-...`) live in
+    the target directory until the driver-side commit renames them —
+    the reader must never list them (Hadoop's hidden-file convention,
+    which binaryFile already applies), or a read racing a write
+    observes half-written pairs and the streaming positional offset
+    shifts."""
+    from utility_service_areas_spark.sources.shapefile import write_shapefile
+
+    d = str(tmp_path)
+    fields = [("NAME", "C", 8, 0)]
+    write_shapefile(d, "part-00000", [(1, [[[1.0, 2.0]]], {"NAME": "ok"})], fields)
+    # a stranded temp trio from a crashed writer
+    write_shapefile(
+        d, "_tmp-dead-part-00001", [(1, [[[9.0, 9.0]]], {"NAME": "no"})], fields
+    )
+    got = spark.read.format("shapefile").load(d).collect()
+    assert len(got) == 1 and got[0].attrs["NAME"].strip() == "ok"

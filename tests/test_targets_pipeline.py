@@ -134,3 +134,44 @@ def test_force_rebuilds_everything(spark, pipeline_inputs):
     run_pipeline(spark, _stages(kml, certs, chron), store)
     r = run_pipeline(spark, _stages(kml, certs, chron), store, incremental=False)
     assert set(r.values()) == {"built"}
+
+
+def test_build_code_participates_in_stage_key(spark, tmp_path):
+    """Code-review r12 ({targets} parity): tar_make re-runs a target
+    whose COMMAND changed — editing a stage's build function must
+    invalidate it even with byte-identical inputs."""
+    from utility_service_areas_spark.plans.targets import Stage, run_pipeline
+
+    inp = tmp_path / "in.csv"
+    inp.write_text("a\n1\n")
+    store = str(tmp_path / "store")
+
+    def build_v1(spark_, _deps):
+        return spark_.read.csv(str(inp), header=True)
+
+    def build_v2(spark_, _deps):
+        return spark_.read.csv(str(inp), header=True).withColumnRenamed("a", "b")
+
+    r1 = run_pipeline(spark, [Stage("s", build_v1, inputs=(str(inp),))], store)
+    r2 = run_pipeline(spark, [Stage("s", build_v1, inputs=(str(inp),))], store)
+    r3 = run_pipeline(spark, [Stage("s", build_v2, inputs=(str(inp),))], store)
+    assert (r1["s"], r2["s"], r3["s"]) == ("built", "skipped", "built")
+    import os
+
+    assert spark.read.parquet(os.path.join(store, "s")).columns == ["b"]
+
+
+def test_forward_dep_is_a_loud_error(spark, tmp_path):
+    import pytest
+
+    from utility_service_areas_spark.plans.targets import Stage, run_pipeline
+
+    def nop(spark_, _deps):
+        raise AssertionError("must not build")
+
+    stages = [
+        Stage("late", nop, deps=("early",)),
+        Stage("early", nop),
+    ]
+    with pytest.raises(ValueError, match="declared earlier"):
+        run_pipeline(spark, stages, str(tmp_path / "store"))

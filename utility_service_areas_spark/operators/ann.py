@@ -660,6 +660,10 @@ def nn_descent_graph(
     data-sized, no Python in any hot path."""
     from utility_service_areas_spark.operators.dedup import lineage_cut
 
+    from utility_service_areas_spark.operators.suffix import (
+        dense_rank_banded,
+    )
+
     vecs = lineage_cut(
         emb.select(
             F.col(id_col).alias("vid"),
@@ -667,7 +671,28 @@ def nn_descent_graph(
             norm2_expr(F.col(vec_col)).alias("nrm"),
         )
     )
-    n1 = vecs.agg(F.count(F.lit(1)).alias("n"))
+    # md5-seeded init picks a POSITION 0..n-1, mapped to an actual id
+    # through a dense index — ids need not be contiguous or 0-based
+    # (an offset/sparse id space would otherwise silently lose every
+    # init candidate in the join). min/max/total are bounded driver
+    # scalars; the index itself is a banded dense rank (keyed windows,
+    # never a single reducer).
+    bounds = vecs.agg(
+        F.min("vid").alias("lo"), F.max("vid").alias("hi")
+    ).first()
+    if bounds.lo is None:  # empty corpus -> empty graph, typed
+        return emb.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, neighbor_id long, rank long, sim_micros long",
+        )
+    span = max(int(bounds.hi) - int(bounds.lo) + 1, 1)
+    band = F.expr(
+        f"CAST((vid - {int(bounds.lo)}) * 256 AS BIGINT) div {span}"
+    )
+    ranked, n_total = dense_rank_banded(vecs.select("vid"), ["vid"], band)
+    idx_map = ranked.select(
+        (F.col("rk") - 1).alias("idx"), F.col("vid").alias("dst")
+    )
 
     def score_topk(pairs: DataFrame) -> DataFrame:
         a = vecs.select(
@@ -704,11 +729,9 @@ def nn_descent_graph(
 
     init = (
         vecs.select("vid")
-        .join(F.broadcast(n1))
         .select(
             "vid",
             F.explode(F.sequence(F.lit(1), F.lit(n_init))).alias("j"),
-            "n",
         )
         .select(
             F.col("vid").alias("src"),
@@ -722,10 +745,12 @@ def nn_descent_graph(
                     16,
                     10,
                 ).cast("long")
-                % F.col("n")
-            ).alias("dst"),
+                % F.lit(max(n_total, 1))
+            ).alias("idx"),
         )
+        .join(idx_map, "idx")
         .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
         .distinct()
     )
     edges = score_topk(init)

@@ -47,7 +47,7 @@ from max document length).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -98,6 +98,11 @@ def _dense_rank_banded(
         "rk", (omap[F.col("_band")] + F.col("_lrk")).cast("long")
     ).drop("_band", "_lrk")
     return out, off
+
+
+# public alias: the banded dense rank is a general scale-safe device
+# (operators/ann.py uses it to index arbitrary id spaces)
+dense_rank_banded = _dense_rank_banded
 
 
 def build_suffix_ranks(
@@ -226,7 +231,6 @@ def neighbor_lcp(
 
 
 def doc_repeat_stats(
-    spark: SparkSession,
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -234,7 +238,12 @@ def doc_repeat_stats(
     k_levels: int = LRS_K,
 ) -> DataFrame:
     """Per-document exact repeated-substring statistics:
-    (doc_id, n_positions, max_rep_len, n_pos_rep_ge{min_rep})."""
+    (doc_id, n_positions, max_rep_len, n_pos_rep_ge{min_rep}).
+
+    Saturation: rank_K equality certifies only the first 2^K tokens,
+    so the equal-rank (full-suffix-repeat) branch is CAPPED at 2^K —
+    on documents longer than 2^K the stat saturates there instead of
+    overclaiming the whole remaining suffix."""
     from utility_service_areas_spark.functions.textops import tokens
 
     tok = docs.select(
@@ -258,9 +267,13 @@ def doc_repeat_stats(
             "i",
             F.greatest(
                 F.coalesce(F.col("nbr_lcp"), F.lit(0)),
-                F.when(F.col("gs") >= 2, F.col("dl") - F.col("i") + 1).otherwise(
-                    F.lit(0)
-                ),
+                F.when(
+                    F.col("gs") >= 2,
+                    F.least(
+                        F.col("dl") - F.col("i") + 1,
+                        F.lit(1 << k_levels),
+                    ),
+                ).otherwise(F.lit(0)),
             )
             .cast("long")
             .alias("maxrep"),

@@ -2219,11 +2219,16 @@ def _knng_oracle_sql(
         f"""
     WITH nn AS MATERIALIZED (
       SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    ids AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS idx
+      FROM embeddings),
     init AS (
-      SELECT DISTINCT e.vec_id AS src, {h} AS dst
+      SELECT DISTINCT e.vec_id AS src, i.vec_id AS dst
       FROM embeddings e CROSS JOIN nn
       CROSS JOIN (SELECT unnest(generate_series(1, {n_init})) AS j) s
-      WHERE {h} <> e.vec_id),
+      JOIN ids i ON i.idx = {h}
+      WHERE i.vec_id <> e.vec_id),
     e0 AS MATERIALIZED ({_knng_score_topk_sql('init', k)})"""
     ]
     for r in range(1, rounds + 1):

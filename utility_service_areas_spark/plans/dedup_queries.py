@@ -1180,7 +1180,8 @@ def minhash_bbit_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigb = sig.select(
         F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
     )
-    paired = cand.join(siga, "doc_a").join(sigb, "doc_b")
+    # consumed by all 5 estimator branches of the union — cut once
+    paired = lineage_cut(cand.join(siga, "doc_a").join(sigb, "doc_b"))
     def low_byte(c: str):
         return F.conv(F.substring(F.col(c), 31, 2), 16, 10).cast("long")
 

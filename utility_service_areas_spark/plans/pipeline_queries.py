@@ -1166,7 +1166,8 @@ def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
     rep AS (
       SELECT p.doc_id, p.i,
              greatest(coalesce(n.nbr_lcp, 0),
-                      CASE WHEN g.gs >= 2 THEN p.dl - p.i + 1
+                      CASE WHEN g.gs >= 2
+                           THEN least(p.dl - p.i + 1, {1 << k_levels})
                            ELSE 0 END) AS maxrep
       FROM r{k_levels} p JOIN grp g ON g.rk = p.rk
       LEFT JOIN nbr n ON n.rk = p.rk)
@@ -1177,9 +1178,7 @@ def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
                 AS BIGINT) AS n_pos_rep_ge{_LRS_MIN_REP}
     FROM rep GROUP BY doc_id"""
     )
-    return ",".join(parts[:1] + [p for p in parts[1:]]).replace(
-        "WITH tok AS", "WITH tok AS", 1
-    )
+    return ",".join(parts)
 
 
 @query(
@@ -1210,9 +1209,7 @@ def dedup_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utility_service_areas_spark.operators.suffix import doc_repeat_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    return doc_repeat_stats(
-        spark, docs, min_rep=_LRS_MIN_REP, k_levels=_LRS_K
-    )
+    return doc_repeat_stats(docs, min_rep=_LRS_MIN_REP, k_levels=_LRS_K)
 
 
 @query(

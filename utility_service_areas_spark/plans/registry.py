@@ -121,7 +121,7 @@ _DRIVER_PRIORITY = (
     "supplier_ship_gap_stats",
     "customer_retention_setops",
     "small_lot_revenue_by_brand",
-    # 3) 17 of the r7-stale tail — keys whose FAMILIES changed this
+    # 3) 13 of the r7-stale tail — keys whose FAMILIES changed this
     #    round first (graph: LPA shares #145's edge construction;
     #    multimodal: aspect buckets joined the family; text/pipeline
     #    span machinery: novelty reuses #129's skeleton), then the
@@ -156,8 +156,7 @@ _DRIVER_PRIORITY = (
     # returned_item_report, profit_by_nation_year,
     # part_revenue_concentration, top_revenue_supplier,
     # excess_quantity_suppliers, supplier_order_exclusivity,
-    # dedup_keep_best_quality, ann_ivf_sqrtn_topk, ann_quantized_topk,
-    # ann_ivf_quantized_topk (if not attested this round)
+    # dedup_keep_best_quality, ann_ivf_sqrtn_topk, ann_quantized_topk
 )
 
 _PLAN_MODULES = (

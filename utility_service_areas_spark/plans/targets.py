@@ -6,7 +6,10 @@ else from the stage store (_targets.R:1-60 pipeline definitions).
 This module is that contract for the Spark pipeline:
 
   Stage     = name + file inputs + upstream stages + params + build fn
-  stage key = md5(input file CONTENT ++ upstream stage keys ++ params)
+  stage key = md5(input file CONTENT ++ upstream stage keys ++ params
+                  ++ the build fn's own source) — editing a stage's
+              TRANSFORMATION invalidates it too, exactly like
+              tar_make re-running a target whose command changed
   manifest  = <store>/_MANIFEST.json  (stage -> key, rows, output)
 
 `run_pipeline` walks the DAG in declaration order; a stage whose key
@@ -59,14 +62,38 @@ def _iter_files(path: str) -> list[str]:
 
 
 def _content_hash(paths: tuple[str, ...]) -> str:
+    """Digest of input CONTENT: per file, the path RELATIVE to its
+    declared input root (so relocating the tree or reading through a
+    bind mount/symlink of identical bytes does NOT invalidate — the
+    {targets} contract is content, not location) plus a length prefix
+    (an unambiguous frame: bytes can never shift between a name and
+    the next file's content)."""
     h = hashlib.md5()
     for p in sorted(paths):
         for f in _iter_files(p):
-            h.update(f.encode("utf-8"))
+            rel = os.path.relpath(f, p if os.path.isdir(p) else os.path.dirname(p))
+            size = os.path.getsize(f)
+            h.update(f"{rel}\x00{size}\x00".encode("utf-8"))
             with open(f, "rb") as fh:
                 for chunk in iter(lambda: fh.read(1 << 20), b""):
                     h.update(chunk)
     return h.hexdigest()
+
+
+def _build_code_hash(build) -> str:
+    """The stage's COMMAND participates in its key ({targets} parity:
+    tar_make invalidates a target whose command changed — without
+    this, fixing a bug in a build function would keep serving the
+    pre-fix cached output until --force). Source text when available,
+    bytecode+consts otherwise (builtins/C callables)."""
+    import inspect
+
+    try:
+        src = inspect.getsource(build)
+    except (OSError, TypeError):
+        code = getattr(build, "__code__", None)
+        src = repr((code.co_code, code.co_consts)) if code else repr(build)
+    return hashlib.md5(src.encode("utf-8")).hexdigest()
 
 
 def run_pipeline(
@@ -85,11 +112,20 @@ def run_pipeline(
         with open(mpath) as f:
             manifest = json.load(f)
 
-    by_name = {s.name: s for s in stages}
+    seen: set[str] = set()
     for s in stages:
-        missing = [d for d in s.deps if d not in by_name]
+        # deps must exist AND precede their dependent (declaration
+        # order IS the execution order) — a forward reference would
+        # otherwise surface as a bare KeyError mid-run
+        missing = [d for d in s.deps if d not in seen]
         if missing:
-            raise ValueError(f"stage {s.name!r}: unknown deps {missing}")
+            raise ValueError(
+                f"stage {s.name!r}: deps {missing} not declared earlier "
+                "(stages run in declaration order)"
+            )
+        if s.name in seen:
+            raise ValueError(f"duplicate stage name {s.name!r}")
+        seen.add(s.name)
 
     keys: dict[str, str] = {}
     outputs: dict[str, str] = {}
@@ -100,6 +136,7 @@ def run_pipeline(
         for d in s.deps:
             h.update(keys[d].encode())
         h.update(s.params.encode("utf-8"))
+        h.update(_build_code_hash(s.build).encode())
         key = h.hexdigest()
         keys[s.name] = key
         out_path = os.path.join(store, s.name)

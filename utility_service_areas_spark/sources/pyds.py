@@ -92,7 +92,18 @@ def _list_bases(path: str, require_dbf: bool = False) -> list[str]:
         names = os.listdir(path)
     except FileNotFoundError:
         return []
-    bases = [os.path.join(path, f[:-4]) for f in names if f.endswith(".shp")]
+    bases = [
+        os.path.join(path, f[:-4])
+        for f in names
+        # Hadoop's hidden-file convention: _ and . prefixed names are
+        # never data. This is what keeps ShapefileWriter's in-directory
+        # `_tmp-{run}-...` trios invisible until the driver-side
+        # commit renames them — without the filter a read racing a
+        # write would list uncommitted temps as real bases (and the
+        # streaming positional offset would shift, since `_tmp-` sorts
+        # before `part-`).
+        if f.endswith(".shp") and not f.startswith(("_", "."))
+    ]
     if require_dbf:
         bases = [b for b in bases if os.path.exists(b + ".dbf")]
     return sorted(bases)
