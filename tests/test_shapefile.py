@@ -443,6 +443,55 @@ def test_python_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
     assert spark.read.format("shapefile").load(out).count() == 1
 
 
+def test_python_datasource_writer_append_adds_not_replaces(spark, tmp_path):
+    """r13 ADVICE-high regression: two sequential .mode('append') jobs
+    into the same directory must BOTH survive. The r12 writer named
+    every job's outputs part-{pid}, so the second append's os.replace
+    silently overwrote the first job's trio (verified data loss).
+    Now the driver-side commit assigns a job-sequence prefix
+    (part-{seq:05d}-{pid:05d}) strictly greater than anything already
+    in the directory, so appends extend the sorted listing — which
+    also preserves the streaming reader's positional-offset
+    exactly-once contract."""
+    import os
+
+    out = str(tmp_path / "out")
+    schema = (
+        "shape_type string, geometry array<array<array<double>>>, "
+        "attrs map<string,string>"
+    )
+
+    def write_one(name):
+        df = spark.createDataFrame(
+            [("point", [[[1.0, 2.0]]], {"NAME": name})], schema
+        ).coalesce(1)
+        (
+            df.write.format("shapefile")
+            .option("fields", "NAME:C:16:0")
+            .mode("append")
+            .save(out)
+        )
+
+    write_one("first")
+    bases_after_first = sorted(
+        n[:-4] for n in os.listdir(out) if n.endswith(".shp")
+    )
+    write_one("second")
+    bases_after_second = sorted(
+        n[:-4] for n in os.listdir(out) if n.endswith(".shp")
+    )
+
+    # both jobs' rows survive
+    back = spark.read.format("shapefile").load(out)
+    names = sorted(r.attrs["NAME"].strip() for r in back.collect())
+    assert names == ["first", "second"]
+    # append EXTENDED the sorted listing: old bases unchanged and
+    # every new base sorts after all old ones
+    assert bases_after_second[: len(bases_after_first)] == bases_after_first
+    new = [b for b in bases_after_second if b not in bases_after_first]
+    assert new and all(b > max(bases_after_first) for b in new)
+
+
 def test_python_datasource_writer_abort_leaves_no_temps(spark, tmp_path):
     """A failing task must abort the job and leave the directory free
     of temp files — a crashed write can never surface half a pair to

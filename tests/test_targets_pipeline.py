@@ -161,6 +161,46 @@ def test_build_code_participates_in_stage_key(spark, tmp_path):
     assert spark.read.parquet(os.path.join(store, "s")).columns == ["b"]
 
 
+def test_callee_edit_invalidates_stage_key(spark, tmp_path):
+    """r13 ADVICE fix: the stage key hashes the build fn's TRANSITIVE
+    first-party callees ({targets} hashes a command's function deps),
+    so a bug fix in a helper the build calls — via a closure cell
+    here, the same mechanism service_areas_stages uses for
+    clean_certificates / build_service_areas — rebuilds the stage
+    even with byte-identical inputs and an unchanged build body."""
+    from utility_service_areas_spark.plans.targets import Stage, run_pipeline
+
+    inp = tmp_path / "in.csv"
+    inp.write_text("a\n1\n")
+    store = str(tmp_path / "store")
+
+    def make_build(helper):
+        def build(spark_, _deps):
+            return helper(spark_.read.csv(str(inp), header=True))
+
+        return build
+
+    def helper_v1(df):
+        return df
+
+    def helper_v2(df):
+        return df.withColumnRenamed("a", "b")
+
+    r1 = run_pipeline(
+        spark, [Stage("s", make_build(helper_v1), inputs=(str(inp),))], store
+    )
+    r2 = run_pipeline(
+        spark, [Stage("s", make_build(helper_v1), inputs=(str(inp),))], store
+    )
+    r3 = run_pipeline(
+        spark, [Stage("s", make_build(helper_v2), inputs=(str(inp),))], store
+    )
+    assert (r1["s"], r2["s"], r3["s"]) == ("built", "skipped", "built")
+    import os
+
+    assert spark.read.parquet(os.path.join(store, "s")).columns == ["b"]
+
+
 def test_forward_dep_is_a_loud_error(spark, tmp_path):
     import pytest
 

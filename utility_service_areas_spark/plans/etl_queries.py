@@ -799,6 +799,23 @@ def revenue_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_tiebreak_order():
+    """THE deterministic CDC winner order, shared by the batch window
+    (#233), the S32 streaming fold's comparator
+    (streaming/events.py:_cdc_winner_key) and the version-tie property
+    test: highest version wins; on a version TIE a delete beats an
+    update (op ASC — 'D' < 'U': a same-version delete+update pair
+    resolves to tombstone, the defensive read), and two same-version
+    updates break on bal_cents ASC NULLS FIRST. r13 ADVICE fix — the
+    r12 window ordered by v DESC alone, nondeterministic on duplicate
+    versions, and the streaming fold kept first-arrival instead."""
+    return (
+        F.col("v").desc(),
+        F.col("op").asc(),
+        F.col("bal_cents").asc_nulls_first(),
+    )
+
+
 @query(
     "cdc_latest_version_merge",
     oracle="""
@@ -821,7 +838,8 @@ def revenue_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, 3, 'D', NULL FROM customer WHERE c_custkey % 7 = 4),
     latest AS (
       SELECT k, op, bal_cents FROM (
-        SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        SELECT *, row_number() OVER (PARTITION BY k
+          ORDER BY v DESC, op ASC, bal_cents ASC NULLS FIRST) AS rn
         FROM log) WHERE rn = 1),
     final AS (
       SELECT s.c_mktsegment,
@@ -885,7 +903,7 @@ def cdc_latest_version_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.partitionBy("k").orderBy(F.col("v").desc())
+    w = Window.partitionBy("k").orderBy(*cdc_tiebreak_order())
     latest = (
         log.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -1184,11 +1184,11 @@ def geo_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     v = verts
-    counts_r1 = None
+    counts_round_one = None
     for r in range(_VW_ROUNDS):
         v = vw_round(v)
         if r == 0:
-            counts_r1 = v.groupBy("n_nationkey").agg(
+            counts_round_one = v.groupBy("n_nationkey").agg(
                 F.count(F.lit(1)).cast("long").alias("n_after_round1")
             )
     wnd = Window.partitionBy("n_nationkey").orderBy("pos")
@@ -1214,7 +1214,7 @@ def geo_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum4"),
         )
     )
-    return shoe.join(counts_r1, "n_nationkey").select(
+    return shoe.join(counts_round_one, "n_nationkey").select(
         "n_nationkey",
         F.lit(len(_VW_OFFSETS)).cast("long").alias("n_points_in"),
         "n_after_round1",
@@ -1286,8 +1286,10 @@ def geo_quadkey_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = None
     for z in range(_PYR_ZMIN, _PYR_ZMAX + 1):
         shift = 2 * (_PYR_ZMAX - z)
+        # integer div (house rule: Spark `div` == DuckDB `//`) — the
+        # r12 float-divide was exact only because tile ids fit 12 bits
         lvl = fine.groupBy(
-            (F.col("tile") / (1 << shift)).cast("long").alias("tile")
+            F.expr(f"tile div {1 << shift}").alias("tile")
         ).agg(F.sum("n").cast("long").alias("n_points")).select(
             F.lit(z).cast("long").alias("zoom"), "tile", "n_points"
         )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from utility_service_areas_spark.plans import ORACLE_POS_CAP
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
 
@@ -1105,7 +1106,7 @@ def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
     WITH tok AS (
       SELECT doc_id, i, toks[i] AS t, CAST(len(toks) AS BIGINT) AS dl
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
-           unnest(range(1, 4096)) AS s(i)
+           unnest(generate_series(1, {ORACLE_POS_CAP})) AS s(i)
       WHERE i <= len(toks)),
     r0 AS MATERIALIZED (
            SELECT doc_id, CAST(i AS BIGINT) AS i, dl,

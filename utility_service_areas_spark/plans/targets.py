@@ -80,20 +80,88 @@ def _content_hash(paths: tuple[str, ...]) -> str:
     return h.hexdigest()
 
 
+def _fn_source(fn) -> str:
+    import inspect
+
+    try:
+        return inspect.getsource(fn)
+    except (OSError, TypeError):
+        code = getattr(fn, "__code__", None)
+        return repr((code.co_code, code.co_consts)) if code else repr(fn)
+
+
+def _transitive_fns(build) -> list[tuple[str, object]]:
+    """The build function plus every first-party Python function it
+    (transitively) references — by global name, closure cell, or a
+    name used inside a nested lambda/def. Scope is bounded to this
+    package and the build fn's own module: third-party callees
+    (pyspark, stdlib) are version-pinned environment, not pipeline
+    command, exactly as {targets} hashes the user's functions but not
+    R itself."""
+    import types
+
+    build_mod = getattr(build, "__module__", "") or ""
+
+    def in_scope(fn) -> bool:
+        m = getattr(fn, "__module__", "") or ""
+        return m == build_mod or m.startswith("utility_service_areas_spark")
+
+    def key(fn) -> str:
+        return (
+            f"{getattr(fn, '__module__', '?')}:"
+            f"{getattr(fn, '__qualname__', repr(fn))}"
+        )
+
+    out: dict[str, object] = {}
+    stack = [build]
+    while stack:
+        fn = stack.pop()
+        k = key(fn)
+        if k in out:
+            continue
+        out[k] = fn
+        code = getattr(fn, "__code__", None)
+        if code is None:
+            continue
+        names: set[str] = set()
+        codes = [code]
+        while codes:  # nested lambdas/defs reference via their own co_names
+            c = codes.pop()
+            names.update(c.co_names)
+            codes.extend(x for x in c.co_consts if isinstance(x, types.CodeType))
+        g = getattr(fn, "__globals__", {})
+        cands = [g.get(n) for n in names]
+        for cell in getattr(fn, "__closure__", None) or ():
+            try:
+                cands.append(cell.cell_contents)
+            except ValueError:
+                pass
+        for v in cands:
+            if (
+                isinstance(v, types.FunctionType)
+                and in_scope(v)
+                and key(v) not in out
+            ):
+                stack.append(v)
+    return sorted(out.items())
+
+
 def _build_code_hash(build) -> str:
     """The stage's COMMAND participates in its key ({targets} parity:
     tar_make invalidates a target whose command changed — without
     this, fixing a bug in a build function would keep serving the
-    pre-fix cached output until --force). Source text when available,
-    bytecode+consts otherwise (builtins/C callables)."""
-    import inspect
-
-    try:
-        src = inspect.getsource(build)
-    except (OSError, TypeError):
-        code = getattr(build, "__code__", None)
-        src = repr((code.co_code, code.co_consts)) if code else repr(build)
-    return hashlib.md5(src.encode("utf-8")).hexdigest()
+    pre-fix cached output until --force). r13 ADVICE fix: the hash
+    covers the build fn's TRANSITIVE first-party callees (tar_make
+    hashes a command's function dependencies, not just the command),
+    so a bug fix in e.g. clean_certificates or build_service_areas
+    invalidates every stage whose build calls it. Source text per
+    function when available, bytecode+consts otherwise."""
+    h = hashlib.md5()
+    for k, fn in _transitive_fns(build):
+        src = _fn_source(fn)
+        h.update(f"{k}\x00{len(src)}\x00".encode("utf-8"))
+        h.update(src.encode("utf-8"))
+    return h.hexdigest()
 
 
 def run_pipeline(

@@ -15,6 +15,7 @@ from utility_service_areas_spark.operators.text import (
     stopword_hits,
     token_counts,
 )
+from utility_service_areas_spark.plans import ORACLE_POS_CAP
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
 
@@ -228,8 +229,8 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overflow instead of wrapping, so the SQL does the arithmetic in
 # HUGEINT and applies the 2^64 modulus explicitly; unicode(ch) ==
 # utf-8 byte for the ASCII substrate (multibyte text would need a
-# byte-level unnest). The 4096 series cap bounds gram positions — far
-# above the substrate's 577-char max document.
+# byte-level unnest). The ORACLE_POS_CAP (4096) series cap bounds
+# gram positions — far above the substrate's 577-char max document.
 _KR_POWS = [pow(1_000_003, 7 - j, 1 << 64) for j in range(8)]
 _KR_TERMS = " + ".join(
     f"unicode(substr(s, i + {j}, 1))::HUGEINT * {_KR_POWS[j]}::HUGEINT"
@@ -245,7 +246,7 @@ _KR_TERMS = " + ".join(
       FROM documents),
     pos AS (
       SELECT doc_id, s, i
-      FROM norm CROSS JOIN (SELECT unnest(generate_series(1, 4096)) AS i) ii
+      FROM norm CROSS JOIN (SELECT unnest(generate_series(1, {ORACLE_POS_CAP})) AS i) ii
       WHERE i <= len(s) - 7),
     kr AS (
       SELECT doc_id, i,
@@ -1970,7 +1971,7 @@ _RAKE_TOP = 20
     WITH tok AS (
       SELECT doc_id, i, toks[i] AS t
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
-           unnest(generate_series(1, 4096)) AS s(i)
+           unnest(generate_series(1, {ORACLE_POS_CAP})) AS s(i)
       WHERE i <= len(toks)),
     nonstop AS (
       SELECT doc_id, i, t,
@@ -2020,9 +2021,14 @@ _RAKE_TOP = 20
     "with NO float anywhere: word score is (deg*1e6) integer-DIV "
     "freq (Spark `div` == DuckDB `//` on positives), phrase score an "
     "integer sum. Identical phrases score identically by "
-    "construction (max == any). Scale: two keyed windows + "
-    "vocab-sized word stats (broadcastable); the final top-20 is "
-    "TakeOrdered (no global window on the Spark side).",
+    "construction (max == any). Token positions are bounded at "
+    "ORACLE_POS_CAP=4096 on BOTH sides (oracle generate_series cap; "
+    "Spark slices the token array to the same cap before posexplode) "
+    "— docs longer than the cap truncate identically instead of "
+    "diverging silently; substrate max is ~120 tokens. Scale: two "
+    "keyed windows + vocab-sized word stats (broadcastable); the "
+    "final top-20 is TakeOrdered (no global window on the Spark "
+    "side).",
     tags=("text",),
 )
 def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2035,7 +2041,12 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i0", "t")
+        "doc_id",
+        # cap positions at the shared oracle bound so over-long docs
+        # truncate identically on both engines (r13 ADVICE fix)
+        F.posexplode(
+            F.slice(tokens(F.col("text")), 1, ORACLE_POS_CAP)
+        ).alias("i0", "t"),
     ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "t")
     nonstop = (
         tok.filter(~F.col("t").isin(*STOPWORDS))

@@ -299,9 +299,12 @@ def _parse_fields(spec: str) -> list[tuple[str, str, int, int]]:
 
 
 class ShapefileCommit(WriterCommitMessage):
-    def __init__(self, tmp_base: str | None, final_base: str | None):
+    def __init__(self, tmp_base: str | None, pid: int | None):
         self.tmp_base = tmp_base  # basename (no ext) of the temp trio
-        self.final_base = final_base
+        # The task reports only its partition id; FINAL names are
+        # assigned by the driver-side commit(), which is the only
+        # place the job-sequence number (append ordering) is known.
+        self.pid = pid
 
 
 class ShapefileWriter(DataSourceWriter):
@@ -309,12 +312,23 @@ class ShapefileWriter(DataSourceWriter):
     each task writes its partition to `_tmp-{run}-{task uuid}-part-N`
     files INSIDE the target directory and reports them in its commit
     message; only the driver-side commit() renames temps to their
-    final `part-N` names (os.replace — atomic on POSIX). A failed or
-    retried task's temps are never renamed, and both commit() and
-    abort() sweep every `_tmp-{run}-*` leftover, so readers (whose
-    listing keys on `.shp` bases — temps carry no final extension
-    visible to a glob of part bases only after rename) never observe
-    a half-written pair. Same local/NFS scope as the reader."""
+    final `part-{seq}-{pid}` names (os.replace — atomic on POSIX). A
+    failed or retried task's temps are never renamed, and both
+    commit() and abort() sweep every `_tmp-{run}-*` leftover, so
+    readers (whose listing keys on `.shp` bases — temps carry no
+    final extension visible to a glob of part bases only after
+    rename) never observe a half-written pair.
+
+    Append semantics (r13, ADVICE fix): final names carry a JOB
+    sequence number assigned at commit time — `part-{seq:05d}-
+    {pid:05d}` with seq = 1 + the largest sequence already in the
+    directory. A second `.mode('append')` job therefore ADDS trios
+    instead of silently replacing the first job's part-00000 (the
+    r12 data-loss bug), and because seq is strictly increasing every
+    appended base sorts lexicographically AFTER all existing bases,
+    preserving the streaming reader's positional-offset exactly-once
+    contract (appends only ever EXTEND the sorted listing). Same
+    local/NFS scope as the reader."""
 
     def __init__(self, options: dict, overwrite: bool):
         self._path = _path_option(options)
@@ -367,7 +381,7 @@ class ShapefileWriter(DataSourceWriter):
         for ext, blob in (("shp", shp), ("shx", shx), ("dbf", dbf)):
             with open(os.path.join(self._path, f"{tmp}.{ext}"), "wb") as f:
                 f.write(blob)
-        return ShapefileCommit(tmp, f"part-{pid:05d}")
+        return ShapefileCommit(tmp, pid)
 
     def _sweep(self) -> None:
         try:
@@ -379,6 +393,8 @@ class ShapefileWriter(DataSourceWriter):
                 os.remove(os.path.join(self._path, n))
 
     def commit(self, messages) -> None:
+        import re
+
         if self._overwrite:
             try:
                 for n in os.listdir(self._path):
@@ -390,13 +406,29 @@ class ShapefileWriter(DataSourceWriter):
                         os.remove(os.path.join(self._path, n))
             except FileNotFoundError:
                 pass
+            seq = 0
+        else:
+            # Append: new trios get a job-sequence number strictly
+            # greater than any already present, so they never collide
+            # with (or lexicographically precede) existing parts.
+            # Legacy `part-00000` names parse as seq 0 via the first
+            # numeric group.
+            seqs = []
+            try:
+                for n in os.listdir(self._path):
+                    m = re.match(r"part-(\d+)", n)
+                    if m and n.rsplit(".", 1)[-1] in ("shp", "shx", "dbf"):
+                        seqs.append(int(m.group(1)))
+            except FileNotFoundError:
+                pass
+            seq = max(seqs) + 1 if seqs else 0
         for m in messages:
             if m is None or m.tmp_base is None:
                 continue
             for ext in ("shp", "shx", "dbf"):
                 os.replace(
                     os.path.join(self._path, f"{m.tmp_base}.{ext}"),
-                    os.path.join(self._path, f"{m.final_base}.{ext}"),
+                    os.path.join(self._path, f"part-{seq:05d}-{m.pid:05d}.{ext}"),
                 )
         self._sweep()
 

@@ -1028,15 +1028,26 @@ _CDC_STREAM_OUT = StructType(
 )
 
 
+def _cdc_winner_key(row: tuple) -> tuple:
+    """Sort key mirroring cdc_tiebreak_order (plans/etl_queries.py):
+    (v DESC, op ASC, bal_cents ASC NULLS FIRST) — the row that sorts
+    FIRST under this key is the winner; the fold keeps the min. r13
+    ADVICE fix: the r12 fold's strict v> kept first-arrival on version
+    ties, diverging from the batch window's (then nondeterministic)
+    pick."""
+    v, op, bal = row
+    return (-v, op, (0, 0) if bal is None else (1, bal))
+
+
 def _cdc_state_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     best = tuple(state.get) if state.exists else None  # (v, op, bal)
     for pdf in pdfs:
         for v, op, bal in zip(pdf["v"], pdf["op"], pdf["bal_cents"]):
-            v = int(v)
-            if best is None or v > best[0]:
-                best = (v, str(op), None if pd.isna(bal) else int(bal))
+            cand = (int(v), str(op), None if pd.isna(bal) else int(bal))
+            if best is None or _cdc_winner_key(cand) < _cdc_winner_key(best):
+                best = cand
     state.update(best)
     yield pd.DataFrame(
         {
