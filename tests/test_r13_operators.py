@@ -24,6 +24,52 @@ def _brute_cdc_winner(rows):
     return min(rows, key=key)
 
 
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, "en", "srcT", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_suffix_lrs_saturation_production_direction(spark, tmp_path):
+    """VERDICT r12 task #3 (production-direction twin of the r12
+    k_levels=4 pin): when DOCS EXCEED the 2^K resolution — the shape a
+    production corpus has when K is picked too small — a repeat longer
+    than 2^K saturates at exactly 2^K, while repeats shorter than 2^K
+    in the SAME corpus stay exact and equal their higher-K values.
+    The K rule: pick K = ceil(log2(max_doc_tokens)); each +1 costs one
+    banded dense-rank round + one descent level (measured in
+    BENCH_TREND's lrs_k_sweep)."""
+    from utility_service_areas_spark.operators.suffix import doc_repeat_stats
+    from utility_service_areas_spark.sources.tables import load_table
+
+    shared80 = " ".join(f"s{j}" for j in range(80))  # 80-token repeat
+    small = " ".join(f"p{j}" for j in range(10))  # 10-token repeat
+    docs = [
+        (1, shared80 + " " + " ".join(f"a{j}" for j in range(20))),
+        (2, shared80 + " " + " ".join(f"b{j}" for j in range(20))),
+        (3, small + " " + " ".join(f"c{j}" for j in range(30))),
+        (4, small + " " + " ".join(f"d{j}" for j in range(30))),
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    loaded = load_table(spark, str(tmp_path), "documents")
+
+    at_k6 = {
+        r.doc_id: r.max_rep_len
+        for r in doc_repeat_stats(loaded, k_levels=6).collect()
+    }
+    at_k8 = {
+        r.doc_id: r.max_rep_len
+        for r in doc_repeat_stats(loaded, k_levels=8).collect()
+    }
+    # 100-token docs > 2^6: the 80-token repeat saturates at 64 under
+    # K=6 and is exact (80) under K=8
+    assert at_k6[1] == at_k6[2] == 64
+    assert at_k8[1] == at_k8[2] == 80
+    # repeats shorter than the resolution are exact at BOTH K
+    assert at_k6[3] == at_k6[4] == at_k8[3] == at_k8[4] == 10
+
+
 CDC_TIE_LOGS = [
     # (rows per key, description) — every row is (v, op, bal_cents)
     [(2, "U", 100), (2, "D", None)],  # same-version delete+update: D wins

@@ -258,6 +258,8 @@ EXPECTED_KEYS = {
     "abtest_two_proportion",
     "minhash_bbit_tradeoff",
     "text_hashing_trick_features",
+    # r13
+    "ann_ivfpq_search_persisted",
 }
 
 

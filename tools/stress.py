@@ -549,6 +549,27 @@ def run_streaming(spark, out: str, n_slices: int = 8) -> dict:
     return res
 
 
+def run_lrs_k_sweep(spark, out: str) -> dict[str, float]:
+    """VERDICT r12 task #3: cost of each extra prefix-doubling round.
+    K=8 fits the substrate (256-token resolution); production doc
+    lengths (2k-16k tokens) need K=11-14, and each +1 adds one banded
+    dense-rank round + one descent level. Times doc_repeat_stats at
+    K=8/10/12 over the --out documents (noop sink, same honesty rules
+    as the main loop)."""
+    from utility_service_areas_spark.operators.suffix import doc_repeat_stats
+    from utility_service_areas_spark.sources.tables import load_table
+
+    timings: dict[str, float] = {}
+    for k in (8, 10, 12):
+        t0 = time.time()
+        df = doc_repeat_stats(
+            load_table(spark, out, "documents"), min_rep=8, k_levels=k
+        )
+        df.write.format("noop").mode("overwrite").save()
+        timings[f"k{k}"] = round(time.time() - t0, 2)
+    return timings
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -584,6 +605,11 @@ def main() -> None:
         "--incremental-index",
         action="store_true",
         help="persisted-band-index ingest cost on the existing --out substrate",
+    )
+    ap.add_argument(
+        "--lrs-k",
+        action="store_true",
+        help="suffix-LRS resolution sweep: doc_repeat_stats at K=8/10/12",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -645,6 +671,29 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         out = run_streaming(spark, args.out)
         print(json.dumps({"metric": "streaming_throughput", "unit": "sec", **out}))
+        return
+
+    if args.lrs_k:
+        from utility_service_areas_spark.session import build_session
+
+        if not args.keep:
+            if os.path.isdir(args.out):
+                shutil.rmtree(args.out)
+            build_substrate(args.base, args.out, args.factor)
+        spark = build_session("usa-spark-stress-lrsk")
+        spark.sparkContext.setLogLevel("ERROR")
+        timings = run_lrs_k_sweep(spark, args.out)
+        print(
+            json.dumps(
+                {
+                    "metric": "lrs_k_sweep",
+                    "unit": "sec",
+                    "factor": args.factor,
+                    "base": args.base,
+                    "queries": timings,
+                }
+            )
+        )
         return
 
     if not args.keep:

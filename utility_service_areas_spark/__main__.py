@@ -57,6 +57,24 @@ def main(argv: list[str] | None = None) -> int:
     tun.add_argument("--out", required=True)
     tun.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
 
+    idx = sub.add_parser(
+        "index",
+        help="persisted IVFPQ vector-index lifecycle: build once into "
+        "--index-dir, add new vector batches against the frozen "
+        "codebooks, search many times from the artifacts",
+    )
+    idx.add_argument("action", choices=("build", "add", "search"))
+    idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    idx.add_argument("--index-dir", required=True)
+    idx.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate selecting vectors from the embeddings "
+        "table (e.g. 'vec_id >= 500' for an add batch)",
+    )
+    idx.add_argument("--top-k", type=int, default=10)
+    idx.add_argument("--n-probe", type=int, default=4)
+
     pipe = sub.add_parser(
         "pipeline",
         help="run the reference service-areas pipeline as a memoized "
@@ -81,6 +99,53 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "index":
+        from pyspark.sql import functions as F
+
+        from utility_service_areas_spark.operators.vector_index import (
+            add_to_ivfpq_index,
+            build_ivfpq_index,
+            load_ivfpq_index,
+            search_ivfpq_index,
+        )
+        from utility_service_areas_spark.session import build_session
+        from utility_service_areas_spark.sources.tables import load_table
+
+        spark = build_session("usa-cli-index")
+        spark.sparkContext.setLogLevel("ERROR")
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        if args.where:
+            emb = emb.filter(args.where)
+        if args.action == "build":
+            manifest = build_ivfpq_index(emb, args.index_dir)
+            print(
+                f"built {args.index_dir}: {manifest['n_vectors']} vectors, "
+                f"{manifest['n_centroids']} cells, m={manifest['m']} "
+                f"k={manifest['k']}"
+            )
+        elif args.action == "add":
+            manifest = add_to_ivfpq_index(spark, args.index_dir, emb)
+            print(
+                f"added into {args.index_dir}: now {manifest['n_vectors']} "
+                f"vectors ({manifest['n_adds']} add batches)"
+            )
+        else:  # search — queries = the probe workload (vec_id < 5)
+            load_ivfpq_index(spark, args.index_dir)  # loud if uncommitted
+            queries = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+            )
+            out = search_ivfpq_index(
+                spark,
+                args.index_dir,
+                queries,
+                load_table(spark, args.sf_dir, "embeddings"),
+                n_probe=args.n_probe,
+                top_k=args.top_k,
+            )
+            out.orderBy("query_id", "rank").show(100, truncate=False)
+        return 0
 
     if args.cmd == "pipeline":
         from utility_service_areas_spark.plans.targets import (

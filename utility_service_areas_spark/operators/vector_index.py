@@ -1,0 +1,361 @@
+"""Persisted IVFPQ vector-index lifecycle: build once -> search many.
+
+VERDICT r12 task #1. Every ANN registry query re-fits its index inline
+(right for a value-oracled benchmark, wrong for serving): a 100 TB
+serving path builds the index ONCE, persists it, and answers many
+query batches from the artifacts — FAISS's write_index/read_index/
+add() contract re-expressed as parquet + a manifest.
+
+Index layout under ``index_dir``::
+
+    centroids/      parquet (cent_id, cent_vec, cent_n)   — IVF coarse cells
+    codes/          parquet (neighbor_id, cell, code_0..code_{m-1})
+    _MANIFEST.json  params + the m x k x sub_dim PQ codebooks + counts
+
+Commit protocol: parquet artifacts first, manifest LAST — the manifest
+is the commit marker (the S31 posture: a crashed build never surfaces
+a readable index; ``load_ivfpq_index`` raises without it). JSON floats
+round-trip IEEE doubles exactly (repr shortest-decimal), so decode
+from the manifest is bit-identical to decode from the in-memory fit.
+
+The index is the RESIDUAL variant (ann_ivfpq_residual_topk, #172 —
+true-FAISS: codebooks quantize vector minus its coarse centroid);
+``search_ivfpq_index`` replays #172's scoring expressions operand for
+operand, so search-from-artifacts is row-identical to the inline query
+(pinned in tests/test_vector_index.py and driver-oracled via
+ann_ivfpq_search_persisted against the same SQL as #172).
+
+Incremental add (the FAISS ``add()`` contract): new vectors are
+assigned to the FROZEN coarse centroids and encoded against the FROZEN
+codebooks — no refit, codes append to the codes/ parquet. Correctness
+pinned against a brute numpy replay of assign+encode.
+
+Scale shape: centroids + codebooks are KB-sized (broadcast at search);
+codes/ is the only corpus-sized artifact (m bytes-ish per vector,
+16x smaller than floats) and both search and add stream it — nothing
+corpus-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MANIFEST_NAME = "_MANIFEST.json"
+_FORMAT_VERSION = 1
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, MANIFEST_NAME)
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 32,
+    n_iter: int = 2,
+    dim: int = 64,
+    n_centroids: int = 16,
+    centroid_stride: int = 37,
+) -> dict:
+    """Fit + persist the IVFPQ index; returns the manifest dict.
+
+    The construction is ann_ivfpq_residual_topk's corpus side verbatim
+    (plans/ann_queries.py:1504): ivf_centroids -> top-1 coarse assign
+    -> residual subtract -> pq_encode over residuals.
+    """
+    from utility_service_areas_spark.operators.ann import (
+        ivf_assignments,
+        ivf_centroids,
+        pq_encode,
+    )
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    cents = ivf_centroids(emb, id_col, vec_col, n_centroids, centroid_stride)
+    cellcent = cents.select(F.col("cent_id").alias("cell"), "cent_vec")
+    c_asg, _unused_q = ivf_assignments(
+        emb,
+        emb.limit(0),
+        id_col,
+        vec_col,
+        n_centroids=n_centroids,
+        centroid_stride=centroid_stride,
+    )
+    resid = lineage_cut(  # consumed by the m fits, encode, and the cell join
+        c_asg.join(F.broadcast(cellcent), "cell").select(
+            "neighbor_id",
+            "cell",
+            F.zip_with(
+                "c_vec",
+                "cent_vec",
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("rvec"),
+        )
+    )
+    codes, books = pq_encode(
+        resid, "neighbor_id", "rvec", m=m, k=k, n_iter=n_iter, expected_dim=dim
+    )
+    codes_with_cell = codes.select(
+        F.col("id").alias("neighbor_id"), *[f"code_{s}" for s in range(m)]
+    ).join(resid.select("neighbor_id", "cell"), "neighbor_id")
+
+    os.makedirs(index_dir, exist_ok=True)
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    codes_with_cell.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "kind": "ivfpq_residual",
+        "m": m,
+        "k": k,
+        "n_iter": n_iter,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "centroid_stride": centroid_stride,
+        "codebooks": [[list(map(float, c)) for c in books[s]] for s in range(m)],
+        "n_vectors": codes_with_cell.count(),
+        "n_adds": 0,
+    }
+    with open(_manifest_path(index_dir), "w") as f:  # commit marker, LAST
+        json.dump(manifest, f)
+    return manifest
+
+
+def load_ivfpq_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[dict, DataFrame, DataFrame]:
+    """(manifest, centroids frame, codes frame). Raises
+    FileNotFoundError if the index was never committed (no manifest —
+    a crashed build's partial parquet is invisible by contract)."""
+    mpath = _manifest_path(index_dir)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"no committed index at {index_dir} ({MANIFEST_NAME} missing — "
+            "a partial/crashed build is not readable)"
+        )
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"index format {manifest.get('format_version')} != "
+            f"{_FORMAT_VERSION}"
+        )
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    return manifest, cents, codes
+
+
+def add_to_ivfpq_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """FAISS ``add()``: encode a new vector batch against the FROZEN
+    coarse centroids and codebooks (no refit — the codebooks' geometry
+    is the index's identity; refitting would invalidate every existing
+    code), append the codes, bump the manifest. Returns the updated
+    manifest."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from utility_service_areas_spark.operators.ann import dot_expr
+    from utility_service_areas_spark.operators.kmeans import _np_assign
+
+    manifest, cents, _codes = load_ivfpq_index(spark, index_dir)
+    m, dim = manifest["m"], manifest["dim"]
+    sub = dim // m
+    books = manifest["codebooks"]
+
+    # Top-1 coarse assign — the same argmax expression as
+    # ivf_assignments' JVM path (score desc, cent_id asc), against the
+    # PERSISTED centroids.
+    base = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).filter(F.col("vec").isNotNull() & (F.size("vec") == dim))
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "cent_score", dot_expr(F.col("vec"), F.col("cent_vec")) / F.col("cent_n")
+    )
+    assigned = scored.groupBy("neighbor_id").agg(
+        F.any_value("vec").alias("vec"),
+        F.max_by(
+            F.col("cent_id"), F.struct(F.col("cent_score"), -F.col("cent_id"))
+        ).alias("cell"),
+    )
+    resid = assigned.join(
+        F.broadcast(cents.select(F.col("cent_id").alias("cell"), "cent_vec")),
+        "cell",
+    ).select(
+        "neighbor_id",
+        "cell",
+        F.zip_with(
+            "vec", "cent_vec", lambda a, b: a.cast("double") - b.cast("double")
+        ).alias("rvec"),
+    )
+
+    schema = StructType(
+        [StructField("neighbor_id", LongType()), StructField("cell", LongType())]
+        + [StructField(f"code_{s}", LongType()) for s in range(m)]
+    )
+    books_np = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["rvec"].to_numpy()).astype(np.float64)
+            cols = {
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+            }
+            for s in range(m):
+                cl, _ = _np_assign(X[:, s * sub : (s + 1) * sub], books_np[s])
+                cols[f"code_{s}"] = cl
+            yield pd.DataFrame(cols)
+
+    new_codes = resid.mapInPandas(encode, schema)
+    codes_path = os.path.join(index_dir, "codes")
+    new_codes.write.mode("append").parquet(codes_path)
+    # One batch pass only: count the committed store, not the batch
+    # (a crashed add that appended parquet but never reached the
+    # manifest is absorbed into the next add's delta — self-healing).
+    manifest["n_vectors"] = spark.read.parquet(codes_path).count()
+    manifest["n_adds"] += 1
+    with open(_manifest_path(index_dir), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "embedding",
+    n_probe: int = 4,
+    shortlist: int = 50,
+    top_k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Answer a query batch from the persisted artifacts. Expression-
+    for-expression the scoring path of ann_ivfpq_residual_topk
+    (plans/ann_queries.py:1504) — decode re-adds the coarse centroid,
+    ADC shortlist, exact refine against ``corpus`` (the index stores
+    codes, not floats; refine reads the source-of-truth table, the
+    IVFPQ+refine contract) — so results are row-identical to the
+    inline query when built over the same corpus."""
+    from utility_service_areas_spark.operators.ann import dot_expr
+
+    manifest, cents, codes = load_ivfpq_index(spark, index_dir)
+    m = manifest["m"]
+    books = manifest["codebooks"]
+    cellcent = cents.select(F.col("cent_id").alias("cell"), "cent_vec")
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    ).withColumn("q_n", F.sqrt(dot_expr(F.col("qvec"), F.col("qvec"))))
+
+    # query -> n_probe cells (ivf_assignments' multi-probe expression)
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cent_score",
+        dot_expr(F.col("qvec"), F.col("cent_vec")) / F.col("cent_n"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_score").desc(), F.col("cent_id").asc()
+    )
+    q_asg = (
+        q_scored.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+
+    # decode: codebook literals (from the manifest — bit-identical to
+    # the fit) + coarse-centroid re-add (reconstruction)
+    book_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
+        for s in range(m)
+    ]
+    rdvec = F.concat(
+        *[
+            F.element_at(book_lits[s], (F.col(f"code_{s}") + 1).cast("int"))
+            for s in range(m)
+        ]
+    )
+    rec = (
+        codes.withColumn("rdvec", rdvec)
+        .join(F.broadcast(cellcent), "cell")
+        .select(
+            "neighbor_id",
+            F.zip_with(
+                "cent_vec", "rdvec", lambda a, b: a.cast("double") + b
+            ).alias("dvec"),
+        )
+        .withColumn("d_n", F.sqrt(dot_expr(F.col("dvec"), F.col("dvec"))))
+    )
+
+    cand = codes.select("neighbor_id", "cell").join(
+        F.broadcast(q_asg), "cell"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.select("query_id", "neighbor_id")
+
+    adc = (
+        rec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "pq_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("dvec"))
+                / (F.col("q_n") * F.col("d_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_micros").desc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    exact_side = corpus.select(
+        F.col(corpus_id_col).alias("neighbor_id"),
+        F.col(corpus_vec_col).alias("cvec"),
+    ).withColumn("c_n", F.sqrt(dot_expr(F.col("cvec"), F.col("cvec"))))
+    rer = (
+        exact_side.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "sim_micros",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("q_n") * F.col("c_n"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micros").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", "sim_micros")
+    )

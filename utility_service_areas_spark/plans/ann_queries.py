@@ -1608,6 +1608,79 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped cache of built index dirs, keyed by corpus location:
+# the first ann_ivfpq_search_persisted call in a process BUILDS the
+# parquet index, every later call (bench loops, repeated driver walks)
+# SEARCHES the existing artifacts — the build-once -> search-many
+# lifecycle demonstrated inside one session. Never keyed on content:
+# a fresh process always rebuilds, so a changed corpus can't serve a
+# stale index across runs.
+_PERSISTED_INDEX_DIRS: dict[str, str] = {}
+
+
+@query(
+    "ann_ivfpq_search_persisted",
+    oracle=_residual_ivfpq_oracle_sql(),
+    doc="The persisted vector-index LIFECYCLE (FAISS write_index/"
+    "read_index/add contract): build_ivfpq_index fits the residual "
+    "IVFPQ index ONCE and persists it as parquet artifacts "
+    "(centroids/, codes/ with cell + m sub-codes) plus a manifest "
+    "carrying the PQ codebooks (JSON doubles round-trip exactly); "
+    "manifest-written-LAST is the commit marker, so a crashed build "
+    "is never readable. This query then answers the probe workload "
+    "purely FROM THE ARTIFACTS (operators/vector_index.py:"
+    "search_ivfpq_index — #172's scoring expressions operand for "
+    "operand: persisted-centroid multi-probe, codebook decode + "
+    "centroid re-add, ADC shortlist, exact refine against the source "
+    "table), and is therefore row-identical to the inline "
+    "ann_ivfpq_residual_topk — same oracle SQL attests both. Within "
+    "a session the built index dir is cached: first call builds, "
+    "every later call searches artifacts only. Incremental add "
+    "(encode new vectors against FROZEN centroids+codebooks, append "
+    "codes) is pinned separately in tests/test_vector_index.py. "
+    "Scale: centroids+codebooks are KB broadcasts; codes/ is the "
+    "only corpus-sized artifact (m ints per vector) and streams "
+    "through the cell equi-join; refine touches shortlist/n floats.",
+    tags=("ann", "pipeline"),
+)
+def ann_ivfpq_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from utility_service_areas_spark.operators.vector_index import (
+        build_ivfpq_index,
+        load_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = os.path.abspath(sf_dir)
+    index_dir = _PERSISTED_INDEX_DIRS.get(key)
+    if index_dir is not None:
+        try:  # verify the cached dir still holds a committed index
+            load_ivfpq_index(spark, index_dir)
+        except (FileNotFoundError, ValueError):
+            index_dir = None
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="usa_ivfpq_")
+        build_ivfpq_index(
+            emb, index_dir, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, dim=_PQ_DIM
+        )
+        _PERSISTED_INDEX_DIRS[key] = index_dir
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return search_ivfpq_index(
+        spark,
+        index_dir,
+        queries,
+        emb,
+        n_probe=4,
+        shortlist=_IVFPQ_SHORTLIST,
+        top_k=TOP_K,
+    )
+
+
 _PCA_ITER = 4
 
 

@@ -1203,7 +1203,13 @@ def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
     "AND the descent). The DuckDB oracle replays all K rounds + the "
     "9-step descent as one unrolled CTE chain — dense ranks are "
     "integers, so the replay is bit-exact. Resolution: exact for docs "
-    "<= 256 tokens (substrate max ~120), saturating beyond.",
+    "<= 256 tokens (substrate max ~120), saturating beyond. K RULE "
+    "(r13): pick K = ceil(log2(max_doc_tokens)) — 2k-16k-token "
+    "production docs need K=11-14; each +1 costs one banded dense-"
+    "rank round + one descent level (measured: lrs_k_sweep in "
+    "BENCH_TREND, `python tools/stress.py --lrs-k`); too-small K "
+    "saturates max_rep_len at 2^K but never corrupts sub-resolution "
+    "repeats (tests/test_r13_operators.py production-direction pin).",
     tags=("dedup", "pipeline"),
 )
 def dedup_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
