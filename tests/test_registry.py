@@ -260,6 +260,7 @@ EXPECTED_KEYS = {
     "text_hashing_trick_features",
     # r13
     "ann_ivfpq_search_persisted",
+    "docs_model_quality_scores",
 }
 
 

@@ -213,3 +213,83 @@ def test_media_decoder_seam_contract(spark):
     assert vid["duration_ms"] >= 1
     aud = fake_decode_meta(b"wav fake", "audio/wav")
     assert aud["duration_ms"] >= 1
+
+
+def test_model_inference_seam_contract(spark):
+    """Contract for a production batch-inference model
+    (operators/inference.py, VERDICT r12 task #4):
+
+    - signature: ``model_fn(texts: list[str]) -> list[list[float]]``
+      — a plain picklable callable; one fixed-dim vector per input;
+    - the engine calls it with REAL batches (len > 1 when input
+      allows, never more than batch_size) — per-row dispatch would
+      defeat batch inference;
+    - malformed input is DATA, not error: null/empty-text rows come
+      back status='invalid' and the model NEVER sees them;
+    - a model exception isolates the POISON ROW: the batch retries
+      row by row, the bad row gets status='error' ('Type: msg'),
+      healthy rows of the same batch still return 'ok';
+    - a row whose output dim disagrees is itself status='error';
+    - exactly one output row per input row, schema
+      (id, output array<double>, status, error);
+    - the environment default raises NotImplementedError naming the
+      injection point.
+    """
+    from utility_service_areas_spark.operators.inference import (
+        default_model,
+        infer_batches,
+    )
+
+    with pytest.raises(NotImplementedError, match="model_fn="):
+        default_model(["x"])
+
+    def model(texts):
+        # executor-side closure: report the observed batch size INSIDE
+        # the output vector (component 1) — the only channel that
+        # survives the worker boundary
+        out = []
+        for t in texts:
+            if "poison" in t:
+                raise RuntimeError("cuda OOM on token soup")
+            if "ragged" in t:
+                out.append([1.0])  # wrong dim
+            else:
+                out.append([float(len(t)), float(len(texts))])
+        return out
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, None),
+            (3, ""),
+            (4, "this row is poison"),
+            (5, "fine"),
+            (6, "ragged row"),
+            (7, "also fine"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1)
+    rows = {
+        r.doc_id: r
+        for r in infer_batches(
+            df, model_fn=model, batch_size=3, output_dim=2
+        ).collect()
+    }
+
+    # 1:1 output, fixed schema
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+    # invalid rows quarantined, model never saw them
+    assert rows[2].status == "invalid" and rows[3].status == "invalid"
+    assert rows[2].output is None
+    # healthy rows ok; batch-mates of the poison row survived via the
+    # per-row isolation retry (their observed batch size == 1)
+    assert rows[1].status == "ok" and rows[1].output == [11.0, 1.0]
+    assert rows[5].status == "ok" and rows[5].output == [4.0, 1.0]
+    # poison row isolated as data
+    assert rows[4].status == "error" and "RuntimeError" in rows[4].error
+    # dim-mismatch row is data too
+    assert rows[6].status == "error" and "dim mismatch" in rows[6].error
+    # REAL batching: the second chunk ([ragged, 'also fine']) had no
+    # poison, so its healthy row observed batch size 2 (> 1, and the
+    # chunking respected batch_size=3: valid rows 1,4,5 then 6,7)
+    assert rows[7].status == "ok" and rows[7].output == [9.0, 2.0]

@@ -2453,9 +2453,6 @@ def _mmr_oracle_sql(n_select: int = _MMR_SELECT) -> str:
     tags=("ann",),
 )
 def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from utility_service_areas_spark.operators.ann import cosine_micros
     from utility_service_areas_spark.operators.dedup import lineage_cut
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2466,6 +2463,26 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.col("sim_micros").alias("rel"), "rank"
         )
     )
+    return mmr_rerank_frame(emb, cand)
+
+
+def mmr_rerank_frame(
+    emb: DataFrame, cand: DataFrame, n_select: int = None
+) -> DataFrame:
+    """MMR diverse rerank over an arbitrary CANDIDATES frame (r13,
+    VERDICT task #5): ``cand`` is (query_id, neighbor_id, rel, rank)
+    from any retrieval stage over any queries table — the registered
+    #229 passes the oracled 3-literal workload's cosine top-10. The
+    greedy rounds stay candidate-bounded regardless of workload size
+    (pair sims are per-query k² rows). Callers should lineage_cut
+    ``cand`` — it is consumed by every unrolled round."""
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.ann import cosine_micros
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    if n_select is None:
+        n_select = _MMR_SELECT
     ea = emb.select(F.col("vec_id").alias("na"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
     pair = lineage_cut(
@@ -2496,7 +2513,7 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("mmr_rank"),
         F.col("rel").cast("long").alias("mmr10"),
     )
-    for r in range(2, _MMR_SELECT + 1):
+    for r in range(2, n_select + 1):
         sel = lineage_cut(sel)
         picked = sel.select(
             F.col("query_id").alias("s_q"), F.col("neighbor_id").alias("s_n")

@@ -1300,3 +1300,47 @@ def docs_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_micros"),
         )
     )
+
+
+@query(
+    "docs_model_quality_scores",
+    oracle="""
+    SELECT doc_id, 'ok' AS status,
+           CAST(('0x' || substr(md5(text), 1, 4))::BIGINT
+              + ('0x' || substr(md5(text), 5, 4))::BIGINT
+              + ('0x' || substr(md5(text), 9, 4))::BIGINT
+              + ('0x' || substr(md5(text), 13, 4))::BIGINT
+             AS BIGINT) AS score_int
+    FROM documents
+    """,
+    doc="Neural quality scoring through the BATCH MODEL-INFERENCE "
+    "seam (operators/inference.py, VERDICT r12 task #4): the corpus "
+    "streams through infer_batches — Arrow batches, bounded model "
+    "calls, malformed-input quarantine, poison-row isolation — with "
+    "the deterministic fake model standing in for a production "
+    "classifier (no model runtime in this env; the seam contract a "
+    "real server must satisfy is tests/test_seam_contracts.py). The "
+    "fake's components are md5-hex slices (integer-valued doubles), "
+    "so the REAL seam machinery is value-oracled exactly through the "
+    "hex integer seam: score_int = sum of the 4 components. Scale: "
+    "one mapInPandas pass, model calls batch_size-bounded, output "
+    "adds one array column — the corpus never collects; this is THE "
+    "plan shape of model-scored curation at 100 TB (the quality-"
+    "classifier stage of FineWeb/DCLM-style pipelines).",
+    tags=("pipeline", "text"),
+)
+def docs_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.inference import (
+        fake_hash_model,
+        infer_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = infer_batches(docs, model_fn=fake_hash_model)
+    return scored.select(
+        "doc_id",
+        "status",
+        F.aggregate("output", F.lit(0.0), lambda a, v: a + v)
+        .cast("long")
+        .alias("score_int"),
+    )

@@ -1846,24 +1846,45 @@ _BM25_CTES = rf"""
     "pattern — scoring work is per-posting of query terms, never "
     "corpus-sized), df/stats are tiny broadcast frames, and the "
     "per-query top-10 compiles to the WindowGroupLimit top-k pushdown "
-    "(#210's shape — no full sort of the score table).",
+    "(#210's shape — no full sort of the score table). r13: the "
+    "scoring body is bm25_topk_frame, which takes an arbitrary "
+    "QUERIES TABLE (query_id, t) — this registered entry passes the "
+    "oracled 3-literal workload; a 50-query frame runs through the "
+    "same builder with plan pins intact "
+    "(tests/test_retrieval_query_table.py).",
     tags=("text",),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, qs in _BM25_QUERIES for t in qs.split()],
+        "query_id string, t string",
+    )
+    return bm25_topk_frame(docs, qterms)
+
+
+def bm25_topk_frame(
+    docs: DataFrame, qterms: DataFrame, k: int = _BM25_K
+) -> DataFrame:
+    """BM25 top-k over an arbitrary QUERIES TABLE (r13, VERDICT task
+    #5): ``qterms`` is (query_id string, t string) — one row per query
+    term, any number of queries. The plan shape is independent of the
+    workload size as long as the query dim stays broadcastable (it is
+    at any realistic workload: a million query terms is MBs): postings
+    prune by the broadcast term dim BEFORE scoring, per-query top-k is
+    a WindowGroupLimit pushdown. The registered #219 passes the
+    3-literal oracled workload; tests/test_retrieval_query_table.py
+    runs a 50-query frame through this same builder with the plan pins
+    intact."""
     from pyspark.sql.window import Window
 
     from utility_service_areas_spark.functions.textops import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_total")
-    )
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, qs in _BM25_QUERIES for t in qs.split()],
-        "query_id string, t string",
     )
     pruned = tf.join(F.broadcast(qterms.select("t").distinct()), "t")
     dfreq = pruned.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
@@ -1892,7 +1913,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scores.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _BM25_K)
+        .filter(F.col("rk") <= k)
         .select(
             "query_id",
             F.col("rk").cast("long").alias("rk"),
@@ -2153,10 +2174,24 @@ _RRF_TOP = 5
     tags=("text", "ann"),
 )
 def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     bm25 = text_bm25_topk(spark, sf_dir)  # query_id, rk, doc_id, ...
     docs = load_table(spark, sf_dir, "documents")
+    return rrf_fusion_frame(docs, bm25)
+
+
+def rrf_fusion_frame(
+    docs: DataFrame, bm25: DataFrame, top: int = None
+) -> DataFrame:
+    """RRF fusion over an arbitrary BM25 result frame (r13, VERDICT
+    task #5): ``bm25`` is any (query_id, rk, doc_id, ...) ranking —
+    the registered #227 passes the oracled 3-literal workload's; a
+    50-query workload flows through unchanged because every
+    workload-sized frame here is candidate-sized (broadcast), never
+    corpus-sized."""
+    from pyspark.sql.window import Window
+
+    if top is None:
+        top = _RRF_TOP
     qual = docs.select(
         "doc_id", quality_score_micros(F.col("text")).alias("quality_micros")
     )
@@ -2201,7 +2236,7 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _RRF_TOP)
+        .filter(F.col("rank") <= top)
         .select(
             "query_id", "rank", "doc_id", "rank_bm25", "rank_quality", "rrf_micros"
         )
