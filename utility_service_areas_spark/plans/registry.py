@@ -75,88 +75,74 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-12 rotation (VERDICT r11 task #2: drain the r6-stale
-    # attestation tail): exactly 50 names = the driver's per-round
-    # attestation budget. No red rows in r11 (50/50 green). The three
-    # oracle-less rows-only sketches AND the oracle-less xxhash64 twin
-    # (revenue_bootstrap_ci_fast) stay excluded — they'd burn a slot
-    # on err:no_oracle/rows-only.
-    # 1) the 18 new r12 keys — first-ever attestation
-    "text_hashing_trick_features",
-    "minhash_bbit_tradeoff",
-    "cdc_latest_version_merge",
-    "abtest_two_proportion",
-    "text_bm25_topk",
-    "dedup_suffix_lrs",
-    "embedding_knn_graph",
-    "multimodal_aspect_buckets",
-    "docs_novelty_profile",
-    "source_token_entropy",
-    "text_rake_keyphrases",
-    "geo_simplify_vw",
-    "search_rrf_fusion",
-    "trade_graph_lpa",
-    "ann_mmr_rerank",
-    "corpus_zipf_fit",
-    "orders_ols_trend",
-    "geo_quadkey_pyramid",
-    # 2) ALL 19 remaining r6-stale keys (their newest green driver
-    #    row is r6 — the oldest attestations in the repo)
-    "hll_registers_users",
-    "user_session_stats",
-    "order_backlog_timeseries",
-    "events_tumbling_agg",
-    "events_sessionize",
-    "events_latest_per_user",
-    "events_json_extract",
-    "events_value_quartiles",
-    "supplier_count_by_part_type",
-    "nation_trade_volume",
-    "customers_above_avg_spend",
-    "max_size_parts_per_brand",
-    "orders_with_late_items",
-    "customer_order_distribution",
-    "dormant_high_balance_customers",
-    "order_status_priority_cube",
-    "supplier_ship_gap_stats",
-    "customer_retention_setops",
-    "small_lot_revenue_by_brand",
-    # 3) 13 of the r7-stale tail — keys whose FAMILIES changed this
-    #    round first (graph: LPA shares #145's edge construction;
-    #    multimodal: aspect buckets joined the family; text/pipeline
-    #    span machinery: novelty reuses #129's skeleton), then the
-    #    heaviest r7 kernels
-    "trade_graph_pagerank",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_dedup_bytes",
-    "docs_chunk_split",
-    "docs_pack_sequences",
-    "docs_block_dedup",
-    "docs_benchmark_overlap",
-    "text_redact_pii",
-    "docs_bigram_surprisal",
-    "dedup_incremental_ingest",
-    "dedup_minhash_verified",
-    "ann_ivf_quantized_topk",
-    # r7-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): fuzzy_match_part_names, scd2_customer_history,
-    # reservoir_sample_docs,
-    # bloom_new_customer_orders, flagship_service_area_report,
-    # filter_tag_entities, latest_update_per_entity,
-    # earliest_year_per_entity, dedup_first_per_key,
-    # regex_extract_fields, merge_upsert_customers,
-    # pivot_status_by_year, unpivot_part_metrics, salted_hot_key_join,
-    # embedding_centroid_by_label, docs_training_filter,
-    # token_count_histogram, corpus_clean_sample,
-    # weighted_sample_orders, docs_unigram_surprisal,
-    # large_volume_orders, promo_revenue_share_by_month,
-    # nation_market_share_inputs, disjunctive_bracket_revenue,
-    # order_fulfillment_latency, simple_revenue_delta,
-    # returned_item_report, profit_by_nation_year,
-    # part_revenue_concentration, top_revenue_supplier,
-    # excess_quantity_suppliers, supplier_order_exclusivity,
-    # dedup_keep_best_quality, ann_ivf_sqrtn_topk, ann_quantized_topk
+    # Round-13 rotation (VERDICT r12 task #2: drain the r7 attestation
+    # tail): exactly 50 names = the driver's per-round attestation
+    # budget. No red rows in r12 (50/50 green, fourth clean sample).
+    # The three oracle-less rows-only sketches AND the oracle-less
+    # xxhash64 twin (revenue_bootstrap_ci_fast) stay excluded — they'd
+    # burn a slot on err:no_oracle/rows-only.
+    # 1) the never-attested r13 keys — first-ever attestation
+    "ann_ivfpq_search_persisted",
+    "docs_model_quality_scores",
+    # 2) ALL 35 r7-stale keys (newest green driver row is r7 — the
+    #    oldest attestations left; computed from CORRECTNESS_r01-r12)
+    "flagship_service_area_report",
+    "filter_tag_entities",
+    "latest_update_per_entity",
+    "earliest_year_per_entity",
+    "dedup_first_per_key",
+    "regex_extract_fields",
+    "large_volume_orders",
+    "promo_revenue_share_by_month",
+    "nation_market_share_inputs",
+    "disjunctive_bracket_revenue",
+    "order_fulfillment_latency",
+    "simple_revenue_delta",
+    "returned_item_report",
+    "profit_by_nation_year",
+    "part_revenue_concentration",
+    "top_revenue_supplier",
+    "excess_quantity_suppliers",
+    "supplier_order_exclusivity",
+    "merge_upsert_customers",
+    "salted_hot_key_join",
+    "pivot_status_by_year",
+    "unpivot_part_metrics",
+    "weighted_sample_orders",
+    "fuzzy_match_part_names",
+    "scd2_customer_history",
+    "bloom_new_customer_orders",
+    "reservoir_sample_docs",
+    "docs_training_filter",
+    "token_count_histogram",
+    "corpus_clean_sample",
+    "docs_unigram_surprisal",
+    "dedup_keep_best_quality",
+    "embedding_centroid_by_label",
+    "ann_ivf_sqrtn_topk",
+    "ann_quantized_topk",
+    # 3) 13 of the 47 r8-stale keys, module-load order (the relational
+    #    core first). NOTE: keys added later in round 13 replace the
+    #    TAIL of this block (never the r7 drain above) so first-ever
+    #    attestations always fit the 50 budget.
+    "two_digit_year_fix",
+    "enrich_join_dims",
+    "anti_join_missing",
+    "patch_override_join",
+    "sync_status_case",
+    "group_combine_collect",
+    "concat_order_text",
+    "agg_stats_by_group",
+    "top_revenue_orders",
+    "sentinel_date_imputation",
+    "top3_orders_per_customer",
+    "kml_description_parse",
+    "geometry_currency_check",
+    # r8-stale keys that don't fit the 50 budget this round (next
+    # rotation's head): chronology_enriched, events_asof_attribution,
+    # events_in_promo_windows, agg_rollup_region_nation,
+    # value_percentiles, events_moving_window, profile_orders, and the
+    # remaining 27 r8 rows.
 )
 
 _PLAN_MODULES = (
