@@ -261,6 +261,7 @@ EXPECTED_KEYS = {
     # r13
     "ann_ivfpq_search_persisted",
     "docs_model_quality_scores",
+    "text_bm25_search_persisted",
 }
 
 

@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = (
     # 1) the never-attested r13 keys — first-ever attestation
     "ann_ivfpq_search_persisted",
     "docs_model_quality_scores",
+    "text_bm25_search_persisted",
     # 2) ALL 35 r7-stale keys (newest green driver row is r7 — the
     #    oldest attestations left; computed from CORRECTNESS_r01-r12)
     "flagship_service_area_report",
@@ -137,9 +138,9 @@ _DRIVER_PRIORITY = (
     "sentinel_date_imputation",
     "top3_orders_per_customer",
     "kml_description_parse",
-    "geometry_currency_check",
     # r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): chronology_enriched, events_asof_attribution,
+    # rotation's head): geometry_currency_check,
+    # chronology_enriched, events_asof_attribution,
     # events_in_promo_windows, agg_rollup_region_nation,
     # value_percentiles, events_moving_window, profile_orders, and the
     # remaining 27 r8 rows.

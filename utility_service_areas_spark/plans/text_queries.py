@@ -2387,3 +2387,73 @@ def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+
+
+# Per-process cache of built BM25 index dirs, keyed by sf_dir (the
+# _PERSISTED_INDEX_DIRS posture from ann_queries.py): the first
+# text_bm25_search_persisted call in a process BUILDS the parquet
+# index, every later call searches the existing artifacts. Never keyed
+# on content: a fresh process always rebuilds, so a changed corpus
+# can't serve a stale index across runs.
+_PERSISTED_BM25_DIRS: dict[str, str] = {}
+
+
+@query(
+    "text_bm25_search_persisted",
+    oracle=rf"""
+    WITH {_BM25_CTES}
+    SELECT query_id, rk, doc_id, score_millibits, n_terms_matched
+    FROM bm25_ranked
+    WHERE rk <= {_BM25_K}
+    """,
+    doc="The persisted TEXT-index lifecycle (S34 — the Lucene "
+    "write-segment/read-segment contract, twin of the IVFPQ vector "
+    "lifecycle): build_bm25_index tokenizes the corpus ONCE and "
+    "persists the inverted index as parquet artifacts (postings/ = "
+    "(t, doc_id, tf), doclens/ = (doc_id, dl)) plus a manifest "
+    "written LAST as the commit marker (a crashed build is never "
+    "readable). This query then answers the #219 query workload "
+    "purely FROM THE ARTIFACTS (operators/text_index.py:"
+    "search_bm25_index — bm25_topk_frame's scoring operand for "
+    "operand with tf/dl read from parquet), and is therefore "
+    "row-identical to the inline text_bm25_topk — same oracle SQL "
+    "attests both. Incremental add is EXACT (not frozen-state "
+    "approximate like PQ): BM25's corpus stats are additive counts "
+    "recomputed from the stores, so append-postings == full rebuild "
+    "over the union corpus (pinned in tests/test_text_index.py, with "
+    "first-writer-wins doc_id idempotence). Within a session the "
+    "built index dir is cached: first call builds, later calls "
+    "search artifacts only. Scale: postings/ is the only corpus-"
+    "sized artifact; the broadcast query-term dim prunes it in one "
+    "streaming broadcast-hash-join pass (no postings shuffle — "
+    "plan-pinned); df/stats are pruned-postings/doclens aggregates; "
+    "top-k is the WindowGroupLimit pushdown.",
+    tags=("text", "pipeline"),
+)
+def text_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from utility_service_areas_spark.operators.text_index import (
+        build_bm25_index,
+        load_bm25_index,
+        search_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = os.path.abspath(sf_dir)
+    index_dir = _PERSISTED_BM25_DIRS.get(key)
+    if index_dir is not None:
+        try:  # verify the cached dir still holds a committed index
+            load_bm25_index(spark, index_dir)
+        except (FileNotFoundError, ValueError):
+            index_dir = None
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="usa_bm25_")
+        build_bm25_index(docs, index_dir)
+        _PERSISTED_BM25_DIRS[key] = index_dir
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, qs in _BM25_QUERIES for t in qs.split()],
+        "query_id string, t string",
+    )
+    return search_bm25_index(spark, index_dir, qterms, k=_BM25_K)
