@@ -158,3 +158,142 @@ def test_cdc_version_tie_stream_fold_matches_batch(spark):
             assert _cdc_winner_key(got) == min(
                 _cdc_winner_key(r) for r in log
             )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gopher_flags_tie_boundary_exact(spark, tmp_path):
+    """Boundary-adversarial: docs planted EXACTLY at each rule's
+    threshold (50 words; mean word length exactly 3 and exactly 10;
+    top-token share exactly 1/5; type-token ratio exactly 0.3) must
+    PASS — the bounds are inclusive, compared by integer
+    cross-multiplication, so there is no float epsilon to drift."""
+    from utility_service_areas_spark.plans.text_queries import (
+        docs_gopher_quality_flags,
+    )
+
+    # doc 1: exactly 50 distinct 3-char words incl 2 stopwords
+    #   -> n_words=50 (boundary), sum_len=3*50 (mean=3 boundary),
+    #      top_tf=1, n_distinct=50
+    w50 = ["the", "and"] + [f"w{j:02d}" for j in range(48)]
+    # doc 2: 60 words of length exactly 10 (mean = 10 boundary), one
+    #   word repeated 12x (top share 12/60 = 1/5 boundary), 18
+    #   distinct (type-token 18/60 = 0.3 boundary), NO stopwords —
+    #   boundary-passes three rules while failing the stopword rule.
+    big = [f"xx{j:08d}" for j in range(17)]  # 10-char words
+    doc2 = ["yyyyyyyyyy"] * 12 + big * 2 + big[:14]
+    assert len(doc2) == 60 and len(set(doc2)) == 18
+    rows = [(1, " ".join(w50)), (2, " ".join(doc2))]
+    _write_docs(spark, str(tmp_path), rows)
+
+    got = {
+        r.doc_id: r
+        for r in docs_gopher_quality_flags(spark, str(tmp_path)).collect()
+    }
+    d1 = got[1]
+    assert (d1.r_word_count, d1.r_mean_word_len, d1.r_repetition) == (1, 1, 1)
+    assert d1.r_stopwords == 1 and d1.r_type_token == 1 and d1.pass_all == 1
+    d2 = got[2]
+    # mean exactly 10 -> pass; top share exactly 1/5 -> pass;
+    # type-token 18/60 = 0.3 exactly -> pass; no stopwords -> fail
+    assert (d2.r_mean_word_len, d2.r_repetition, d2.r_type_token) == (1, 1, 1)
+    assert d2.r_stopwords == 0 and d2.pass_all == 0
+
+
+def test_naive_bayes_learns_separable_sources(spark, tmp_path):
+    """Semantic check on a SEPARABLE planted corpus: two sources with
+    disjoint vocabularies classify perfectly (diagonal confusion),
+    and the prediction is invariant to doc order."""
+    from utility_service_areas_spark.plans.text_queries import (
+        text_naive_bayes_source,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma alpha beta", "en", "srcA", 27))
+    for i in range(20, 40):
+        rows.append((i, "delta epsilon zeta delta zeta", "en", "srcB", 29))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.actual, r.predicted): r.n_docs
+        for r in text_naive_bayes_source(spark, str(tmp_path)).collect()
+    }
+    assert got == {("srcA", "srcA"): 20, ("srcB", "srcB"): 20}
+
+
+def test_naive_bayes_argmax_tie_is_class_asc(spark, tmp_path):
+    """Tie-adversarial: two classes with IDENTICAL token statistics
+    and IDENTICAL priors produce exactly equal integer scores — the
+    winner must be the lexicographically smaller class, on every doc."""
+    from utility_service_areas_spark.plans.text_queries import (
+        text_naive_bayes_source,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "mirror words same stats", "en", "srcA", 23))
+        rows.append((100 + i, "mirror words same stats", "en", "srcB", 23))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.actual, r.predicted): r.n_docs
+        for r in text_naive_bayes_source(spark, str(tmp_path)).collect()
+    }
+    # every doc (both actual classes) predicts srcA: scores tie exactly
+    assert got == {("srcA", "srcA"): 10, ("srcB", "srcA"): 10}
+
+
+def test_dsir_weights_rank_target_lookalikes_first(spark, tmp_path):
+    """Semantic check: docs written in the target (en) vocabulary get
+    strictly higher importance weight than docs in a disjoint
+    vocabulary — importance resampling would select the lookalikes."""
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        docs_dsir_importance,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "table join scan filter table", "en", "s", 28))
+    for i in range(10, 20):
+        rows.append((i, "zorp blique frall zorp frall", "de", "s", 28))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = docs_dsir_importance(spark, str(tmp_path)).collect()
+    en_w = [r.weight_millibits for r in got if r.lang == "en"]
+    de_w = [r.weight_millibits for r in got if r.lang == "de"]
+    assert min(en_w) > max(de_w)
+
+
+def test_r13_text_ops_plan_shape(spark):
+    """Registry-wide anti-pattern pins for the three new text/LLM ops:
+    no cartesian product (the class/stats cross joins must all be
+    broadcasts), no Python row UDF. (Exchange SinglePartition is NOT
+    pinned away here: these plans each carry one 1-row global stats
+    agg — V/N for NB, N_t/N_r for DSIR — whose final step is a
+    32-partial-row single-partition agg, the same scalar-agg shape as
+    #219's stats; the r12 no-SinglePartition pin targets kernels
+    where a DATA-sized frame would collapse.)"""
+    from tests.conftest import SMOKE_SF
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        docs_dsir_importance,
+    )
+    from utility_service_areas_spark.plans.text_queries import (
+        docs_gopher_quality_flags,
+        text_naive_bayes_source,
+    )
+
+    for fn in (
+        docs_gopher_quality_flags,
+        text_naive_bayes_source,
+        docs_dsir_importance,
+    ):
+        plan = _plan(fn(spark, SMOKE_SF))
+        assert "CartesianProduct" not in plan, fn
+        assert "BatchEvalPython" not in plan, fn

@@ -262,6 +262,9 @@ EXPECTED_KEYS = {
     "ann_ivfpq_search_persisted",
     "docs_model_quality_scores",
     "text_bm25_search_persisted",
+    "docs_gopher_quality_flags",
+    "text_naive_bayes_source",
+    "docs_dsir_importance",
 }
 
 

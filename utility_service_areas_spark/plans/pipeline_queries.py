@@ -1344,3 +1344,121 @@ def docs_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_int"),
     )
+
+
+# DSIR data selection (#242). Hashed-feature space and target domain:
+_DSIR_B = 256  # feature buckets (hashed unigrams, md5 integer seam)
+_DSIR_TARGET_LANG = "en"  # target domain = English docs
+
+
+@query(
+    "docs_dsir_importance",
+    oracle=rf"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS t
+                 FROM documents),
+    feat AS (SELECT doc_id, lang,
+                    ('0x' || substr(md5('dsir:' || t), 1, 15))::BIGINT
+                      % {_DSIR_B} AS b,
+                    CAST(count(*) AS BIGINT) AS tfb
+             FROM tok GROUP BY 1, 2, 3),
+    raw AS (SELECT b, CAST(sum(tfb) AS BIGINT) AS c_r FROM feat GROUP BY 1),
+    tgt AS (SELECT b, CAST(sum(tfb) AS BIGINT) AS c_t FROM feat
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+    tot AS (SELECT CAST(sum(tfb) AS BIGINT) AS n_r,
+                   CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                                 THEN tfb ELSE 0 END) AS BIGINT) AS n_t
+            FROM feat),
+    contrib AS (
+      SELECT f.doc_id, f.lang,
+             CAST(round(f.tfb * ((log2(coalesce(tgt.c_t, 0) + 1)
+                                  - log2(tot.n_t + {_DSIR_B}))
+                                 - (log2(raw.c_r + 1)
+                                    - log2(tot.n_r + {_DSIR_B})))
+                        * 1000) AS BIGINT) AS mb
+      FROM feat f
+      JOIN raw ON raw.b = f.b
+      LEFT JOIN tgt ON tgt.b = f.b
+      CROSS JOIN tot)
+    SELECT doc_id, lang,
+           CAST(sum(mb) AS BIGINT) AS weight_millibits
+    FROM contrib GROUP BY 1, 2
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling' — the method "
+    "behind domain-targeted pretraining mixes): features are hashed "
+    "unigrams (md5 bucket mod 256, the #236 seam), the target "
+    "distribution is the English subcorpus, and each document's "
+    "weight is sum_b tfb * [log p_target(b) - log p_raw(b)] with "
+    "add-1 smoothing — so every log2 argument is an exact integer "
+    "(c+1, N+B) and per-bucket contributions round to millibits "
+    "before the per-doc integer sum (engine-exact, the #89 posture). "
+    "Docs that look more target-like than corpus-average get "
+    "positive weight; resampling by these weights shifts the mix "
+    "toward the target domain. Scale: both bucket-count tables are "
+    "<= 256 rows (BROADCAST — the whole point of hashing features is "
+    "that model state is fixed-size no matter the corpus); the only "
+    "corpus-sized work is the (doc, bucket) partial-agg shuffle, and "
+    "the per-doc sum is the second keyed agg. No vocabulary pass, no "
+    "driver-side state beyond the manifest-sized stats row.",
+    tags=("pipeline", "text"),
+)
+def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("t"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _DSIR_B
+    )
+    feat = tok.select("doc_id", "lang", bucket.alias("b")).groupBy(
+        "doc_id", "lang", "b"
+    ).agg(F.count(F.lit(1)).alias("tfb"))
+    raw = feat.groupBy("b").agg(F.sum("tfb").alias("c_r"))
+    tgt = (
+        feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("tfb").alias("c_t"))
+    )
+    tot = feat.agg(
+        F.sum("tfb").alias("n_r"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tfb")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_t"),
+    )
+    contrib = (
+        feat.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.col("tfb")
+                * (
+                    (
+                        F.log2(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                        - F.log2(F.col("n_t") + _DSIR_B)
+                    )
+                    - (
+                        F.log2(F.col("c_r") + 1)
+                        - F.log2(F.col("n_r") + _DSIR_B)
+                    )
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("mb"),
+        )
+    )
+    return contrib.groupBy("doc_id", "lang").agg(
+        F.sum("mb").cast("long").alias("weight_millibits")
+    )

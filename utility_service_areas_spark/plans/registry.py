@@ -85,6 +85,9 @@ _DRIVER_PRIORITY = (
     "ann_ivfpq_search_persisted",
     "docs_model_quality_scores",
     "text_bm25_search_persisted",
+    "docs_gopher_quality_flags",
+    "text_naive_bayes_source",
+    "docs_dsir_importance",
     # 2) ALL 35 r7-stale keys (newest green driver row is r7 — the
     #    oldest attestations left; computed from CORRECTNESS_r01-r12)
     "flagship_service_area_report",
@@ -135,11 +138,10 @@ _DRIVER_PRIORITY = (
     "concat_order_text",
     "agg_stats_by_group",
     "top_revenue_orders",
-    "sentinel_date_imputation",
-    "top3_orders_per_customer",
-    "kml_description_parse",
     # r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): geometry_currency_check,
+    # rotation's head): sentinel_date_imputation,
+    # top3_orders_per_customer, kml_description_parse,
+    # geometry_currency_check,
     # chronology_enriched, events_asof_attribution,
     # events_in_promo_windows, agg_rollup_region_nation,
     # value_percentiles, events_moving_window, profile_orders, and the

@@ -2457,3 +2457,262 @@ def text_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id string, t string",
     )
     return search_bm25_index(spark, index_dir, qterms, k=_BM25_K)
+
+
+# Gopher-rule quality battery (#240). Bounds are the PAPER's where the
+# rule survives translation (word count 50..100k, mean word length
+# 3..10 — the latter passes uniformly on this homogeneous substrate,
+# documented, not tuned away); the repetition/type-token rules adapt
+# Gopher's line-level duplicate rules to token level (the substrate
+# has no line structure). Each threshold is a rational compared by
+# integer cross-multiplication — no float ratio ever materializes, so
+# the oracle mirrors exactly.
+_GOPHER_STOP_MIN = 2  # distinct stopwords required (Gopher rule 8)
+
+
+@query(
+    "docs_gopher_quality_flags",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+               AS sum_len,
+             CAST(len(list_filter(list_distinct(toks),
+                                  t -> t IN ({_STOP_SQL}))) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM base),
+    toptf AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tf
+      FROM (SELECT doc_id, t, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+            GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT f.doc_id,
+           CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+           CAST(sum_len >= 3 * n_words
+                AND sum_len <= 10 * n_words AS BIGINT) AS r_mean_word_len,
+           CAST(n_stop >= {_GOPHER_STOP_MIN} AS BIGINT) AS r_stopwords,
+           CAST(5 * top_tf <= n_words AS BIGINT) AS r_repetition,
+           CAST(10 * n_distinct >= 3 * n_words AS BIGINT) AS r_type_token,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND sum_len >= 3 * n_words
+                AND sum_len <= 10 * n_words
+                AND n_stop >= {_GOPHER_STOP_MIN}
+                AND 5 * top_tf <= n_words
+                AND 10 * n_distinct >= 3 * n_words AS BIGINT) AS pass_all
+    FROM feats f JOIN toptf USING (doc_id)
+    """,
+    doc="Gopher-style rule-battery quality filter (Rae et al. 2021 "
+    "§A1.1, the named RULE SET every web-corpus pipeline runs before "
+    "model-based scoring — distinct from #34's composite score, which "
+    "blends signals into one number; here each rule is a separate "
+    "auditable flag): word count 50..100k, mean word length 3..10, "
+    ">=2 distinct stopwords, top-token share <= 1/5 (repetition), "
+    "type-token ratio >= 0.3. Bounds are the paper's where they "
+    "translate (mean-word-length passes uniformly on this "
+    "homogeneous substrate — kept faithful, not tuned); rationals "
+    "compared by integer CROSS-MULTIPLICATION (2*sum_len >= 7*n_words "
+    "etc.) so no float ratio exists on either engine. Scale: one "
+    "map-side pass computes four of five features from the token "
+    "array; only the top-token share needs the (doc,t) partial-agg "
+    "shuffle; flags land as 0/1 BIGINTs for downstream funnel "
+    "reporting (#158's consumers).",
+    tags=("text", "pipeline"),
+)
+def docs_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+    feats = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t).cast("long"),
+        ).alias("sum_len"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("toks"), F.array(*[F.lit(w) for w in STOPWORDS])
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    toptf = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_tf"))
+    )
+    r1 = F.col("n_words").between(50, 100000)
+    r2 = (F.col("sum_len") >= 3 * F.col("n_words")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    r3 = F.col("n_stop") >= _GOPHER_STOP_MIN
+    r4 = 5 * F.col("top_tf") <= F.col("n_words")
+    r5 = 10 * F.col("n_distinct") >= 3 * F.col("n_words")
+    return feats.join(toptf, "doc_id").select(
+        "doc_id",
+        r1.cast("long").alias("r_word_count"),
+        r2.cast("long").alias("r_mean_word_len"),
+        r3.cast("long").alias("r_stopwords"),
+        r4.cast("long").alias("r_repetition"),
+        r5.cast("long").alias("r_type_token"),
+        (r1 & r2 & r3 & r4 & r5).cast("long").alias("pass_all"),
+    )
+
+
+# Multinomial Naive Bayes source classifier (#241): the fastText-style
+# supervised baseline trained AS A PLAN. Laplace add-1 smoothing keeps
+# every log2 argument an exact integer: log P(t|s) factors to
+# log2(c_st + 1) - log2(N_s + V), both integer args (the #89/#147
+# posture), and each per-(doc, class, token) contribution rounds to
+# millibits BEFORE the integer sum, so summation order cannot flip
+# the argmax.
+@query(
+    "text_naive_bayes_source",
+    oracle=rf"""
+    WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS t
+                 FROM documents),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    class_tok AS (SELECT source AS cls, t, CAST(count(*) AS BIGINT) AS c_st
+                  FROM tok GROUP BY 1, 2),
+    class_stats AS (SELECT source AS cls,
+                           CAST(count(*) AS BIGINT) AS n_s
+                    FROM tok GROUP BY 1),
+    class_prior AS (SELECT source AS cls,
+                           CAST(count(*) AS BIGINT) AS n_docs_s
+                    FROM documents GROUP BY 1),
+    corpus AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v,
+                      (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                        AS n_docs
+               FROM tok),
+    contrib AS (
+      SELECT tf.doc_id, cs.cls,
+             CAST(round(tf.tf * (log2(coalesce(ct.c_st, 0) + 1)
+                                 - log2(cs.n_s + corpus.v)) * 1000)
+                  AS BIGINT) AS mb
+      FROM tf
+      CROSS JOIN class_stats cs
+      CROSS JOIN corpus
+      LEFT JOIN class_tok ct ON ct.cls = cs.cls AND ct.t = tf.t),
+    scored AS (
+      SELECT c.doc_id, c.cls,
+             CAST(sum(c.mb) AS BIGINT)
+               + CAST(round((log2(p.n_docs_s) - log2(corpus.n_docs))
+                            * 1000) AS BIGINT) AS score_mb
+      FROM contrib c
+      JOIN class_prior p ON p.cls = c.cls
+      CROSS JOIN corpus
+      GROUP BY c.doc_id, c.cls, p.n_docs_s, corpus.n_docs),
+    pred AS (
+      SELECT doc_id, cls AS predicted
+      FROM (SELECT doc_id, cls,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score_mb DESC, cls ASC)
+                     AS rn
+            FROM scored)
+      WHERE rn = 1)
+    SELECT d.source AS actual, p.predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    doc="Multinomial Naive Bayes SOURCE classifier trained and applied "
+    "as one plan (the fastText-classifier baseline of a curation "
+    "pipeline, re-expressed relationally — McCallum & Nigam 1998): "
+    "train = per-(class, token) counts + class priors; apply = "
+    "argmax_s[log P(s) + sum_t tf*log P(t|s)] with Laplace add-1, so "
+    "every log2 argument is an EXACT INTEGER (c_st+1, N_s+V, doc "
+    "counts) and each contribution rounds to millibits before the "
+    "integer sum — the argmax (tie -> class asc) is engine-exact. "
+    "Output is the source confusion matrix. Scale: the model IS two "
+    "small frames (class-token counts = vocab x classes, class stats "
+    "= classes) — both broadcast; scoring is one map-side expansion "
+    "of the (doc, token) tf frame by the bounded class count, then a "
+    "keyed (doc, class) partial agg; nothing corpus-sized shuffles "
+    "twice and the corpus never collects.",
+    tags=("text", "pipeline"),
+)
+def text_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    class_tok = tok.groupBy(F.col("source").alias("cls"), "t").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    class_stats = tok.groupBy(F.col("source").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    class_prior = docs.groupBy(F.col("source").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs_s")
+    )
+    corpus = tok.agg(
+        F.countDistinct("t").alias("v")
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+
+    contrib = (
+        tf.crossJoin(F.broadcast(class_stats))
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(class_tok), ["cls", "t"], "left")
+        .select(
+            "doc_id",
+            "cls",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log2(F.coalesce(F.col("c_st"), F.lit(0)) + 1)
+                    - F.log2(F.col("n_s") + F.col("v"))
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("mb"),
+        )
+    )
+    scored = (
+        contrib.groupBy("doc_id", "cls")
+        .agg(F.sum("mb").alias("sum_mb"))
+        .join(F.broadcast(class_prior), "cls")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "cls",
+            (
+                F.col("sum_mb")
+                + F.round(
+                    (F.log2(F.col("n_docs_s")) - F.log2(F.col("n_docs"))) * 1000
+                ).cast("long")
+            ).alias("score_mb"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_mb").desc(), F.col("cls").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", F.col("source").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
