@@ -265,6 +265,8 @@ EXPECTED_KEYS = {
     "docs_gopher_quality_flags",
     "text_naive_bayes_source",
     "docs_dsir_importance",
+    "dedup_cc_twostar",
+    "trade_graph_hits",
 }
 
 

@@ -409,3 +409,169 @@ def cluster_density(
             trans.alias("transitivity_micros"),
         )
     )
+
+
+def connected_components_twostar(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, 'Connected Components in MapReduce and
+    Beyond') — the hub-safe alternative to min-label propagation
+    (``connected_components``): label propagation's per-round work is
+    O(edges) for O(log d) rounds after pointer-jumping, but every
+    round re-joins the FULL edge list; two-star provably SHRINKS the
+    edge multiset toward stars in O(log^2 n) rounds, and on the
+    high-degree near-clique graphs dedup produces, large-star
+    collapses a clique to a star in ONE round — the remaining rounds
+    join star-sized (node-sized) frames, not clique-edge-sized ones.
+
+    Semantics are identical by construction — at the fixpoint every
+    node is adjacent to its component minimum — and pinned
+    label-identical to ``connected_components`` on chains, cliques,
+    stars, and the substrate's LSH pair graph
+    (tests/test_r13_operators.py).
+
+    Each round: two groupBy-min aggregations + two node-keyed joins
+    (all partial-agged, no global structure), localCheckpoint per
+    round for the lineage cut, bit_xor(xxhash64) fingerprint for the
+    fixpoint test (order-independent, one tiny scan).
+
+    Returns (node, comp) for every node appearing in pairs.
+    """
+    spark = pairs.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _center_mins(e: DataFrame) -> DataFrame:
+        return e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    edges = _cut(
+        _sym(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # LARGE-STAR: every neighbor LARGER than the center re-attaches
+        # to the center's minimum (min over neighborhood + self).
+        mins = _center_mins(edges)
+        large = (
+            edges.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = _cut(_sym(large))
+        # SMALL-STAR: every neighbor <= the center, plus the center
+        # itself, re-attaches to the center's minimum.
+        mins = _center_mins(edges)
+        small = (
+            edges.join(mins, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        edges = _cut(_sym(small))
+        fp = edges.agg(
+            F.expr("bit_xor(xxhash64(u, v))").alias("fp")
+        ).collect()[0][0]
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # Fixpoint = disjoint stars centered at component minima: each
+    # node's label is min(self, min neighbor).
+    return (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+        .select(F.col("u").alias("node"), "comp")
+    )
+
+
+def hits_micros(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) with INTEGER-micros
+    scores — hubs on the source side, authorities on the destination
+    side of a DIRECTED edge list.
+
+    State discipline (the pagerank_micros/k-means posture, made even
+    stricter): scores start at 1_000_000; each half-round is an
+    integer SUM across the edge join followed by max-normalization
+    back to the micros scale via EXACT INTEGER DIVISION
+    ((score * 1_000_000) div max_score) — no double ever exists in
+    the trajectory, so the oracle replays bit-for-bit without even
+    the operand-order discipline floats need. Sums are
+    order-independent by integer associativity.
+
+    Scale shape: per half-round ONE edge⋈score join + one partial-agg
+    groupBy + one 1-row max agg broadcast back; the edge list is
+    checkpointed once; score state is node-sided. Overflow headroom:
+    sum <= max_degree * 1e6 and the rescale multiplies by 1e6, so
+    max_degree may reach ~9.2e6 before BIGINT overflow — ANSI mode
+    would raise loudly, not wrap.
+
+    Returns (node, side, score_micros): side='hub' for sources,
+    'auth' for destinations.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        )
+
+    e = _cut(e)
+    hubs = (
+        e.select("src").distinct().withColumn("h", F.lit(1_000_000).cast("long"))
+    )
+    for i in range(n_iter):
+        a_raw = (
+            e.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("mx"))
+        auths = a_raw.crossJoin(F.broadcast(a_max)).select(
+            "dst", F.expr("(a_raw * 1000000) div mx").alias("a")
+        )
+        h_raw = (
+            e.join(auths, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("mx"))
+        hubs = h_raw.crossJoin(F.broadcast(h_max)).select(
+            "src", F.expr("(h_raw * 1000000) div mx").alias("h")
+        )
+        if i % 2 == 1 or i == n_iter - 1:
+            hubs = _cut(hubs)
+            auths = _cut(auths)
+    return hubs.select(
+        F.col("src").alias("node"), F.lit("hub").alias("side"),
+        F.col("h").alias("score_micros"),
+    ).unionByName(
+        auths.select(
+            F.col("dst").alias("node"), F.lit("auth").alias("side"),
+            F.col("a").alias("score_micros"),
+        )
+    )

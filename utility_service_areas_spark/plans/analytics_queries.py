@@ -3055,3 +3055,81 @@ def abtest_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p2_micros"),
         F.round(z * 1000).cast("long").alias("z_milli"),
     )
+
+
+def _hits_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled SQL replay of hits_micros over the DIRECTED trade
+    graph. Stricter than the pagerank oracle: the HITS trajectory is
+    ALL-INTEGER (sums + exact integer division for the max-rescale),
+    so there is no operand-order discipline to maintain — the replay
+    is exact by integer arithmetic alone."""
+    parts = [
+        f"""
+    WITH eb AS (
+      SELECT DISTINCT o_custkey AS c, {_PR_SUPP_OFFSET} + l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM eb),
+    h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM e)"""
+    ]
+    # Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    # per reference, and the max() scalar subqueries would otherwise
+    # re-instantiate the whole prior-round chain exponentially.
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    ar{i} AS MATERIALIZED (
+        SELECT dst, CAST(sum(h) AS BIGINT) AS a_raw
+        FROM e JOIN h{i-1} USING (src) GROUP BY dst),
+    am{i} AS MATERIALIZED (SELECT max(a_raw) AS mx FROM ar{i}),
+    a{i} AS MATERIALIZED (
+        SELECT dst, CAST(a_raw * 1000000 // mx AS BIGINT) AS a
+        FROM ar{i} CROSS JOIN am{i}),
+    hr{i} AS MATERIALIZED (
+        SELECT src, CAST(sum(a) AS BIGINT) AS h_raw
+        FROM e JOIN a{i} USING (dst) GROUP BY src),
+    hm{i} AS MATERIALIZED (SELECT max(h_raw) AS mx FROM hr{i}),
+    h{i} AS MATERIALIZED (
+        SELECT src, CAST(h_raw * 1000000 // mx AS BIGINT) AS h
+        FROM hr{i} CROSS JOIN hm{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT src AS node, 'hub' AS side, h AS score_micros FROM h{n_iter}
+    UNION ALL
+    SELECT dst AS node, 'auth' AS side, a AS score_micros FROM a{n_iter}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "trade_graph_hits",
+    oracle=_hits_oracle_sql(),
+    doc="Fixed-iteration HITS (Kleinberg 1999) over the DIRECTED "
+    "customer->supplier trade graph: customers are scored as HUBS "
+    "(buy from many good suppliers), suppliers as AUTHORITIES "
+    "(bought from by many good hubs) — the second member of the "
+    "iterative graph family (#145 PageRank treats the graph as "
+    "symmetric; HITS exploits the bipartite direction). State "
+    "discipline is STRICTER than PageRank's: scores are micros "
+    "BIGINTs whose per-round update is an integer sum + a "
+    "max-normalization by EXACT INTEGER DIVISION ((s*1e6) div max) — "
+    "no double exists anywhere in the trajectory, so the unrolled "
+    "DuckDB oracle replays by integer arithmetic alone. Per "
+    "half-round: one edge-join + one partial-agg groupBy + a 1-row "
+    "max broadcast; edge list checkpointed once; state node-sized.",
+    tags=("graph", "analytics"),
+)
+def trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.graph import hits_micros
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_micros(edges, n_iter=4)

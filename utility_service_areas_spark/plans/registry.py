@@ -88,6 +88,8 @@ _DRIVER_PRIORITY = (
     "docs_gopher_quality_flags",
     "text_naive_bayes_source",
     "docs_dsir_importance",
+    "dedup_cc_twostar",
+    "trade_graph_hits",
     # 2) ALL 35 r7-stale keys (newest green driver row is r7 — the
     #    oldest attestations left; computed from CORRECTNESS_r01-r12)
     "flagship_service_area_report",
@@ -136,10 +138,9 @@ _DRIVER_PRIORITY = (
     "sync_status_case",
     "group_combine_collect",
     "concat_order_text",
-    "agg_stats_by_group",
-    "top_revenue_orders",
     # r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): sentinel_date_imputation,
+    # rotation's head): agg_stats_by_group, top_revenue_orders,
+    # sentinel_date_imputation,
     # top3_orders_per_customer, kml_description_parse,
     # geometry_currency_check,
     # chronology_enriched, events_asof_attribution,
