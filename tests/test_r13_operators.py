@@ -370,3 +370,129 @@ def test_hits_planted_authority_ranking(spark):
     assert got[("hub", 1)] == 1_000_000  # points at both
     assert got[("hub", 2)] == got[("hub", 3)]  # symmetric hubs tie
     assert 0 < got[("hub", 2)] < got[("hub", 1)]
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_cuped_perfect_covariate_equalizes_arms(spark, tmp_path):
+    """Semantic pin: when Y == X for every user (theta = 1 exactly)
+    and the arms differ ONLY through covariate imbalance, the CUPED-
+    adjusted means of both arms collapse to the same value (the
+    pooled mean) — the textbook variance-reduction identity — while
+    the raw means differ."""
+    import datetime as dt
+
+    from utility_service_areas_spark.plans.analytics_queries import (
+        abtest_cuped_adjusted,
+    )
+
+    pre = dt.datetime(2024, 1, 5)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for uid in range(40):
+        spend = float(100 + 7 * uid)  # varies by user
+        rows.append((eid, pre, uid, "purchase", spend, "{}")); eid += 1
+        rows.append((eid, post, uid, "purchase", spend, "{}")); eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.variant: r for r in abtest_cuped_adjusted(spark, str(tmp_path)).collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"].theta_milli == got["B"].theta_milli == 1000  # theta == 1
+    assert got["A"].raw_mean_milli != got["B"].raw_mean_milli  # imbalance
+    assert got["A"].adj_mean_milli == got["B"].adj_mean_milli  # CUPED fixes it
+
+
+def test_theil_sen_shrugs_off_outlier_day(spark, tmp_path):
+    """Robustness pin: a clean 100-cents/day line with ONE absurd
+    outlier day — the Theil-Sen slope stays at the true quantized
+    slope (100_000 millicents/day) while OLS on the same data is
+    pulled far away."""
+    import datetime as dt
+
+    from utility_service_areas_spark.plans.analytics_queries import (
+        orders_theil_sen_trend,
+    )
+
+    rows = []
+    for d in range(60):
+        price = 1000.0 + 1.0 * d  # +100 cents/day
+        if d == 30:
+            price = 1_000_000.0  # outlier day
+        rows.append(
+            (d, 1, "O", price, dt.date(1995, 1, 1) + dt.timedelta(days=d),
+             "1-URGENT", "c", 0, "x")
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority long, o_comment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = orders_theil_sen_trend(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].yr == 1995
+    assert got[0].ts_slope_millicents_per_day == 100_000
+
+
+def test_exact_quartiles_matches_brute_on_adversarial_shapes(spark, tmp_path):
+    """The two-phase selection equals a brute python sort on shapes
+    chosen to stress the bucketing: all-equal values (one bucket),
+    99% duplicates + a tail, powers-of-two counts (even/odd k
+    boundaries), and a 2-row frame."""
+    import datetime as dt
+
+    from utility_service_areas_spark.plans.analytics_queries import (
+        events_exact_quartiles_nosort,
+    )
+
+    shapes = {
+        "all_equal": [5.0] * 97,
+        "dup_heavy": [1.0] * 990 + [float(i) for i in range(2, 12)],
+        "even": [float(i) for i in range(64)],
+        "odd": [float(i) for i in range(65)],
+        "two": [3.0, 9.0],
+    }
+    ts = dt.datetime(2024, 1, 10)
+    for name, vals in shapes.items():
+        rows = [(i, ts, i, "e", v, "{}") for i, v in enumerate(vals)]
+        # one dir per shape: overwriting a path just read poisons the
+        # session's file-listing cache (FAILED_READ_FILE on stale parts)
+        _write_events(spark, f"{tmp_path}/{name}", rows)
+        got = events_exact_quartiles_nosort(spark, f"{tmp_path}/{name}").collect()[0]
+        cents = sorted(round(v * 100) for v in vals)
+        n = len(cents)
+        want = (
+            cents[(n - 1) // 4],
+            cents[(n - 1) // 2],
+            cents[(3 * (n - 1)) // 4],
+        )
+        assert (got.p25_cents, got.median_cents, got.p75_cents) == want, name
+        assert got.n_events == n, name
+
+
+def test_kl_drift_zero_for_identical_sources(spark, tmp_path):
+    """A source whose token distribution IS the corpus distribution
+    reads KL = 0 exactly; a disjoint-vocabulary source reads large
+    positive KL."""
+    from utility_service_areas_spark.plans.text_queries import source_kl_drift
+
+    rows = []
+    # srcA and srcB: identical distributions (same doc set)
+    for i in range(10):
+        rows.append((i, "apple banana cherry", "en", "srcA", 19))
+        rows.append((100 + i, "apple banana cherry", "en", "srcB", 19))
+    # srcC: disjoint vocabulary
+    for i in range(10):
+        rows.append((200 + i, "xylo ypsil zeta", "en", "srcC", 15))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.source: r.kl_millibits for r in source_kl_drift(spark, str(tmp_path)).collect()}
+    assert got["srcA"] == got["srcB"]
+    # A/B each hold 2/3 of a 2-distribution mixture... their KL vs the
+    # blended corpus is small but NONZERO; C is far. Order pin:
+    assert got["srcC"] > got["srcA"] > 0

@@ -267,6 +267,10 @@ EXPECTED_KEYS = {
     "docs_dsir_importance",
     "dedup_cc_twostar",
     "trade_graph_hits",
+    "abtest_cuped_adjusted",
+    "orders_theil_sen_trend",
+    "events_exact_quartiles_nosort",
+    "source_kl_drift",
 }
 
 

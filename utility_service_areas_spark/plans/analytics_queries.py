@@ -3133,3 +3133,292 @@ def trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits_micros(edges, n_iter=4)
+
+
+# CUPED experiment readout (#245): pre-period covariate window.
+_CUPED_CUTOFF = "2024-01-15"  # events before = covariate X, after = metric Y
+
+
+@query(
+    "abtest_cuped_adjusted",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('cuped:' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) // 100 AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) // 100 AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM per_user),
+    arms AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_v,
+             CAST(sum(x) AS BIGINT) AS sx_v,
+             CAST(sum(y) AS BIGINT) AS sy_v
+      FROM per_user GROUP BY variant)
+    SELECT variant, n_v AS n_users, sy_v AS sum_y_dollars,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT)
+             AS theta_milli,
+           CAST(round(CAST(sy_v AS DOUBLE) / n_v * 1000) AS BIGINT)
+             AS raw_mean_milli,
+           CAST(round((CAST(sy_v AS DOUBLE) / n_v
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * (CAST(sx_v AS DOUBLE) / n_v
+                            - CAST(sx AS DOUBLE) / n)) * 1000) AS BIGINT)
+             AS adj_mean_milli
+    FROM arms CROSS JOIN pooled
+    """,
+    doc="CUPED variance-reduced A/B readout (Deng et al. 2013 — the "
+    "pre-experiment-covariate adjustment every experimentation "
+    "platform applies before calling a winner): X = each user's "
+    "pre-period spend, Y = experiment-period spend, theta = "
+    "cov(X,Y)/var(X) fit on the POOLED users (the paper's estimator "
+    "— fitting per-arm would bias the contrast), adjusted mean = "
+    "mean(Y_v) - theta*(mean(X_v) - mean(X)). Arms assigned by the "
+    "#215/#234 deterministic md5 split (seeded 'cuped:'). Exactness: "
+    "X/Y are integer whole-dollar sums (floored from exact cents — "
+    "keeps all four moment products inside BIGINT to ~150k users; "
+    "ANSI overflow raises loudly beyond, where production would "
+    "center first), cov/var are pure integer moment sums, and "
+    "theta/means are IEEE divisions of exact integers mirrored "
+    "operand-for-operand, rounded to milli. One per-user partial "
+    "agg, a 1-row pooled agg + 2-row arm agg, broadcast-combined.",
+    tags=("analytics",),
+)
+def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        events.groupBy("user_id", variant.alias("variant"))
+        .agg(
+            F.expr(
+                f"sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}' "
+                "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) div 100"
+            ).alias("x"),
+            F.expr(
+                f"sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}' "
+                "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) div 100"
+            ).alias("y"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum("x").alias("sx_v"),
+        F.sum("y").alias("sy_v"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    raw_mean = F.col("sy_v").cast("double") / F.col("n_v")
+    adj = raw_mean - theta * (
+        F.col("sx_v").cast("double") / F.col("n_v")
+        - F.col("sx").cast("double") / F.col("n")
+    )
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        "variant",
+        F.col("n_v").cast("long").alias("n_users"),
+        F.col("sy_v").cast("long").alias("sum_y_dollars"),
+        F.round(theta * 1000).cast("long").alias("theta_milli"),
+        F.round(raw_mean * 1000).cast("long").alias("raw_mean_milli"),
+        F.round(adj * 1000).cast("long").alias("adj_mean_milli"),
+    )
+
+
+@query(
+    "orders_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.yr,
+             CAST(((b.y - a.y) * 1000) // (b.x - a.x) AS BIGINT) AS slope
+      FROM daily a JOIN daily b ON a.yr = b.yr AND a.x < b.x),
+    rk AS (
+      SELECT yr, slope,
+             row_number() OVER (PARTITION BY yr ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY yr) AS n_pairs
+      FROM pairs),
+    nd AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY yr)
+    SELECT rk.yr, nd.n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope AS ts_slope_millicents_per_day
+    FROM rk JOIN nd ON nd.yr = rk.yr
+    WHERE rn = (n_pairs + 1) // 2
+    """,
+    doc="Theil-Sen robust trend per year: the LOWER MEDIAN of all "
+    "pairwise daily-revenue slopes — the robust counterpart of #231's "
+    "OLS (one outlier day can move an OLS slope arbitrarily; Theil-"
+    "Sen tolerates 29% contamination). Slopes are QUANTIZED to exact "
+    "integers: ((y2-y1)*1000) div (x2-x1) — Spark `div` and DuckDB "
+    "`//` both truncate toward zero (verified incl. negatives), so "
+    "the statistic is a median over identical integer multisets and "
+    "the selected VALUE is tie-proof (equal values at the boundary "
+    "yield the same answer under any tie order). Scale: the pair "
+    "join is keyed by YEAR and daily frames are calendar-bounded "
+    "(<=366 days -> <=67k pairs per year per key, FOREVER, at any "
+    "corpus size), so the per-year rank window is bounded — this is "
+    "the exact-quantile-over-bounded-pairs posture, not a global "
+    "sort of data.",
+    tags=("analytics",),
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("yr", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    a = daily.select("yr", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select("yr", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "yr").filter(F.col("x1") < F.col("x2")).select(
+        "yr",
+        F.expr("((y2 - y1) * 1000) div (x2 - x1)").alias("slope"),
+    )
+    w = Window.partitionBy("yr").orderBy("slope")
+    wn = Window.partitionBy("yr")
+    nd = daily.groupBy("yr").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .join(nd, "yr")
+        .select(
+            "yr",
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope").alias("ts_slope_millicents_per_day"),
+        )
+    )
+
+
+# Exact distributed order statistics (#247): two-phase bucket select.
+_EXQ_BUCKETS = 4096
+
+
+@query(
+    "events_exact_quartiles_nosort",
+    oracle=f"""
+    WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    ord AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+    SELECT n.n AS n_events,
+           max(CASE WHEN rn = (n.n - 1) // 4 + 1 THEN c END) AS p25_cents,
+           max(CASE WHEN rn = (n.n - 1) // 2 + 1 THEN c END) AS median_cents,
+           max(CASE WHEN rn = (3 * (n.n - 1)) // 4 + 1 THEN c END) AS p75_cents
+    FROM ord CROSS JOIN n
+    GROUP BY n.n
+    """,
+    doc="EXACT p25/median/p75 (lower order statistics, 0-indexed "
+    "k=(n-1)*q) with NO GLOBAL SORT — the two-phase selection a "
+    "100 TB engine uses where #44's approx_percentile trades "
+    "accuracy and a sort-based exact quantile dies: phase 1 buckets "
+    "cents values into 4096 range bins (map-side) and finds each "
+    "k's bucket from the 4096-row cumulative histogram; phase 2 "
+    "rank-selects WITHIN the target buckets only (expected n/4096 "
+    "rows each; a production engine recurses on a still-hot bucket "
+    "— one level suffices on this substrate and the semantics are "
+    "identical regardless). The selected VALUE is tie-proof: ties "
+    "straddling position k all carry the same value. The ORACLE "
+    "sorts globally (DuckDB is the referee, not the scale model) — "
+    "equality of the two is precisely the no-sort claim. Integer "
+    "cents end to end; the all-equal degenerate collapses to one "
+    "bucket and still selects correctly.",
+    tags=("analytics",),
+)
+def events_exact_quartiles_nosort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    stats = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+    )
+    bucketed = v.crossJoin(F.broadcast(stats)).select(
+        "c",
+        F.expr(f"((c - mn) * {_EXQ_BUCKETS}) div (mx - mn + 1)").alias("b"),
+    )
+    bcounts = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bcounts.withColumn(
+        "cum_before", F.coalesce(F.sum("bc").over(wcum), F.lit(0))
+    )
+    ks = (
+        stats.select(
+            "n",
+            F.expr(
+                "array(struct('p25' AS q, (n - 1) div 4 AS k), "
+                "struct('median' AS q, (n - 1) div 2 AS k), "
+                "struct('p75' AS q, (3 * (n - 1)) div 4 AS k)) AS qs"
+            ),
+        )
+        .select("n", F.explode("qs").alias("qk"))
+        .select("n", F.col("qk.q").alias("q"), F.col("qk.k").alias("k"))
+    )
+    targets = ks.join(
+        F.broadcast(cum),
+        (F.col("cum_before") <= F.col("k"))
+        & (F.col("k") < F.col("cum_before") + F.col("bc")),
+    ).select("n", "q", "k", "b", "cum_before")
+    wq = Window.partitionBy("q").orderBy("c")
+    picked = (
+        bucketed.join(F.broadcast(targets), "b")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("k") - F.col("cum_before") + 1)
+        .select("n", "q", "c")
+    )
+    return picked.groupBy("n").pivot("q", ["p25", "median", "p75"]).agg(
+        F.first("c")
+    ).select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("p25").alias("p25_cents"),
+        F.col("median").alias("median_cents"),
+        F.col("p75").alias("p75_cents"),
+    )

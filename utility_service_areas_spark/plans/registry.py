@@ -90,6 +90,10 @@ _DRIVER_PRIORITY = (
     "docs_dsir_importance",
     "dedup_cc_twostar",
     "trade_graph_hits",
+    "abtest_cuped_adjusted",
+    "orders_theil_sen_trend",
+    "events_exact_quartiles_nosort",
+    "source_kl_drift",
     # 2) ALL 35 r7-stale keys (newest green driver row is r7 — the
     #    oldest attestations left; computed from CORRECTNESS_r01-r12)
     "flagship_service_area_report",
@@ -134,12 +138,10 @@ _DRIVER_PRIORITY = (
     "two_digit_year_fix",
     "enrich_join_dims",
     "anti_join_missing",
-    "patch_override_join",
-    "sync_status_case",
-    "group_combine_collect",
-    "concat_order_text",
     # r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): agg_stats_by_group, top_revenue_orders,
+    # rotation's head): patch_override_join, sync_status_case,
+    # group_combine_collect, concat_order_text,
+    # agg_stats_by_group, top_revenue_orders,
     # sentinel_date_imputation,
     # top3_orders_per_customer, kml_description_parse,
     # geometry_currency_check,

@@ -2716,3 +2716,86 @@ def text_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@query(
+    "source_kl_drift",
+    oracle=rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+    st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+           FROM tok GROUP BY 1, 2),
+    ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY t),
+    ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+           FROM st GROUP BY source),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+    terms AS (
+      SELECT st.source,
+             CAST(round(1000 * st.c_st * (log2(st.c_st * tot.n)
+                                          - log2(ct.c_t * ns.n_s)))
+                  AS BIGINT) AS mb
+      FROM st
+      JOIN ct ON ct.t = st.t
+      JOIN ns ON ns.source = st.source
+      CROSS JOIN tot)
+    SELECT t.source, ns.n_s AS n_tokens,
+           CAST(floor(CAST(sum(t.mb) AS BIGINT) * 1.0 / ns.n_s + 0.5)
+                AS BIGINT) AS kl_millibits
+    FROM terms t JOIN ns ON ns.source = t.source
+    GROUP BY t.source, ns.n_s
+    """,
+    doc="Per-source KL divergence from the corpus token distribution, "
+    "in millibits: KL(P_s || P) = sum_t (c_st/N_s) * log2(p_s/p) with "
+    "the log factored to log2(c_st * N) - log2(c_t * N_s) — BOTH "
+    "arguments exact integers (< 2^53, so the doubles are exact and "
+    "cross-engine log2 agrees; the #89 posture), each term rounded "
+    "to millibits BEFORE the per-source integer sum, one final IEEE "
+    "division by N_s. The MIXTURE-DRIFT thermometer completing the "
+    "source-diagnostics family: #224's entropy says how diverse a "
+    "source is, #189 tracks its length drift, THIS says how far its "
+    "vocabulary sits from the corpus average — the signal that "
+    "catches a crawler feeding boilerplate or a source pivoting "
+    "domains between snapshots. Scale: one (source,t) partial-agg "
+    "shuffle (vocab x sources), token-dim and source-dim side "
+    "frames, one source-sized final agg — nothing corpus-sized "
+    "beyond the first tokenize pass.",
+    tags=("text", "pipeline"),
+)
+def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    ct = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = ct.agg(F.sum("c_t").alias("n"))
+    terms = (
+        st.join(F.broadcast(ct), "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                1000
+                * F.col("c_st")
+                * (
+                    F.log2(F.col("c_st") * F.col("n"))
+                    - F.log2(F.col("c_t") * F.col("n_s"))
+                )
+            )
+            .cast("long")
+            .alias("mb"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("mb").alias("sum_mb"))
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.floor(F.col("sum_mb") * 1.0 / F.col("n_s") + 0.5)
+            .cast("long")
+            .alias("kl_millibits"),
+        )
+    )
