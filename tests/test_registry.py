@@ -271,6 +271,7 @@ EXPECTED_KEYS = {
     "orders_theil_sen_trend",
     "events_exact_quartiles_nosort",
     "source_kl_drift",
+    "versioned_merge_snapshot",
 }
 
 

@@ -113,3 +113,150 @@ def test_diff_across_versions(spark, tmp_path):
     d12 = diff_versions(spark, t, 1, 2)
     assert d12["added"] == 1 and d12["removed"] == 2  # kept (2,b); +(4,d)
     assert d12["n_rows_new"] == 2
+
+
+# ---------------------------------------------------------------------------
+# r13: MERGE with bucket-level copy-on-write + VACUUM (S35)
+# ---------------------------------------------------------------------------
+
+from utility_service_areas_spark.sources.versioned import (  # noqa: E402
+    merge_version,
+    vacuum,
+    write_version_bucketed,
+)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, op string")
+
+
+def _manifest(t, n):
+    with open(os.path.join(t, f"_v{n}.json")) as f:
+        return json.load(f)
+
+
+def test_merge_cow_reuses_untouched_buckets_by_reference(spark, tmp_path):
+    """The headline S35 pin: after a merge touching a few keys, (a)
+    the merged read equals the relational reference, (b) every bucket
+    WITHOUT a changed key keeps its exact data-dir paths from the
+    base manifest (no rewrite), (c) touched buckets got new dirs,
+    (d) the base version still time-travels to the original rows."""
+    base_rows = [(k, f"v{k}") for k in range(64)]
+    t = str(tmp_path / "tbl")
+    v0 = write_version_bucketed(_kv(spark, base_rows), t, ["k"], n_buckets=8)
+    assert v0 == 0
+    m0 = _manifest(t, 0)
+    assert set(m0["buckets"]) == {str(b) for b in range(8)}
+
+    changes = [(3, "UPDATED", "U"), (7, None, "D"), (999, "NEW", "U")]
+    v1 = merge_version(spark, t, _ch(spark, changes))
+    assert v1 == 1
+
+    got = {(r.k, r.v) for r in read_version(spark, t, 1).collect()}
+    want = {(k, f"v{k}") for k in range(64) if k not in (3, 7)}
+    want |= {(3, "UPDATED"), (999, "NEW")}
+    assert got == want
+
+    m1 = _manifest(t, 1)
+    from pyspark.sql import functions as F
+
+    touched = {
+        str(r[0])
+        for r in _ch(spark, changes)
+        .select(F.pmod(F.xxhash64("k"), F.lit(8)).cast("int"))
+        .collect()
+    }
+    for b in m0["buckets"]:
+        if b in touched:
+            assert m1["buckets"][b] != m0["buckets"][b], b
+        else:
+            assert m1["buckets"][b] == m0["buckets"][b], b  # BY REFERENCE
+
+    base = {(r.k, r.v) for r in read_version(spark, t, 0).collect()}
+    assert base == set(base_rows)
+    assert m1["n_rows"] == len(want)
+
+
+def test_merge_requires_bucketed_table(spark, tmp_path):
+    t = str(tmp_path / "plain")
+    write_version(_kv(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="bucketed"):
+        merge_version(spark, t, _ch(spark, [(1, "b", "U")]))
+
+
+def test_merge_claim_conflict_aborts_not_lost_update(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: if another writer claims the next
+    version between the merge's base read and its commit, the merge
+    ABORTS loudly (retrying against the stale base would silently
+    drop the other writer's rows) and leaves no manifest behind."""
+    import utility_service_areas_spark.sources.versioned as vmod
+
+    t = str(tmp_path / "tbl")
+    write_version_bucketed(_kv(spark, [(1, "a"), (2, "b")]), t, ["k"], 4)
+
+    real_link = os.link
+
+    def racing_link(src, dst, *a, **kw):
+        raise FileExistsError(dst)
+
+    monkeypatch.setattr(vmod.os, "link", racing_link)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        merge_version(spark, t, _ch(spark, [(1, "x", "U")]))
+    monkeypatch.setattr(vmod.os, "link", real_link)
+    assert list_versions(t) == [0]  # no torn/partial version
+    # and the table still merges cleanly afterwards
+    v1 = merge_version(spark, t, _ch(spark, [(1, "x", "U")]))
+    got = {(r.k, r.v) for r in read_version(spark, t, v1).collect()}
+    assert got == {(1, "x"), (2, "b")}
+
+
+def test_vacuum_expires_history_keeps_retained_exact(spark, tmp_path):
+    """Vacuum: retained versions read EXACTLY as before; expired
+    manifests are gone; data dirs referenced only by expired versions
+    are deleted; dirs shared with retained versions survive; orphans
+    from crashed commits are swept; a second vacuum is a no-op."""
+    t = str(tmp_path / "tbl")
+    write_version_bucketed(_kv(spark, [(k, "base") for k in range(32)]), t, ["k"], 4)
+    merge_version(spark, t, _ch(spark, [(1, "m1", "U")]))
+    merge_version(spark, t, _ch(spark, [(2, "m2", "U")]))
+    before = {(r.k, r.v) for r in read_version(spark, t, 2).collect()}
+    v1_rows = {(r.k, r.v) for r in read_version(spark, t, 1).collect()}
+
+    # plant an orphan (crashed commit: data written, no manifest)
+    orphan = os.path.join(t, "data", "commit-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("x")
+
+    stats = vacuum(t, keep_last=2)
+    assert stats["versions_retained"] == 2
+    assert list_versions(t) == [1, 2]
+    assert not os.path.exists(orphan)
+    assert {(r.k, r.v) for r in read_version(spark, t, 2).collect()} == before
+    assert {(r.k, r.v) for r in read_version(spark, t, 1).collect()} == v1_rows
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, 0)
+
+    again = vacuum(t, keep_last=2)
+    assert again["manifests_removed"] == 0 and again["dirs_removed"] == 0
+
+
+def test_vacuum_crash_midway_leaves_only_invisible_dirs(spark, tmp_path):
+    """Deletion order contract: manifests go first, so a vacuum that
+    crashes after the manifest pass leaves only UNREFERENCED data
+    dirs — every still-listed version reads fine, and the next
+    vacuum sweeps the leftovers."""
+    t = str(tmp_path / "tbl")
+    write_version_bucketed(_kv(spark, [(k, "a") for k in range(8)]), t, ["k"], 2)
+    merge_version(spark, t, _ch(spark, [(1, "b", "U")]))
+    # simulate the crash: delete expired manifests but no dirs
+    os.unlink(os.path.join(t, "_v0.json"))
+    latest = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert latest  # still readable
+    stats = vacuum(t, keep_last=1)
+    assert stats["dirs_removed"] >= 1  # the now-orphaned v0-only dirs
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == latest

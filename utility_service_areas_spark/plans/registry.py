@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = (
     "orders_theil_sen_trend",
     "events_exact_quartiles_nosort",
     "source_kl_drift",
+    "versioned_merge_snapshot",
     # 2) ALL 35 r7-stale keys (newest green driver row is r7 — the
     #    oldest attestations left; computed from CORRECTNESS_r01-r12)
     "flagship_service_area_report",
@@ -137,9 +138,9 @@ _DRIVER_PRIORITY = (
     #    attestations always fit the 50 budget.
     "two_digit_year_fix",
     "enrich_join_dims",
-    "anti_join_missing",
     # r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): patch_override_join, sync_status_case,
+    # rotation's head): anti_join_missing,
+    # patch_override_join, sync_status_case,
     # group_combine_collect, concat_order_text,
     # agg_stats_by_group, top_revenue_orders,
     # sentinel_date_imputation,

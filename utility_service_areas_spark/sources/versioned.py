@@ -183,3 +183,269 @@ def diff_versions(
         "n_rows_old": old.count(),
         "n_rows_new": new.count(),
     }
+
+
+# ---------------------------------------------------------------------------
+# r13: bucketed layout + MERGE (bucket-level copy-on-write) + VACUUM (S35).
+# The Delta/Iceberg MERGE posture at the granularity this format has:
+# production table formats copy-on-write individual FILES; here the COW
+# unit is a hash BUCKET of the key — merge rewrites only buckets that
+# contain changed keys and reuses every other bucket's data dirs BY
+# REFERENCE in the new manifest (O(touched-buckets) commit, pinned by
+# asserting untouched dir paths are identical across versions).
+# ---------------------------------------------------------------------------
+
+BUCKET_PREFIX = "__bucket="
+
+
+def _bucket_of(df: DataFrame, bucket_cols: list[str], n_buckets: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(*bucket_cols), F.lit(n_buckets)).cast("int")
+
+
+def write_version_bucketed(
+    df: DataFrame,
+    table_dir: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    max_attempts: int = 20,
+) -> int:
+    """Commit ``df`` as a new OVERWRITE-lineage version laid out in
+    ``n_buckets`` hash buckets of ``bucket_cols`` — the layout
+    ``merge_version`` requires. Each bucket's parquet lives in its own
+    subdir (data/commit-<token>/__bucket=N), registered as a separate
+    data dir so later merges can reference untouched buckets without
+    rewriting a byte. Same manifest-claim commit protocol as
+    ``write_version``."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(table_dir, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    rel_base = os.path.join("data", f"commit-{token}")
+    out = df.withColumn(
+        "__bucket", _bucket_of(df, bucket_cols, n_buckets)
+    )
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(
+        os.path.join(table_dir, rel_base)
+    )
+    buckets: dict[str, list[str]] = {}
+    n_rows = 0
+    bucket_rows: dict[str, int] = {}
+    spark = df.sparkSession
+    for name in sorted(os.listdir(os.path.join(table_dir, rel_base))):
+        if not name.startswith(BUCKET_PREFIX):
+            continue
+        b = name[len(BUCKET_PREFIX):]
+        rel = os.path.join(rel_base, name)
+        buckets[b] = [rel]
+        c = spark.read.parquet(os.path.join(table_dir, rel)).count()
+        bucket_rows[b] = c
+        n_rows += c
+
+    for _attempt in range(max_attempts):
+        versions = list_versions(table_dir)
+        nxt = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": nxt,
+            "mode": "overwrite",
+            "data_dirs": sorted(d for ds in buckets.values() for d in ds),
+            "n_rows": n_rows,
+            "n_rows_commit": n_rows,
+            "schema": _schema_key(df),
+            "bucket_cols": list(bucket_cols),
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+            "bucket_rows": bucket_rows,
+        }
+        tmp = os.path.join(table_dir, f"_tmp-v{nxt}-{token}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = os.path.join(table_dir, _manifest_name(nxt))
+        try:
+            os.link(tmp, final)
+            os.unlink(tmp)
+            return nxt
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+    raise RuntimeError(
+        f"could not claim a version after {max_attempts} attempts"
+    )
+
+
+def merge_version(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    op_col: str = "op",
+) -> int:
+    """MERGE a changeset into the latest bucketed version, committing
+    the result as a new version with bucket-level copy-on-write.
+
+    ``changes`` = full-schema rows + an ``op`` column: 'U' upserts the
+    row (insert-or-replace by the bucket key), 'D' deletes its key.
+    Buckets containing no changed key are carried into the new
+    manifest BY REFERENCE (their data dirs are not read, copied, or
+    rewritten); only touched buckets are read, merged, and rewritten.
+
+    Concurrency: the merge is computed against the latest version at
+    read time; if another writer claims the next version number first,
+    this merge ABORTS (ConcurrentWriteError posture — retrying against
+    a stale base would silently lose the other writer's update; the
+    caller re-runs the merge against the new latest). A crash before
+    the claim leaves only invisible orphans, as everywhere else."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {table_dir}")
+    base_v = versions[-1]
+    man = _read_manifest(table_dir, base_v)
+    if "buckets" not in man:
+        raise ValueError(
+            "merge_version requires a bucketed table "
+            "(write_version_bucketed) — latest manifest has no bucket map"
+        )
+    bucket_cols = man["bucket_cols"]
+    n_buckets = man["n_buckets"]
+
+    ch = changes.withColumn(
+        "__bucket", _bucket_of(changes, bucket_cols, n_buckets)
+    )
+    touched = sorted(
+        r["__bucket"] for r in ch.select("__bucket").distinct().collect()
+    )
+    token = uuid.uuid4().hex[:12]
+    rel_base = os.path.join("data", f"commit-{token}")
+
+    new_buckets = dict(man["buckets"])
+    new_bucket_rows = dict(man.get("bucket_rows", {}))
+    if touched:
+        base_dirs = [
+            os.path.join(table_dir, d)
+            for b in touched
+            for d in man["buckets"].get(str(b), [])
+        ]
+        data_cols = [f for f in changes.columns if f != op_col]
+        base_touched = (
+            spark.read.parquet(*base_dirs)
+            if base_dirs
+            else changes.select(*data_cols).limit(0)
+        )
+        keys = ch.select(*bucket_cols).distinct()
+        survivors = base_touched.join(keys, bucket_cols, "left_anti")
+        upserts = ch.filter(F.col(op_col) == "U").select(*data_cols)
+        merged = survivors.unionByName(upserts).withColumn(
+            "__bucket", _bucket_of(survivors, bucket_cols, n_buckets)
+        )
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(
+            os.path.join(table_dir, rel_base)
+        )
+        written = {
+            name[len(BUCKET_PREFIX):]
+            for name in os.listdir(os.path.join(table_dir, rel_base))
+            if name.startswith(BUCKET_PREFIX)
+        }
+        for b in touched:
+            bs = str(b)
+            if bs in written:
+                rel = os.path.join(rel_base, f"{BUCKET_PREFIX}{bs}")
+                new_buckets[bs] = [rel]
+                new_bucket_rows[bs] = (
+                    spark.read.parquet(os.path.join(table_dir, rel)).count()
+                )
+            else:  # every row of the bucket was deleted
+                new_buckets[bs] = []
+                new_bucket_rows[bs] = 0
+
+    n_rows = sum(new_bucket_rows.values())
+    manifest = {
+        "version": base_v + 1,
+        "mode": "merge",
+        "merge_base": base_v,
+        "data_dirs": sorted(d for ds in new_buckets.values() for d in ds),
+        "n_rows": n_rows,
+        "n_rows_commit": n_rows,
+        "schema": man["schema"],
+        "bucket_cols": bucket_cols,
+        "n_buckets": n_buckets,
+        "buckets": new_buckets,
+        "bucket_rows": new_bucket_rows,
+    }
+    tmp = os.path.join(table_dir, f"_tmp-v{base_v + 1}-{token}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    final = os.path.join(table_dir, _manifest_name(base_v + 1))
+    try:
+        os.link(tmp, final)
+        os.unlink(tmp)
+        return base_v + 1
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"concurrent commit detected at {table_dir} (version "
+            f"{base_v + 1} claimed while merging against {base_v}) — "
+            "re-run the merge against the new latest version"
+        ) from None
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
+    """Expire history: keep the newest ``keep_last`` versions readable,
+    delete every manifest older than that and every data dir no
+    retained manifest references (including orphans from crashed
+    commits). Deletion order is manifests FIRST, then dirs — a crash
+    mid-vacuum can therefore only leave UNREFERENCED dirs behind
+    (invisible; the next vacuum sweeps them), never a readable
+    manifest with missing data."""
+    import shutil
+
+    versions = list_versions(table_dir)
+    retained = versions[-keep_last:] if keep_last > 0 else []
+    referenced: set[str] = set()
+    for v in retained:
+        man = _read_manifest(table_dir, v)
+        referenced.update(os.path.normpath(d) for d in man["data_dirs"])
+
+    n_manifests = 0
+    for v in versions:
+        if v not in retained:
+            os.unlink(os.path.join(table_dir, _manifest_name(v)))
+            n_manifests += 1
+    for name in os.listdir(table_dir):  # temps from crashed claims
+        if name.startswith("_tmp-"):
+            os.unlink(os.path.join(table_dir, name))
+
+    n_dirs = 0
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for commit in sorted(os.listdir(data_root)):
+            commit_rel = os.path.normpath(os.path.join("data", commit))
+            commit_abs = os.path.join(data_root, commit)
+            if commit_rel in referenced:
+                continue
+            subs = (
+                sorted(os.listdir(commit_abs))
+                if os.path.isdir(commit_abs)
+                else []
+            )
+            bucket_subs = [s for s in subs if s.startswith(BUCKET_PREFIX)]
+            if not bucket_subs:
+                shutil.rmtree(commit_abs)
+                n_dirs += 1
+                continue
+            kept_any = False
+            for s in bucket_subs:
+                sub_rel = os.path.normpath(os.path.join("data", commit, s))
+                if sub_rel in referenced:
+                    kept_any = True
+                else:
+                    shutil.rmtree(os.path.join(commit_abs, s))
+                    n_dirs += 1
+            if not kept_any:
+                shutil.rmtree(commit_abs)
+    return {
+        "manifests_removed": n_manifests,
+        "dirs_removed": n_dirs,
+        "versions_retained": len(retained),
+    }
