@@ -1190,3 +1190,80 @@ def test_cdc_apply_stream_survives_out_of_order_batches(spark, tmp_path):
     assert final[1] == (3, "U", 300)  # v2 arriving later never regresses
     assert final[2] == (3, "D", None)  # delete outranks the late v2 update
     assert final[3] == (4, "U", 400)  # genuinely newer row does win
+
+
+def test_stream_inference_twin_matches_batch(spark, tmp_path):
+    """S36: scoring the documents STREAM through the model-inference
+    seam (deterministic fake, 3 micro-batches) emits exactly the
+    batch infer_batches rows — outputs, statuses, and the malformed-
+    input quarantine included (a planted null-text doc must come out
+    status='invalid' from both paths)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utility_service_areas_spark.operators.inference import (
+        fake_hash_model,
+        infer_batches,
+    )
+    from utility_service_areas_spark.sources.tables import raw_table_schema
+    from utility_service_areas_spark.streaming.events import (
+        score_documents_stream,
+    )
+
+    src = pq.read_table(SMOKE_SF + "/documents.parquet")
+    # plant a malformed row so the quarantine path crosses the stream
+    bad = pa.table(
+        {
+            "doc_id": pa.array([999_999], pa.int64()),
+            "text": pa.array([None], pa.string()),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["srcX"]),
+            "n_chars": pa.array([0], pa.int64()),
+        }
+    )
+    src = pa.concat_tables([src.select(bad.column_names), bad])
+    third = max(1, src.num_rows // 3)
+    t0 = 1_700_000_000
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(3):
+        lo = i * third
+        hi = src.num_rows if i == 2 else (i + 1) * third
+        path = str(d / f"b{i}.parquet")
+        pq.write_table(src.slice(lo, hi - lo), path)
+        os.utime(path, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(raw_table_schema(spark, SMOKE_SF, "documents"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = run_to_memory(score_documents_stream(stream), "t_infer", "append")
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 3
+
+    def key(rows):
+        return {
+            r.doc_id: (
+                None if r.output is None else tuple(r.output),
+                r.status,
+                r.error,
+            )
+            for r in rows
+        }
+
+    got = key(spark.table("t_infer").collect())
+    batch_df = spark.createDataFrame(
+        spark.read.parquet(str(d)).collect(),
+        spark.read.parquet(str(d)).schema,
+    )
+    want = key(
+        infer_batches(
+            batch_df.select("doc_id", "text"),
+            model_fn=fake_hash_model,
+            output_dim=4,
+        ).collect()
+    )
+    assert got == want
+    assert got[999_999][1] == "invalid"
+    assert sum(1 for v in got.values() if v[1] == "ok") == len(got) - 1

@@ -1081,3 +1081,30 @@ def cdc_apply_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def score_documents_stream(stream: DataFrame, model_fn=None) -> DataFrame:
+    """S36 — streaming twin of the batch model-inference seam
+    (operators/inference.py, #238): neural scoring applied to a
+    document STREAM. infer_batches is a stateless mapInPandas
+    projection, so the same seam — same batching, same malformed-
+    input quarantine, same poison-row isolation — composes with
+    Structured Streaming unchanged: each micro-batch's Arrow batches
+    flow through model_fn; no state, no watermark. Append mode; a
+    drain equals the batch frame row for row with the deterministic
+    fake (pinned in tests/test_streaming.py), which is exactly the
+    property a production scorer needs: scoring a corpus by replaying
+    it as a stream must give the batch answer."""
+    from utility_service_areas_spark.operators.inference import (
+        fake_hash_model,
+        infer_batches,
+    )
+
+    return infer_batches(
+        stream.select("doc_id", "text"),
+        model_fn=model_fn or fake_hash_model,
+        id_col="doc_id",
+        text_col="text",
+        batch_size=64,
+        output_dim=4,
+    )
