@@ -496,3 +496,106 @@ def test_kl_drift_zero_for_identical_sources(spark, tmp_path):
     # A/B each hold 2/3 of a 2-distribution mixture... their KL vs the
     # blended corpus is small but NONZERO; C is far. Order pin:
     assert got["srcC"] > got["srcA"] > 0
+
+
+def test_quality_pairs_tie_and_degenerate_groups(spark, tmp_path):
+    """Tie-adversarial: (a) an all-equal-quality source yields NO
+    pair; (b) quality ties on the best/worst ends break to the
+    smaller doc_id on BOTH ends."""
+    from utility_service_areas_spark.plans.text_queries import (
+        quality_pair_mining,
+    )
+
+    rows = [
+        # srcEq: three byte-identical docs -> identical scores -> no pair
+        (1, "same words here", "en", "srcEq", 15),
+        (2, "same words here", "en", "srcEq", 15),
+        (3, "same words here", "en", "srcEq", 15),
+        # srcTie: docs 10,11 identical GOOD; 20,21 identical BAD
+        (10, "alpha beta gamma delta epsilon", "en", "srcTie", 30),
+        (11, "alpha beta gamma delta epsilon", "en", "srcTie", 30),
+        (20, "zzz zzz zzz zzz !!!! ????", "en", "srcTie", 25),
+        (21, "zzz zzz zzz zzz !!!! ????", "en", "srcTie", 25),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.source: r for r in quality_pair_mining(spark, str(tmp_path)).collect()}
+    assert "srcEq" not in got  # degenerate group -> no pair
+    assert got["srcTie"].chosen_doc_id == 10  # tie -> smaller id
+    assert got["srcTie"].rejected_doc_id == 20
+    assert got["srcTie"].margin_micros > 0
+
+
+def test_curriculum_rank_matches_global_sort_with_heavy_ties(spark, tmp_path):
+    """The no-sort ranking equals a brute global sort, on a corpus
+    where 90% of docs share one token count (the offsets + keyed
+    row_number must agree with the single global window exactly)."""
+    from utility_service_areas_spark.plans.text_queries import (
+        docs_curriculum_rank,
+    )
+
+    rows = []
+    for i in range(90):
+        rows.append((i, "a b c", "en", "s", 5))  # 3 tokens, all tied
+    for i in range(90, 95):
+        rows.append((i, "a", "en", "s", 1))  # 1 token
+    for i in range(95, 100):
+        rows.append((i, "a b c d e f", "en", "s", 11))  # 6 tokens
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r.curriculum_rank
+        for r in docs_curriculum_rank(spark, str(tmp_path)).collect()
+    }
+    n_tok = {i: (3 if i < 90 else (1 if i < 95 else 6)) for i in range(100)}
+    order = sorted(range(100), key=lambda i: (n_tok[i], i))
+    want = {doc: rank + 1 for rank, doc in enumerate(order)}
+    assert got == want
+
+
+def test_srm_check_healthy_splits_and_formula(spark):
+    """All three IN-USE hash seeds read UNFLAGGED on the substrate (a
+    flagged row means a broken split), and chi2_milli satisfies the
+    closed form (n_a-n_b)^2 * 1000 / n recomputed in python."""
+    from tests.conftest import SMOKE_SF
+    from utility_service_areas_spark.plans.analytics_queries import (
+        abtest_srm_check,
+    )
+
+    rows = abtest_srm_check(spark, SMOKE_SF).collect()
+    assert {r.seed for r in rows} == {"ab1:", "cuped2:", "split:"}
+    import math
+
+    for r in rows:
+        assert r.srm_flag == 0, r.seed
+        want = math.floor(
+            (r.n_a - r.n_b) ** 2 * 1000.0 / (r.n_a + r.n_b) + 0.5
+        )
+        assert r.chi2_milli == want
+
+
+def test_srm_audit_catches_the_retired_cuped_seed():
+    """The audit's one real catch, pinned forever: the repo's ORIGINAL
+    CUPED seed 'cuped:' splits the sf0.01 customer keyspace 690/810
+    (chi2_milli 9600 >> 3841, z~3.1) — a deterministic unlucky seed —
+    which is why #245 runs on 'cuped2:' (chi2_milli 963, healthy).
+    Recomputed here from first principles (hashlib), independent of
+    both engines."""
+    import hashlib
+    import math
+
+    def chi2_milli(seed: str, n: int) -> int:
+        n_a = sum(
+            1
+            for i in range(n)
+            if int(hashlib.md5(f"{seed}{i}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+        )
+        return math.floor((2 * n_a - n) ** 2 * 1000.0 / n + 0.5)
+
+    assert chi2_milli("cuped:", 1500) == 9600  # the catch
+    assert chi2_milli("cuped2:", 1500) < 3841  # the replacement
+    assert chi2_milli("cuped2:", 150) < 3841
+    assert chi2_milli("cuped2:", 15000) < 3841

@@ -272,6 +272,9 @@ EXPECTED_KEYS = {
     "events_exact_quartiles_nosort",
     "source_kl_drift",
     "versioned_merge_snapshot",
+    "quality_pair_mining",
+    "docs_curriculum_rank",
+    "abtest_srm_check",
 }
 
 

@@ -95,8 +95,14 @@ _DRIVER_PRIORITY = (
     "events_exact_quartiles_nosort",
     "source_kl_drift",
     "versioned_merge_snapshot",
-    # 2) ALL 35 r7-stale keys (newest green driver row is r7 — the
-    #    oldest attestations left; computed from CORRECTNESS_r01-r12)
+    "quality_pair_mining",
+    "docs_curriculum_rank",
+    "abtest_srm_check",
+    # 2) 34 of the 35 r7-stale keys (newest green driver row is r7 —
+    #    the oldest attestations left; computed from CORRECTNESS_r01-
+    #    r12). ann_quantized_topk yields its slot to the 16 first-ever
+    #    r13 attestations (never-attested > stale-green per slot) and
+    #    heads the r14 rotation.
     "flagship_service_area_report",
     "filter_tag_entities",
     "latest_update_per_entity",
@@ -131,15 +137,10 @@ _DRIVER_PRIORITY = (
     "dedup_keep_best_quality",
     "embedding_centroid_by_label",
     "ann_ivf_sqrtn_topk",
-    "ann_quantized_topk",
-    # 3) 13 of the 47 r8-stale keys, module-load order (the relational
-    #    core first). NOTE: keys added later in round 13 replace the
-    #    TAIL of this block (never the r7 drain above) so first-ever
-    #    attestations always fit the 50 budget.
-    "two_digit_year_fix",
-    "enrich_join_dims",
-    # r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): anti_join_missing,
+    # r7/r8-stale keys that don't fit the 50 budget this round (next
+    # rotation's head): ann_quantized_topk (r7), then the r8 block in
+    # module-load order: two_digit_year_fix, enrich_join_dims,
+    # anti_join_missing,
     # patch_override_join, sync_status_case,
     # group_combine_collect, concat_order_text,
     # agg_stats_by_group, top_revenue_orders,

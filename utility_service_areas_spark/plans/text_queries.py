@@ -2799,3 +2799,150 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kl_millibits"),
         )
     )
+
+
+# Preference-pair mining (#250) and curriculum ordering (#251): the
+# two dataset-construction stages between scoring and training.
+_QUALITY_SQL_CTE = rf"""
+    qscore AS (
+      SELECT doc_id, source,
+             CAST(floor((0.4 * (alpha / chars)
+                       + 0.3 * least(1.0, n_tok / 100.0)
+                       + 0.3 * (n_distinct / greatest(n_tok, 1.0)))
+                        * 1000000 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT doc_id, source,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    AS DOUBLE) AS alpha,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS chars,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+        FROM documents))"""
+
+
+@query(
+    "quality_pair_mining",
+    oracle=rf"""
+    WITH {_QUALITY_SQL_CTE},
+    ranked AS (
+      SELECT doc_id, source, q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id ASC) AS rbest,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q ASC, doc_id ASC) AS rworst
+      FROM qscore),
+    best AS (SELECT source, doc_id AS chosen_doc_id, q AS chosen_q
+             FROM ranked WHERE rbest = 1),
+    worst AS (SELECT source, doc_id AS rejected_doc_id, q AS rejected_q
+              FROM ranked WHERE rworst = 1)
+    SELECT b.source, chosen_doc_id, rejected_doc_id,
+           CAST(chosen_q - rejected_q AS BIGINT) AS margin_micros
+    FROM best b JOIN worst w ON w.source = b.source
+    WHERE chosen_q - rejected_q > 0
+    """,
+    doc="Preference-pair mining — the DPO/RLHF dataset-construction "
+    "stage (Rafailov et al. 2023's data shape): per group (source "
+    "stands in for the prompt), pair the highest-quality document "
+    "(chosen) with the lowest (rejected) using #34's composite score, "
+    "keep pairs with strictly positive margin (an all-equal group "
+    "yields NO pair, not a degenerate one — pinned). Ties break to "
+    "the smaller doc_id on BOTH ends, so the pair is a pure function "
+    "of the corpus. Scale: the score is one map-side expression; "
+    "chosen/rejected are two keyed top-1 windows that compile to the "
+    "WindowGroupLimit pushdown — no global sort, group-sized state.",
+    tags=("text", "pipeline"),
+)
+def quality_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score_micros(F.col("text")).alias("q"),
+    )
+    wb = Window.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    ww = Window.partitionBy("source").orderBy(
+        F.col("q").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "q",
+        F.row_number().over(wb).alias("rbest"),
+        F.row_number().over(ww).alias("rworst"),
+    )
+    best = ranked.filter(F.col("rbest") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("q").alias("chosen_q"),
+    )
+    worst = ranked.filter(F.col("rworst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("q").alias("rejected_q"),
+    )
+    return (
+        best.join(worst, "source")
+        .filter(F.col("chosen_q") - F.col("rejected_q") > 0)
+        .select(
+            "source",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            (F.col("chosen_q") - F.col("rejected_q"))
+            .cast("long")
+            .alias("margin_micros"),
+        )
+    )
+
+
+@query(
+    "docs_curriculum_rank",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents)
+    SELECT doc_id, n_tok,
+           CAST(row_number() OVER (ORDER BY n_tok ASC, doc_id ASC)
+                AS BIGINT) AS curriculum_rank
+    FROM toks
+    """,
+    doc="Curriculum ordering: every document's GLOBAL ordinal under "
+    "shortest-first (n_tokens asc, doc_id asc) — the length-based "
+    "curriculum schedule (Bengio et al. 2009) a training pipeline "
+    "feeds its sampler — computed WITHOUT a global sort: phase 1 "
+    "partial-aggs the token-count histogram (bounded by max sequence "
+    "length, NOT corpus size — a curriculum key is always a small "
+    "discrete domain), phase 2 turns it into per-value rank offsets "
+    "(one histogram-sized window), phase 3 adds a row_number KEYED by "
+    "token count (tiebreak doc_id). The oracle ranks with one global "
+    "window — DuckDB is the referee, not the scale model; equality IS "
+    "the no-sort claim (the #247 posture applied to ranking).",
+    tags=("text", "pipeline"),
+)
+def docs_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    hist = toks.groupBy("n_tok").agg(F.count(F.lit(1)).alias("c"))
+    wh = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "n_tok", F.coalesce(F.sum("c").over(wh), F.lit(0)).alias("offset")
+    )
+    wk = Window.partitionBy("n_tok").orderBy(F.col("doc_id").asc())
+    return (
+        toks.join(F.broadcast(offsets), "n_tok")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("offset") + F.row_number().over(wk))
+            .cast("long")
+            .alias("curriculum_rank"),
+        )
+    )
