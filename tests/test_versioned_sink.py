@@ -260,3 +260,73 @@ def test_vacuum_crash_midway_leaves_only_invisible_dirs(spark, tmp_path):
     stats = vacuum(t, keep_last=1)
     assert stats["dirs_removed"] >= 1  # the now-orphaned v0-only dirs
     assert {(r.k, r.v) for r in read_version(spark, t).collect()} == latest
+
+
+# ---------------------------------------------------------------------------
+# r13: versioned-table Python DataSource reader (S37)
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_reads_latest_and_time_travels(spark, tmp_path):
+    """`spark.read.format('versioned_table')` equals read_version for
+    both the latest snapshot and an explicit .option('version', n) —
+    including across a merge (COW buckets) and an overwrite that
+    CHANGES SCHEMA (per-version schema resolution)."""
+    t = str(tmp_path / "tbl")
+    v0 = write_version_bucketed(
+        _kv(spark, [(k, f"v{k}") for k in range(16)]), t, ["k"], 4
+    )
+    v1 = merge_version(spark, t, _ch(spark, [(3, "M", "U"), (5, None, "D")]))
+
+    latest = {
+        (r.k, r.v)
+        for r in spark.read.format("versioned_table").load(t).collect()
+    }
+    want1 = {(r.k, r.v) for r in read_version(spark, t, v1).collect()}
+    assert latest == want1
+
+    old = {
+        (r.k, r.v)
+        for r in spark.read.format("versioned_table")
+        .option("version", v0)
+        .load(t)
+        .collect()
+    }
+    want0 = {(r.k, r.v) for r in read_version(spark, t, v0).collect()}
+    assert old == want0 and old != latest
+
+    # overwrite with a DIFFERENT schema; both lineages stay readable
+    spark_df = spark.createDataFrame([(1.5, "x")], "score double, tag string")
+    v2 = write_version(spark_df, t, mode="overwrite")
+    new = spark.read.format("versioned_table").load(t)
+    assert {f.name for f in new.schema.fields} == {"score", "tag"}
+    assert new.count() == 1
+    again = (
+        spark.read.format("versioned_table").option("version", v1).load(t)
+    )
+    assert {(r.k, r.v) for r in again.collect()} == want1
+
+
+def test_datasource_partitions_are_per_file_and_crash_invisible(spark, tmp_path):
+    """One InputPartition per parquet part file (data-parallel), and a
+    crashed commit's orphan parquet is invisible to the source."""
+    import os as _os
+
+    t = str(tmp_path / "tbl")
+    write_version_bucketed(_kv(spark, [(k, "a") for k in range(32)]), t, ["k"], 4)
+    df = spark.read.format("versioned_table").load(t)
+    assert df.rdd.getNumPartitions() >= 4  # at least one per bucket
+
+    # orphan: parquet written, never committed
+    orphan_dir = _os.path.join(t, "data", "commit-orphan")
+    _kv(spark, [(999, "ORPHAN")]).write.parquet(orphan_dir)
+    got = {
+        (r.k, r.v)
+        for r in spark.read.format("versioned_table").load(t).collect()
+    }
+    assert (999, "ORPHAN") not in got and len(got) == 32
+
+
+def test_datasource_missing_table_raises(spark, tmp_path):
+    with pytest.raises(Exception, match="no committed versions"):
+        spark.read.format("versioned_table").load(str(tmp_path / "nope")).count()

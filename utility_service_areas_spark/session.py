@@ -51,6 +51,10 @@ def build_session(app_name: str = "usa-spark", master: str | None = None) -> Spa
 def _register_python_datasources(spark: SparkSession) -> None:
     """Engine-register the repo's Spark 4 Python DataSource connectors
     (idempotent — re-registering overwrites with the same class)."""
-    from utility_service_areas_spark.sources.pyds import ShapefileDataSource
+    from utility_service_areas_spark.sources.pyds import (
+        ShapefileDataSource,
+        VersionedTableDataSource,
+    )
 
     spark.dataSource.register(ShapefileDataSource)
+    spark.dataSource.register(VersionedTableDataSource)
