@@ -599,3 +599,122 @@ def test_srm_audit_catches_the_retired_cuped_seed():
     assert chi2_milli("cuped2:", 1500) < 3841  # the replacement
     assert chi2_milli("cuped2:", 150) < 3841
     assert chi2_milli("cuped2:", 15000) < 3841
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    """Closed-form anchors: a perfectly uniform activity profile reads
+    gini ~ 0 (exactly 0 by the lower-rank formula for equal x_i), and
+    a planted extreme (one user with ~all events) reads near 1 —
+    recomputed against a brute sorted-rank python Gini."""
+    import datetime as dt
+
+    from utility_service_areas_spark.plans.analytics_queries import (
+        user_activity_gini,
+    )
+
+    ts = dt.datetime(2024, 1, 10)
+
+    def write(name, per_user):
+        rows = []
+        eid = 0
+        for uid, n in enumerate(per_user):
+            for _ in range(n):
+                rows.append((eid, ts, uid, "e", 1.0, "{}")); eid += 1
+        _write_events(spark, f"{tmp_path}/{name}", rows)
+
+    def brute(per_user):
+        import math
+
+        xs = sorted(per_user)
+        n, t = len(xs), sum(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        return math.floor((2 * s1 - (n + 1) * t) * 1_000_000 / (n * t) + 0.5)
+
+    cases = {
+        "uniform": [5] * 40,
+        "extreme": [1] * 9 + [991],
+        "mixed": [1, 1, 2, 3, 5, 8, 13, 21, 34, 55],
+    }
+    for name, per_user in cases.items():
+        write(name, per_user)
+        got = user_activity_gini(spark, f"{tmp_path}/{name}").collect()[0]
+        assert got.gini_micros == brute(per_user), name
+        assert got.n_users == len(per_user)
+    assert brute(cases["uniform"]) == 0
+    assert brute(cases["extreme"]) > 880_000
+
+
+def test_chi2_independent_and_coupled_tables(spark, tmp_path):
+    """A perfectly INDEPENDENT contingency table reads chi2 = 0
+    exactly (every O equals E, integer-arged); a perfectly COUPLED one
+    (brand determines type) reads chi2_milli ~ n*(min_dim-1)*1000."""
+    from utility_service_areas_spark.plans.analytics_queries import (
+        part_brand_type_chi2,
+    )
+
+    def write(name, rows):
+        spark.createDataFrame(
+            [
+                (i, "nm", b, t, 1, 9.99)
+                for i, (b, t) in enumerate(rows)
+            ],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size long, p_retailprice double",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/{name}/part.parquet")
+
+    indep = [(b, t) for b in ("B1", "B2") for t in ("T1", "T2") for _ in range(25)]
+    write("indep", indep)
+    got = part_brand_type_chi2(spark, f"{tmp_path}/indep").collect()[0]
+    assert (got.chi2_milli, got.dof, got.n_cells) == (0, 1, 4)
+
+    coupled = [("B1", "T1")] * 50 + [("B2", "T2")] * 50
+    write("coupled", coupled)
+    got = part_brand_type_chi2(spark, f"{tmp_path}/coupled").collect()[0]
+    # full grid: the two ZERO cells must be materialized (4 cells, not
+    # the 2 observed) — without them chi2 read 50000, half the truth
+    assert got.dof == 1 and got.n_cells == 4
+    assert got.chi2_milli == 100 * 1000  # chi2 == n for a perfect 2x2 coupling
+
+
+def test_vocab_coverage_boundaries_and_tie_runs(spark, tmp_path):
+    """K exactly at a tie-run boundary and K splitting a tie run both
+    give the value-exact coverage (tied types are interchangeable);
+    K beyond the vocabulary covers everything."""
+    from utility_service_areas_spark.plans.text_queries import (
+        vocab_coverage_sweep,
+    )
+
+    # vocabulary: 1 type x 100, 15 types x 10 each, 200 types x 1
+    text_parts = ["big"] * 100
+    for i in range(15):
+        text_parts += [f"mid{i}"] * 10
+    for i in range(200):
+        text_parts.append(f"rare{i:03d}")
+    _write_docs(spark, str(tmp_path), [(1, " ".join(text_parts))])
+    got = {
+        r.vocab_k: (r.covered_tokens, r.total_tokens, r.coverage_micros)
+        for r in vocab_coverage_sweep(spark, str(tmp_path)).collect()
+    }
+    total = 100 + 150 + 200
+    # K=16 = exactly {big} + all 15 mid types (boundary)
+    assert got[16][0] == 100 + 150
+    # K=64 splits the 200-type rare tie run: 100+150 + (64-16)*1
+    assert got[64][0] == 100 + 150 + 48
+    # K=256 and K=1024 exceed the 216-type vocabulary: full coverage
+    assert got[256][0] == total and got[1024][0] == total
+    assert got[1024][2] == 1_000_000
+
+
+def test_seasonality_index_sums_to_twelve(spark):
+    """Partition-of-unity property on the substrate: the 12 indices
+    average to ~1e6 (sum ~ 12e6, floor-rounding slack <= 12) and every
+    month is present."""
+    from tests.conftest import SMOKE_SF
+    from utility_service_areas_spark.plans.analytics_queries import (
+        orders_seasonality_index,
+    )
+
+    rows = orders_seasonality_index(spark, SMOKE_SF).collect()
+    assert {r.mon for r in rows} == set(range(1, 13))
+    s = sum(r.index_micros for r in rows)
+    assert 12_000_000 - 12 <= s <= 12_000_000 + 12

@@ -275,6 +275,10 @@ EXPECTED_KEYS = {
     "quality_pair_mining",
     "docs_curriculum_rank",
     "abtest_srm_check",
+    "user_activity_gini",
+    "part_brand_type_chi2",
+    "orders_seasonality_index",
+    "vocab_coverage_sweep",
 }
 
 

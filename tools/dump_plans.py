@@ -341,6 +341,61 @@ HEADLINE = {
         "one explode + one partial-agged (doc, bucket) shuffle; NO "
         "vocabulary pass, no broadcast, no Python"
     ),
+    # r13
+    "text_bm25_search_persisted": (
+        "postings/doclens read from parquet artifacts; broadcast "
+        "query-term prune (BHJ, no postings shuffle); WindowGroupLimit "
+        "top-k — the from-index plan matches inline #219's scoring tail"
+    ),
+    "text_naive_bayes_source": (
+        "model = two broadcast frames (class-token counts, class "
+        "stats); scoring is a map-side x|classes| expansion of the tf "
+        "frame + one keyed (doc, class) partial agg; argmax via "
+        "WindowGroupLimit"
+    ),
+    "docs_dsir_importance": (
+        "both bucket-count tables <= 256 rows broadcast; corpus-sized "
+        "work = one (doc, bucket) partial-agg shuffle + one per-doc agg"
+    ),
+    "docs_gopher_quality_flags": (
+        "four of five rule features map-side from the token array; "
+        "only top-token share pays the (doc, t) partial-agg shuffle"
+    ),
+    "dedup_cc_twostar": (
+        "per round: two groupBy-min partial aggs + two node-keyed "
+        "joins; edge frame localCheckpointed (lineage cut) — no "
+        "cartesian, no full-edge re-shuffle after round 0"
+    ),
+    "trade_graph_hits": (
+        "per half-round: edge BHJ against node-sized score frame + "
+        "partial-agg groupBy + 1-row max broadcast; all-integer state"
+    ),
+    "events_exact_quartiles_nosort": (
+        "phase 1 = map-side bucketing + 4096-row cumulative histogram; "
+        "phase 2 ranks ONLY the 3 target buckets — no global sort of "
+        "the events frame anywhere in the plan"
+    ),
+    "docs_curriculum_rank": (
+        "token-count histogram (bounded domain) broadcast back as rank "
+        "offsets; row_number KEYED by n_tok — the global-ordinal plan "
+        "with no single-partition window"
+    ),
+    "quality_pair_mining": (
+        "score map-side; chosen/rejected are two keyed top-1 windows "
+        "(WindowGroupLimit); source-sized join closes the pair"
+    ),
+    "source_kl_drift": (
+        "one (source, t) partial-agg shuffle; token-dim and source-dim "
+        "broadcast joins; source-sized final agg"
+    ),
+    "abtest_cuped_adjusted": (
+        "per-user partial agg; pooled moments = 1-row broadcast; arm "
+        "agg is 2 rows — no data-sized frame past the first shuffle"
+    ),
+    "versioned_merge_snapshot": (
+        "reads only manifest-referenced parquet; merge rewrote only "
+        "touched buckets; final agg is one nation-keyed exchange"
+    ),
 }
 
 

@@ -3517,3 +3517,199 @@ def abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_milli"),
         (chi2 > 3841).cast("long").alias("srm_flag"),
     )
+
+
+@query(
+    "user_activity_gini",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+    hist AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS m FROM counts GROUP BY c),
+    runs AS (
+      SELECT c, m,
+             CAST(coalesce(sum(m) OVER (ORDER BY c ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM hist),
+    agg AS (
+      SELECT CAST(sum(c * (m * s + m * (m + 1) // 2)) AS BIGINT) AS s1,
+             CAST(sum(c * m) AS BIGINT) AS t,
+             CAST(sum(m) AS BIGINT) AS n
+      FROM runs)
+    SELECT n AS n_users, t AS total_events,
+           CAST(floor(CAST(2 * s1 - (n + 1) * t AS DOUBLE) * 1000000
+                      / CAST(n * t AS DOUBLE) + 0.5) AS BIGINT)
+             AS gini_micros
+    FROM agg
+    """,
+    doc="Gini coefficient of per-user event concentration WITHOUT "
+    "sorting users: ties collapse into the count HISTOGRAM (value c "
+    "held by m users), and the sorted-rank sum Σ i·x_i factors "
+    "per run as c·(m·s + m(m+1)/2) with s = users before the run — "
+    "so the whole statistic needs one (user) partial agg, one "
+    "histogram agg, and ONE histogram-sized cumulative window "
+    "(bounded by distinct activity levels, not user count). "
+    "G = (2·Σi·x_i − (n+1)·T) / (n·T): integer numerator/denominator, "
+    "one mirrored double division, micros-rounded. The concentration "
+    "thermometer beside #157's top-20 skew profile — #157 names the "
+    "hot keys, THIS gives the one-number inequality of the whole "
+    "distribution (0 = uniform, →1 = one user is the firehose).",
+    tags=("analytics",),
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    wh = Window.orderBy(F.col("c").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runs = hist.withColumn("s", F.coalesce(F.sum("m").over(wh), F.lit(0)))
+    agg = runs.agg(
+        F.sum(
+            F.col("c")
+            * (
+                F.col("m") * F.col("s")
+                + F.expr("m * (m + 1) div 2")
+            )
+        ).alias("s1"),
+        F.sum(F.col("c") * F.col("m")).alias("t"),
+        F.sum("m").alias("n"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("t").cast("long").alias("total_events"),
+        F.floor(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("t")).cast("double")
+            * 1_000_000
+            / (F.col("n") * F.col("t")).cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("gini_micros"),
+    )
+
+
+@query(
+    "part_brand_type_chi2",
+    oracle="""
+    WITH obs AS (
+      SELECT p_brand AS b, p_type AS cc,
+             CAST(count(*) AS BIGINT) AS o
+      FROM part GROUP BY 1, 2),
+    rt AS (SELECT b, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY b),
+    ct AS (SELECT cc, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY cc),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT rt.b, ct.cc, rt.r, ct.c, coalesce(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN obs ON obs.b = rt.b AND obs.cc = ct.cc),
+    cells AS (
+      SELECT CAST(round(CAST(o * n - r * c AS DOUBLE)
+                        * CAST(o * n - r * c AS DOUBLE)
+                        / CAST(r * c AS DOUBLE) / n * 1000) AS BIGINT)
+               AS term_milli
+      FROM grid CROSS JOIN tot),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS nr,
+             (SELECT CAST(count(*) AS BIGINT) FROM ct) AS nc)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           (SELECT (nr - 1) * (nc - 1) FROM dims) AS dof,
+           CAST(sum(term_milli) AS BIGINT) AS chi2_milli
+    FROM cells
+    """,
+    doc="Chi-square test of independence between two categorical "
+    "columns (brand x part type — the are-these-dimensions-coupled "
+    "audit behind every stratified design): each cell's "
+    "(O-E)^2/E is rewritten as (O·n − r·c)^2 / (r·c·n) so every "
+    "argument entering the doubles is an EXACT INTEGER, the division "
+    "chain is mirrored operand-for-operand, the FULL RxC grid is "
+    "materialized so ZERO cells contribute their (0-E)^2/E (the "
+    "sparse-table pitfall, pinned by the perfect-coupling test), and "
+    "each cell rounds to "
+    "milli BEFORE the integer sum (cell count = |brands|x|types|, "
+    "bounded by cardinality not data). One (b, cc) partial-agg "
+    "shuffle; margins are two dim-sized aggs broadcast back.",
+    tags=("analytics",),
+)
+def part_brand_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    obs = part.groupBy(
+        F.col("p_brand").alias("b"), F.col("p_type").alias("cc")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("b").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("cc").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    dims = rt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    d = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = F.round(
+        d * d / (F.col("r") * F.col("c")).cast("double") / F.col("n") * 1000
+    ).cast("long")
+    # the FULL R x C grid: chi-square's zero cells contribute (0-E)^2/E
+    # — summing observed cells only understates the statistic (caught
+    # by the perfect-coupling pin)
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["b", "cc"], "left")
+        .select("b", "cc", "r", "c", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    cells = grid.crossJoin(F.broadcast(tot)).select(term.alias("term_milli"))
+    return (
+        cells.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("term_milli").cast("long").alias("chi2_milli"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            "chi2_milli",
+        )
+    )
+
+
+@query(
+    "orders_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM monthly)
+    SELECT mon, cents AS revenue_cents,
+           CAST(floor(CAST(cents AS DOUBLE) * 12000000 / total + 0.5)
+                AS BIGINT) AS index_micros
+    FROM monthly CROSS JOIN tot
+    """,
+    doc="Multiplicative seasonal index by calendar month "
+    "(month-of-year revenue share x 12, so 1_000_000 = a perfectly "
+    "average month): the classical-decomposition seasonal component "
+    "a forecasting pipeline divides out before trend fitting "
+    "(complements #231 OLS trend / #187 EWMA level). cents are exact "
+    "integers; the index is one mirrored double multiply-divide, "
+    "micros-floored. One month-keyed partial agg + a 1-row total "
+    "broadcast — 12 output rows at any scale.",
+    tags=("analytics",),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("mon")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = monthly.agg(F.sum("cents").alias("total"))
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "mon",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.floor(
+            F.col("cents").cast("double") * 12_000_000 / F.col("total") + 0.5
+        )
+        .cast("long")
+        .alias("index_micros"),
+    )

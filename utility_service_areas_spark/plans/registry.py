@@ -98,11 +98,17 @@ _DRIVER_PRIORITY = (
     "quality_pair_mining",
     "docs_curriculum_rank",
     "abtest_srm_check",
-    # 2) 34 of the 35 r7-stale keys (newest green driver row is r7 —
+    "user_activity_gini",
+    "part_brand_type_chi2",
+    "orders_seasonality_index",
+    "vocab_coverage_sweep",
+    # 2) 30 of the 35 r7-stale keys (newest green driver row is r7 —
     #    the oldest attestations left; computed from CORRECTNESS_r01-
-    #    r12). ann_quantized_topk yields its slot to the 16 first-ever
-    #    r13 attestations (never-attested > stale-green per slot) and
-    #    heads the r14 rotation.
+    #    r12). Five r7 keys yield their slots to the 20 first-ever r13
+    #    attestations (never-attested > stale-green per slot) and head
+    #    the r14 rotation: ann_quantized_topk, docs_unigram_surprisal,
+    #    dedup_keep_best_quality, embedding_centroid_by_label,
+    #    ann_ivf_sqrtn_topk.
     "flagship_service_area_report",
     "filter_tag_entities",
     "latest_update_per_entity",
@@ -133,13 +139,9 @@ _DRIVER_PRIORITY = (
     "docs_training_filter",
     "token_count_histogram",
     "corpus_clean_sample",
-    "docs_unigram_surprisal",
-    "dedup_keep_best_quality",
-    "embedding_centroid_by_label",
-    "ann_ivf_sqrtn_topk",
     # r7/r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): ann_quantized_topk (r7), then the r8 block in
-    # module-load order: two_digit_year_fix, enrich_join_dims,
+    # rotation's head): the five r7 keys named above, then the r8
+    # block in module-load order: two_digit_year_fix, enrich_join_dims,
     # anti_join_missing,
     # patch_override_join, sync_status_case,
     # group_combine_collect, concat_order_text,

@@ -2946,3 +2946,98 @@ def docs_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("curriculum_rank"),
         )
     )
+
+
+# Vocabulary budget sweep (#256): coverage of top-K types per K.
+_VOCAB_KS = (16, 64, 256, 1024)
+
+
+@query(
+    "vocab_coverage_sweep",
+    oracle=rf"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    types AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM types GROUP BY c),
+    runs AS (
+      SELECT c, m,
+             CAST(coalesce(sum(m) OVER (ORDER BY c DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM hist),
+    tot AS (SELECT CAST(sum(c * m) AS BIGINT) AS total,
+                   CAST(sum(m) AS BIGINT) AS n_types FROM hist),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _VOCAB_KS)}])
+             AS vocab_k),
+    cov AS (
+      SELECT ks.vocab_k,
+             CAST(sum(CASE WHEN r.s + r.m <= ks.vocab_k THEN r.c * r.m
+                           WHEN r.s < ks.vocab_k
+                             THEN r.c * (ks.vocab_k - r.s)
+                           ELSE 0 END) AS BIGINT) AS covered
+      FROM ks CROSS JOIN runs r GROUP BY ks.vocab_k)
+    SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+           covered AS covered_tokens, tot.total AS total_tokens,
+           CAST(floor(CAST(covered AS DOUBLE) * 1000000 / tot.total + 0.5)
+                AS BIGINT) AS coverage_micros
+    FROM cov CROSS JOIN tot
+    """,
+    doc="Vocabulary-budget sweep: corpus token coverage of the top-K "
+    "most frequent types for K in (16, 64, 256, 1024) — the curve a "
+    "tokenizer team reads to pick its vocab size (complements #171's "
+    "fixed top-512 coverage and #209's BPE sweep) — computed with "
+    "ZERO type-level windows: type counts collapse into the count "
+    "HISTOGRAM, a histogram-sized descending cumulative gives each "
+    "tied run its rank interval [s, s+m), and top-K coverage is full "
+    "runs + c·(K−s) for the run K splits — value-exact regardless of "
+    "tie order, because tied types are interchangeable by "
+    "construction (the #253 Gini factoring applied to ranking from "
+    "the top). One tokenize pass, one (t) partial agg, then every "
+    "frame is histogram-sized.",
+    tags=("text", "pipeline"),
+)
+def vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    types = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    hist = types.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    wh = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runs = hist.withColumn("s", F.coalesce(F.sum("m").over(wh), F.lit(0)))
+    tot = hist.agg(
+        F.sum(F.col("c") * F.col("m")).alias("total"),
+        F.sum("m").alias("n_types"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _VOCAB_KS], "vocab_k long"
+    )
+    covered = F.sum(
+        F.when(
+            F.col("s") + F.col("m") <= F.col("vocab_k"),
+            F.col("c") * F.col("m"),
+        )
+        .when(
+            F.col("s") < F.col("vocab_k"),
+            F.col("c") * (F.col("vocab_k") - F.col("s")),
+        )
+        .otherwise(F.lit(0))
+    )
+    cov = (
+        ks.crossJoin(F.broadcast(runs))
+        .groupBy("vocab_k")
+        .agg(covered.alias("covered"))
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        F.col("vocab_k").cast("long").alias("vocab_k"),
+        F.col("covered").cast("long").alias("covered_tokens"),
+        F.col("total").cast("long").alias("total_tokens"),
+        F.floor(
+            F.col("covered").cast("double") * 1_000_000 / F.col("total") + 0.5
+        )
+        .cast("long")
+        .alias("coverage_micros"),
+    )
