@@ -330,3 +330,37 @@ def test_datasource_partitions_are_per_file_and_crash_invisible(spark, tmp_path)
 def test_datasource_missing_table_raises(spark, tmp_path):
     with pytest.raises(Exception, match="no committed versions"):
         spark.read.format("versioned_table").load(str(tmp_path / "nope")).count()
+
+
+def test_table_cli_lifecycle(spark, tmp_path, capsys):
+    """The `table` CLI drives the whole lifecycle: bucketed write ->
+    COW merge of a changeset parquet -> time-travel read -> diff ->
+    vacuum — all through main(argv), the user-facing surface."""
+    from utility_service_areas_spark.__main__ import main
+
+    src = str(tmp_path / "src.parquet")
+    _kv(spark, [(k, f"v{k}") for k in range(12)]).write.parquet(src)
+    ch = str(tmp_path / "ch.parquet")
+    _ch(spark, [(1, "M", "U"), (2, None, "D")]).write.parquet(ch)
+    t = str(tmp_path / "tbl")
+
+    assert main(["table", "write", "--table-dir", t, "--source", src,
+                 "--bucket-by", "k", "--n-buckets", "4"]) == 0
+    assert main(["table", "merge", "--table-dir", t, "--source", ch]) == 0
+    assert main(["table", "versions", "--table-dir", t]) == 0
+    out = capsys.readouterr().out
+    assert "committed v0" in out and "merged -> v1" in out
+    assert "v0: mode=overwrite rows=12" in out
+    assert "v1: mode=merge rows=11" in out
+
+    assert main(["table", "read", "--table-dir", t, "--version", "0"]) == 0
+    assert "12 rows" in capsys.readouterr().out
+    assert main(["table", "diff", "--table-dir", t,
+                 "--v-old", "0", "--v-new", "1"]) == 0
+    assert "-2" in capsys.readouterr().out  # old rows for k=1 (replaced) + k=2 (deleted)
+
+    assert main(["table", "vacuum", "--table-dir", t, "--keep-last", "1"]) == 0
+    assert "1 versions retained" in capsys.readouterr().out
+    assert list_versions(t) == [1]
+    got = {(r.k, r.v) for r in read_version(spark, t, 1).collect()}
+    assert got == {(k, f"v{k}") for k in range(12) if k not in (1, 2)} | {(1, "M")}

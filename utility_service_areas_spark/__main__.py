@@ -98,7 +98,107 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated cert1:cert2 acquisition merges",
     )
 
+    tab = sub.add_parser(
+        "table",
+        help="versioned-table lifecycle (S33/S35/S37): write/append "
+        "snapshots, bucketed copy-on-write MERGE of a U/D changeset, "
+        "time-travel read, history diff, vacuum",
+    )
+    tab.add_argument(
+        "action",
+        choices=("write", "merge", "read", "versions", "diff", "vacuum"),
+    )
+    tab.add_argument("--table-dir", required=True)
+    tab.add_argument("--source", help="parquet path (write: rows; merge: changeset with an 'op' column)")
+    tab.add_argument("--mode", choices=("append", "overwrite"), default="append")
+    tab.add_argument(
+        "--bucket-by",
+        default="",
+        help="comma-separated key columns: write a BUCKETED version "
+        "(required before merge)",
+    )
+    tab.add_argument("--n-buckets", type=int, default=16)
+    tab.add_argument("--version", type=int, default=None)
+    tab.add_argument("--v-old", type=int, default=None)
+    tab.add_argument("--v-new", type=int, default=None)
+    tab.add_argument("--keep-last", type=int, default=2)
+    tab.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "table":
+        from utility_service_areas_spark.session import build_session
+        from utility_service_areas_spark.sources import versioned as vt
+
+        if args.action in ("versions", "vacuum"):  # no Spark needed
+            if args.action == "versions":
+                for v in vt.list_versions(args.table_dir):
+                    man = vt._read_manifest(args.table_dir, v)
+                    print(
+                        f"v{v}: mode={man['mode']} rows={man['n_rows']} "
+                        f"dirs={len(man['data_dirs'])}"
+                        + (
+                            f" buckets={man['n_buckets']}"
+                            if "buckets" in man
+                            else ""
+                        )
+                    )
+                return 0
+            stats = vt.vacuum(args.table_dir, keep_last=args.keep_last)
+            print(
+                f"vacuumed {args.table_dir}: "
+                f"{stats['manifests_removed']} manifests, "
+                f"{stats['dirs_removed']} dirs removed, "
+                f"{stats['versions_retained']} versions retained"
+            )
+            return 0
+
+        spark = build_session("usa-cli-table")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.action == "write":
+            if not args.source:
+                ap.error("table write requires --source")
+            df = spark.read.parquet(args.source)
+            if args.bucket_by:
+                v = vt.write_version_bucketed(
+                    df,
+                    args.table_dir,
+                    bucket_cols=args.bucket_by.split(","),
+                    n_buckets=args.n_buckets,
+                )
+            else:
+                v = vt.write_version(df, args.table_dir, mode=args.mode)
+            print(f"committed v{v} to {args.table_dir}")
+        elif args.action == "merge":
+            if not args.source:
+                ap.error("table merge requires --source (changeset parquet)")
+            v = vt.merge_version(
+                spark, args.table_dir, spark.read.parquet(args.source)
+            )
+            print(f"merged -> v{v} at {args.table_dir}")
+        elif args.action == "read":
+            df = (
+                spark.read.format("versioned_table")
+                .options(
+                    **(
+                        {"version": str(args.version)}
+                        if args.version is not None
+                        else {}
+                    )
+                )
+                .load(args.table_dir)
+            )
+            df.show(args.limit, truncate=False)
+            print(f"{df.count()} rows")
+        else:  # diff
+            if args.v_old is None or args.v_new is None:
+                ap.error("table diff requires --v-old and --v-new")
+            d = vt.diff_versions(spark, args.table_dir, args.v_old, args.v_new)
+            print(
+                f"v{args.v_old} -> v{args.v_new}: +{d['added']} "
+                f"-{d['removed']} ({d['n_rows_old']} -> {d['n_rows_new']} rows)"
+            )
+        return 0
 
     if args.cmd == "index":
         from pyspark.sql import functions as F
