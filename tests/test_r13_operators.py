@@ -718,3 +718,63 @@ def test_seasonality_index_sums_to_twelve(spark):
     assert {r.mon for r in rows} == set(range(1, 13))
     s = sum(r.index_micros for r in rows)
     assert 12_000_000 - 12 <= s <= 12_000_000 + 12
+
+
+def test_heaps_fit_recovers_planted_exponent(spark, tmp_path):
+    """Semantic pin: a corpus planted with V = N^0.5 per source (each
+    source's doc holds sqrt(N) distinct types cycled N times) fits
+    beta ~ 0.5; a full-diversity corpus (every token distinct) fits
+    beta ~ 1."""
+    from utility_service_areas_spark.plans.text_queries import corpus_heaps_fit
+
+    def corpus(name, beta_one):
+        rows = []
+        for si, n in enumerate((256, 1024, 4096)):
+            if beta_one:
+                words = [f"s{si}w{j}" for j in range(n)]
+            else:
+                v = int(n**0.5)
+                words = [f"s{si}w{j % v}" for j in range(n)]
+            rows.append((si, " ".join(words), "en", f"src{si}", len(words)))
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/{name}/documents.parquet")
+
+    corpus("sqrt", beta_one=False)
+    got = corpus_heaps_fit(spark, f"{tmp_path}/sqrt").collect()[0]
+    assert got.n_points == 3
+    assert 450_000 <= got.beta_micros <= 550_000
+
+    corpus("full", beta_one=True)
+    got = corpus_heaps_fit(spark, f"{tmp_path}/full").collect()[0]
+    assert 990_000 <= got.beta_micros <= 1_010_000
+
+
+def test_poisson_ci_brackets_rate_and_scales(spark, tmp_path):
+    """The CI must bracket the point rate symmetrically in n-space,
+    and a planted 2-type stream (one type 4x the other) reads a 2x
+    rate ratio... 4x ratio exactly (counts are exact)."""
+    import datetime as dt
+
+    from utility_service_areas_spark.plans.event_queries import (
+        events_poisson_rate_ci,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(400):
+        rows.append((eid, t0 + dt.timedelta(seconds=9 * i), 1, "hot", 1.0, "{}"))
+        eid += 1
+    for i in range(100):
+        rows.append((eid, t0 + dt.timedelta(seconds=36 * i), 2, "cold", 1.0, "{}"))
+        eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.event_type: r for r in events_poisson_rate_ci(spark, str(tmp_path)).collect()}
+    assert got["hot"].n_events == 400 and got["cold"].n_events == 100
+    # same observation span for every type (global), 4x count -> 4x rate
+    assert got["hot"].span_seconds == got["cold"].span_seconds
+    assert abs(got["hot"].rate_milli_per_hour - 4 * got["cold"].rate_milli_per_hour) <= 3
+    for r in got.values():
+        assert r.ci_lo_milli < r.rate_milli_per_hour < r.ci_hi_milli

@@ -279,6 +279,8 @@ EXPECTED_KEYS = {
     "part_brand_type_chi2",
     "orders_seasonality_index",
     "vocab_coverage_sweep",
+    "corpus_heaps_fit",
+    "events_poisson_rate_ci",
 }
 
 

@@ -272,3 +272,60 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("sum_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+@query(
+    "events_poisson_rate_ci",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+               AS span_s
+      FROM events),
+    per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type)
+    SELECT event_type, n AS n_events, span.span_s AS span_seconds,
+           CAST(round(CAST(n AS DOUBLE) * 3600 / span_s * 1000) AS BIGINT)
+             AS rate_milli_per_hour,
+           CAST(round((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE)))
+                      * 3600 / span_s * 1000) AS BIGINT) AS ci_lo_milli,
+           CAST(round((CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS DOUBLE)))
+                      * 3600 / span_s * 1000) AS BIGINT) AS ci_hi_milli
+    FROM per CROSS JOIN span
+    """,
+    doc="Per-event-type Poisson arrival rate with a 95% normal-"
+    "approximation CI (rate = n/T, CI = (n +- 1.96*sqrt(n))/T) — the "
+    "capacity/alerting readout beside #194's burst detection: burst "
+    "says WHEN a type spiked, this says what rate band is NORMAL so "
+    "a provisioner can size consumers. Engine-exact: n and the "
+    "observation span (whole seconds between global min/max ts) are "
+    "integers; sqrt of an exact-integer double IS correctly rounded "
+    "cross-engine (SURVEY §6 — unlike pow/ln), and the remaining "
+    "multiply/divide chain is mirrored operand-for-operand, "
+    "milli-rounded. One type-keyed partial agg + a 1-row span agg "
+    "broadcast back.",
+    tags=("events", "analytics"),
+)
+def events_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    span = events.agg(
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("span_s")
+    )
+    per = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_d = F.col("n").cast("double")
+    return per.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("span_s").cast("long").alias("span_seconds"),
+        F.round(n_d * 3600 / F.col("span_s") * 1000)
+        .cast("long")
+        .alias("rate_milli_per_hour"),
+        F.round((n_d - 1.96 * F.sqrt(n_d)) * 3600 / F.col("span_s") * 1000)
+        .cast("long")
+        .alias("ci_lo_milli"),
+        F.round((n_d + 1.96 * F.sqrt(n_d)) * 3600 / F.col("span_s") * 1000)
+        .cast("long")
+        .alias("ci_hi_milli"),
+    )

@@ -102,13 +102,16 @@ _DRIVER_PRIORITY = (
     "part_brand_type_chi2",
     "orders_seasonality_index",
     "vocab_coverage_sweep",
-    # 2) 30 of the 35 r7-stale keys (newest green driver row is r7 —
+    "corpus_heaps_fit",
+    "events_poisson_rate_ci",
+    # 2) 28 of the 35 r7-stale keys (newest green driver row is r7 —
     #    the oldest attestations left; computed from CORRECTNESS_r01-
-    #    r12). Five r7 keys yield their slots to the 20 first-ever r13
-    #    attestations (never-attested > stale-green per slot) and head
-    #    the r14 rotation: ann_quantized_topk, docs_unigram_surprisal,
-    #    dedup_keep_best_quality, embedding_centroid_by_label,
-    #    ann_ivf_sqrtn_topk.
+    #    r12). Seven r7 keys yield their slots to the 22 first-ever
+    #    r13 attestations (never-attested > stale-green per slot) and
+    #    head the r14 rotation: ann_quantized_topk,
+    #    docs_unigram_surprisal, dedup_keep_best_quality,
+    #    embedding_centroid_by_label, ann_ivf_sqrtn_topk,
+    #    corpus_clean_sample, token_count_histogram.
     "flagship_service_area_report",
     "filter_tag_entities",
     "latest_update_per_entity",
@@ -137,10 +140,8 @@ _DRIVER_PRIORITY = (
     "bloom_new_customer_orders",
     "reservoir_sample_docs",
     "docs_training_filter",
-    "token_count_histogram",
-    "corpus_clean_sample",
     # r7/r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): the five r7 keys named above, then the r8
+    # rotation's head): the seven r7 keys named above, then the r8
     # block in module-load order: two_digit_year_fix, enrich_join_dims,
     # anti_join_missing,
     # patch_override_join, sync_status_case,

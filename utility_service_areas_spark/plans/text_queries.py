@@ -3041,3 +3041,77 @@ def vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coverage_micros"),
     )
+
+
+@query(
+    "corpus_heaps_fit",
+    oracle=rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+    pts AS (
+      SELECT source,
+             CAST(round(1000 * log2(count(*))) AS BIGINT) AS x_mb,
+             CAST(round(1000 * log2(count(DISTINCT t))) AS BIGINT) AS y_mb
+      FROM tok GROUP BY source),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x_mb) AS BIGINT) AS sx,
+             CAST(sum(y_mb) AS BIGINT) AS sy,
+             CAST(sum(x_mb * y_mb) AS BIGINT) AS sxy,
+             CAST(sum(x_mb * x_mb) AS BIGINT) AS sxx
+      FROM pts)
+    SELECT n AS n_points,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+                AS BIGINT) AS beta_micros,
+           CAST(round((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / n) AS BIGINT)
+             AS log2k_millibits
+    FROM s
+    """,
+    doc="Heaps'-law fit (V = k·N^beta — vocabulary growth vs corpus "
+    "size, Heaps 1978): each SOURCE contributes one (log2 N_s, "
+    "log2 V_s) point, quantized to integer MILLIBITS (log2 args are "
+    "exact integer counts, the #89 posture), then beta/log2k come "
+    "from the #231 OLS shape over the 20 integer points — every sum "
+    "a BIGINT, two mirrored IEEE divisions at the end. The "
+    "capacity-planning twin of #230's Zipf fit: Zipf says how token "
+    "MASS concentrates, Heaps says how fast the VOCABULARY a "
+    "tokenizer/dictionary must hold grows with corpus scale "
+    "(beta~0.5 = sublinear; near 1 = vocabulary explosion, a "
+    "crawler-garbage signal). One tokenize pass + one (source, t)-"
+    "level distinct agg; the fit runs on a source-sized frame.",
+    tags=("text", "pipeline"),
+)
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    pts = tok.groupBy("source").agg(
+        F.round(1000 * F.log2(F.count(F.lit(1)))).cast("long").alias("x_mb"),
+        F.round(1000 * F.log2(F.countDistinct("t")))
+        .cast("long")
+        .alias("y_mb"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_mb").alias("sx"),
+        F.sum("y_mb").alias("sy"),
+        F.sum(F.col("x_mb") * F.col("y_mb")).alias("sxy"),
+        F.sum(F.col("x_mb") * F.col("x_mb")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope * 1_000_000).cast("long").alias("beta_micros"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("log2k_millibits"),
+    )
