@@ -64,15 +64,22 @@ def _tokenize_counts(
     docs: DataFrame, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, doclens) for a document frame — the tf/dl stages of
-    bm25_topk_frame verbatim."""
+    bm25_topk_frame verbatim. The corpus is tokenized exactly ONCE:
+    postings are materialized (localCheckpoint), and doclens derive
+    from them (dl = sum tf per doc, an identity of the tokenization) —
+    r13 code review #7 found the naive two-frame version paying three
+    corpus-sized tokenize passes per build."""
     from utility_service_areas_spark.functions.textops import tokens
+    from utility_service_areas_spark.operators.dedup import lineage_cut
 
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
     )
-    postings = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    doclens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = lineage_cut(
+        tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return postings, doclens
 
 
@@ -147,6 +154,13 @@ def add_to_bm25_index(
     txc = text_col or manifest["text_col"]
     fresh = new_docs.join(
         doclens.select(F.col("doc_id").alias(idc)), idc, "left_anti"
+    )
+    # Intra-batch duplicate doc_ids would also double-count (the
+    # anti-join only shields against the COMMITTED store — r13 code
+    # review #4): keep one row per id, deterministically (min text
+    # hash), so a retried-or-unioned upstream can't inflate tf/dl.
+    fresh = fresh.groupBy(idc).agg(
+        F.min_by(F.col(txc), F.md5(F.col(txc))).alias(txc)
     )
     new_postings, new_doclens = _tokenize_counts(fresh, idc, txc)
     new_postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))

@@ -121,7 +121,12 @@ def build_ivfpq_index(
         "n_centroids": n_centroids,
         "centroid_stride": centroid_stride,
         "codebooks": [[list(map(float, c)) for c in books[s]] for s in range(m)],
-        "n_vectors": codes_with_cell.count(),
+        # count the WRITTEN parquet, not the lineage — counting
+        # codes_with_cell re-ran the whole assign/residual/encode
+        # pipeline a second time (r13 code review #6)
+        "n_vectors": emb.sparkSession.read.parquet(
+            os.path.join(index_dir, "codes")
+        ).count(),
         "n_adds": 0,
     }
     with open(_manifest_path(index_dir), "w") as f:  # commit marker, LAST
@@ -224,7 +229,14 @@ def add_to_ivfpq_index(
                 cols[f"code_{s}"] = cl
             yield pd.DataFrame(cols)
 
-    new_codes = resid.mapInPandas(encode, schema)
+    # Append in EXACTLY build's column order (neighbor_id, code_*,
+    # cell): a multi-file parquet read resolves its schema from an
+    # arbitrary file, so mixed per-file column orders make the frame's
+    # column order nondeterministic across sessions (latent flake
+    # surfaced by the r13 review's count-the-written-parquet fix).
+    new_codes = resid.mapInPandas(encode, schema).select(
+        "neighbor_id", *[f"code_{s}" for s in range(m)], "cell"
+    )
     codes_path = os.path.join(index_dir, "codes")
     new_codes.write.mode("append").parquet(codes_path)
     # One batch pass only: count the committed store, not the batch

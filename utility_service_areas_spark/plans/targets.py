@@ -131,6 +131,20 @@ def _transitive_fns(build) -> list[tuple[str, object]]:
             codes.extend(x for x in c.co_consts if isinstance(x, types.CodeType))
         g = getattr(fn, "__globals__", {})
         cands = [g.get(n) for n in names]
+        # Module-attribute callees (r13 code review #5): `import helpers;
+        # helpers.clean(df)` puts 'helpers' and 'clean' in co_names but
+        # `clean` is not a global of THIS function — resolve every
+        # co_name against every first-party module referenced, so an
+        # edit to helpers.clean still invalidates the stage key.
+        for n in names:
+            mod = g.get(n)
+            if isinstance(mod, types.ModuleType) and (
+                getattr(mod, "__name__", "").startswith(
+                    "utility_service_areas_spark"
+                )
+                or getattr(mod, "__name__", "") == build_mod
+            ):
+                cands.extend(getattr(mod, n2, None) for n2 in names)
         for cell in getattr(fn, "__closure__", None) or ():
             try:
                 cands.append(cell.cell_contents)

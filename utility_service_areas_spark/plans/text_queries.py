@@ -3012,9 +3012,7 @@ def vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("m")).alias("total"),
         F.sum("m").alias("n_types"),
     )
-    ks = spark.range(0).sparkSession.createDataFrame(
-        [(k,) for k in _VOCAB_KS], "vocab_k long"
-    )
+    ks = spark.createDataFrame([(k,) for k in _VOCAB_KS], "vocab_k long")
     covered = F.sum(
         F.when(
             F.col("s") + F.col("m") <= F.col("vocab_k"),

@@ -398,11 +398,14 @@ class ShapefileWriter(DataSourceWriter):
         if self._overwrite:
             try:
                 for n in os.listdir(self._path):
-                    if n.startswith("part-") and n.rsplit(".", 1)[-1] in (
+                    drop = n.startswith("part-") and n.rsplit(".", 1)[-1] in (
                         "shp",
                         "shx",
                         "dbf",
-                    ):
+                    )
+                    # overwrite starts a fresh lineage: stale append
+                    # seq-claim markers go with the old parts
+                    if drop or n.startswith("_seq-"):
                         os.remove(os.path.join(self._path, n))
             except FileNotFoundError:
                 pass
@@ -412,16 +415,34 @@ class ShapefileWriter(DataSourceWriter):
             # greater than any already present, so they never collide
             # with (or lexicographically precede) existing parts.
             # Legacy `part-00000` names parse as seq 0 via the first
-            # numeric group.
+            # numeric group. The seq is then CLAIMED atomically
+            # (O_CREAT|O_EXCL marker): two concurrent append jobs that
+            # both scanned the same max can no longer pick the same seq
+            # and silently overwrite each other's trios (r13 code
+            # review #8 — the concurrency twin of the r12 append fix;
+            # markers persist as the claim record, swept by overwrite).
             seqs = []
             try:
                 for n in os.listdir(self._path):
                     m = re.match(r"part-(\d+)", n)
                     if m and n.rsplit(".", 1)[-1] in ("shp", "shx", "dbf"):
                         seqs.append(int(m.group(1)))
+                    m2 = re.match(r"_seq-(\d+)$", n)
+                    if m2:
+                        seqs.append(int(m2.group(1)))
             except FileNotFoundError:
                 pass
+            os.makedirs(self._path, exist_ok=True)
             seq = max(seqs) + 1 if seqs else 0
+            while True:
+                marker = os.path.join(self._path, f"_seq-{seq:05d}")
+                try:
+                    os.close(
+                        os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    )
+                    break
+                except FileExistsError:
+                    seq += 1
         for m in messages:
             if m is None or m.tmp_base is None:
                 continue
@@ -478,8 +499,9 @@ def _versioned_files(table_dir: str, manifest: dict) -> list[str]:
 
 
 class VersionedTableReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, columns: list[str]):
         self._table_dir, self._manifest = _versioned_manifest(options)
+        self._columns = columns
 
     def partitions(self):
         # one partition per parquet part file — data-parallel reads,
@@ -495,7 +517,14 @@ class VersionedTableReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.file_path)
-        yield from pf.iter_batches()
+        # Arrow batches bind to the announced schema POSITIONALLY, and
+        # append allows schema-valid column REORDERING across commits
+        # (the _schema_key check is order-insensitive) — so every
+        # batch is re-projected to the reader's schema order. Without
+        # this, a reordered-append table crashed on type mismatch or
+        # silently swapped same-typed columns (r13 code review #1).
+        for batch in pf.iter_batches():
+            yield batch.select(self._columns)
 
 
 class VersionedTableDataSource(DataSource):
@@ -527,4 +556,4 @@ class VersionedTableDataSource(DataSource):
         return _parse_datatype_string(f"struct<{fields}>")
 
     def reader(self, schema: StructType) -> VersionedTableReader:
-        return VersionedTableReader(self.options)
+        return VersionedTableReader(self.options, [f.name for f in schema.fields])

@@ -310,6 +310,23 @@ def merge_version(
     bucket_cols = man["bucket_cols"]
     n_buckets = man["n_buckets"]
 
+    # Delta's multiple-source-matches posture: a changeset with two
+    # rows for one key is ambiguous (a same-key D+U pair would lose
+    # the delete; two U rows would break key uniqueness) — refuse
+    # loudly instead of committing either wrong answer (r13 review #3).
+    dup = (
+        changes.groupBy(*bucket_cols)
+        .count()
+        .filter("count > 1")
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "merge changeset has multiple rows for key(s) "
+            f"{[tuple(r)[:-1] for r in dup]} — resolve to one row per key "
+            "(e.g. cdc_latest_version_merge's winner rule) before merging"
+        )
     ch = changes.withColumn(
         "__bucket", _bucket_of(changes, bucket_cols, n_buckets)
     )
@@ -400,8 +417,13 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
     manifest with missing data."""
     import shutil
 
+    if keep_last < 1:
+        raise ValueError(
+            f"vacuum(keep_last={keep_last}) would retain NOTHING and "
+            "destroy the table; keep_last must be >= 1"
+        )
     versions = list_versions(table_dir)
-    retained = versions[-keep_last:] if keep_last > 0 else []
+    retained = versions[-keep_last:]
     referenced: set[str] = set()
     for v in retained:
         man = _read_manifest(table_dir, v)

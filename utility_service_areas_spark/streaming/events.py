@@ -1083,7 +1083,9 @@ def cdc_apply_stream(stream: DataFrame) -> DataFrame:
     )
 
 
-def score_documents_stream(stream: DataFrame, model_fn=None) -> DataFrame:
+def score_documents_stream(
+    stream: DataFrame, model_fn=None, output_dim: int | None = None
+) -> DataFrame:
     """S36 — streaming twin of the batch model-inference seam
     (operators/inference.py, #238): neural scoring applied to a
     document STREAM. infer_batches is a stateless mapInPandas
@@ -1100,11 +1102,17 @@ def score_documents_stream(stream: DataFrame, model_fn=None) -> DataFrame:
         infer_batches,
     )
 
+    # output_dim pins the fake's known dimension ONLY when the fake is
+    # in play; an injected production model keeps infer_batches'
+    # infer-from-first-valid-row behavior (r13 code review #2 — a
+    # hardcoded 4 rejected every row of a 768-dim embedder).
+    if model_fn is None:
+        model_fn, output_dim = fake_hash_model, (output_dim or 4)
     return infer_batches(
         stream.select("doc_id", "text"),
-        model_fn=model_fn or fake_hash_model,
+        model_fn=model_fn,
         id_col="doc_id",
         text_col="text",
         batch_size=64,
-        output_dim=4,
+        output_dim=output_dim,
     )
