@@ -1267,3 +1267,133 @@ def test_stream_inference_twin_matches_batch(spark, tmp_path):
     assert got == want
     assert got[999_999][1] == "invalid"
     assert sum(1 for v in got.values() if v[1] == "ok") == len(got) - 1
+
+
+def _three_file_docs(spark, tmp_path, with_extra=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(SMOKE_SF + "/documents.parquet")
+    third = max(1, src.num_rows // 3)
+    t0 = 1_700_100_000
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(3):
+        lo = i * third
+        hi = src.num_rows if i == 2 else (i + 1) * third
+        path = str(d / f"b{i}.parquet")
+        pq.write_table(src.slice(lo, hi - lo), path)
+        os.utime(path, (t0 + i, t0 + i))
+    return str(d)
+
+
+def test_stream_bm25_index_maintenance_equals_batch_build(spark, tmp_path):
+    """S38: feeding the documents stream through bm25_index_stream_writer
+    (3 micro-batches) yields an index that answers the #219 workload
+    ROW-IDENTICALLY to one built in a single batch over the same corpus
+    — the exactness of incremental add, exercised through Structured
+    Streaming. A replayed batch (simulated retry) changes nothing:
+    first-writer-wins doc_ids make the fold idempotent."""
+    from utility_service_areas_spark.operators.text_index import (
+        add_to_bm25_index,
+        build_bm25_index,
+        load_bm25_index,
+        search_bm25_index,
+    )
+    from utility_service_areas_spark.plans.text_queries import _BM25_QUERIES
+    from utility_service_areas_spark.sources.tables import (
+        load_table,
+        raw_table_schema,
+    )
+    from utility_service_areas_spark.streaming.events import (
+        bm25_index_stream_writer,
+    )
+
+    d = _three_file_docs(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(raw_table_schema(spark, SMOKE_SF, "documents"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    idx_stream = str(tmp_path / "idx_stream")
+    q = (
+        bm25_index_stream_writer(stream, idx_stream)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 3  # three real micro-batches folded in
+
+    idx_batch = str(tmp_path / "idx_batch")
+    build_bm25_index(load_table(spark, SMOKE_SF, "documents"), idx_batch)
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, qs in _BM25_QUERIES for t in qs.split()],
+        "query_id string, t string",
+    )
+    got = sorted(map(tuple, search_bm25_index(spark, idx_stream, qterms).collect()))
+    want = sorted(map(tuple, search_bm25_index(spark, idx_batch, qterms).collect()))
+    assert got == want and len(got) == 30
+
+    # simulated retry: re-add micro-batch 0's docs — a no-op
+    m_before = load_bm25_index(spark, idx_stream)[0]
+    add_to_bm25_index(
+        spark, idx_stream, spark.read.parquet(os.path.join(d, "b0.parquet"))
+    )
+    m_after = load_bm25_index(spark, idx_stream)[0]
+    assert (m_after["n_docs"], m_after["l_total"]) == (
+        m_before["n_docs"],
+        m_before["l_total"],
+    )
+
+
+def test_stream_versioned_sink_is_exactly_once_across_retry(spark, tmp_path):
+    """S39: the versioned-table streaming sink commits one version per
+    micro-batch keyed txn_id='stream-{batch_id}'; draining the 3-file
+    documents stream gives exactly 3 versions whose latest equals the
+    batch table, and REPLAYING a batch's commit (the foreachBatch
+    retry window) returns the already-committed version instead of
+    appending a duplicate."""
+    from utility_service_areas_spark.sources.tables import (
+        load_table,
+        raw_table_schema,
+    )
+    from utility_service_areas_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        txn_version,
+        write_version,
+    )
+    from utility_service_areas_spark.streaming.events import (
+        versioned_table_stream_writer,
+    )
+
+    d = _three_file_docs(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(raw_table_schema(spark, SMOKE_SF, "documents"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    t = str(tmp_path / "tbl")
+    q = (
+        versioned_table_stream_writer(stream, t)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert list_versions(t) == [0, 1, 2]
+
+    latest = read_version(spark, t)
+    want = load_table(spark, SMOKE_SF, "documents")
+    assert latest.count() == want.count()
+    assert latest.exceptAll(want).count() == 0
+
+    # retry replay: same txn_id -> same version, no new commit
+    replay = spark.read.parquet(os.path.join(d, "b2.parquet"))
+    v = write_version(replay, t, mode="append", txn_id="stream-2")
+    assert v == txn_version(t, "stream-2") == 2
+    assert list_versions(t) == [0, 1, 2]
+    assert read_version(spark, t).count() == want.count()

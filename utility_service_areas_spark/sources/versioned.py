@@ -89,20 +89,45 @@ def _schema_key(df: DataFrame) -> list[list[str]]:
     return sorted([f.name, f.dataType.simpleString()] for f in df.schema.fields)
 
 
+def txn_version(table_dir: str, txn_id: str) -> int | None:
+    """The version a transaction id already committed, or None. Scans
+    committed manifests newest-first driver-side (cheap JSON). The
+    dedup horizon is the RETAINED history: vacuum removes old
+    manifests, so a txn older than the retention window could commit
+    twice — the Delta txn-identifier caveat, inherited deliberately."""
+    for v in reversed(list_versions(table_dir)):
+        if _read_manifest(table_dir, v).get("txn_id") == txn_id:
+            return v
+    return None
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     max_attempts: int = 20,
+    txn_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
     mode='append': the new version = previous version's data dirs +
     this commit's (schema-validated against the latest version).
     mode='overwrite': the new version = this commit's dir only (a new
-    lineage; prior versions stay readable)."""
+    lineage; prior versions stay readable).
+
+    ``txn_id`` makes the commit IDEMPOTENT (S39, the Delta
+    txnAppId/txnVersion posture): if a committed manifest already
+    carries this id, that version is returned and nothing is written —
+    a Structured Streaming foreachBatch sink that passes the batch id
+    as txn_id is exactly-once across micro-batch retries. The check
+    runs again INSIDE the claim loop, so two racing writers with the
+    same txn_id cannot both commit."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn_id is not None:
+        done = txn_version(table_dir, txn_id)
+        if done is not None:
+            return done
     os.makedirs(table_dir, exist_ok=True)
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join("data", f"commit-{token}")
@@ -135,6 +160,13 @@ def write_version(
             "n_rows_commit": n_rows,
             "schema": _schema_key(df),
         }
+        if txn_id is not None:
+            # re-check inside the loop: a racing writer with the SAME
+            # txn may have won the claim since our entry check
+            done = txn_version(table_dir, txn_id)
+            if done is not None:
+                return done
+            manifest["txn_id"] = txn_id
         tmp = os.path.join(table_dir, f"_tmp-v{nxt}-{token}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)

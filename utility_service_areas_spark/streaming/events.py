@@ -1116,3 +1116,58 @@ def score_documents_stream(
         batch_size=64,
         output_dim=output_dim,
     )
+
+
+def versioned_table_stream_writer(stream: DataFrame, table_dir: str):
+    """S39 — EXACTLY-ONCE streaming sink into the versioned table:
+    each micro-batch commits as one append version with
+    txn_id='stream-{batch_id}', so a RETRIED micro-batch (failure
+    between sink commit and checkpoint advance — the classic
+    foreachBatch double-write window) finds its txn already committed
+    and becomes a no-op instead of a duplicate version. This is
+    Delta's txnAppId/txnVersion idempotent-writes contract composed
+    from the repo's own manifest-claim commit; the dedup horizon is
+    the retained manifest history (vacuum caveat documented at
+    txn_version). Returns a DataStreamWriter — caller adds options/
+    trigger and .start()."""
+    from utility_service_areas_spark.sources.versioned import write_version
+
+    def commit_batch(df: DataFrame, batch_id: int) -> None:
+        mode = "append" if list_versions_nonempty(table_dir) else "overwrite"
+        write_version(df, table_dir, mode=mode, txn_id=f"stream-{batch_id}")
+
+    return stream.writeStream.foreachBatch(commit_batch)
+
+
+def list_versions_nonempty(table_dir: str) -> bool:
+    from utility_service_areas_spark.sources.versioned import list_versions
+
+    return bool(list_versions(table_dir))
+
+
+def bm25_index_stream_writer(stream: DataFrame, index_dir: str):
+    """S38 — streaming INDEX MAINTENANCE: each document micro-batch
+    is folded into the persisted BM25 index (S34) via
+    add_to_bm25_index. Exactly-once falls out of the index's own
+    FIRST-WRITER-WINS doc_id contract: a retried micro-batch's docs
+    are all already present, so the re-add is a no-op — no txn
+    bookkeeping needed (idempotence by data semantics, the strongest
+    kind). Because incremental add is EXACT (additive corpus stats),
+    the stream-fed index answers queries row-identically to an index
+    built in one batch over the same corpus (pinned). Returns a
+    DataStreamWriter."""
+    from utility_service_areas_spark.operators.text_index import (
+        add_to_bm25_index,
+        build_bm25_index,
+        load_bm25_index,
+    )
+
+    def feed_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        try:
+            load_bm25_index(spark, index_dir)
+        except FileNotFoundError:
+            build_bm25_index(df.limit(0), index_dir)
+        add_to_bm25_index(spark, index_dir, df)
+
+    return stream.writeStream.foreachBatch(feed_batch)
