@@ -7,57 +7,92 @@ builds the inverted index ONCE, persists it, and answers many query
 workloads from the artifacts (the Lucene segment contract re-expressed
 as parquet + a manifest).
 
-Index layout under ``index_dir``::
+Index layout (format_version 2, r14) under ``index_dir``::
 
-    postings/       parquet (t, doc_id, tf)   — the inverted index
-    doclens/        parquet (doc_id, dl)      — per-doc token counts
-    _MANIFEST.json  params + counts           — commit marker, LAST
+    segments/seg-<token>/postings/pbucket=N/  parquet (t, doc_id, tf)
+    segments/seg-<token>/doclens/             parquet (doc_id, dl)
+    _MANIFEST.json  params + per-segment counts — the ONLY commit point
 
-Commit protocol: parquet artifacts first, manifest LAST (the S31/
-vector_index posture) — a crashed build never surfaces a readable
-index; ``load_bm25_index`` raises without the manifest.
+Each build/add batch becomes ONE immutable segment, staged under
+``segments/_tmp-seg-<token>/`` and made visible by a single atomic
+``os.rename`` — but even a renamed segment is INVISIBLE until the
+manifest lists it, because every reader (load/search/add's anti-join)
+walks ``manifest["segments"]``, never the directory. That closes the
+r13 torn-add window (ADVICE r13 #1): the old layout appended postings
+then doclens as two non-atomic writes, so a crash between them let a
+retried micro-batch pass the doclens anti-join and re-append the same
+postings, doubling tf. Now a crash anywhere before the manifest commit
+leaves an unlisted segment dir that no reader sees and the retried
+batch re-adds cleanly (exactly-once by data semantics — the S38
+claim now holds across a failure anywhere inside feed_batch).
+
+Postings are written partitioned by ``pbucket = pmod(xxhash64(t), B)``
+— the bucketed-by-term layout (VERDICT r13 task #4): a query's terms
+map to a handful of buckets, so ``search_bm25_index`` prunes the
+postings scan to those directories (static partition pruning, pinned
+on PartitionFilters in tests/test_text_index.py) instead of streaming
+the full postings store. The query-term dim then broadcast-joins the
+pruned scan — no Exchange on the postings side at any point.
+
+Manifest counts are ADDITIVE (VERDICT r13 task #5): each segment entry
+carries its own (n_docs, l_total) measured once from the staged
+segment, and the totals are their sums — an add costs O(batch), never
+O(committed store). ``repair_bm25_manifest`` is the recount path for a
+manifest corrupted out-of-band. ``compact_bm25_index`` folds all
+segments into one (manifest-first deletion order, the vacuum posture),
+and ``add_to_bm25_index(compact_every=N)`` self-compacts so repeated
+appends cannot accrue unbounded small-file segments.
 
 EXACT incremental add — and why it's exact where IVFPQ's is "frozen-
 codebook approximate": BM25's corpus statistics (df, N, total length)
 are all ADDITIVE COUNTS derived from the postings/doclens stores at
-search time, so appending a new batch's postings + doclens yields the
-same index state as rebuilding from scratch over the union corpus
-(pinned in tests/test_text_index.py). Re-adding an existing doc_id is
-a NO-OP (first-writer-wins anti-join against doclens), so a retried
-add batch cannot double-count a document's term frequencies.
+search time, so a new segment's postings + doclens yield the same
+index state as rebuilding from scratch over the union corpus (pinned
+in tests/test_text_index.py). Re-adding an existing doc_id is a NO-OP
+(first-writer-wins anti-join against the committed doclens).
 
 ``search_bm25_index`` replays ``bm25_topk_frame``'s scoring
 (plans/text_queries.py, #219) operand for operand — reading tf from
-postings/ and dl from doclens/ instead of tokenizing — so
+postings and dl from doclens instead of tokenizing — so
 search-from-artifacts is row-identical to the inline query over the
 same corpus (driver-oracled via text_bm25_search_persisted against
 the same SQL as #219).
 
-Scale shape: postings/ is the only corpus-sized artifact and both
-search and add stream it; the broadcast query-term dim prunes the
-postings FIRST via a broadcast hash join — one streaming pass, no
-shuffle of the postings, and at production scale the postings table
-would be written bucketed-by-term so the prune is a bucket lookup
-(the inverted-index access pattern survives persistence); df/stats are
-tiny aggregates of the pruned postings / doclens; per-query top-k is
-the WindowGroupLimit pushdown. Nothing corpus-sized reaches the
-driver.
+Concurrency contract: adds/search may interleave with each other
+(first-writer-wins makes a racing duplicate add harmless), but
+compact/repair assume a single maintenance writer — the table-format
+posture (OPTIMIZE takes a table lock in Delta too).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_MANIFEST.json"
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
+_DEFAULT_BUCKETS = 32
 
 
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, MANIFEST_NAME)
+
+
+def _segments_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def _pbucket_col(n_buckets: int):
+    """The bucket-of-term expression — shared by the segment writer and
+    the search-side prune so 'same function of t' is true by
+    construction."""
+    return F.pmod(F.xxhash64(F.col("t")), F.lit(n_buckets)).cast("int")
 
 
 def _tokenize_counts(
@@ -83,40 +118,106 @@ def _tokenize_counts(
     return postings, doclens
 
 
+def _write_segment(
+    spark: SparkSession,
+    index_dir: str,
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_buckets: int,
+) -> dict | None:
+    """Stage one immutable segment and make its DIRECTORY visible with
+    a single atomic rename; returns its manifest entry (name + the
+    additive counts, measured once from the staged parquet — O(batch))
+    or None for an empty batch. The segment stays invisible to readers
+    until the CALLER commits a manifest listing it."""
+    token = uuid.uuid4().hex[:12]
+    root = _segments_root(index_dir)
+    os.makedirs(root, exist_ok=True)
+    staged = os.path.join(root, f"_tmp-seg-{token}")
+    final = os.path.join(root, f"seg-{token}")
+    postings.withColumn("pbucket", _pbucket_col(n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("pbucket").parquet(os.path.join(staged, "postings"))
+    doclens.write.mode("overwrite").parquet(os.path.join(staged, "doclens"))
+    n_docs, l_total = (
+        spark.read.parquet(os.path.join(staged, "doclens"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .collect()[0]
+    )
+    if not n_docs:
+        shutil.rmtree(staged)
+        return None
+    os.rename(staged, final)  # atomic: the segment exists whole or not at all
+    return {
+        "name": f"seg-{token}",
+        "n_docs": int(n_docs),
+        "l_total": int(l_total or 0),
+    }
+
+
+def _commit_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic manifest replace (write temp + os.replace): readers see
+    the old manifest or the new one, never a torn file. This is the
+    single commit point of every index mutation."""
+    tmp = _manifest_path(index_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(index_dir))
+
+
+def _empty_store(
+    spark: SparkSession, manifest: dict
+) -> tuple[DataFrame, DataFrame]:
+    idt = manifest["doc_id_type"]
+    postings = spark.createDataFrame(
+        [], f"t string, doc_id {idt}, tf bigint, pbucket int"
+    )
+    doclens = spark.createDataFrame([], f"doc_id {idt}, dl bigint")
+    return postings, doclens
+
+
 def build_bm25_index(
     docs: DataFrame,
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = _DEFAULT_BUCKETS,
 ) -> dict:
-    """Tokenize + persist the inverted index; returns the manifest."""
+    """Tokenize + persist the inverted index as one segment; returns
+    the manifest. Building over an empty frame commits an empty (but
+    valid and addable) index — the streaming bootstrap path."""
     postings, doclens = _tokenize_counts(docs, id_col, text_col)
     os.makedirs(index_dir, exist_ok=True)
-    postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
-    doclens.write.mode("overwrite").parquet(os.path.join(index_dir, "doclens"))
-    n_docs, l_total = (
-        doclens.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0] or (0, 0)
-    )
+    spark = docs.sparkSession
+    seg = _write_segment(spark, index_dir, postings, doclens, n_buckets)
+    segments = [seg] if seg else []
     manifest = {
         "format_version": _FORMAT_VERSION,
-        "kind": "bm25_postings",
+        "kind": "bm25_segments",
         "id_col": id_col,
         "text_col": text_col,
-        "n_docs": int(n_docs or 0),
-        "l_total": int(l_total or 0),
+        "doc_id_type": dict(
+            (f.name, f.dataType.simpleString()) for f in docs.schema.fields
+        )[id_col],
+        "n_buckets": n_buckets,
+        "segments": segments,
+        "n_docs": sum(s["n_docs"] for s in segments),
+        "l_total": sum(s["l_total"] for s in segments),
         "n_adds": 0,
+        "n_compactions": 0,
     }
-    with open(_manifest_path(index_dir), "w") as f:  # commit marker, LAST
-        json.dump(manifest, f)
+    _commit_manifest(index_dir, manifest)
     return manifest
 
 
 def load_bm25_index(
     spark: SparkSession, index_dir: str
 ) -> tuple[dict, DataFrame, DataFrame]:
-    """(manifest, postings frame, doclens frame). Raises
-    FileNotFoundError if the index was never committed (no manifest —
-    a crashed build's partial parquet is invisible by contract)."""
+    """(manifest, postings frame, doclens frame) — the union of the
+    COMMITTED segments only. Raises FileNotFoundError if the index was
+    never committed (no manifest — a crashed build's partial parquet
+    is invisible by contract); unlisted segment dirs (torn adds) are
+    never read."""
     mpath = _manifest_path(index_dir)
     if not os.path.exists(mpath):
         raise FileNotFoundError(
@@ -130,8 +231,24 @@ def load_bm25_index(
             f"index format {manifest.get('format_version')} != "
             f"{_FORMAT_VERSION}"
         )
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    if not manifest["segments"]:
+        postings, doclens = _empty_store(spark, manifest)
+        return manifest, postings, doclens
+    roots = [
+        os.path.join(_segments_root(index_dir), s["name"])
+        for s in manifest["segments"]
+    ]
+    # Per-segment scans unioned (not one multi-root read): partition
+    # discovery stays per-root and a pbucket filter pushes into every
+    # scan independently.
+    postings = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(os.path.join(r, "postings")) for r in roots],
+    )
+    doclens = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(os.path.join(r, "doclens")) for r in roots],
+    )
     return manifest, postings, doclens
 
 
@@ -141,20 +258,30 @@ def add_to_bm25_index(
     new_docs: DataFrame,
     id_col: str | None = None,
     text_col: str | None = None,
+    compact_every: int | None = None,
 ) -> dict:
-    """EXACT incremental add: tokenize only the new batch, append its
-    postings + doclens. Because every BM25 corpus statistic (df, N,
-    L) is an additive count recomputed from the stores at search
-    time, the post-add index is IDENTICAL to a from-scratch rebuild
-    over the union corpus — no frozen-state approximation. A doc_id
-    already in the index is skipped (first-writer-wins), so a retried
-    batch cannot double-count. Returns the updated manifest."""
+    """EXACT incremental add: tokenize only the new batch, commit it as
+    one segment. Because every BM25 corpus statistic (df, N, L) is an
+    additive count recomputed from the stores at search time, the
+    post-add index is IDENTICAL to a from-scratch rebuild over the
+    union corpus — no frozen-state approximation. A doc_id already
+    COMMITTED is skipped (first-writer-wins), and a crash anywhere
+    before the manifest commit leaves only an unlisted segment no
+    reader sees — so a retried batch lands exactly once. Cost is
+    O(batch) + the doclens anti-join; the manifest counts are additive
+    (never a store recount — that is ``repair_bm25_manifest``'s job).
+
+    ``compact_every=N`` self-compacts once the segment count reaches N
+    (small-file hygiene for streaming feeds). Returns the manifest."""
     manifest, _postings, doclens = load_bm25_index(spark, index_dir)
     idc = id_col or manifest["id_col"]
     txc = text_col or manifest["text_col"]
-    fresh = new_docs.join(
-        doclens.select(F.col("doc_id").alias(idc)), idc, "left_anti"
-    )
+    if manifest["segments"]:
+        fresh = new_docs.join(
+            doclens.select(F.col("doc_id").alias(idc)), idc, "left_anti"
+        )
+    else:
+        fresh = new_docs
     # Intra-batch duplicate doc_ids would also double-count (the
     # anti-join only shields against the COMMITTED store — r13 code
     # review #4): keep one row per id, deterministically (min text
@@ -163,21 +290,80 @@ def add_to_bm25_index(
         F.min_by(F.col(txc), F.md5(F.col(txc))).alias(txc)
     )
     new_postings, new_doclens = _tokenize_counts(fresh, idc, txc)
-    new_postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
-    new_doclens.write.mode("append").parquet(os.path.join(index_dir, "doclens"))
-    # Count the COMMITTED store, not the batch: a crashed add that
-    # appended parquet but never reached the manifest is absorbed into
-    # the next add's recount (self-healing, the vector_index posture).
-    n_docs, l_total = (
-        spark.read.parquet(os.path.join(index_dir, "doclens"))
-        .agg(F.count(F.lit(1)), F.sum("dl"))
-        .collect()[0]
+    seg = _write_segment(
+        spark, index_dir, new_postings, new_doclens, manifest["n_buckets"]
     )
-    manifest["n_docs"] = int(n_docs or 0)
-    manifest["l_total"] = int(l_total or 0)
+    if seg:
+        manifest["segments"].append(seg)
+        manifest["n_docs"] += seg["n_docs"]
+        manifest["l_total"] += seg["l_total"]
     manifest["n_adds"] += 1
-    with open(_manifest_path(index_dir), "w") as f:
-        json.dump(manifest, f)
+    _commit_manifest(index_dir, manifest)
+    if compact_every and len(manifest["segments"]) >= compact_every:
+        manifest = compact_bm25_index(spark, index_dir)
+    return manifest
+
+
+def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold every committed segment into ONE (the OPTIMIZE/forceMerge
+    posture): reads the union stores, writes them as a single new
+    segment, commits a manifest listing only it, THEN deletes the old
+    segment dirs plus any unlisted orphans (manifest-first deletion
+    order — a crash mid-compaction can only leave unreferenced dirs,
+    never a readable manifest with missing data). Search results are
+    unchanged (pinned): doc_ids are disjoint across segments by
+    first-writer-wins, so union == concatenation. Counts are carried
+    additively from the retired entries, not recounted."""
+    manifest, postings, doclens = load_bm25_index(spark, index_dir)
+    old = list(manifest["segments"])
+    if len(old) <= 1:
+        return manifest
+    seg = _write_segment(
+        spark,
+        index_dir,
+        postings.drop("pbucket"),
+        doclens,
+        manifest["n_buckets"],
+    )
+    # seg's measured counts must equal the additive totals (disjoint
+    # union); trust-but-verify cheaply here since we just paid the read
+    if seg["n_docs"] != manifest["n_docs"]:
+        raise RuntimeError(
+            f"compaction lost docs: {seg['n_docs']} != {manifest['n_docs']}"
+        )
+    manifest["segments"] = [seg]
+    manifest["n_compactions"] += 1
+    _commit_manifest(index_dir, manifest)
+    root = _segments_root(index_dir)
+    keep = {seg["name"]}
+    for name in os.listdir(root):
+        if name not in keep:
+            shutil.rmtree(os.path.join(root, name))
+    return manifest
+
+
+def repair_bm25_manifest(spark: SparkSession, index_dir: str) -> dict:
+    """The recount REPAIR path for the additive counts: re-derive every
+    committed segment's (n_docs, l_total) from its parquet and rewrite
+    the manifest. O(store) by design — run it on suspicion (a manifest
+    edited out-of-band), not per add."""
+    manifest, _p, _d = load_bm25_index(spark, index_dir)
+    segs = []
+    for s in manifest["segments"]:
+        n_docs, l_total = (
+            spark.read.parquet(
+                os.path.join(_segments_root(index_dir), s["name"], "doclens")
+            )
+            .agg(F.count(F.lit(1)), F.sum("dl"))
+            .collect()[0]
+        )
+        segs.append(
+            {"name": s["name"], "n_docs": int(n_docs), "l_total": int(l_total or 0)}
+        )
+    manifest["segments"] = segs
+    manifest["n_docs"] = sum(s["n_docs"] for s in segs)
+    manifest["l_total"] = sum(s["l_total"] for s in segs)
+    _commit_manifest(index_dir, manifest)
     return manifest
 
 
@@ -192,14 +378,27 @@ def search_bm25_index(
     operand (same k1=1.2/b=0.75 rational clearing, same integer-log2
     idf, same millibit rounding BEFORE the per-doc sum), with tf/dl
     read from parquet instead of tokenized. Row-identical to the
-    inline #219 over the same corpus."""
+    inline #219 over the same corpus.
+
+    The postings scan is pruned TWICE: first to the pbucket partitions
+    the query terms hash into (a query-sized driver-side list — static
+    partition pruning, directory-level), then by the broadcast
+    query-term hash join. Everything postings-sized stays in one
+    streaming pass with no Exchange."""
     from pyspark.sql.window import Window
 
-    _manifest, postings, doclens = load_bm25_index(spark, index_dir)
+    manifest, postings, doclens = load_bm25_index(spark, index_dir)
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_total")
     )
-    pruned = postings.join(F.broadcast(qterms.select("t").distinct()), "t")
+    qbuckets = [
+        r[0]
+        for r in qterms.select(_pbucket_col(manifest["n_buckets"]))
+        .distinct()
+        .collect()
+    ]
+    pruned = postings.filter(F.col("pbucket").isin(qbuckets)).drop("pbucket")
+    pruned = pruned.join(F.broadcast(qterms.select("t").distinct()), "t")
     dfreq = pruned.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
 
     idf_bits = F.log2(2 * F.col("n_docs") + 2) - F.log2(2 * F.col("df") + 1)

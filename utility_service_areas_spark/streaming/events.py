@@ -1145,17 +1145,25 @@ def list_versions_nonempty(table_dir: str) -> bool:
     return bool(list_versions(table_dir))
 
 
-def bm25_index_stream_writer(stream: DataFrame, index_dir: str):
+def bm25_index_stream_writer(
+    stream: DataFrame, index_dir: str, compact_every: int | None = None
+):
     """S38 — streaming INDEX MAINTENANCE: each document micro-batch
     is folded into the persisted BM25 index (S34) via
     add_to_bm25_index. Exactly-once falls out of the index's own
     FIRST-WRITER-WINS doc_id contract: a retried micro-batch's docs
     are all already present, so the re-add is a no-op — no txn
     bookkeeping needed (idempotence by data semantics, the strongest
-    kind). Because incremental add is EXACT (additive corpus stats),
-    the stream-fed index answers queries row-identically to an index
-    built in one batch over the same corpus (pinned). Returns a
-    DataStreamWriter."""
+    kind) — and since r14 each batch commits as ONE atomic segment
+    made visible only by the manifest, so the guarantee holds even
+    across a crash INSIDE feed_batch (the r13 torn-add window where
+    postings landed without doclens is closed — ADVICE r13 #1).
+    Because incremental add is EXACT (additive corpus stats), the
+    stream-fed index answers queries row-identically to an index
+    built in one batch over the same corpus (pinned).
+    ``compact_every=N`` folds segments together whenever their count
+    reaches N, bounding the small-file accrual of a long-running
+    feed. Returns a DataStreamWriter."""
     from utility_service_areas_spark.operators.text_index import (
         add_to_bm25_index,
         build_bm25_index,
@@ -1168,6 +1176,8 @@ def bm25_index_stream_writer(stream: DataFrame, index_dir: str):
             load_bm25_index(spark, index_dir)
         except FileNotFoundError:
             build_bm25_index(df.limit(0), index_dir)
-        add_to_bm25_index(spark, index_dir, df)
+        add_to_bm25_index(
+            spark, index_dir, df, compact_every=compact_every
+        )
 
     return stream.writeStream.foreachBatch(feed_batch)
