@@ -466,6 +466,7 @@ def connected_components_twostar(
         _sym(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
     )
     prev_fp = None
+    converged = False
     for _ in range(max_iter):
         # LARGE-STAR: every neighbor LARGER than the center re-attaches
         # to the center's minimum (min over neighborhood + self).
@@ -490,8 +491,22 @@ def connected_components_twostar(
             F.expr("bit_xor(xxhash64(u, v))").alias("fp")
         ).collect()[0][0]
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # ADVICE r13 #4: exiting by exhaustion means the edge set never
+        # reached the star fixpoint — the labels below could be WRONG
+        # components. This operator is sold as the trillion-edge path
+        # where hitting the cap is likelier, so an unconverged result
+        # must never be mistakable for a fixpoint: fail loudly and tell
+        # the caller the lever.
+        raise RuntimeError(
+            f"connected_components_twostar did not converge within "
+            f"max_iter={max_iter} rounds (edge-set fingerprint still "
+            "moving) — labels would be unreliable; raise max_iter "
+            "(rounds needed grow O(log^2 n))"
+        )
     # Fixpoint = disjoint stars centered at component minima: each
     # node's label is min(self, min neighbor).
     return (

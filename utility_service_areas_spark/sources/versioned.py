@@ -173,15 +173,28 @@ def write_version(
         final = os.path.join(table_dir, _manifest_name(nxt))
         try:
             os.link(tmp, final)  # atomic claim: fails iff nxt is taken
-            os.unlink(tmp)
-            return nxt
         except FileExistsError:
             os.unlink(tmp)  # lost the race — recompute against the winner
             continue
+        except FileNotFoundError:
+            # our temp was swept out from under us (a vacuum running
+            # outside its grace window — ADVICE r13 #3): rewrite the
+            # temp and retry instead of dying mid-commit
+            continue
+        os.unlink(tmp)
+        return nxt
     raise RuntimeError(
         f"could not claim a version after {max_attempts} attempts "
         f"(extreme commit contention on {table_dir})"
     )
+
+
+def _empty_frame_from_manifest(spark: SparkSession, man: dict) -> DataFrame:
+    """A zero-row frame with the manifest's (name, type) signature —
+    the same fallback VersionedTableDataSource.schema() uses for an
+    all-deleted snapshot."""
+    fields = ", ".join(f"{n} {t}" for n, t in man["schema"])
+    return spark.createDataFrame([], fields)
 
 
 def read_version(
@@ -189,12 +202,19 @@ def read_version(
 ) -> DataFrame:
     """Time-travel read: the exact row set of ``version`` (default:
     latest). Reads only the manifest's data dirs — orphans from
-    crashed commits are invisible by construction."""
+    crashed commits are invisible by construction. A version whose
+    data_dirs is empty (every row deleted by a merge) is a valid EMPTY
+    snapshot: returns a zero-row frame reconstructed from the
+    manifest's schema signature, mirroring the versioned_table
+    DataSource (ADVICE r13 #2 — this used to raise from a zero-path
+    parquet read)."""
     versions = list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {table_dir}")
     v = versions[-1] if version is None else version
     man = _read_manifest(table_dir, v)
+    if not man["data_dirs"]:
+        return _empty_frame_from_manifest(spark, man)
     paths = [os.path.join(table_dir, d) for d in man["data_dirs"]]
     return spark.read.parquet(*paths)
 
@@ -296,13 +316,84 @@ def write_version_bucketed(
         final = os.path.join(table_dir, _manifest_name(nxt))
         try:
             os.link(tmp, final)
-            os.unlink(tmp)
-            return nxt
         except FileExistsError:
             os.unlink(tmp)
             continue
+        except FileNotFoundError:
+            continue  # temp swept mid-claim (ADVICE r13 #3) — retry
+        os.unlink(tmp)
+        return nxt
     raise RuntimeError(
         f"could not claim a version after {max_attempts} attempts"
+    )
+
+
+def _merge_full_rewrite(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    op_col: str,
+    merge_keys: list[str],
+    base_v: int,
+    man: dict,
+) -> int:
+    """merge_version's fallback for plain (non-bucketed) lineages:
+    read the whole base snapshot, drop every changed key, union the
+    upserts, write ONE new data dir, commit a manifest referencing
+    only it. O(table) commit cost by design; same abort-on-conflict
+    claim posture as the bucketed path. An all-deleted result commits
+    with empty data_dirs (the valid-empty-snapshot shape read_version
+    reconstructs from the schema signature)."""
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in changes.columns if c != op_col]
+    base = (
+        spark.read.parquet(
+            *[os.path.join(table_dir, d) for d in man["data_dirs"]]
+        )
+        if man["data_dirs"]
+        else _empty_frame_from_manifest(spark, man)
+    )
+    keys = changes.select(*merge_keys).distinct()
+    survivors = base.join(keys, merge_keys, "left_anti")
+    upserts = changes.filter(F.col(op_col) == "U").select(*data_cols)
+    merged = survivors.unionByName(upserts)
+
+    token = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join("data", f"commit-{token}")
+    merged.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+    n_rows = spark.read.parquet(os.path.join(table_dir, rel_dir)).count()
+
+    manifest = {
+        "version": base_v + 1,
+        "mode": "merge",
+        "merge_base": base_v,
+        "data_dirs": [rel_dir] if n_rows else [],
+        "n_rows": n_rows,
+        "n_rows_commit": n_rows,
+        "schema": man["schema"],
+    }
+    final = os.path.join(table_dir, _manifest_name(base_v + 1))
+    for _retry in range(5):
+        tmp = os.path.join(table_dir, f"_tmp-v{base_v + 1}-{token}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"concurrent commit detected at {table_dir} (version "
+                f"{base_v + 1} claimed while merging against {base_v}) — "
+                "re-run the merge against the new latest version"
+            ) from None
+        except FileNotFoundError:
+            continue  # temp swept mid-claim (ADVICE r13 #3) — retry
+        os.unlink(tmp)
+        return base_v + 1
+    raise RuntimeError(
+        f"could not claim version {base_v + 1} at {table_dir}: the "
+        "commit temp kept disappearing (a vacuum with no grace window?)"
     )
 
 
@@ -311,15 +402,28 @@ def merge_version(
     table_dir: str,
     changes: DataFrame,
     op_col: str = "op",
+    key_cols: list[str] | None = None,
 ) -> int:
-    """MERGE a changeset into the latest bucketed version, committing
-    the result as a new version with bucket-level copy-on-write.
+    """MERGE a changeset into the latest version.
 
     ``changes`` = full-schema rows + an ``op`` column: 'U' upserts the
-    row (insert-or-replace by the bucket key), 'D' deletes its key.
-    Buckets containing no changed key are carried into the new
-    manifest BY REFERENCE (their data dirs are not read, copied, or
-    rewritten); only touched buckets are read, merged, and rewritten.
+    row (insert-or-replace by the merge key), 'D' deletes its key.
+
+    On a BUCKETED table (write_version_bucketed) the merge key is the
+    bucket key and the commit is bucket-level copy-on-write: buckets
+    containing no changed key are carried into the new manifest BY
+    REFERENCE (their data dirs are not read, copied, or rewritten);
+    only touched buckets are read, merged, and rewritten.
+
+    On a PLAIN table (write_version lineage — VERDICT r13 task #6) the
+    caller must pass ``key_cols`` and the merge is a FULL REWRITE: the
+    whole base snapshot is read, surviving rows + upserts are written
+    as one new data dir, and the new manifest references only it. Same
+    semantics, O(table) commit cost — the honest fallback when no
+    bucket layout exists to scope the copy-on-write (a table format
+    without partition/file pruning on the merge key does the same).
+    Pinned row-identical to the bucketed merge and to the relational
+    replay in tests/test_r14_operators.py.
 
     Concurrency: the merge is computed against the latest version at
     read time; if another writer claims the next version number first,
@@ -334,20 +438,29 @@ def merge_version(
         raise FileNotFoundError(f"no committed versions at {table_dir}")
     base_v = versions[-1]
     man = _read_manifest(table_dir, base_v)
-    if "buckets" not in man:
-        raise ValueError(
-            "merge_version requires a bucketed table "
-            "(write_version_bucketed) — latest manifest has no bucket map"
-        )
-    bucket_cols = man["bucket_cols"]
-    n_buckets = man["n_buckets"]
+    bucketed = "buckets" in man
+    if bucketed:
+        merge_keys = list(man["bucket_cols"])
+        if key_cols is not None and list(key_cols) != merge_keys:
+            raise ValueError(
+                f"key_cols {list(key_cols)} != the table's bucket key "
+                f"{merge_keys} — a bucketed table merges on its bucket key"
+            )
+    else:
+        if key_cols is None:
+            raise ValueError(
+                "merge on a non-bucketed table requires key_cols= (the "
+                "upsert/delete key); bucketed tables take it from the "
+                "manifest"
+            )
+        merge_keys = list(key_cols)
 
     # Delta's multiple-source-matches posture: a changeset with two
     # rows for one key is ambiguous (a same-key D+U pair would lose
     # the delete; two U rows would break key uniqueness) — refuse
     # loudly instead of committing either wrong answer (r13 review #3).
     dup = (
-        changes.groupBy(*bucket_cols)
+        changes.groupBy(*merge_keys)
         .count()
         .filter("count > 1")
         .limit(5)
@@ -359,6 +472,14 @@ def merge_version(
             f"{[tuple(r)[:-1] for r in dup]} — resolve to one row per key "
             "(e.g. cdc_latest_version_merge's winner rule) before merging"
         )
+
+    if not bucketed:
+        return _merge_full_rewrite(
+            spark, table_dir, changes, op_col, merge_keys, base_v, man
+        )
+
+    bucket_cols = merge_keys
+    n_buckets = man["n_buckets"]
     ch = changes.withColumn(
         "__bucket", _bucket_of(changes, bucket_cols, n_buckets)
     )
@@ -422,32 +543,56 @@ def merge_version(
         "buckets": new_buckets,
         "bucket_rows": new_bucket_rows,
     }
-    tmp = os.path.join(table_dir, f"_tmp-v{base_v + 1}-{token}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
     final = os.path.join(table_dir, _manifest_name(base_v + 1))
-    try:
-        os.link(tmp, final)
+    for _retry in range(5):  # FileNotFoundError = temp swept mid-claim
+        tmp = os.path.join(table_dir, f"_tmp-v{base_v + 1}-{token}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"concurrent commit detected at {table_dir} (version "
+                f"{base_v + 1} claimed while merging against {base_v}) — "
+                "re-run the merge against the new latest version"
+            ) from None
+        except FileNotFoundError:
+            continue  # rewrite the temp and retry (ADVICE r13 #3)
         os.unlink(tmp)
         return base_v + 1
-    except FileExistsError:
-        os.unlink(tmp)
-        raise RuntimeError(
-            f"concurrent commit detected at {table_dir} (version "
-            f"{base_v + 1} claimed while merging against {base_v}) — "
-            "re-run the merge against the new latest version"
-        ) from None
+    raise RuntimeError(
+        f"could not claim version {base_v + 1} at {table_dir}: the "
+        "commit temp kept disappearing (a vacuum with no grace window?)"
+    )
 
 
-def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
+def vacuum(
+    table_dir: str,
+    keep_last: int = 2,
+    dry_run: bool = False,
+    tmp_grace_seconds: float = 600.0,
+) -> dict:
     """Expire history: keep the newest ``keep_last`` versions readable,
     delete every manifest older than that and every data dir no
     retained manifest references (including orphans from crashed
     commits). Deletion order is manifests FIRST, then dirs — a crash
     mid-vacuum can therefore only leave UNREFERENCED dirs behind
     (invisible; the next vacuum sweeps them), never a readable
-    manifest with missing data."""
+    manifest with missing data.
+
+    ``dry_run=True`` (VERDICT r13 task #6) computes and returns the
+    full would-delete plan — manifests, temps, and dirs by name —
+    without touching disk (the Delta ``VACUUM ... DRY RUN`` posture;
+    run it before the real thing on a table you care about).
+
+    Commit temps younger than ``tmp_grace_seconds`` are SKIPPED: a
+    concurrent writer sits between json.dump(tmp) and os.link for
+    milliseconds, so sweeping only old temps (plus the claim loops'
+    FileNotFoundError retry) closes the window where a vacuum could
+    yank a live commit's temp (ADVICE r13 #3)."""
     import shutil
+    import time
 
     if keep_last < 1:
         raise ValueError(
@@ -461,16 +606,24 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
         man = _read_manifest(table_dir, v)
         referenced.update(os.path.normpath(d) for d in man["data_dirs"])
 
-    n_manifests = 0
-    for v in versions:
-        if v not in retained:
-            os.unlink(os.path.join(table_dir, _manifest_name(v)))
-            n_manifests += 1
+    # ---- plan (pure computation, no disk mutation) ----
+    drop_manifests = [
+        _manifest_name(v) for v in versions if v not in retained
+    ]
+    now = time.time()
+    drop_tmps = []
     for name in os.listdir(table_dir):  # temps from crashed claims
-        if name.startswith("_tmp-"):
-            os.unlink(os.path.join(table_dir, name))
+        if not name.startswith("_tmp-"):
+            continue
+        try:
+            age = now - os.path.getmtime(os.path.join(table_dir, name))
+        except FileNotFoundError:
+            continue  # the writer finished (or another vacuum won)
+        if age >= tmp_grace_seconds:
+            drop_tmps.append(name)
 
-    n_dirs = 0
+    drop_dirs: list[str] = []  # rel paths; whole-commit dirs listed once
+    empty_commit_dirs: list[str] = []  # bucketed dirs whose kept subs == 0
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for commit in sorted(os.listdir(data_root)):
@@ -485,8 +638,7 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
             )
             bucket_subs = [s for s in subs if s.startswith(BUCKET_PREFIX)]
             if not bucket_subs:
-                shutil.rmtree(commit_abs)
-                n_dirs += 1
+                drop_dirs.append(commit_rel)
                 continue
             kept_any = False
             for s in bucket_subs:
@@ -494,12 +646,33 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
                 if sub_rel in referenced:
                     kept_any = True
                 else:
-                    shutil.rmtree(os.path.join(commit_abs, s))
-                    n_dirs += 1
+                    drop_dirs.append(sub_rel)
             if not kept_any:
-                shutil.rmtree(commit_abs)
-    return {
-        "manifests_removed": n_manifests,
-        "dirs_removed": n_dirs,
+                empty_commit_dirs.append(commit_rel)
+
+    plan = {
+        "manifests_removed": len(drop_manifests),
+        "tmps_removed": len(drop_tmps),
+        "dirs_removed": len(drop_dirs),
         "versions_retained": len(retained),
+        "manifests": sorted(drop_manifests),
+        "tmps": sorted(drop_tmps),
+        "dirs": sorted(drop_dirs),
+        "dry_run": dry_run,
     }
+    if dry_run:
+        return plan
+
+    # ---- act: manifests first, then temps, then dirs ----
+    for name in drop_manifests:
+        os.unlink(os.path.join(table_dir, name))
+    for name in drop_tmps:
+        try:
+            os.unlink(os.path.join(table_dir, name))
+        except FileNotFoundError:
+            pass  # its writer committed/cleaned meanwhile
+    for rel in drop_dirs:
+        shutil.rmtree(os.path.join(table_dir, rel))
+    for rel in empty_commit_dirs:  # husks whose every bucket was dropped
+        shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+    return plan
