@@ -26,11 +26,11 @@ def test_bootstrap_ci_twin_agreement(spark):
     from utility_service_areas_spark.plans.analytics_queries import (
         _BOOT_REPLICATES,
         revenue_bootstrap_ci,
-        revenue_bootstrap_ci_fast,
+        revenue_bootstrap_ci_fast_full,
     )
 
     md5 = revenue_bootstrap_ci(spark, SMOKE_SF).collect()[0]
-    fast = revenue_bootstrap_ci_fast(spark, SMOKE_SF).collect()[0]
+    fast = revenue_bootstrap_ci_fast_full(spark, SMOKE_SF).collect()[0]
 
     # The point sum ignores the bootstrap weights entirely — identity
     # here pins that both variants aggregate the same base frame.
@@ -49,20 +49,41 @@ def test_bootstrap_ci_twin_agreement(spark):
 
 
 def test_bootstrap_ci_fast_is_deterministic(spark):
-    """The xxhash64 seam has no DuckDB replay; determinism under
-    re-execution (fresh plan, fresh shuffle layout) is its stand-in
+    """The xxhash64 CI bounds have no DuckDB replay; determinism under
+    re-execution (fresh plan, fresh shuffle layout) is their stand-in
     partition-independence guarantee."""
     from utility_service_areas_spark.plans.analytics_queries import (
-        revenue_bootstrap_ci_fast,
+        revenue_bootstrap_ci_fast_full,
     )
 
-    a = revenue_bootstrap_ci_fast(spark, SMOKE_SF).collect()[0]
+    a = revenue_bootstrap_ci_fast_full(spark, SMOKE_SF).collect()[0]
     b = (
-        revenue_bootstrap_ci_fast(spark, SMOKE_SF)
+        revenue_bootstrap_ci_fast_full(spark, SMOKE_SF)
         .repartition(7)
         .collect()[0]
     )
     assert a == b
+
+
+def test_bootstrap_ci_fast_registered_surface_is_the_full_plan(spark):
+    """VERDICT r13 task #2: the REGISTERED (driver-attestable) reduced
+    surface is a projection of the full xxhash plan — point sum
+    identical, ci_ok=1 exactly when the full plan's bounds are
+    non-null and ordered, so the CI stage cannot be dead-coded out
+    from under the oracle."""
+    from utility_service_areas_spark.plans.analytics_queries import (
+        _BOOT_REPLICATES,
+        revenue_bootstrap_ci_fast,
+        revenue_bootstrap_ci_fast_full,
+    )
+
+    red = revenue_bootstrap_ci_fast(spark, SMOKE_SF).collect()[0]
+    full = revenue_bootstrap_ci_fast_full(spark, SMOKE_SF).collect()[0]
+    assert red.point_sum_cents == full.point_sum_cents
+    assert red.n_replicates == _BOOT_REPLICATES
+    assert red.ci_ok == 1
+    assert full.ci_lo_cents is not None
+    assert full.ci_lo_cents <= full.ci_hi_cents
 
 
 # ---------------------------------------------------------------------------

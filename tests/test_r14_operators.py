@@ -210,3 +210,75 @@ def test_twostar_raises_on_exhaustion_instead_of_wrong_labels(spark):
         (r.node, r.comp) for r in connected_components(chain).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# #259 docs_quality_logreg_train: the train -> score loop (VERDICT r13
+# task #7). The training plan itself is value-oracled by the driver;
+# here we pin (a) the model actually LEARNED the weak label (training
+# accuracy), and (b) the trained weights deploy through the
+# infer_batches seam and SEPARATE the classes on scores.
+# ---------------------------------------------------------------------------
+
+from tests.conftest import SMOKE_SF  # noqa: E402
+
+
+def test_logreg_learns_and_scores_through_inference_seam(spark):
+    from utility_service_areas_spark.operators.inference import infer_batches
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        _LOGREG_Y_CHARS,
+        docs_quality_logreg_train,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    model = docs_quality_logreg_train(spark, SMOKE_SF).collect()[0]
+    assert model.n_docs > 0
+    # (a) the distilled rule is actually learned, not chance: the
+    # measured r14 sweep gives 98.8-99.2%; pin with slack
+    assert model.n_correct / model.n_docs >= 0.95
+    assert 0 < model.n_pos < model.n_docs  # both classes present
+
+    # (b) deploy the weights as a model_fn behind the batch-inference
+    # seam: score = z_micros from the SAME integer features the plan
+    # trained on (whitespace tokens; centered by the exported means)
+    from utility_service_areas_spark.functions.textops import STOPWORDS
+
+    w = (model.w_bias, model.w_ntok, model.w_ndist, model.w_nstop)
+    mu = (model.mu_ntok, model.mu_ndist, model.mu_nstop)
+
+    def logreg_model(texts):
+        out = []
+        for t in texts:
+            toks = t.strip().split()
+            x = (
+                1,
+                len(toks) - mu[0],
+                len(set(toks)) - mu[1],
+                sum(1 for tk in toks if tk in STOPWORDS) - mu[2],
+            )
+            out.append([float(sum(wi * xi for wi, xi in zip(w, x)))])
+        return out
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    scored = infer_batches(docs, model_fn=logreg_model, output_dim=1)
+    joined = (
+        docs.select("doc_id", "n_chars")
+        .join(scored.filter(F.col("status") == "ok"), "doc_id")
+        .select(
+            (F.col("n_chars") >= _LOGREG_Y_CHARS).alias("y"),
+            F.element_at("output", 1).alias("z"),
+        )
+        .collect()
+    )
+    assert len(joined) == model.n_docs  # seam 1:1, all rows valid
+    pos = [r.z for r in joined if r.y]
+    neg = [r.z for r in joined if not r.y]
+    acc = (
+        sum(1 for z in pos if z >= 0) + sum(1 for z in neg if z < 0)
+    ) / len(joined)
+    assert acc >= 0.95  # the deployed model mimics the gate
+    # score separation: class means sit on opposite sides with margin
+    mean_pos = sum(pos) / len(pos)
+    mean_neg = sum(neg) / len(neg)
+    assert mean_pos > 0 > mean_neg
+    assert mean_pos - mean_neg > 10 * abs(mean_pos + mean_neg)

@@ -281,6 +281,7 @@ EXPECTED_KEYS = {
     "vocab_coverage_sweep",
     "corpus_heaps_fit",
     "events_poisson_rate_ci",
+    "docs_quality_logreg_train",
 }
 
 

@@ -1496,11 +1496,26 @@ def _bootstrap_ci_plan(
     )
 
 
+def revenue_bootstrap_ci_fast_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full 4-column CI surface of the xxhash64 production seam
+    (point + both order-statistic bounds) — NOT registered, because
+    the xxhash64-derived bounds have no DuckDB replay; the twin pin
+    (tests/test_r10_operators.py) holds them to the md5 anchor's CI
+    within bootstrap sampling error."""
+    return _bootstrap_ci_plan(spark, sf_dir, hash_seam="xxhash64")
+
+
 @query(
     "revenue_bootstrap_ci_fast",
-    oracle=None,  # xxhash64 is Spark-native — no DuckDB replay exists;
-    # the md5 twin above is the cross-engine-verified anchor and the
-    # twin pin (tests/test_r10_operators.py) holds this variant to it
+    oracle=f"""
+    SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS point_sum_cents,
+           CAST(1 AS BIGINT) AS ci_ok,
+           CAST({_BOOT_REPLICATES} AS BIGINT) AS n_replicates
+    FROM orders
+    """,
     doc="Production seam of revenue_bootstrap_ci: the SAME one-pass "
     "Poisson-bootstrap plan and the SAME precomputed integer "
     "thresholds (shared helper — sharing is by construction), with "
@@ -1509,15 +1524,30 @@ def _bootstrap_ci_plan(
     "seam. Measured ~13x cheaper at 9.6M draws (BENCH_TREND r9 A/B: "
     "0.6-0.7 s vs 7.8-10.8 s warm noop) — at 100 TB x 64 replicates "
     "the md5 seam is a real cluster-CPU multiplier, so verification "
-    "cost is now opt-in rather than the default production shape. "
-    "Still fully deterministic under any partitioning (the hash is a "
-    "pure row function), but NOT replayable in DuckDB, hence "
-    "rows-only by design; correctness is pinned by the md5-twin "
-    "agreement test, not by a SQL oracle.",
+    "cost is opt-in rather than the default production shape. Still "
+    "fully deterministic under any partitioning (the hash is a pure "
+    "row function), but the CI BOUNDS have no DuckDB replay — so the "
+    "REGISTERED surface (VERDICT r13 task #2) is the reduced "
+    "SQL-expressible projection OF THE FULL PLAN: point_sum_cents "
+    "(exact replay, identical to the md5 twin's), ci_ok = 1 iff "
+    "ci_lo <= ci_hi with both NON-NULL (order statistics at ranks 2 "
+    "and 63 materialized and ordered — NULL-poisoned to a mismatch "
+    "if any replicate sum went missing), and n_replicates. The "
+    "xxhash CI computation still EXECUTES under this projection "
+    "(ci_ok depends on both bounds); the full 4-column surface lives "
+    "in revenue_bootstrap_ci_fast_full, twin-pinned to the md5 "
+    "anchor (tests/test_r10_operators.py).",
     tags=("analytics",),
 )
 def revenue_bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _bootstrap_ci_plan(spark, sf_dir, hash_seam="xxhash64")
+    full = _bootstrap_ci_plan(spark, sf_dir, hash_seam="xxhash64")
+    return full.select(
+        "point_sum_cents",
+        F.when(
+            F.col("ci_lo_cents") <= F.col("ci_hi_cents"), F.lit(1)
+        ).cast("long").alias("ci_ok"),
+        F.col("n_replicates").cast("long").alias("n_replicates"),
+    )
 
 
 @query(

@@ -1462,3 +1462,227 @@ def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("doc_id", "lang").agg(
         F.sum("mb").cast("long").alias("weight_millibits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier TRAINING LOOP (#259, VERDICT r13 task #7): logistic
+# regression by integer-quantized full-batch gradient rounds, trained AS
+# A PLAN — closing the FineWeb train->score loop that #241 (NB trained
+# as a plan) and #238 (inference seam) bracket. Weak supervision: the
+# label is a cheap rule (doc passes the length gate n_chars >= 300) and
+# the classifier distills it into TOKEN-level features — the
+# distill-a-rule-into-a-model posture of FineWeb-edu-style curation.
+#
+# Bit-replayable-state discipline (the #84/#145 hits_micros pattern):
+# weights live in integer micros; the link is the HARD sigmoid
+# p = clamp(5e5 + z div 4, 0, 1e6) (piecewise-rational, exact in
+# integer arithmetic — no transcendental ever evaluated); features are
+# integer-centered by exact `div` means; the step is
+# w -= grad div (n*500). Every round replays in DuckDB by integer
+# arithmetic alone (MATERIALIZED per-round CTEs per SURVEY §6).
+# Constants frozen from a measured sweep (r14): 4 rounds / lr_den 500
+# reach 98.8-99.2% training accuracy at sf0.001/sf0.01; more rounds or
+# faster lr change accuracy by < 0.1 point.
+_LOGREG_ROUNDS = 4
+_LOGREG_LRD = 500  # step = grad div (n_docs * _LOGREG_LRD)
+_LOGREG_Y_CHARS = 300  # weak label: y = 1e6 iff n_chars >= this
+
+
+def _logreg_stop_sql() -> str:
+    from utility_service_areas_spark.functions.textops import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _logreg_oracle() -> str:
+    head = rf"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, n_chars, unnest({_TOKS}) AS t FROM documents),
+    feats AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS r1,
+             CAST(count(DISTINCT t) AS BIGINT) AS r2,
+             CAST(coalesce(sum(CASE WHEN t IN ({_logreg_stop_sql()})
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS r3,
+             CASE WHEN any_value(n_chars) >= {_LOGREG_Y_CHARS}
+                  THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS y
+      FROM tok GROUP BY doc_id),
+    mu AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1) // count(*) AS BIGINT) AS m1,
+             CAST(sum(r2) // count(*) AS BIGINT) AS m2,
+             CAST(sum(r3) // count(*) AS BIGINT) AS m3
+      FROM feats),
+    fc AS MATERIALIZED (
+      SELECT doc_id, CAST(1 AS BIGINT) AS x0,
+             r1 - m1 AS x1, r2 - m2 AS x2, r3 - m3 AS x3, y
+      FROM feats, mu),
+    wr0 AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+             CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    rounds = []
+    for r in range(1, _LOGREG_ROUNDS + 1):
+        rounds.append(
+            f""",
+    gr{r} AS MATERIALIZED (
+      SELECT CAST(sum((p - y) * x0) AS BIGINT) AS g0,
+             CAST(sum((p - y) * x1) AS BIGINT) AS g1,
+             CAST(sum((p - y) * x2) AS BIGINT) AS g2,
+             CAST(sum((p - y) * x3) AS BIGINT) AS g3
+      FROM (SELECT least(1000000, greatest(0,
+                     500000 + (x0*w0 + x1*w1 + x2*w2 + x3*w3) // 4)) AS p,
+                   y, x0, x1, x2, x3
+            FROM fc, wr{r - 1})),
+    wr{r} AS MATERIALIZED (
+      SELECT w0 - g0 // (n * {_LOGREG_LRD}) AS w0,
+             w1 - g1 // (n * {_LOGREG_LRD}) AS w1,
+             w2 - g2 // (n * {_LOGREG_LRD}) AS w2,
+             w3 - g3 // (n * {_LOGREG_LRD}) AS w3
+      FROM wr{r - 1}, gr{r}, mu)"""
+        )
+    tail = f"""
+    SELECT w0 AS w_bias, w1 AS w_ntok, w2 AS w_ndist, w3 AS w_nstop,
+           mu.m1 AS mu_ntok, mu.m2 AS mu_ndist, mu.m3 AS mu_nstop,
+           (SELECT CAST(count(*) AS BIGINT) FROM fc WHERE y > 0) AS n_pos,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM fc, wr{_LOGREG_ROUNDS}
+            WHERE (x0*w0 + x1*w1 + x2*w2 + x3*w3 >= 0) = (y > 0))
+             AS n_correct,
+           mu.n AS n_docs
+    FROM wr{_LOGREG_ROUNDS}, mu"""
+    return head + "".join(rounds) + tail
+
+
+@query(
+    "docs_quality_logreg_train",
+    oracle=_logreg_oracle(),
+    doc="Quality-classifier TRAINING LOOP as a plan (VERDICT r13 task "
+    "#7): logistic regression by 4 integer-quantized full-batch "
+    "gradient rounds over token-level features (n_tokens, n_distinct, "
+    "n_stopwords; integer-centered by exact div means), weakly "
+    "supervised by the length gate n_chars >= 300 — distilling a "
+    "cheap rule into a model, the FineWeb-edu curation posture, "
+    "closing the train->score loop that #241 (NB as a plan) and #238 "
+    "(inference seam) bracket. Bit-replayable state (the hits_micros "
+    "#84/#145 discipline): weights are integer micros, the link is "
+    "the HARD sigmoid clamp(5e5 + z div 4, 0, 1e6) so no "
+    "transcendental is ever evaluated, the step is grad div (n*500) "
+    "— every round replays in DuckDB by integer arithmetic alone "
+    "(MATERIALIZED per-round CTEs). Output: final weights + feature "
+    "means (the deployable model — tests score it through "
+    "infer_batches with a separation pin) + training confusion "
+    "counts (98.8-99.2%% accuracy, measured). Scale: the corpus "
+    "collapses ONCE to a 4-int feature frame (tokenize + one "
+    "groupBy); each round is one partial-agg reduce over that frame "
+    "with scalar broadcast weights — R tiny barrier jobs, no "
+    "corpus-sized shuffle, nothing data-sized at the driver; at "
+    "100 TB the feature frame is ~1%% of corpus bytes and rounds are "
+    "embarrassingly map-side.",
+    tags=("pipeline", "text"),
+)
+def docs_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.functions.textops import STOPWORDS, tokens
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(tokens(F.col("text"))).alias("t"),
+    )
+    feats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("r1"),
+        F.countDistinct("t").alias("r2"),
+        F.coalesce(
+            F.sum(F.when(F.col("t").isin(*STOPWORDS), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("r3"),
+        F.when(F.any_value("n_chars") >= _LOGREG_Y_CHARS, F.lit(1_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    mu = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(r1) div count(*)").alias("m1"),
+        F.expr("sum(r2) div count(*)").alias("m2"),
+        F.expr("sum(r3) div count(*)").alias("m3"),
+    )
+    # The centered feature frame is reused by every round + the final
+    # confusion scan: materialize it once (corpus tokenized exactly
+    # once; everything after runs over n x 5 ints).
+    fc = lineage_cut(
+        feats.crossJoin(F.broadcast(mu)).select(
+            "doc_id",
+            F.lit(1).cast("long").alias("x0"),
+            (F.col("r1") - F.col("m1")).alias("x1"),
+            (F.col("r2") - F.col("m2")).alias("x2"),
+            (F.col("r3") - F.col("m3")).alias("x3"),
+            "y",
+        )
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("w0"),
+        F.lit(0).cast("long").alias("w1"),
+        F.lit(0).cast("long").alias("w2"),
+        F.lit(0).cast("long").alias("w3"),
+    )
+    z_expr = "x0*w0 + x1*w1 + x2*w2 + x3*w3"
+    p_expr = f"least(1000000, greatest(0, 500000 + ({z_expr}) div 4))"
+    for _r in range(_LOGREG_ROUNDS):
+        g = (
+            fc.crossJoin(F.broadcast(w))
+            .select(F.expr(p_expr).alias("p"), "y", "x0", "x1", "x2", "x3")
+            .agg(
+                *[
+                    F.sum(F.expr(f"(p - y) * x{j}"))
+                    .cast("long")
+                    .alias(f"g{j}")
+                    for j in range(4)
+                ]
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(mu))
+            .select(
+                *[
+                    F.expr(f"w{j} - g{j} div (n * {_LOGREG_LRD})").alias(
+                        f"w{j}"
+                    )
+                    for j in range(4)
+                ]
+            )
+        )
+    confusion = (
+        fc.crossJoin(F.broadcast(w))
+        .agg(
+            F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(
+                F.when(
+                    (F.expr(z_expr) >= 0) == (F.col("y") > 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    return (
+        w.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(confusion))
+        .select(
+            F.col("w0").alias("w_bias"),
+            F.col("w1").alias("w_ntok"),
+            F.col("w2").alias("w_ndist"),
+            F.col("w3").alias("w_nstop"),
+            F.col("m1").alias("mu_ntok"),
+            F.col("m2").alias("mu_ndist"),
+            F.col("m3").alias("mu_nstop"),
+            "n_pos",
+            "n_correct",
+            F.col("n").alias("n_docs"),
+        )
+    )
