@@ -75,85 +75,74 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-13 rotation (VERDICT r12 task #2: drain the r7 attestation
-    # tail): exactly 50 names = the driver's per-round attestation
-    # budget. No red rows in r12 (50/50 green, fourth clean sample).
-    # The three oracle-less rows-only sketches AND the oracle-less
-    # xxhash64 twin (revenue_bootstrap_ci_fast) stay excluded — they'd
-    # burn a slot on err:no_oracle/rows-only.
-    # 1) the never-attested r13 keys — first-ever attestation
-    "ann_ivfpq_search_persisted",
-    "docs_model_quality_scores",
+    # Round-14 rotation (VERDICT r13 task #1: drain the r7/r8
+    # attestation tail): exactly 50 names = the driver's per-round
+    # attestation budget. No red rows in r13 (50/50 green, fifth clean
+    # sample). Staleness is computed from the union of
+    # CORRECTNESS_r01-r13 (never from comments). The three oracle-less
+    # rows-only sketches stay excluded (they'd burn a slot on
+    # err:no_oracle) but ARE re-attested in the local ritual gate each
+    # round (VERDICT r13 task #8, tools/check_oracle.py).
+    # 1) never-attested keys — first-ever attestation beats stale-green
+    "docs_quality_logreg_train",   # new in r14 (#259)
+    "revenue_bootstrap_ci_fast",   # newly oracled in r14 (task #2)
+    # 2) edited-this-round key: same output, but the backing store was
+    #    rewritten (BM25 v2 segments) — re-attest the changed machinery
     "text_bm25_search_persisted",
-    "docs_gopher_quality_flags",
-    "text_naive_bayes_source",
-    "docs_dsir_importance",
-    "dedup_cc_twostar",
-    "trade_graph_hits",
-    "abtest_cuped_adjusted",
-    "orders_theil_sen_trend",
-    "events_exact_quartiles_nosort",
-    "source_kl_drift",
-    "versioned_merge_snapshot",
-    "quality_pair_mining",
-    "docs_curriculum_rank",
-    "abtest_srm_check",
-    "user_activity_gini",
-    "part_brand_type_chi2",
-    "orders_seasonality_index",
-    "vocab_coverage_sweep",
-    "corpus_heaps_fit",
-    "events_poisson_rate_ci",
-    # 2) 28 of the 35 r7-stale keys (newest green driver row is r7 —
-    #    the oldest attestations left; computed from CORRECTNESS_r01-
-    #    r12). Seven r7 keys yield their slots to the 22 first-ever
-    #    r13 attestations (never-attested > stale-green per slot) and
-    #    head the r14 rotation: ann_quantized_topk,
-    #    docs_unigram_surprisal, dedup_keep_best_quality,
-    #    embedding_centroid_by_label, ann_ivf_sqrtn_topk,
-    #    corpus_clean_sample, token_count_histogram.
-    "flagship_service_area_report",
-    "filter_tag_entities",
-    "latest_update_per_entity",
-    "earliest_year_per_entity",
-    "dedup_first_per_key",
-    "regex_extract_fields",
-    "large_volume_orders",
-    "promo_revenue_share_by_month",
-    "nation_market_share_inputs",
-    "disjunctive_bracket_revenue",
-    "order_fulfillment_latency",
-    "simple_revenue_delta",
-    "returned_item_report",
-    "profit_by_nation_year",
-    "part_revenue_concentration",
-    "top_revenue_supplier",
-    "excess_quantity_suppliers",
-    "supplier_order_exclusivity",
-    "merge_upsert_customers",
-    "salted_hot_key_join",
-    "pivot_status_by_year",
-    "unpivot_part_metrics",
-    "weighted_sample_orders",
-    "fuzzy_match_part_names",
-    "scd2_customer_history",
-    "bloom_new_customer_orders",
-    "reservoir_sample_docs",
-    "docs_training_filter",
-    # r7/r8-stale keys that don't fit the 50 budget this round (next
-    # rotation's head): the seven r7 keys named above, then the r8
-    # block in module-load order: two_digit_year_fix, enrich_join_dims,
-    # anti_join_missing,
-    # patch_override_join, sync_status_case,
-    # group_combine_collect, concat_order_text,
-    # agg_stats_by_group, top_revenue_orders,
-    # sentinel_date_imputation,
-    # top3_orders_per_customer, kml_description_parse,
-    # geometry_currency_check,
-    # chronology_enriched, events_asof_attribution,
-    # events_in_promo_windows, agg_rollup_region_nation,
-    # value_percentiles, events_moving_window, profile_orders, and the
-    # remaining 27 r8 rows.
+    # 3) the seven r7-stale keys deferred from r13 (named there)
+    "ann_quantized_topk",
+    "docs_unigram_surprisal",
+    "dedup_keep_best_quality",
+    "embedding_centroid_by_label",
+    "ann_ivf_sqrtn_topk",
+    "corpus_clean_sample",
+    "token_count_histogram",
+    # 4) 40 of the 47 sql-oracled r8-stale keys (newest green driver
+    #    row is r8), alphabetical. The 7-key remainder heads the r15
+    #    rotation: sync_status_case, top3_orders_per_customer,
+    #    top_revenue_orders, two_digit_year_fix,
+    #    unshipped_order_revenue, user_first_last_event,
+    #    value_percentiles.
+    "agg_rollup_region_nation",
+    "agg_stats_by_group",
+    "anti_join_missing",
+    "chronology_enriched",
+    "cohort_retention",
+    "concat_order_text",
+    "daily_new_users_cumulative",
+    "dataset_snapshot_diff",
+    "dedup_graph_triangles",
+    "dedup_quote_containment",
+    "deletion_cascade_manifest",
+    "embedding_outlier_flags",
+    "embedding_quantize_int8",
+    "enrich_join_dims",
+    "event_funnel_conversion",
+    "event_type_transitions",
+    "events_asof_attribution",
+    "events_in_promo_windows",
+    "events_moving_window",
+    "geometry_currency_check",
+    "group_combine_collect",
+    "join_key_skew_profile",
+    "kml_description_parse",
+    "market_basket_pairs",
+    "min_cost_supplier_per_part",
+    "minhash_estimator_quality",
+    "orders_rollup_incremental",
+    "patch_override_join",
+    "priority_counts_by_returnflag",
+    "profile_orders",
+    "qty_price_covariance_components",
+    "regional_order_volume",
+    "rolling_7d_active_users",
+    "semantic_dedup_keep",
+    "semantic_dedup_sqrtn",
+    "sentinel_date_imputation",
+    "source_curation_profile",
+    "source_mixing_weights",
+    "supplier_balance_rank_dist",
+    "supplier_daily_running_revenue",
 )
 
 _PLAN_MODULES = (
