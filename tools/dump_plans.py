@@ -96,6 +96,17 @@ HEADLINE = {
         "bigram stream built map-side from the token array (posexplode "
         "+ element_at, NO lag-window shuffle); freq joins + one agg"
     ),
+    "docs_quality_logreg_train": (
+        "corpus collapses ONCE to an n×5-int feature frame "
+        "(localCheckpoint); each gradient round = one partial-agg "
+        "reduce with scalar broadcast weights — no corpus-sized "
+        "shuffle, no Python, rounds are tiny barrier jobs"
+    ),
+    "text_bm25_search_persisted": (
+        "postings scan pruned to the query terms' pbucket partitions "
+        "(PartitionFilters) then broadcast-joined by the query dim — "
+        "no Exchange on the postings side; top-k is WindowGroupLimit"
+    ),
     "semantic_dedup_keep": (
         "k-means Arrow kernel feeds bucketed cosine pairs; "
         "pair join keyed by cluster, never corpus x corpus"

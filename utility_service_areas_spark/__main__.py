@@ -75,6 +75,37 @@ def main(argv: list[str] | None = None) -> int:
     idx.add_argument("--top-k", type=int, default=10)
     idx.add_argument("--n-probe", type=int, default=4)
 
+    tix = sub.add_parser(
+        "textindex",
+        help="persisted BM25 text-index lifecycle (S34, v2 segments): "
+        "build once into --index-dir, add document batches as atomic "
+        "segments, search many times from the artifacts, compact "
+        "segments, repair the additive manifest counts",
+    )
+    tix.add_argument(
+        "action", choices=("build", "add", "search", "compact", "repair")
+    )
+    tix.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    tix.add_argument("--index-dir", required=True)
+    tix.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate selecting documents (e.g. 'doc_id >= 250' "
+        "for an add batch)",
+    )
+    tix.add_argument(
+        "--terms",
+        default=None,
+        help="space-separated query terms (search action)",
+    )
+    tix.add_argument("--top-k", type=int, default=10)
+    tix.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="self-compact when the segment count reaches N (add action)",
+    )
+
     pipe = sub.add_parser(
         "pipeline",
         help="run the reference service-areas pipeline as a memoized "
@@ -245,6 +276,68 @@ def main(argv: list[str] | None = None) -> int:
                 top_k=args.top_k,
             )
             out.orderBy("query_id", "rank").show(100, truncate=False)
+        return 0
+
+    if args.cmd == "textindex":
+        from utility_service_areas_spark.operators.text_index import (
+            add_to_bm25_index,
+            build_bm25_index,
+            compact_bm25_index,
+            load_bm25_index,
+            repair_bm25_manifest,
+            search_bm25_index,
+        )
+        from utility_service_areas_spark.session import build_session
+        from utility_service_areas_spark.sources.tables import load_table
+
+        spark = build_session("usa-cli-textindex")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.action in ("build", "add"):
+            docs = load_table(spark, args.sf_dir, "documents")
+            if args.where:
+                docs = docs.filter(args.where)
+        if args.action == "build":
+            manifest = build_bm25_index(docs, args.index_dir)
+            print(
+                f"built {args.index_dir}: {manifest['n_docs']} docs, "
+                f"{manifest['l_total']} tokens, "
+                f"{len(manifest['segments'])} segment(s), "
+                f"{manifest['n_buckets']} term buckets"
+            )
+        elif args.action == "add":
+            manifest = add_to_bm25_index(
+                spark, args.index_dir, docs, compact_every=args.compact_every
+            )
+            print(
+                f"added into {args.index_dir}: now {manifest['n_docs']} "
+                f"docs in {len(manifest['segments'])} segment(s) "
+                f"({manifest['n_adds']} add batches, "
+                f"{manifest['n_compactions']} compactions)"
+            )
+        elif args.action == "compact":
+            manifest = compact_bm25_index(spark, args.index_dir)
+            print(
+                f"compacted {args.index_dir}: {manifest['n_docs']} docs "
+                f"in {len(manifest['segments'])} segment(s)"
+            )
+        elif args.action == "repair":
+            manifest = repair_bm25_manifest(spark, args.index_dir)
+            print(
+                f"repaired {args.index_dir}: recounted "
+                f"{len(manifest['segments'])} segment(s) -> "
+                f"{manifest['n_docs']} docs, {manifest['l_total']} tokens"
+            )
+        else:  # search
+            if not args.terms:
+                ap.error("textindex search requires --terms")
+            load_bm25_index(spark, args.index_dir)  # loud if uncommitted
+            qterms = spark.createDataFrame(
+                [("q0", t) for t in args.terms.split()],
+                "query_id string, t string",
+            )
+            search_bm25_index(
+                spark, args.index_dir, qterms, k=args.top_k
+            ).orderBy("query_id", "rk").show(100, truncate=False)
         return 0
 
     if args.cmd == "pipeline":
