@@ -878,17 +878,21 @@ def test_bootstrap_sums_stream_folds_to_batch_ci(spark):
     sum) regardless of stream volume."""
     from utility_service_areas_spark.plans.analytics_queries import (
         _BOOT_REPLICATES,
+        revenue_bootstrap_ci,
+        revenue_bootstrap_ci_fast_full,
     )
-    from utility_service_areas_spark.plans.registry import all_queries
     from utility_service_areas_spark.streaming.events import (
         bootstrap_sums_stream,
         read_orders_stream,
         run_to_memory,
     )
 
-    for seam, qname in (
-        ("xxhash64", "revenue_bootstrap_ci_fast"),
-        ("md5", "revenue_bootstrap_ci"),
+    # the xxhash seam's FULL CI surface lives in the _full helper since
+    # r14 (the registered key carries the reduced driver-oracled
+    # projection); the stream must fold to the full bounds of both
+    for seam, batch_fn in (
+        ("xxhash64", revenue_bootstrap_ci_fast_full),
+        ("md5", revenue_bootstrap_ci),
     ):
         out = bootstrap_sums_stream(read_orders_stream(spark, SMOKE_SF), seam)
         run_to_memory(out, f"t_boot_{seam}", "update")
@@ -898,7 +902,7 @@ def test_bootstrap_sums_stream_folds_to_batch_ci(spark):
         assert len(drained) == _BOOT_REPLICATES + 1
         sums = sorted((s, r) for r, s in drained.items() if r >= 0)
         got = (drained[-1], sums[1][0], sums[_BOOT_REPLICATES - 2][0])
-        want = all_queries()[qname](spark, SMOKE_SF).collect()[0]
+        want = batch_fn(spark, SMOKE_SF).collect()[0]
         assert got == (
             want.point_sum_cents,
             want.ci_lo_cents,
