@@ -322,3 +322,60 @@ def test_textindex_cli_lifecycle(spark, tmp_path, capsys):
 
     assert m["n_docs"] == load_table(spark, sf, "documents").count()
     assert doclens.count() == m["n_docs"]
+
+
+def test_logreg_pr_sweep_invariants(spark):
+    """#260: across thresholds, tp+fn is the constant positive count;
+    tp (and so recall) is monotone non-increasing as the threshold
+    rises; tn is monotone non-decreasing; precision is NULL only when
+    nothing is predicted positive."""
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        docs_logreg_pr_sweep,
+    )
+
+    rows = sorted(
+        docs_logreg_pr_sweep(spark, SMOKE_SF).collect(),
+        key=lambda r: r.threshold,
+    )
+    n_pos = {r.tp + r.fn for r in rows}
+    assert len(n_pos) == 1 and n_pos.pop() > 0
+    tps = [r.tp for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    tns = [r.tn for r in rows]
+    assert tns == sorted(tns)
+    for r in rows:
+        if r.tp + r.fp == 0:
+            assert r.precision_micros is None
+        else:
+            assert 0 <= r.precision_micros <= 1_000_000
+        if r.recall_micros is not None:
+            assert 0 <= r.recall_micros <= 1_000_000
+    # the sweep actually SWEEPS: the extreme thresholds differ
+    assert rows[0].tp > rows[-1].tp
+
+
+def test_logreg_calibration_covers_and_separates(spark):
+    """#261: bin counts sum to the corpus size; predicted probability
+    is inside each decile's range; the top bin's empirical positive
+    rate is far above the bottom bin's (the trained model's scores
+    carry real signal, not just ranking noise)."""
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        docs_logreg_calibration,
+        docs_quality_logreg_train,
+    )
+
+    rows = sorted(
+        docs_logreg_calibration(spark, SMOKE_SF).collect(),
+        key=lambda r: r.prob_bin,
+    )
+    total = docs_quality_logreg_train(spark, SMOKE_SF).collect()[0].n_docs
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        lo, hi = r.prob_bin * 100_000, (r.prob_bin + 1) * 100_000
+        if r.prob_bin == 9:
+            hi = 1_000_000  # p = 1e6 folds into the top bin
+        assert lo <= r.mean_p_micros <= hi
+        assert 0 <= r.frac_pos_micros <= 1_000_000
+    bottom, top = rows[0], rows[-1]
+    assert bottom.prob_bin == 0 and top.prob_bin == 9
+    assert top.frac_pos_micros - bottom.frac_pos_micros > 800_000

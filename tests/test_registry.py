@@ -282,6 +282,8 @@ EXPECTED_KEYS = {
     "corpus_heaps_fit",
     "events_poisson_rate_ci",
     "docs_quality_logreg_train",
+    "docs_logreg_pr_sweep",
+    "docs_logreg_calibration",
 }
 
 

@@ -1494,7 +1494,14 @@ def _logreg_stop_sql() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-def _logreg_oracle() -> str:
+def _logreg_chain_sql() -> str:
+    """The shared WITH chain: features -> centering -> all
+    {_LOGREG_ROUNDS} gradient rounds, ending at wr{R} (the trained
+    weights). #259 appends the train-surface tail; #260/#261 append
+    the threshold-sweep / calibration tails over the SAME chain, so
+    'same trained model' is true by construction on the oracle side
+    exactly as the shared _logreg_fit frames make it on the Spark
+    side."""
     head = rf"""
     WITH tok AS MATERIALIZED (
       SELECT doc_id, n_chars, unnest({_TOKS}) AS t FROM documents),
@@ -1541,6 +1548,10 @@ def _logreg_oracle() -> str:
              w3 - g3 // (n * {_LOGREG_LRD}) AS w3
       FROM wr{r - 1}, gr{r}, mu)"""
         )
+    return head + "".join(rounds)
+
+
+def _logreg_oracle() -> str:
     tail = f"""
     SELECT w0 AS w_bias, w1 AS w_ntok, w2 AS w_ndist, w3 AS w_nstop,
            mu.m1 AS mu_ntok, mu.m2 AS mu_ndist, mu.m3 AS mu_nstop,
@@ -1551,37 +1562,19 @@ def _logreg_oracle() -> str:
              AS n_correct,
            mu.n AS n_docs
     FROM wr{_LOGREG_ROUNDS}, mu"""
-    return head + "".join(rounds) + tail
+    return _logreg_chain_sql() + tail
 
 
-@query(
-    "docs_quality_logreg_train",
-    oracle=_logreg_oracle(),
-    doc="Quality-classifier TRAINING LOOP as a plan (VERDICT r13 task "
-    "#7): logistic regression by 4 integer-quantized full-batch "
-    "gradient rounds over token-level features (n_tokens, n_distinct, "
-    "n_stopwords; integer-centered by exact div means), weakly "
-    "supervised by the length gate n_chars >= 300 — distilling a "
-    "cheap rule into a model, the FineWeb-edu curation posture, "
-    "closing the train->score loop that #241 (NB as a plan) and #238 "
-    "(inference seam) bracket. Bit-replayable state (the hits_micros "
-    "#84/#145 discipline): weights are integer micros, the link is "
-    "the HARD sigmoid clamp(5e5 + z div 4, 0, 1e6) so no "
-    "transcendental is ever evaluated, the step is grad div (n*500) "
-    "— every round replays in DuckDB by integer arithmetic alone "
-    "(MATERIALIZED per-round CTEs). Output: final weights + feature "
-    "means (the deployable model — tests score it through "
-    "infer_batches with a separation pin) + training confusion "
-    "counts (98.8-99.2%% accuracy, measured). Scale: the corpus "
-    "collapses ONCE to a 4-int feature frame (tokenize + one "
-    "groupBy); each round is one partial-agg reduce over that frame "
-    "with scalar broadcast weights — R tiny barrier jobs, no "
-    "corpus-sized shuffle, nothing data-sized at the driver; at "
-    "100 TB the feature frame is ~1%% of corpus bytes and rounds are "
-    "embarrassingly map-side.",
-    tags=("pipeline", "text"),
-)
-def docs_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+_LOGREG_Z = "x0*w0 + x1*w1 + x2*w2 + x3*w3"
+_LOGREG_P = f"least(1000000, greatest(0, 500000 + ({_LOGREG_Z}) div 4))"
+
+
+def _logreg_fit(spark: SparkSession, sf_dir: str):
+    """(fc, w, mu): the materialized centered-feature frame, the
+    trained 1-row weights frame after _LOGREG_ROUNDS gradient rounds,
+    and the 1-row (n, m1..m3) means frame — the Spark twin of
+    _logreg_chain_sql, shared by #259/#260/#261 so all three score the
+    SAME trained model."""
     from utility_service_areas_spark.functions.textops import STOPWORDS, tokens
     from utility_service_areas_spark.operators.dedup import lineage_cut
 
@@ -1628,12 +1621,10 @@ def docs_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("w2"),
         F.lit(0).cast("long").alias("w3"),
     )
-    z_expr = "x0*w0 + x1*w1 + x2*w2 + x3*w3"
-    p_expr = f"least(1000000, greatest(0, 500000 + ({z_expr}) div 4))"
     for _r in range(_LOGREG_ROUNDS):
         g = (
             fc.crossJoin(F.broadcast(w))
-            .select(F.expr(p_expr).alias("p"), "y", "x0", "x1", "x2", "x3")
+            .select(F.expr(_LOGREG_P).alias("p"), "y", "x0", "x1", "x2", "x3")
             .agg(
                 *[
                     F.sum(F.expr(f"(p - y) * x{j}"))
@@ -1655,6 +1646,39 @@ def docs_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         )
+    return fc, w, mu
+
+
+@query(
+    "docs_quality_logreg_train",
+    oracle=_logreg_oracle(),
+    doc="Quality-classifier TRAINING LOOP as a plan (VERDICT r13 task "
+    "#7): logistic regression by 4 integer-quantized full-batch "
+    "gradient rounds over token-level features (n_tokens, n_distinct, "
+    "n_stopwords; integer-centered by exact div means), weakly "
+    "supervised by the length gate n_chars >= 300 — distilling a "
+    "cheap rule into a model, the FineWeb-edu curation posture, "
+    "closing the train->score loop that #241 (NB as a plan) and #238 "
+    "(inference seam) bracket. Bit-replayable state (the hits_micros "
+    "#84/#145 discipline): weights are integer micros, the link is "
+    "the HARD sigmoid clamp(5e5 + z div 4, 0, 1e6) so no "
+    "transcendental is ever evaluated, the step is grad div (n*500) "
+    "— every round replays in DuckDB by integer arithmetic alone "
+    "(MATERIALIZED per-round CTEs). Output: final weights + feature "
+    "means (the deployable model — tests score it through "
+    "infer_batches with a separation pin) + training confusion "
+    "counts (98.8-99.2%% accuracy, measured). Scale: the corpus "
+    "collapses ONCE to a 4-int feature frame (tokenize + one "
+    "groupBy); each round is one partial-agg reduce over that frame "
+    "with scalar broadcast weights — R tiny barrier jobs, no "
+    "corpus-sized shuffle, nothing data-sized at the driver; at "
+    "100 TB the feature frame is ~1%% of corpus bytes and rounds are "
+    "embarrassingly map-side.",
+    tags=("pipeline", "text"),
+)
+def docs_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fc, w, mu = _logreg_fit(spark, sf_dir)
+    z_expr = _LOGREG_Z
     confusion = (
         fc.crossJoin(F.broadcast(w))
         .agg(
@@ -1685,4 +1709,159 @@ def docs_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_correct",
             F.col("n").alias("n_docs"),
         )
+    )
+
+
+# #260/#261: the operating-point tables over #259's trained model —
+# curation runs at a THRESHOLD, and picking it needs the PR sweep
+# (which threshold keeps how much, at what purity) and the calibration
+# table (does the hard-sigmoid score MEAN anything as a probability).
+# Integer micros end-to-end; both oracles append their tail to the
+# SAME _logreg_chain_sql() the trainer replays, so "same trained
+# model" is true by construction on both engines.
+_LOGREG_THRESHOLDS = (
+    -1_500_000,
+    -1_000_000,
+    -500_000,
+    -250_000,
+    0,
+    250_000,
+    500_000,
+    1_000_000,
+    1_500_000,
+)
+
+
+@query(
+    "docs_logreg_pr_sweep",
+    oracle=_logreg_chain_sql()
+    + f""",
+    th AS (SELECT CAST(unnest(ARRAY[{", ".join(str(t) for t in _LOGREG_THRESHOLDS)}]) AS BIGINT) AS threshold),
+    sc AS MATERIALIZED (
+      SELECT x0*w0 + x1*w1 + x2*w2 + x3*w3 AS z, y
+      FROM fc, wr{_LOGREG_ROUNDS}),
+    per AS (
+      SELECT threshold,
+        CAST(sum(CASE WHEN z >= threshold AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN z >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN z < threshold AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN z < threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM sc, th GROUP BY threshold)
+    SELECT threshold, tp, fp, fn, tn,
+      CASE WHEN tp + fp > 0
+           THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+        AS precision_micros,
+      CASE WHEN tp + fn > 0
+           THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+        AS recall_micros
+    FROM per
+    """,
+    doc="Precision/recall THRESHOLD SWEEP over #259's trained "
+    "quality classifier — the operating-point table a curation run "
+    "reads to pick its keep threshold (keep-rate vs purity, the "
+    "FineWeb 'classifier cut' decision). Scores z = w·x in integer "
+    "micros from the SAME trained weights (#259's gradient chain is "
+    "replayed verbatim — shared plan frames on the Spark side, shared "
+    "WITH chain in the oracle); per-threshold confusion counts are "
+    "exact integers and precision/recall are exact integer divisions "
+    "(NULL when undefined, never a fake 0). Scale: the corpus "
+    "collapses to the n×2 (z, y) frame once; the sweep is a broadcast "
+    "crossJoin with a 9-row literal dim + one partial-agg groupBy — "
+    "output is 9 rows regardless of corpus size.",
+    tags=("pipeline", "text"),
+)
+def docs_logreg_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fc, w, mu = _logreg_fit(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(t,) for t in _LOGREG_THRESHOLDS], "threshold long"
+    )
+    sc = fc.crossJoin(F.broadcast(w)).select(
+        F.expr(_LOGREG_Z).alias("z"), "y"
+    )
+    per = (
+        sc.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when((F.col("z") >= F.col("threshold")) & (F.col("y") > 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("z") >= F.col("threshold")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("z") < F.col("threshold")) & (F.col("y") > 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("fn"),
+            F.sum(
+                F.when((F.col("z") < F.col("threshold")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("tn"),
+        )
+    )
+    return per.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("tp * 1000000 div (tp + fp)"),
+        ).cast("long").alias("precision_micros"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("tp * 1000000 div (tp + fn)"),
+        ).cast("long").alias("recall_micros"),
+    )
+
+
+@query(
+    "docs_logreg_calibration",
+    oracle=_logreg_chain_sql()
+    + f""",
+    sc AS MATERIALIZED (
+      SELECT least(1000000, greatest(0,
+               500000 + (x0*w0 + x1*w1 + x2*w2 + x3*w3) // 4)) AS p, y
+      FROM fc, wr{_LOGREG_ROUNDS})
+    SELECT CAST(least(9, p // 100000) AS BIGINT) AS prob_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(p) // count(*) AS BIGINT) AS mean_p_micros,
+           CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS frac_pos_micros
+    FROM sc GROUP BY 1
+    """,
+    doc="CALIBRATION (reliability) table of #259's trained classifier: "
+    "hard-sigmoid probability p = clamp(5e5 + z div 4) bucketed into "
+    "deciles (p = 1e6 folds into the top bin), with per-bin predicted "
+    "probability (mean_p) vs empirical positive rate (frac_pos) — "
+    "the reliability-diagram readout that tells a curation pipeline "
+    "whether the score can be USED as a probability (e.g. for "
+    "score-proportional sampling) or only as a ranking. Same trained "
+    "weights by construction (shared chain); all integer micros, "
+    "exact integer divisions. Scale: one map-side p projection over "
+    "the feature frame + a 10-group partial agg — output ≤ 10 rows "
+    "regardless of corpus size.",
+    tags=("pipeline", "text"),
+)
+def docs_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fc, w, mu = _logreg_fit(spark, sf_dir)
+    sc = fc.crossJoin(F.broadcast(w)).select(
+        F.expr(_LOGREG_P).alias("p"), "y"
+    )
+    return sc.groupBy(
+        F.expr("least(9, p div 100000)").cast("long").alias("prob_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.expr("sum(p) div count(*)").cast("long").alias("mean_p_micros"),
+        F.expr(
+            "sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        )
+        .cast("long")
+        .alias("frac_pos_micros"),
     )

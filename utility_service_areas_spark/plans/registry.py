@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = (
     # round (VERDICT r13 task #8, tools/check_oracle.py).
     # 1) never-attested keys — first-ever attestation beats stale-green
     "docs_quality_logreg_train",   # new in r14 (#259)
+    "docs_logreg_pr_sweep",        # new in r14 (#260)
+    "docs_logreg_calibration",     # new in r14 (#261)
     "revenue_bootstrap_ci_fast",   # newly oracled in r14 (task #2)
     # 2) edited-this-round key: same output, but the backing store was
     #    rewritten (BM25 v2 segments) — re-attest the changed machinery
@@ -97,9 +99,12 @@ _DRIVER_PRIORITY = (
     "ann_ivf_sqrtn_topk",
     "corpus_clean_sample",
     "token_count_histogram",
-    # 4) 40 of the 47 sql-oracled r8-stale keys (newest green driver
-    #    row is r8), alphabetical. The 7-key remainder heads the r15
-    #    rotation: sync_status_case, top3_orders_per_customer,
+    # 4) 38 of the 47 sql-oracled r8-stale keys (newest green driver
+    #    row is r8), alphabetical (two slots yielded to the late r14
+    #    additions #260/#261 — never-attested > stale-green per slot).
+    #    The 9-key remainder heads the r15 rotation:
+    #    supplier_balance_rank_dist, supplier_daily_running_revenue,
+    #    sync_status_case, top3_orders_per_customer,
     #    top_revenue_orders, two_digit_year_fix,
     #    unshipped_order_revenue, user_first_last_event,
     #    value_percentiles.
@@ -141,8 +146,6 @@ _DRIVER_PRIORITY = (
     "sentinel_date_imputation",
     "source_curation_profile",
     "source_mixing_weights",
-    "supplier_balance_rank_dist",
-    "supplier_daily_running_revenue",
 )
 
 _PLAN_MODULES = (
