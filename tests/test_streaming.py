@@ -1401,3 +1401,84 @@ def test_stream_versioned_sink_is_exactly_once_across_retry(spark, tmp_path):
     assert v == txn_version(t, "stream-2") == 2
     assert list_versions(t) == [0, 1, 2]
     assert read_version(spark, t).count() == want.count()
+
+
+def test_logreg_online_stream_matches_python_integer_fold(spark, tmp_path):
+    """S40: batch-train #259, deploy its weights + frozen means into
+    the online state, stream the corpus as 3 micro-batches — the
+    drained weight state is EXACTLY the plain-Python integer fold over
+    the same splits (cross-IMPLEMENTATION replay of the bit-exact
+    state discipline, the strongest pin available for a non-SQL
+    streaming op); a replayed micro-batch is a no-op (exactly-once
+    across sink retries)."""
+    from utility_service_areas_spark.functions.textops import STOPWORDS
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        _LOGREG_Y_CHARS,
+        docs_quality_logreg_train,
+    )
+    from utility_service_areas_spark.sources.tables import raw_table_schema
+    from utility_service_areas_spark.streaming.events import (
+        init_logreg_online_state,
+        load_logreg_online_state,
+        logreg_online_apply_batch,
+        logreg_online_stream_writer,
+    )
+
+    model = docs_quality_logreg_train(spark, SMOKE_SF).collect()[0]
+    mu = (model.mu_ntok, model.mu_ndist, model.mu_nstop)
+    w_init = (model.w_bias, model.w_ntok, model.w_ndist, model.w_nstop)
+    sp = str(tmp_path / "logreg_state.json")
+    init_logreg_online_state(sp, mu, w_init)
+
+    d = _three_file_docs(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(raw_table_schema(spark, SMOKE_SF, "documents"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        logreg_online_stream_writer(stream, sp)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = load_logreg_online_state(sp)
+    assert state["n_batches"] == 3 and state["last_batch_id"] == 2
+    assert state["n_docs_seen"] == 500
+    assert [h["n"] for h in state["history"]] == [166, 166, 168]
+
+    # plain-Python integer fold over the same splits, same order
+    def tdiv(a, b):
+        quot = abs(a) // b
+        return quot if a >= 0 else -quot
+
+    w = list(w_init)
+    for i in range(3):
+        rows = spark.read.parquet(os.path.join(d, f"b{i}.parquet")).select(
+            "text", "n_chars"
+        ).collect()
+        g = [0, 0, 0, 0]
+        for r in rows:
+            toks = r.text.strip().split()
+            x = (
+                1,
+                len(toks) - mu[0],
+                len(set(toks)) - mu[1],
+                sum(1 for t in toks if t in STOPWORDS) - mu[2],
+            )
+            y = 1_000_000 if r.n_chars >= _LOGREG_Y_CHARS else 0
+            z = sum(wi * xi for wi, xi in zip(w, x))
+            p = min(1_000_000, max(0, 500_000 + tdiv(z, 4)))
+            for j in range(4):
+                g[j] += (p - y) * x[j]
+        den = len(rows) * 500
+        w = [wi - tdiv(gi, den) for wi, gi in zip(w, g)]
+    assert state["w"] == w
+
+    # replayed micro-batch (sink-side retry): state unchanged
+    again = logreg_online_apply_batch(
+        spark.read.parquet(os.path.join(d, "b0.parquet")), 0, sp
+    )
+    assert again["w"] == w and again["n_batches"] == 3
+    assert load_logreg_online_state(sp)["w"] == w

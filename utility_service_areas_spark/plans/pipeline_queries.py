@@ -1569,22 +1569,20 @@ _LOGREG_Z = "x0*w0 + x1*w1 + x2*w2 + x3*w3"
 _LOGREG_P = f"least(1000000, greatest(0, 500000 + ({_LOGREG_Z}) div 4))"
 
 
-def _logreg_fit(spark: SparkSession, sf_dir: str):
-    """(fc, w, mu): the materialized centered-feature frame, the
-    trained 1-row weights frame after _LOGREG_ROUNDS gradient rounds,
-    and the 1-row (n, m1..m3) means frame — the Spark twin of
-    _logreg_chain_sql, shared by #259/#260/#261 so all three score the
-    SAME trained model."""
+def _logreg_features(docs: DataFrame) -> DataFrame:
+    """Raw integer feature frame (doc_id, r1=n_tokens, r2=n_distinct,
+    r3=n_stopwords, y=weak label in micros) for ANY documents frame —
+    the feature stage shared by the batch trainer (#259-#261) and the
+    S40 streaming online updater, so 'same features' is true by
+    construction across batch and stream."""
     from utility_service_areas_spark.functions.textops import STOPWORDS, tokens
-    from utility_service_areas_spark.operators.dedup import lineage_cut
 
-    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         "n_chars",
         F.explode(tokens(F.col("text"))).alias("t"),
     )
-    feats = tok.groupBy("doc_id").agg(
+    return tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("r1"),
         F.countDistinct("t").alias("r2"),
         F.coalesce(
@@ -1596,6 +1594,17 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("y"),
     )
+
+
+def _logreg_fit(spark: SparkSession, sf_dir: str):
+    """(fc, w, mu): the materialized centered-feature frame, the
+    trained 1-row weights frame after _LOGREG_ROUNDS gradient rounds,
+    and the 1-row (n, m1..m3) means frame — the Spark twin of
+    _logreg_chain_sql, shared by #259/#260/#261 so all three score the
+    SAME trained model."""
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    feats = _logreg_features(load_table(spark, sf_dir, "documents"))
     mu = feats.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.expr("sum(r1) div count(*)").alias("m1"),

@@ -1181,3 +1181,169 @@ def bm25_index_stream_writer(
         )
 
     return stream.writeStream.foreachBatch(feed_batch)
+
+
+# ---------------------------------------------------------------------------
+# S40 (r14): STREAMING ONLINE UPDATES for the #259 quality classifier —
+# continual learning at the serving edge. Batch-train with
+# docs_quality_logreg_train, deploy its weights + feature means into a
+# state file, then let the document stream take one integer-quantized
+# gradient step per micro-batch (features centered by the FROZEN
+# training-time means — the standard deployment posture; re-centering
+# per batch would make the model chase its own normalization).
+# Everything stays in the #259 bit-replayable integer discipline, so
+# the drained stream state is EXACTLY reproducible by an offline fold
+# over the same batch splits (pinned against a plain-Python integer
+# replay in tests/test_streaming.py — cross-implementation, not just
+# cross-run). Exactly-once across micro-batch retries via the recorded
+# last_batch_id (the S39 txn posture applied to model state).
+# ---------------------------------------------------------------------------
+
+LOGREG_STATE_VERSION = 1
+_LOGREG_HISTORY_CAP = 100
+
+
+def init_logreg_online_state(
+    state_path: str,
+    mu: tuple[int, int, int],
+    w: tuple[int, int, int, int] = (0, 0, 0, 0),
+    lr_den: int = 500,
+) -> dict:
+    """Create the online-updater state file: frozen feature means from
+    the batch trainer, starting weights (typically #259's trained
+    weights — fine-tuning — or zeros), and the step denominator.
+    Atomic write; returns the state."""
+    state = {
+        "format_version": LOGREG_STATE_VERSION,
+        "mu": [int(m) for m in mu],
+        "w": [int(x) for x in w],
+        "lr_den": int(lr_den),
+        "last_batch_id": -1,
+        "n_batches": 0,
+        "n_docs_seen": 0,
+        "history": [],
+    }
+    _write_logreg_state(state_path, state)
+    return state
+
+
+def load_logreg_online_state(state_path: str) -> dict:
+    import json
+
+    with open(state_path) as f:
+        state = json.load(f)
+    if state.get("format_version") != LOGREG_STATE_VERSION:
+        raise ValueError(
+            f"logreg state format {state.get('format_version')} != "
+            f"{LOGREG_STATE_VERSION}"
+        )
+    return state
+
+
+def _write_logreg_state(state_path: str, state: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    tmp = f"{state_path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, state_path)  # readers see old or new, never torn
+
+
+def logreg_online_step(df: DataFrame, state: dict) -> dict | None:
+    """One integer gradient step of the #259 discipline over a batch
+    frame, against ``state``'s weights and FROZEN means. Returns the
+    updated state, or None for an empty batch. Pure function of
+    (batch rows, state) — partitioning-independent because every
+    aggregate is an exact integer sum."""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        _LOGREG_P,
+        _logreg_features,
+    )
+
+    m1, m2, m3 = state["mu"]
+    w0, w1, w2, w3 = state["w"]
+    fc = _logreg_features(df).select(
+        F.lit(1).cast("long").alias("x0"),
+        (F.col("r1") - F.lit(m1)).cast("long").alias("x1"),
+        (F.col("r2") - F.lit(m2)).cast("long").alias("x2"),
+        (F.col("r3") - F.lit(m3)).cast("long").alias("x3"),
+        "y",
+    )
+    row = (
+        fc.select(
+            F.expr(
+                _LOGREG_P.replace("w0", str(w0))
+                .replace("w1", str(w1))
+                .replace("w2", str(w2))
+                .replace("w3", str(w3))
+            ).alias("p"),
+            "y",
+            "x0",
+            "x1",
+            "x2",
+            "x3",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(F.expr(f"(p - y) * x{j}")).cast("long").alias(f"g{j}")
+                for j in range(4)
+            ],
+        )
+        .collect()[0]
+    )
+    if not row.n:
+        return None
+    den = row.n * state["lr_den"]
+    g = [row.g0, row.g1, row.g2, row.g3]
+
+    def tdiv(a: int, b: int) -> int:  # Spark `div`: truncate toward zero
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    new_w = [wi - tdiv(gi, den) for wi, gi in zip(state["w"], g)]
+    step_l1 = sum(abs(nw - ow) for nw, ow in zip(new_w, state["w"]))
+    state = dict(state)
+    state["w"] = new_w
+    state["n_batches"] += 1
+    state["n_docs_seen"] += int(row.n)
+    state["history"] = (
+        state["history"] + [{"n": int(row.n), "step_l1": int(step_l1)}]
+    )[-_LOGREG_HISTORY_CAP:]
+    return state
+
+
+def logreg_online_apply_batch(
+    df: DataFrame, batch_id: int, state_path: str
+) -> dict:
+    """The per-micro-batch fold (module-level so the retry guard is
+    directly testable): load state, skip if this batch_id already
+    stepped (exactly-once across sink-side replays), else one gradient
+    step + atomic state write. Returns the (possibly unchanged)
+    state."""
+    state = load_logreg_online_state(state_path)
+    if batch_id <= state["last_batch_id"]:
+        return state  # replayed micro-batch: the step already happened
+    updated = logreg_online_step(df, state)
+    if updated is None:
+        updated = dict(state)  # empty batch still advances the id
+    updated["last_batch_id"] = batch_id
+    _write_logreg_state(state_path, updated)
+    return updated
+
+
+def logreg_online_stream_writer(stream: DataFrame, state_path: str):
+    """S40 — each document micro-batch takes one gradient step against
+    the persisted state. A RETRIED micro-batch (batch_id <= the
+    recorded last_batch_id) is a no-op, so the weight trajectory is
+    exactly-once across sink-side failures; the state write itself is
+    atomic (temp + rename). Returns a DataStreamWriter."""
+
+    def step_batch(df: DataFrame, batch_id: int) -> None:
+        logreg_online_apply_batch(df, batch_id, state_path)
+
+    return stream.writeStream.foreachBatch(step_batch)
