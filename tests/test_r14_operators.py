@@ -185,6 +185,38 @@ def test_vacuum_spares_young_commit_temps(spark, tmp_path):
     assert not os.path.exists(young)
 
 
+def test_vacuum_spares_young_orphan_data_dirs(spark, tmp_path):
+    """r14 review #3: a data dir referenced by NO manifest may be an
+    IN-FLIGHT commit (parquet lands seconds before the manifest claim)
+    — vacuum must spare it until it ages past the grace window, else a
+    writer can commit a readable manifest pointing at deleted data.
+    Dirs referenced by EXPIRED manifests were durably committed and go
+    regardless of age."""
+    t = str(tmp_path / "tbl")
+    write_version(_kv(spark, [(1, "a")]), t)
+    write_version(_kv(spark, [(2, "b")]), t, mode="overwrite")  # v0 expires
+
+    young = os.path.join(t, "data", "commit-inflight")
+    stale = os.path.join(t, "data", "commit-crashedlongago")
+    for p in (young, stale):
+        os.makedirs(p)
+        with open(os.path.join(p, "part.parquet"), "w") as f:
+            f.write("x")
+    os.utime(stale, (0, 0))
+
+    plan = vacuum(t, keep_last=1, dry_run=True)
+    dirs = set(plan["dirs"])
+    # v0's expired-committed dir is reclaimed regardless of age...
+    assert any(d.startswith(os.path.join("data", "commit-")) for d in dirs)
+    # ...the stale orphan too, but the fresh (in-flight) one is spared
+    assert os.path.join("data", "commit-crashedlongago") in dirs
+    assert os.path.join("data", "commit-inflight") not in dirs
+
+    vacuum(t, keep_last=1)
+    assert os.path.exists(young) and not os.path.exists(stale)
+    assert _rows(spark, t) == {(2, "b")}
+
+
 def test_twostar_raises_on_exhaustion_instead_of_wrong_labels(spark):
     """ADVICE r13 #4: exiting the large-star/small-star loop by
     exhaustion (fingerprint still moving) must raise, not silently
@@ -308,6 +340,16 @@ def test_textindex_cli_lifecycle(spark, tmp_path, capsys):
 
     assert main(["textindex", "compact", "--index-dir", d]) == 0
     assert "1 segment(s)" in capsys.readouterr().out
+
+    # retired dirs survive compaction (readers keep working) until an
+    # aged vacuum; dry run reports, grace 0 sweeps
+    assert main(["textindex", "vacuum", "--index-dir", d, "--dry-run",
+                 "--grace-seconds", "0"]) == 0
+    assert "would remove 2" in capsys.readouterr().out
+    assert main(["textindex", "vacuum", "--index-dir", d,
+                 "--grace-seconds", "0"]) == 0
+    assert "removed 2" in capsys.readouterr().out
+    assert len(os.listdir(os.path.join(d, "segments"))) == 1
 
     assert main(["textindex", "repair", "--index-dir", d]) == 0
     assert "recounted 1 segment(s)" in capsys.readouterr().out

@@ -248,9 +248,12 @@ def test_search_prunes_postings_partitions(spark, tmp_path):
 
 
 def test_compaction_preserves_search_and_counts(spark, tmp_path):
-    """VERDICT r13 task #5: compaction folds all segments into one with
-    IDENTICAL search results and additive counts carried over, then
-    removes the retired dirs (manifest-first order)."""
+    """VERDICT r13 task #5 + r14 review #2: compaction folds all
+    segments into one with IDENTICAL search results and additive
+    counts carried over — WITHOUT deleting the retired dirs (an
+    in-flight reader on the old manifest keeps working); the separate
+    age-gated vacuum reclaims them: a young retired dir is spared, a
+    stale one swept, and search is unaffected throughout."""
     docs = _docs(spark)
     d = str(tmp_path / "idx")
     build_bm25_index(docs.filter(F.col("doc_id") % 3 == 0), d)
@@ -259,18 +262,40 @@ def test_compaction_preserves_search_and_counts(spark, tmp_path):
     assert len(m["segments"]) == 3
     q = _qterms(spark)
     before = sorted(map(tuple, search_bm25_index(spark, d, q).collect()))
+    # an in-flight reader: frames loaded BEFORE the compaction
+    _m_old, old_postings, _old_doclens = load_bm25_index(spark, d)
 
     from utility_service_areas_spark.operators.text_index import (
         compact_bm25_index,
+        vacuum_bm25_index,
     )
 
     m2 = compact_bm25_index(spark, d)
     assert len(m2["segments"]) == 1
     assert m2["n_docs"] == m["n_docs"] and m2["l_total"] == m["l_total"]
     assert m2["n_compactions"] == 1
-    assert len(os.listdir(os.path.join(d, "segments"))) == 1
+    seg_root = os.path.join(d, "segments")
+    assert len(os.listdir(seg_root)) == 4  # 3 retired + 1 new, all kept
+    # the pre-compaction reader still completes (dirs not yanked)
+    assert old_postings.count() > 0
     after = sorted(map(tuple, search_bm25_index(spark, d, q).collect()))
     assert after == before
+
+    # vacuum: young retired dirs spared (grace), stale ones swept
+    plan = vacuum_bm25_index(d, grace_seconds=3600, dry_run=True)
+    assert plan["dirs"] == []  # everything is younger than the grace
+    for name in os.listdir(seg_root):
+        if name not in {s["name"] for s in m2["segments"]}:
+            os.utime(os.path.join(seg_root, name), (0, 0))
+    plan = vacuum_bm25_index(d, grace_seconds=3600, dry_run=True)
+    assert plan["dirs_removed"] == 3 and plan["dry_run"]
+    assert len(os.listdir(seg_root)) == 4  # dry run touched nothing
+    real = vacuum_bm25_index(d, grace_seconds=3600)
+    assert real["dirs"] == plan["dirs"]
+    assert len(os.listdir(seg_root)) == 1
+    assert (
+        sorted(map(tuple, search_bm25_index(spark, d, q).collect())) == before
+    )
 
 
 def test_compact_every_bounds_segment_count(spark, tmp_path):

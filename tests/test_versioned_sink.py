@@ -226,11 +226,14 @@ def test_vacuum_expires_history_keeps_retained_exact(spark, tmp_path):
     before = {(r.k, r.v) for r in read_version(spark, t, 2).collect()}
     v1_rows = {(r.k, r.v) for r in read_version(spark, t, 1).collect()}
 
-    # plant an orphan (crashed commit: data written, no manifest)
+    # plant a STALE orphan (crashed commit: data written, no manifest;
+    # backdated past the grace window — a FRESH unreferenced dir is an
+    # in-flight commit and must be spared, r14 review #3)
     orphan = os.path.join(t, "data", "commit-deadbeef")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "junk.parquet"), "w") as f:
         f.write("x")
+    os.utime(orphan, (0, 0))
 
     stats = vacuum(t, keep_last=2)
     assert stats["versions_retained"] == 2
@@ -253,11 +256,14 @@ def test_vacuum_crash_midway_leaves_only_invisible_dirs(spark, tmp_path):
     t = str(tmp_path / "tbl")
     write_version_bucketed(_kv(spark, [(k, "a") for k in range(8)]), t, ["k"], 2)
     merge_version(spark, t, _ch(spark, [(1, "b", "U")]))
-    # simulate the crash: delete expired manifests but no dirs
+    # simulate the crash: delete expired manifests but no dirs. The
+    # leftover dirs are now referenced by NO manifest, i.e. orphans —
+    # the next vacuum reclaims them once they age out of the grace
+    # window (grace 0 here: the crash is long past by assumption)
     os.unlink(os.path.join(t, "_v0.json"))
     latest = {(r.k, r.v) for r in read_version(spark, t).collect()}
     assert latest  # still readable
-    stats = vacuum(t, keep_last=1)
+    stats = vacuum(t, keep_last=1, tmp_grace_seconds=0)
     assert stats["dirs_removed"] >= 1  # the now-orphaned v0-only dirs
     assert {(r.k, r.v) for r in read_version(spark, t).collect()} == latest
 

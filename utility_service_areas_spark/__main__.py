@@ -83,7 +83,20 @@ def main(argv: list[str] | None = None) -> int:
         "segments, repair the additive manifest counts",
     )
     tix.add_argument(
-        "action", choices=("build", "add", "search", "compact", "repair")
+        "action",
+        choices=("build", "add", "search", "compact", "repair", "vacuum"),
+    )
+    tix.add_argument(
+        "--grace-seconds",
+        type=float,
+        default=600.0,
+        help="vacuum: spare unlisted segment dirs younger than this "
+        "(an in-flight reader/writer may still hold them)",
+    )
+    tix.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="vacuum: print the would-delete set without touching disk",
     )
     tix.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     tix.add_argument("--index-dir", required=True)
@@ -237,7 +250,6 @@ def main(argv: list[str] | None = None) -> int:
         from utility_service_areas_spark.operators.vector_index import (
             add_to_ivfpq_index,
             build_ivfpq_index,
-            load_ivfpq_index,
             search_ivfpq_index,
         )
         from utility_service_areas_spark.session import build_session
@@ -261,8 +273,9 @@ def main(argv: list[str] | None = None) -> int:
                 f"added into {args.index_dir}: now {manifest['n_vectors']} "
                 f"vectors ({manifest['n_adds']} add batches)"
             )
-        else:  # search — queries = the probe workload (vec_id < 5)
-            load_ivfpq_index(spark, args.index_dir)  # loud if uncommitted
+        else:  # search — queries = the probe workload (vec_id < 5);
+            # search_ivfpq_index loads the index itself (and raises
+            # just as loudly on an uncommitted dir — r14 review #7)
             queries = emb.filter(F.col("vec_id") < 5).select(
                 F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qvec"),
@@ -283,7 +296,6 @@ def main(argv: list[str] | None = None) -> int:
             add_to_bm25_index,
             build_bm25_index,
             compact_bm25_index,
-            load_bm25_index,
             repair_bm25_manifest,
             search_bm25_index,
         )
@@ -327,10 +339,25 @@ def main(argv: list[str] | None = None) -> int:
                 f"{len(manifest['segments'])} segment(s) -> "
                 f"{manifest['n_docs']} docs, {manifest['l_total']} tokens"
             )
+        elif args.action == "vacuum":
+            from utility_service_areas_spark.operators.text_index import (
+                vacuum_bm25_index,
+            )
+
+            plan = vacuum_bm25_index(
+                args.index_dir,
+                grace_seconds=args.grace_seconds,
+                dry_run=args.dry_run,
+            )
+            verb = "would remove" if args.dry_run else "removed"
+            print(
+                f"vacuum {args.index_dir}: {verb} "
+                f"{plan['dirs_removed']} unlisted segment dir(s)"
+                + (f": {', '.join(plan['dirs'])}" if plan["dirs"] else "")
+            )
         else:  # search
             if not args.terms:
                 ap.error("textindex search requires --terms")
-            load_bm25_index(spark, args.index_dir)  # loud if uncommitted
             qterms = spark.createDataFrame(
                 [("q0", t) for t in args.terms.split()],
                 "query_id string, t string",

@@ -58,10 +58,18 @@ search-from-artifacts is row-identical to the inline query over the
 same corpus (driver-oracled via text_bm25_search_persisted against
 the same SQL as #219).
 
-Concurrency contract: adds/search may interleave with each other
-(first-writer-wins makes a racing duplicate add harmless), but
-compact/repair assume a single maintenance writer — the table-format
-posture (OPTIMIZE takes a table lock in Delta too).
+Concurrency contract (the Lucene IndexWriter posture): ONE mutating
+writer per index at a time — build/add/compact/repair perform a
+read-modify-write of the manifest with no claim loop, so two
+concurrent mutators can lose an update (the S38 stream writer IS that
+single writer; a multi-writer deployment coordinates externally,
+exactly as Lucene requires one IndexWriter). Readers are always safe
+against the writer: every mutation is an atomic manifest replace, a
+retried batch of the single writer is exactly-once, and compaction
+does NOT delete the retired segment dirs (an in-flight search over
+the old manifest keeps reading them) — ``vacuum_bm25_index`` reclaims
+unlisted dirs later, age-gated so it cannot yank a segment from under
+a live reader or a mid-stage add.
 """
 
 from __future__ import annotations
@@ -307,13 +315,15 @@ def add_to_bm25_index(
 def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold every committed segment into ONE (the OPTIMIZE/forceMerge
     posture): reads the union stores, writes them as a single new
-    segment, commits a manifest listing only it, THEN deletes the old
-    segment dirs plus any unlisted orphans (manifest-first deletion
-    order — a crash mid-compaction can only leave unreferenced dirs,
-    never a readable manifest with missing data). Search results are
-    unchanged (pinned): doc_ids are disjoint across segments by
-    first-writer-wins, so union == concatenation. Counts are carried
-    additively from the retired entries, not recounted."""
+    segment, and commits a manifest listing only it. The retired
+    segment dirs are NOT deleted here — an in-flight search that
+    loaded the pre-compaction manifest keeps reading them (the Delta
+    OPTIMIZE posture: rewrites never break concurrent readers);
+    ``vacuum_bm25_index`` reclaims them later behind an age gate.
+    Search results are unchanged (pinned): doc_ids are disjoint
+    across segments by first-writer-wins, so union == concatenation.
+    Counts are carried additively from the retired entries, not
+    recounted."""
     manifest, postings, doclens = load_bm25_index(spark, index_dir)
     old = list(manifest["segments"])
     if len(old) <= 1:
@@ -334,12 +344,51 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
     manifest["segments"] = [seg]
     manifest["n_compactions"] += 1
     _commit_manifest(index_dir, manifest)
-    root = _segments_root(index_dir)
-    keep = {seg["name"]}
-    for name in os.listdir(root):
-        if name not in keep:
-            shutil.rmtree(os.path.join(root, name))
     return manifest
+
+
+def vacuum_bm25_index(
+    index_dir: str,
+    grace_seconds: float = 600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Reclaim segment dirs the manifest no longer (or never) lists:
+    compaction-retired segments, torn-add leftovers, crashed staging
+    dirs. Age-gated: a dir younger than ``grace_seconds`` is spared,
+    so a vacuum can never delete (a) a segment an in-flight reader
+    loaded from a just-replaced manifest or (b) a segment the single
+    writer renamed but has not yet committed — crash debris is only
+    swept once it is demonstrably stale. ``dry_run=True`` returns the
+    exact would-delete list without touching disk. Runs regardless of
+    the live segment count (a 1-segment index can still carry orphans
+    from a crash between a compaction's commit and an older vacuum)."""
+    import time
+
+    mpath = _manifest_path(index_dir)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    listed = {s["name"] for s in manifest["segments"]}
+    root = _segments_root(index_dir)
+    now = time.time()
+    drop = []
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            if name in listed:
+                continue
+            try:
+                age = now - os.path.getmtime(os.path.join(root, name))
+            except FileNotFoundError:
+                continue
+            if age >= grace_seconds:
+                drop.append(name)
+    plan = {"dirs_removed": len(drop), "dirs": drop, "dry_run": dry_run}
+    if dry_run:
+        return plan
+    for name in drop:
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return plan
 
 
 def repair_bm25_manifest(spark: SparkSession, index_dir: str) -> dict:

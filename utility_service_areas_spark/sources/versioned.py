@@ -590,7 +590,13 @@ def vacuum(
     concurrent writer sits between json.dump(tmp) and os.link for
     milliseconds, so sweeping only old temps (plus the claim loops'
     FileNotFoundError retry) closes the window where a vacuum could
-    yank a live commit's temp (ADVICE r13 #3)."""
+    yank a live commit's temp (ADVICE r13 #3). The SAME grace applies
+    to TRUE ORPHAN data dirs — dirs referenced by NO manifest at all —
+    because an in-flight commit writes its parquet for seconds before
+    claiming a manifest (r14 review #3: deleting that dir would let
+    the writer commit a readable manifest with missing data). Dirs
+    referenced only by EXPIRED manifests were durably committed and
+    are reclaimed regardless of age."""
     import shutil
     import time
 
@@ -601,30 +607,44 @@ def vacuum(
         )
     versions = list_versions(table_dir)
     retained = versions[-keep_last:]
-    referenced: set[str] = set()
-    for v in retained:
+    referenced: set[str] = set()  # by a RETAINED manifest -> keep
+    expired_referenced: set[str] = set()  # only by expired -> reclaim
+    for v in versions:
         man = _read_manifest(table_dir, v)
-        referenced.update(os.path.normpath(d) for d in man["data_dirs"])
+        target = referenced if v in retained else expired_referenced
+        target.update(os.path.normpath(d) for d in man["data_dirs"])
+    expired_referenced -= referenced
 
     # ---- plan (pure computation, no disk mutation) ----
     drop_manifests = [
         _manifest_name(v) for v in versions if v not in retained
     ]
     now = time.time()
-    drop_tmps = []
-    for name in os.listdir(table_dir):  # temps from crashed claims
-        if not name.startswith("_tmp-"):
-            continue
+
+    def _is_stale(path: str) -> bool:
         try:
-            age = now - os.path.getmtime(os.path.join(table_dir, name))
+            return now - os.path.getmtime(path) >= tmp_grace_seconds
         except FileNotFoundError:
-            continue  # the writer finished (or another vacuum won)
-        if age >= tmp_grace_seconds:
-            drop_tmps.append(name)
+            return False  # its writer finished (or another vacuum won)
+
+    drop_tmps = [
+        name
+        for name in os.listdir(table_dir)  # temps from crashed claims
+        if name.startswith("_tmp-") and _is_stale(os.path.join(table_dir, name))
+    ]
 
     drop_dirs: list[str] = []  # rel paths; whole-commit dirs listed once
     empty_commit_dirs: list[str] = []  # bucketed dirs whose kept subs == 0
     data_root = os.path.join(table_dir, "data")
+
+    def _reclaimable(rel: str) -> bool:
+        """Expired-committed dirs go regardless of age; a dir no
+        manifest ever referenced may be an in-flight commit — only
+        reclaim it once stale."""
+        return rel in expired_referenced or _is_stale(
+            os.path.join(table_dir, rel)
+        )
+
     if os.path.isdir(data_root):
         for commit in sorted(os.listdir(data_root)):
             commit_rel = os.path.normpath(os.path.join("data", commit))
@@ -638,16 +658,21 @@ def vacuum(
             )
             bucket_subs = [s for s in subs if s.startswith(BUCKET_PREFIX)]
             if not bucket_subs:
-                drop_dirs.append(commit_rel)
+                if _reclaimable(commit_rel):
+                    drop_dirs.append(commit_rel)
                 continue
             kept_any = False
+            dropped_all = True
             for s in bucket_subs:
                 sub_rel = os.path.normpath(os.path.join("data", commit, s))
                 if sub_rel in referenced:
                     kept_any = True
-                else:
+                    dropped_all = False
+                elif _reclaimable(sub_rel):
                     drop_dirs.append(sub_rel)
-            if not kept_any:
+                else:
+                    dropped_all = False
+            if not kept_any and dropped_all:
                 empty_commit_dirs.append(commit_rel)
 
     plan = {
@@ -658,6 +683,10 @@ def vacuum(
         "manifests": sorted(drop_manifests),
         "tmps": sorted(drop_tmps),
         "dirs": sorted(drop_dirs),
+        # parent husks removed after their last bucket goes — part of
+        # the would-delete plan (r14 review #5: the plan must be the
+        # FULL delete set, not an undercount)
+        "empty_commit_husks": sorted(empty_commit_dirs),
         "dry_run": dry_run,
     }
     if dry_run:

@@ -1260,12 +1260,10 @@ def logreg_online_step(df: DataFrame, state: dict) -> dict | None:
     from pyspark.sql import functions as F
 
     from utility_service_areas_spark.plans.pipeline_queries import (
-        _LOGREG_P,
         _logreg_features,
     )
 
     m1, m2, m3 = state["mu"]
-    w0, w1, w2, w3 = state["w"]
     fc = _logreg_features(df).select(
         F.lit(1).cast("long").alias("x0"),
         (F.col("r1") - F.lit(m1)).cast("long").alias("x1"),
@@ -1273,14 +1271,16 @@ def logreg_online_step(df: DataFrame, state: dict) -> dict | None:
         (F.col("r3") - F.lit(m3)).cast("long").alias("x3"),
         "y",
     )
+    # z/p built from the weight LITERALS (r14 review #6: splicing
+    # values into the shared _LOGREG_P string via str.replace was
+    # textual surgery that a rename in pipeline_queries could silently
+    # corrupt); the hard-sigmoid constants are the #259 discipline and
+    # the cross-implementation Python-fold pin keeps them honest.
+    z = " + ".join(f"x{j} * ({int(wj)}L)" for j, wj in enumerate(state["w"]))
+    p_expr = f"least(1000000L, greatest(0L, 500000L + ({z}) div 4))"
     row = (
         fc.select(
-            F.expr(
-                _LOGREG_P.replace("w0", str(w0))
-                .replace("w1", str(w1))
-                .replace("w2", str(w2))
-                .replace("w3", str(w3))
-            ).alias("p"),
+            F.expr(p_expr).alias("p"),
             "y",
             "x0",
             "x1",
