@@ -202,7 +202,9 @@ def test_vacuum_spares_young_orphan_data_dirs(spark, tmp_path):
         os.makedirs(p)
         with open(os.path.join(p, "part.parquet"), "w") as f:
             f.write("x")
-    os.utime(stale, (0, 0))
+    from tests.conftest import backdate_tree
+
+    backdate_tree(stale)
 
     plan = vacuum(t, keep_last=1, dry_run=True)
     dirs = set(plan["dirs"])

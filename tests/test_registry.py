@@ -284,6 +284,9 @@ EXPECTED_KEYS = {
     "docs_quality_logreg_train",
     "docs_logreg_pr_sweep",
     "docs_logreg_calibration",
+    # r15 additions
+    "dedup_suffix_splice",
+    "curation_funnel_classifier",
 }
 
 

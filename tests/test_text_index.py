@@ -284,9 +284,11 @@ def test_compaction_preserves_search_and_counts(spark, tmp_path):
     # vacuum: young retired dirs spared (grace), stale ones swept
     plan = vacuum_bm25_index(d, grace_seconds=3600, dry_run=True)
     assert plan["dirs"] == []  # everything is younger than the grace
+    from tests.conftest import backdate_tree
+
     for name in os.listdir(seg_root):
         if name not in {s["name"] for s in m2["segments"]}:
-            os.utime(os.path.join(seg_root, name), (0, 0))
+            backdate_tree(os.path.join(seg_root, name))
     plan = vacuum_bm25_index(d, grace_seconds=3600, dry_run=True)
     assert plan["dirs_removed"] == 3 and plan["dry_run"]
     assert len(os.listdir(seg_root)) == 4  # dry run touched nothing

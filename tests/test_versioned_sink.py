@@ -233,7 +233,9 @@ def test_vacuum_expires_history_keeps_retained_exact(spark, tmp_path):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "junk.parquet"), "w") as f:
         f.write("x")
-    os.utime(orphan, (0, 0))
+    from tests.conftest import backdate_tree
+
+    backdate_tree(orphan)
 
     stats = vacuum(t, keep_last=2)
     assert stats["versions_retained"] == 2

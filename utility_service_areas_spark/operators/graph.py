@@ -465,35 +465,50 @@ def connected_components_twostar(
     edges = _cut(
         _sym(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
     )
-    prev_fp = None
-    converged = False
-    for _ in range(max_iter):
+    def _star_round(e: DataFrame) -> DataFrame:
         # LARGE-STAR: every neighbor LARGER than the center re-attaches
         # to the center's minimum (min over neighborhood + self).
-        mins = _center_mins(edges)
+        mins = _center_mins(e)
         large = (
-            edges.join(mins, "u")
+            e.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        edges = _cut(_sym(large))
+        e = _cut(_sym(large))
         # SMALL-STAR: every neighbor <= the center, plus the center
         # itself, re-attaches to the center's minimum.
-        mins = _center_mins(edges)
+        mins = _center_mins(e)
         small = (
-            edges.join(mins, "u")
+            e.join(mins, "u")
             .filter(F.col("v") <= F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins.select(F.col("u"), F.col("m").alias("v")))
         )
-        edges = _cut(_sym(small))
-        fp = edges.agg(
+        return _cut(_sym(small))
+
+    def _fingerprint(e: DataFrame) -> int:
+        return e.agg(
             F.expr("bit_xor(xxhash64(u, v))").alias("fp")
         ).collect()[0][0]
+
+    prev_fp = None
+    converged = False
+    for _ in range(max_iter):
+        edges = _star_round(edges)
+        fp = _fingerprint(edges)
         if fp == prev_fp:
             converged = True
             break
         prev_fp = fp
+    if not converged:
+        # Fingerprint equality trails the fixpoint by one round (the
+        # round that REACHES it still changes the set), so a graph that
+        # converges exactly at max_iter would look unconverged. Verify
+        # directly with one extra round before raising — its cost is
+        # one round we were about to charge to an exception anyway
+        # (ADVICE r14 #3).
+        edges = _star_round(edges)
+        converged = _fingerprint(edges) == prev_fp
     if not converged:
         # ADVICE r13 #4: exiting by exhaustion means the edge set never
         # reached the star fixpoint — the labels below could be WRONG

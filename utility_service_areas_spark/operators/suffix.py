@@ -230,28 +230,23 @@ def neighbor_lcp(
     return both.groupBy("rk").agg(F.max("lcp").cast("long").alias("nbr_lcp"))
 
 
-def doc_repeat_stats(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_rep: int = 8,
-    k_levels: int = LRS_K,
-) -> DataFrame:
-    """Per-document exact repeated-substring statistics:
-    (doc_id, n_positions, max_rep_len, n_pos_rep_ge{min_rep}).
-
-    Saturation: rank_K equality certifies only the first 2^K tokens,
-    so the equal-rank (full-suffix-repeat) branch is CAPPED at 2^K —
-    on documents longer than 2^K the stat saturates there instead of
-    overclaiming the whole remaining suffix."""
+def _tok_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, i, t): 1-based token positions of the whole corpus."""
     from utility_service_areas_spark.functions.textops import tokens
 
-    tok = docs.select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("i0", "t"),
-    ).select(
-        "doc_id", (F.col("i0") + 1).cast("long").alias("i"), "t"
-    )
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "t")
+
+
+def per_position_maxrep(
+    tok: DataFrame, k_levels: int = LRS_K
+) -> DataFrame:
+    """(doc_id, i, dl, maxrep) for every corpus position: maxrep is
+    the exact token length of the longest substring starting at (doc,
+    i) occurring >= 2 times anywhere (overlaps allowed), capped at
+    2^k_levels (rank_K equality certifies only that many tokens)."""
     pos = tok.withColumn(
         "dl", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
     ).select("doc_id", "i", "dl", F.md5("t").alias("h"))
@@ -259,12 +254,13 @@ def doc_repeat_stats(
     final = ranks[k_levels]
     grp = final.groupBy("rk").agg(F.count(F.lit(1)).alias("gs"))
     nbr = neighbor_lcp(ranks, k_levels)
-    per_pos = (
+    return (
         final.join(grp, "rk")
         .join(nbr, "rk", "left")
         .select(
             "doc_id",
             "i",
+            "dl",
             F.greatest(
                 F.coalesce(F.col("nbr_lcp"), F.lit(0)),
                 F.when(
@@ -279,10 +275,110 @@ def doc_repeat_stats(
             .alias("maxrep"),
         )
     )
+
+
+def doc_repeat_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_rep: int = 8,
+    k_levels: int = LRS_K,
+) -> DataFrame:
+    """Per-document exact repeated-substring statistics:
+    (doc_id, n_positions, max_rep_len, n_pos_rep_ge{min_rep}).
+
+    Saturation: rank_K equality certifies only the first 2^K tokens,
+    so the equal-rank (full-suffix-repeat) branch is CAPPED at 2^K —
+    on documents longer than 2^K the stat saturates there instead of
+    overclaiming the whole remaining suffix."""
+    tok = _tok_frame(docs, text_col, id_col)
+    per_pos = per_position_maxrep(tok, k_levels)
     return per_pos.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_positions"),
         F.max("maxrep").cast("long").alias("max_rep_len"),
         F.sum(F.when(F.col("maxrep") >= min_rep, 1).otherwise(0))
         .cast("long")
         .alias(f"n_pos_rep_ge{min_rep}"),
+    )
+
+
+def splice_repeats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_rep: int = 8,
+    k_levels: int = LRS_K,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022 §'ExactSubstr'):
+    splice out every token covered by some repeated span of >= min_rep
+    tokens (a span starting at p with maxrep(p) >= min_rep covers
+    positions [p, p + maxrep(p) - 1]; both/all copies are removed —
+    the paper's documented semantics) and re-emit the cleaned text.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text) for EVERY
+    input document (docs whose text is entirely repeats come back with
+    cleaned_text = '').
+
+    Coverage is a per-document running max over span ends — a position
+    j is covered iff max over p <= j of (p + maxrep(p) - 1 when
+    maxrep(p) >= min_rep) reaches j. That is one ordered window per
+    document (documents are bounded-length; no corpus-global sort),
+    then one keyed join back to the token stream and one groupBy to
+    reassemble text — everything downstream of the rank build is
+    corpus-token-sized with keyed shuffles only.
+
+    Exactness: maxrep is integer-exact (suffix ranks), coverage is
+    integer comparisons, and the rebuilt text is a deterministic
+    order-by-position join of the kept tokens — the DuckDB oracle
+    replays all of it bit-for-bit (string_agg ORDER BY i)."""
+    tok = lineage_cut(_tok_frame(docs, text_col, id_col))
+    per_pos = per_position_maxrep(tok, k_levels)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    reach = per_pos.withColumn(
+        "reach",
+        F.max(
+            F.when(
+                F.col("maxrep") >= min_rep,
+                F.col("i") + F.col("maxrep") - 1,
+            )
+        ).over(w),
+    )
+    flagged = reach.withColumn(
+        "cut",
+        F.when(
+            F.col("reach").isNotNull() & (F.col("reach") >= F.col("i")), 1
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).join(tok, ["doc_id", "i"])
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.max("dl").cast("long").alias("n_tokens"),
+        F.sum("cut").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cut") == 0, F.struct("i", "t")
+                        )  # NULL (= removed) rows are skipped by collect_list
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
     )

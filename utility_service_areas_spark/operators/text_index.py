@@ -336,10 +336,14 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
         manifest["n_buckets"],
     )
     # seg's measured counts must equal the additive totals (disjoint
-    # union); trust-but-verify cheaply here since we just paid the read
-    if seg["n_docs"] != manifest["n_docs"]:
+    # union); trust-but-verify cheaply here since we just paid the read.
+    # seg is None when the committed doclens were EMPTY despite the
+    # manifest claiming docs (out-of-band corruption) — that's the same
+    # lost-docs diagnostic, not a TypeError (ADVICE r14 #2).
+    if seg is None or seg["n_docs"] != manifest["n_docs"]:
         raise RuntimeError(
-            f"compaction lost docs: {seg['n_docs']} != {manifest['n_docs']}"
+            "compaction lost docs: "
+            f"{seg['n_docs'] if seg else 0} != {manifest['n_docs']}"
         )
     manifest["segments"] = [seg]
     manifest["n_compactions"] += 1
@@ -377,11 +381,27 @@ def vacuum_bm25_index(
         for name in sorted(os.listdir(root)):
             if name in listed:
                 continue
+            # Age off the NEWEST file in the segment tree, not the
+            # dir's top-level mtime — that goes stale once postings/
+            # and doclens/ exist, so a slow in-flight parquet write
+            # could otherwise be swept mid-add (ADVICE r14 #4).
+            seg_path = os.path.join(root, name)
             try:
-                age = now - os.path.getmtime(os.path.join(root, name))
+                latest = os.path.getmtime(seg_path)
+                for walk_root, dirs, files in os.walk(seg_path):
+                    for entry in dirs + files:
+                        try:
+                            latest = max(
+                                latest,
+                                os.path.getmtime(
+                                    os.path.join(walk_root, entry)
+                                ),
+                            )
+                        except FileNotFoundError:
+                            continue
             except FileNotFoundError:
                 continue
-            if age >= grace_seconds:
+            if now - latest >= grace_seconds:
                 drop.append(name)
     plan = {"dirs_removed": len(drop), "dirs": drop, "dry_run": dry_run}
     if dry_run:

@@ -1100,7 +1100,11 @@ _LRS_K = 8  # suffix resolution 2^K = 256 tokens (substrate max ~120)
 _LRS_MIN_REP = 8  # the #129 span length, for apples-to-apples counts
 
 
-def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
+def _lrs_rep_chain_sql(k_levels: int = _LRS_K) -> str:
+    """The shared DuckDB replay of the distributed suffix-rank build:
+    WITH-chain from tokenization through per-position maxrep (CTE
+    ``rep``), consumed by both #220's per-doc stats and #262's splice
+    — 'same maxrep' between the two oracles is by construction."""
     parts = [
         f"""
     WITH tok AS (
@@ -1165,13 +1169,21 @@ def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
         SELECT rka AS rk, off AS lcp FROM d0
         UNION ALL SELECT rka + 1 AS rk, off AS lcp FROM d0) GROUP BY rk),
     rep AS (
-      SELECT p.doc_id, p.i,
+      SELECT p.doc_id, p.i, p.dl,
              greatest(coalesce(n.nbr_lcp, 0),
                       CASE WHEN g.gs >= 2
                            THEN least(p.dl - p.i + 1, {1 << k_levels})
                            ELSE 0 END) AS maxrep
       FROM r{k_levels} p JOIN grp g ON g.rk = p.rk
-      LEFT JOIN nbr n ON n.rk = p.rk)
+      LEFT JOIN nbr n ON n.rk = p.rk)"""
+    )
+    return ",".join(parts)
+
+
+def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
+    return (
+        _lrs_rep_chain_sql(k_levels)
+        + f"""
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_positions,
            CAST(max(maxrep) AS BIGINT) AS max_rep_len,
@@ -1179,7 +1191,38 @@ def _lrs_oracle_sql(k_levels: int = _LRS_K) -> str:
                 AS BIGINT) AS n_pos_rep_ge{_LRS_MIN_REP}
     FROM rep GROUP BY doc_id"""
     )
-    return ",".join(parts)
+
+
+def _splice_oracle_sql(k_levels: int = _LRS_K) -> str:
+    return (
+        _lrs_rep_chain_sql(k_levels)
+        + f""",
+    cov AS (
+      SELECT doc_id, i, dl,
+             max(CASE WHEN maxrep >= {_LRS_MIN_REP}
+                      THEN i + maxrep - 1 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS reach
+      FROM rep),
+    flagged AS (
+      SELECT c.doc_id, c.i, c.dl, t.t,
+             CASE WHEN c.reach IS NOT NULL AND c.reach >= c.i
+                  THEN 1 ELSE 0 END AS cut
+      FROM cov c JOIN tok t ON t.doc_id = c.doc_id AND t.i = c.i),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(max(dl) AS BIGINT) AS n_tokens,
+             CAST(sum(cut) AS BIGINT) AS n_removed,
+             string_agg(CASE WHEN cut = 0 THEN t END, ' ' ORDER BY i)
+               AS cleaned_text
+      FROM flagged GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(p.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+    )
 
 
 @query(
@@ -1217,6 +1260,38 @@ def dedup_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return doc_repeat_stats(docs, min_rep=_LRS_MIN_REP, k_levels=_LRS_K)
+
+
+@query(
+    "dedup_suffix_splice",
+    oracle=_splice_oracle_sql(),
+    doc="Exact-substring dedup ACTION (Lee et al. 2022's ExactSubstr "
+    "removal, the production step #220 only measures): every token "
+    f"covered by a repeated span of >= {_LRS_MIN_REP} tokens (a "
+    "position p with maxrep(p) >= k covers [p, p+maxrep(p)-1]; ALL "
+    "copies are removed, the paper's semantics) is spliced out and "
+    "the cleaned text re-emitted with removal counts. Built on the "
+    "same suffix-rank machinery as #220 (operators/suffix.py "
+    "splice_repeats): per-position maxrep from the shared rank build, "
+    "coverage as ONE per-document running-max window over span ends "
+    "(never an interval->token explode), one keyed join back to the "
+    "token stream, one groupBy reassembling text in position order. "
+    "The DuckDB oracle extends #220's unrolled rank-replay chain "
+    "(shared _lrs_rep_chain_sql — 'same maxrep' by construction) with "
+    "the identical window + string_agg(ORDER BY i), so the CLEANED "
+    "TEXT ITSELF is value-compared, not just the counts. Conservation "
+    "(n_removed + len(tokens(cleaned)) == n_tokens) and planted-"
+    "repeat surgery are pinned in tests/test_r15_operators.py. Scale: "
+    "everything downstream of the rank build is corpus-token-sized "
+    "with keyed shuffles; the window is per-document (bounded rows); "
+    "cleaned text lands partitioned by doc like any ETL rewrite.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_suffix_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.suffix import splice_repeats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return splice_repeats(docs, min_rep=_LRS_MIN_REP, k_levels=_LRS_K)
 
 
 @query(
@@ -1873,4 +1948,181 @@ def docs_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("frac_pos_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #263: the classifier-driven curation funnel (VERDICT r14 task #7) —
+# the train -> sweep -> deploy loop actually driving the end-to-end
+# pipeline: #259's trained weights are thresholded at the operating
+# point the PR sweep picks (smallest threshold whose precision meets
+# the purity target, i.e. the most-recall cut that is still pure
+# enough), and that verdict REPLACES the funnel's heuristic stage-1
+# quality gate. Stages 2-4 (exact dedup, minhash+CC over survivors,
+# salted source quota) are untouched.
+# ---------------------------------------------------------------------------
+
+_CLF_PURITY_TARGET = 990_000  # keep the purest cut with >= 99% precision
+
+
+def _clf_funnel_oracle() -> str:
+    from utility_service_areas_spark.plans.text_queries import (
+        _funnel_stages_sql,
+    )
+
+    thresholds = ", ".join(str(t) for t in _LOGREG_THRESHOLDS)
+    # the funnel's `reach` CTE is recursive, so the WHOLE composed
+    # WITH-list must be declared RECURSIVE (harmless for the
+    # non-recursive logreg prefix)
+    chain = _logreg_chain_sql().replace("WITH tok", "WITH RECURSIVE tok", 1)
+    funnel = _funnel_stages_sql(
+        lead="",
+        p1_sql="(is_en AND coalesce(pass_clf, FALSE) "
+        "AND t BETWEEN 5 AND 5000)",
+        base_src="base LEFT JOIN clf USING (doc_id)",
+    )
+    return (
+        chain
+        + f""",
+    th AS (SELECT CAST(unnest(ARRAY[{thresholds}]) AS BIGINT) AS threshold),
+    sc AS MATERIALIZED (
+      SELECT doc_id, x0*w0 + x1*w1 + x2*w2 + x3*w3 AS z, y
+      FROM fc, wr{_LOGREG_ROUNDS}),
+    perthr AS (
+      SELECT threshold,
+        CAST(sum(CASE WHEN z >= threshold AND y > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN z >= threshold AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp
+      FROM sc, th GROUP BY threshold),
+    pick AS MATERIALIZED (
+      SELECT CAST(coalesce(
+               min(CASE WHEN tp + fp > 0
+                         AND tp * 1000000 // (tp + fp)
+                             >= {_CLF_PURITY_TARGET}
+                        THEN threshold END),
+               max(threshold)) AS BIGINT) AS th_star
+      FROM perthr),
+    clf AS MATERIALIZED (
+      SELECT doc_id, z >= th_star AS pass_clf FROM sc, pick),
+    {funnel},
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(t) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(coalesce(sum(CASE WHEN p1 THEN t END), 0) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(coalesce(sum(CASE WHEN p2 THEN t END), 0) AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(coalesce(sum(CASE WHEN p3 THEN t END), 0) AS BIGINT) AS t3,
+             CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(coalesce(sum(CASE WHEN p4 THEN t END), 0) AS BIGINT) AS t4
+      FROM s4)
+    SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs, t0 AS n_tokens,
+           th_star AS threshold FROM agg, pick
+    UNION ALL SELECT 1, 'classifier_gate', n1, t1, th_star FROM agg, pick
+    UNION ALL SELECT 2, 'exact_dedup', n2, t2, th_star FROM agg, pick
+    UNION ALL SELECT 3, 'minhash_dedup', n3, t3, th_star FROM agg, pick
+    UNION ALL SELECT 4, 'source_quota', n4, t4, th_star FROM agg, pick
+    """
+    )
+
+
+_CLF_STACK = (
+    "stack(5, "
+    "CAST(0 AS BIGINT), 'raw', n0, t0, "
+    "CAST(1 AS BIGINT), 'classifier_gate', n1, t1, "
+    "CAST(2 AS BIGINT), 'exact_dedup', n2, t2, "
+    "CAST(3 AS BIGINT), 'minhash_dedup', n3, t3, "
+    "CAST(4 AS BIGINT), 'source_quota', n4, t4) "
+    "AS (stage_idx, stage, n_docs, n_tokens)"
+)
+
+
+@query(
+    "curation_funnel_classifier",
+    oracle=_clf_funnel_oracle(),
+    doc="The CLASSIFIER-DRIVEN curation funnel (VERDICT r14 task #7): "
+    "#259's quality classifier is trained in-plan (same shared "
+    "gradient chain), #260's PR sweep picks the operating point — "
+    "the SMALLEST threshold whose precision_micros >= 990000, i.e. "
+    "the most-recall cut still meeting the purity target (falling "
+    "back to the strictest threshold if none qualifies) — and that "
+    "deployed verdict z >= th* REPLACES the funnel's heuristic "
+    "stage-1 quality gate (lang + length legs stay; stages 2-4 — "
+    "exact dedup, minhash+CC over survivors, salted source quota — "
+    "are curation_funnel_report's verbatim). Emits the 5-stage "
+    "funnel plus the chosen threshold column, so the operating "
+    "point itself is value-oracled. The oracle replays training, "
+    "sweep, pick, gate, and all four funnel stages in ONE composed "
+    "WITH chain (_logreg_chain_sql + _funnel_stages_sql — 'same "
+    "model' and 'same funnel' by construction). Scale: the corpus "
+    "tokenizes twice (feature build, funnel base) and each collapse "
+    "is map-side + one keyed groupBy; the sweep/pick are "
+    "9-row/1-row broadcasts; the gate join is corpus-keyed; "
+    "downstream stage volumes are bounded by survivors exactly as "
+    "in the heuristic funnel.",
+    tags=("pipeline", "text", "dedup"),
+)
+def curation_funnel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+    from utility_service_areas_spark.plans.text_queries import (
+        _funnel_agg_cols,
+        _funnel_stage_frame,
+    )
+
+    fc, w, mu = _logreg_fit(spark, sf_dir)
+    # (doc_id, z, y) is consumed twice (sweep + gate): materialize once
+    sc = lineage_cut(
+        fc.crossJoin(F.broadcast(w)).select(
+            "doc_id", F.expr(_LOGREG_Z).alias("z"), "y"
+        )
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _LOGREG_THRESHOLDS], "threshold long"
+    )
+    perthr = (
+        sc.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("z") >= F.col("threshold")) & (F.col("y") > 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("z") >= F.col("threshold")) & (F.col("y") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    pick = perthr.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    (F.col("tp") + F.col("fp") > 0)
+                    & (
+                        F.expr("tp * 1000000 div (tp + fp)")
+                        >= _CLF_PURITY_TARGET
+                    ),
+                    F.col("threshold"),
+                )
+            ),
+            F.max("threshold"),
+        )
+        .cast("long")
+        .alias("th_star")
+    )
+    gate = sc.crossJoin(F.broadcast(pick)).select(
+        "doc_id", (F.col("z") >= F.col("th_star")).alias("pass_clf")
+    )
+    agg = _funnel_stage_frame(spark, sf_dir, clf_gate=gate).agg(
+        *_funnel_agg_cols()
+    )
+    return agg.crossJoin(F.broadcast(pick)).select(
+        F.expr(_CLF_STACK), F.col("th_star").alias("threshold")
     )

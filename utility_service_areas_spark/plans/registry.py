@@ -75,77 +75,73 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-14 rotation (VERDICT r13 task #1: drain the r7/r8
-    # attestation tail): exactly 50 names = the driver's per-round
-    # attestation budget. No red rows in r13 (50/50 green, fifth clean
-    # sample). Staleness is computed from the union of
-    # CORRECTNESS_r01-r13 (never from comments). The three oracle-less
-    # rows-only sketches stay excluded (they'd burn a slot on
-    # err:no_oracle) but ARE re-attested in the local ritual gate each
-    # round (VERDICT r13 task #8, tools/check_oracle.py).
-    # 1) never-attested keys — first-ever attestation beats stale-green
-    "docs_quality_logreg_train",   # new in r14 (#259)
-    "docs_logreg_pr_sweep",        # new in r14 (#260)
-    "docs_logreg_calibration",     # new in r14 (#261)
-    "revenue_bootstrap_ci_fast",   # newly oracled in r14 (task #2)
-    # 2) edited-this-round key: same output, but the backing store was
-    #    rewritten (BM25 v2 segments) — re-attest the changed machinery
-    "text_bm25_search_persisted",
-    # 3) the seven r7-stale keys deferred from r13 (named there)
-    "ann_quantized_topk",
-    "docs_unigram_surprisal",
-    "dedup_keep_best_quality",
-    "embedding_centroid_by_label",
-    "ann_ivf_sqrtn_topk",
-    "corpus_clean_sample",
-    "token_count_histogram",
-    # 4) 38 of the 47 sql-oracled r8-stale keys (newest green driver
-    #    row is r8), alphabetical (two slots yielded to the late r14
-    #    additions #260/#261 — never-attested > stale-green per slot).
-    #    The 9-key remainder heads the r15 rotation:
-    #    supplier_balance_rank_dist, supplier_daily_running_revenue,
-    #    sync_status_case, top3_orders_per_customer,
-    #    top_revenue_orders, two_digit_year_fix,
-    #    unshipped_order_revenue, user_first_last_event,
-    #    value_percentiles.
-    "agg_rollup_region_nation",
-    "agg_stats_by_group",
-    "anti_join_missing",
-    "chronology_enriched",
-    "cohort_retention",
-    "concat_order_text",
-    "daily_new_users_cumulative",
-    "dataset_snapshot_diff",
-    "dedup_graph_triangles",
-    "dedup_quote_containment",
-    "deletion_cascade_manifest",
-    "embedding_outlier_flags",
-    "embedding_quantize_int8",
-    "enrich_join_dims",
-    "event_funnel_conversion",
-    "event_type_transitions",
-    "events_asof_attribution",
-    "events_in_promo_windows",
-    "events_moving_window",
-    "geometry_currency_check",
-    "group_combine_collect",
-    "join_key_skew_profile",
-    "kml_description_parse",
-    "market_basket_pairs",
-    "min_cost_supplier_per_part",
-    "minhash_estimator_quality",
-    "orders_rollup_incremental",
-    "patch_override_join",
-    "priority_counts_by_returnflag",
-    "profile_orders",
-    "qty_price_covariance_components",
-    "regional_order_volume",
-    "rolling_7d_active_users",
-    "semantic_dedup_keep",
-    "semantic_dedup_sqrtn",
-    "sentinel_date_imputation",
-    "source_curation_profile",
-    "source_mixing_weights",
+    # Round-15 rotation (VERDICT r14 task #1: close the r8 tail for
+    # good): exactly 50 names = the driver's attestation budget.
+    # No red rows in r14 (50/50 green, sixth clean sample). Staleness
+    # computed from the union of CORRECTNESS_r01-r14 (never from
+    # comments). The three oracle-less rows-only sketches stay
+    # excluded (err:no_oracle burns a slot) but ARE re-attested in the
+    # local ritual gate each round (tools/check_oracle.py).
+    # 1) never-attested keys — new this round
+    "dedup_suffix_splice",          # new in r15 (#262)
+    "curation_funnel_classifier",   # new in r15 (#263)
+    # 2) the nine r8-stale keys (the entire remaining r8 tail — after
+    #    this round no sql-oracled key's newest driver row is < r10)
+    "supplier_balance_rank_dist",
+    "supplier_daily_running_revenue",
+    "sync_status_case",
+    "top3_orders_per_customer",
+    "top_revenue_orders",
+    "two_digit_year_fix",
+    "unshipped_order_revenue",
+    "user_first_last_event",
+    "value_percentiles",
+    # 3) 39 of the 50 r10-stale keys, alphabetical. The 11-key
+    #    remainder heads the r16 rotation: kmeans_cluster_quality,
+    #    orders_daily_ewma, orders_daily_gapfill, orders_pareto_front,
+    #    part_abc_classification, revenue_benford_audit,
+    #    revenue_bootstrap_ci, simhash_hamming_histogram,
+    #    source_length_drift, token_collocations,
+    #    tokenizer_vocab_coverage.
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "cms_token_counts",
+    "curation_funnel_by_source",
+    "curation_funnel_report",
+    "data_quality_audit",
+    "dedup_cdc_clusters",
+    "dedup_cluster_density",
+    "dedup_clusters",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "docs_cdc_chunks",
+    "docs_shard_manifest",
+    "embedding_matryoshka_recall",
+    "embedding_pca_map",
+    "embedding_pca_project",
+    "event_audience_overlap",
+    "event_robust_outliers",
+    "events_asof_tolerance",
+    "events_burst_detection",
+    "geo_area_rank",
+    "geo_bbox_centroid",
+    "geo_combine_multipolygon",
+    "geo_dissolve_true_union",
+    "geo_knn_areas",
+    "geo_make_valid",
+    "geo_morton_order",
+    "geo_nearest_area",
+    "geo_plss_cells",
+    "geo_shapefile_pip",
+    "geo_shapefile_roundtrip",
+    "geo_simplify",
+    "geo_union_grid_area",
+    "geo_union_overlap_area",
+    "geo_viewport_query",
+    "histogram_value_quantiles",
 )
 
 _PLAN_MODULES = (

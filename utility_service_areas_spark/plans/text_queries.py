@@ -940,12 +940,25 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_stages_sql() -> str:
+_FUNNEL_P1_SQL = "(is_en AND q >= 500000 AND t BETWEEN 5 AND 5000)"
+
+
+def _funnel_stages_sql(
+    lead: str = "WITH RECURSIVE ",
+    p1_sql: str = _FUNNEL_P1_SQL,
+    base_src: str = "base",
+) -> str:
     """The staged curation-funnel prefix (CTEs `base` .. `s4`, each doc
     carrying its cumulative p1..p4 stage flags) shared by the global
     funnel oracle and the per-source variant. The minhash chain
     (sig/bands/cap/pairs) is the dedup_queries.py SQL verbatim,
-    re-rooted at the stage-2 survivor set."""
+    re-rooted at the stage-2 survivor set.
+
+    ``lead``/``p1_sql``/``base_src`` let the classifier-gated funnel
+    (#263, pipeline_queries.curation_funnel_classifier) splice this
+    chain after the logreg training chain with the stage-1 quality
+    gate swapped for the deployed classifier threshold — defaults
+    reproduce the original text byte-for-byte."""
     from utility_service_areas_spark.plans.dedup_queries import (
         _bands_sql,
         _lsh_pairs_sql,
@@ -957,7 +970,7 @@ def _funnel_stages_sql() -> str:
     # chain (token splits, minhash, the recursive closure) per
     # reference: measured 63 -> 1.5 s at sf0.1, identical results.
     return rf"""
-    WITH RECURSIVE base AS MATERIALIZED (
+    {lead}base AS MATERIALIZED (
       SELECT doc_id, source, text,
              CAST(len({_TOKS}) AS BIGINT) AS t,
              CASE WHEN CAST(len(list_filter({_TOKS}, tk -> tk IN ({_STOP_SQL})))
@@ -977,10 +990,10 @@ def _funnel_stages_sql() -> str:
         FROM documents)),
     st AS MATERIALIZED (
       SELECT *,
-             (is_en AND q >= 500000 AND t BETWEEN 5 AND 5000) AS p1,
+             {p1_sql} AS p1,
              md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'),
                       ' ')) AS h
-      FROM base),
+      FROM {base_src}),
     ek AS (SELECT h, min(CASE WHEN p1 THEN doc_id END) AS kmin
            FROM st GROUP BY h),
     s2 AS MATERIALIZED (SELECT st.*, (p1 AND doc_id = kmin) AS p2
@@ -1075,11 +1088,19 @@ _FUNNEL_QUOTA_K = 40  # per-source document quota at stage 4
 _FUNNEL_QUOTA_SALT = 64  # phase-1 fan-out for the hot-source top-K
 
 
-def _funnel_stage_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _funnel_stage_frame(
+    spark: SparkSession, sf_dir: str, clf_gate: DataFrame | None = None
+) -> DataFrame:
     """One row per document with cumulative stage flags p1..p4 — the
     shared substrate of the global funnel report and the per-source
     dashboard. Each stage's work is bounded by the previous stage's
     survivors (the minhash chain only ever sees p2 rows).
+
+    ``clf_gate`` (doc_id, pass_clf) swaps the stage-1 heuristic
+    quality gate q >= 500000 for the trained classifier's verdict
+    (#263) — the lang + length legs stay, downstream stages are
+    untouched. The gate frame is corpus-keyed, so the join is one
+    keyed shuffle (or a broadcast when the survivor side is small).
 
     Stage 4 (the per-source quota) is the exact two-phase salted
     top-K from ``domain_quota_sample``: phase 1 ranks within
@@ -1119,7 +1140,19 @@ def _funnel_stage_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lang_guess(F.col("text")) == "en").alias("is_en"),
         quality_score_micros(F.col("text")).alias("q"),
     )
-    p1 = F.col("is_en") & (F.col("q") >= 500_000) & F.col("t").between(5, 5000)
+    if clf_gate is None:
+        p1 = (
+            F.col("is_en")
+            & (F.col("q") >= 500_000)
+            & F.col("t").between(5, 5000)
+        )
+    else:
+        base = base.join(clf_gate, "doc_id", "left")
+        p1 = (
+            F.col("is_en")
+            & F.coalesce(F.col("pass_clf"), F.lit(False))
+            & F.col("t").between(5, 5000)
+        )
     st = base.withColumn("p1", p1).withColumn(
         "h", F.md5(normalized_text(F.col("text")))
     )

@@ -473,6 +473,24 @@ def merge_version(
             "(e.g. cdc_latest_version_merge's winner rule) before merging"
         )
 
+    # ADVICE r14 #1: an op value outside {'U','D'} (a typo'd 'u',
+    # 'upsert', NULL...) would fall through both paths as a DELETE —
+    # its key is anti-joined out of the base but the row is never
+    # re-inserted, silently losing data. Refuse loudly instead.
+    bad_ops = (
+        changes.filter(
+            ~F.col(op_col).isin("U", "D") | F.col(op_col).isNull()
+        )
+        .select(op_col, *merge_keys)
+        .limit(5)
+        .collect()
+    )
+    if bad_ops:
+        raise ValueError(
+            f"merge changeset op column {op_col!r} must be 'U' or 'D'; "
+            f"offending rows (op, key...): {[tuple(r) for r in bad_ops]}"
+        )
+
     if not bucketed:
         return _merge_full_rewrite(
             spark, table_dir, changes, op_col, merge_keys, base_v, man
@@ -622,8 +640,22 @@ def vacuum(
     now = time.time()
 
     def _is_stale(path: str) -> bool:
+        # ADVICE r14 #4: a data dir's top-level mtime goes stale the
+        # moment its first child lands, so a single slow parquet write
+        # could look "old" mid-flight. Age off the NEWEST entry in the
+        # whole tree — the dir is only stale once every file in it is.
         try:
-            return now - os.path.getmtime(path) >= tmp_grace_seconds
+            latest = os.path.getmtime(path)
+            for walk_root, dirs, files in os.walk(path):
+                for name in dirs + files:
+                    try:
+                        latest = max(
+                            latest,
+                            os.path.getmtime(os.path.join(walk_root, name)),
+                        )
+                    except FileNotFoundError:
+                        continue
+            return now - latest >= tmp_grace_seconds
         except FileNotFoundError:
             return False  # its writer finished (or another vacuum won)
 
@@ -701,7 +733,11 @@ def vacuum(
         except FileNotFoundError:
             pass  # its writer committed/cleaned meanwhile
     for rel in drop_dirs:
-        shutil.rmtree(os.path.join(table_dir, rel))
+        # ignore_errors: a concurrent vacuum may have removed a planned
+        # dir between plan and act — the sweep must finish its list
+        # rather than abort mid-way overstating what remains (ADVICE
+        # r14 #5; matches the husk/tmp loops' posture).
+        shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
     for rel in empty_commit_dirs:  # husks whose every bucket was dropped
         shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
     return plan
