@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -27,6 +28,10 @@ from pyspark.sql.types import (
 GEOJSON_ROW_SCHEMA = StructType(
     [
         StructField("feature_idx", StringType()),
+        # polygon position WITHIN its feature's MultiPolygon — carries
+        # the source order through shuffles so a consumer can
+        # reassemble the MultiPolygon byte-identically
+        StructField("poly_idx", IntegerType()),
         StructField("properties_json", StringType()),
         StructField("geom_type", StringType()),
         StructField("geometry", ArrayType(ArrayType(ArrayType(DoubleType())))),
@@ -50,10 +55,13 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
                     gtype = geom.get("type")
                     coords = geom.get("coordinates", [])
                     polys = [coords] if gtype == "Polygon" else coords
-                    for poly in polys if gtype in ("Polygon", "MultiPolygon") else []:
+                    if gtype not in ("Polygon", "MultiPolygon"):
+                        polys = []
+                    for pi, poly in enumerate(polys):
                         out.append(
                             {
                                 "feature_idx": str(i),
+                                "poly_idx": pi,
                                 "properties_json": json.dumps(
                                     feat.get("properties", {}), sort_keys=True
                                 ),
@@ -63,7 +71,13 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
                         )
             yield pd.DataFrame(
                 out,
-                columns=["feature_idx", "properties_json", "geom_type", "geometry"],
+                columns=[
+                    "feature_idx",
+                    "poly_idx",
+                    "properties_json",
+                    "geom_type",
+                    "geometry",
+                ],
             )
 
     return binary.select("path", "content").mapInPandas(parse, GEOJSON_ROW_SCHEMA)
