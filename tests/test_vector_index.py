@@ -182,3 +182,206 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "built" in out and "added" in out and "query_id" in out
+
+
+# ---------------------------------------------------------------------------
+# r15: atomic-segment store (v2) + streaming maintenance (S42)
+# ---------------------------------------------------------------------------
+
+
+def _split_emb_files(spark, tmp_path, pred):
+    """The stream side of the corpus as 3 mtime-ordered parquet files."""
+    import pyarrow.parquet as pq
+
+    rest = _emb(spark).filter(pred).orderBy("vec_id")
+    pdf = rest.toPandas()
+    third = max(1, len(pdf) // 3)
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    t0 = 1_700_200_000
+    import pyarrow as pa
+
+    for i in range(3):
+        lo = i * third
+        hi = len(pdf) if i == 2 else (i + 1) * third
+        path = str(d / f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[lo:hi]), path)
+        os.utime(path, (t0 + i, t0 + i))
+    return str(d)
+
+
+def test_stream_vector_index_maintenance_equals_batch_add(spark, tmp_path):
+    """S42: train the index offline on half the corpus, feed the other
+    half through vector_index_stream_writer (3 micro-batches) — the
+    drained index answers search_ivfpq_index ROW-IDENTICALLY to the
+    same trained index fed the remainder as one batch add (encode is
+    deterministic per row against the frozen geometry, so the batch
+    split cannot matter). A replayed micro-batch (same txn_id) is a
+    no-op. Streamed vectors are searchable: a streamed id finds
+    itself at rank 1."""
+    from utility_service_areas_spark.sources.tables import raw_table_schema
+    from utility_service_areas_spark.streaming.events import (
+        vector_index_stream_writer,
+    )
+
+    emb = _emb(spark)
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    d_stream = str(tmp_path / "idx_stream")
+    d_batch = str(tmp_path / "idx_batch")
+    build_ivfpq_index(train, d_stream)
+    build_ivfpq_index(train, d_batch)
+
+    files = _split_emb_files(spark, tmp_path, F.col("vec_id") % 2 == 1)
+    stream = (
+        spark.readStream.schema(raw_table_schema(spark, SMOKE_SF, "embeddings"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files)
+    )
+    q = (
+        vector_index_stream_writer(stream, d_stream)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 3
+
+    add_to_ivfpq_index(
+        spark, d_batch, emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    m_stream = load_ivfpq_index(spark, d_stream)[0]
+    m_batch = load_ivfpq_index(spark, d_batch)[0]
+    assert m_stream["n_vectors"] == m_batch["n_vectors"] == emb.count()
+    assert [f"stream-{i}" in m_stream["txn_ids"] for i in range(3)] == [True] * 3
+
+    queries = emb.filter(F.col("vec_id").isin(1, 3, 7, 10)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = sorted(
+        map(tuple, search_ivfpq_index(spark, d_stream, queries, emb).collect())
+    )
+    want = sorted(
+        map(tuple, search_ivfpq_index(spark, d_batch, queries, emb).collect())
+    )
+    assert got == want and len(got) == 40
+
+    # planted-new-vector searchable: query WITH a streamed (odd) id,
+    # self excluded -> search including self finds it at rank 1
+    self_q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = (
+        search_ivfpq_index(
+            spark, d_stream, self_q, emb, exclude_self=False, top_k=1
+        )
+        .collect()
+    )
+    assert len(top) == 1 and top[0]["neighbor_id"] == 1
+
+    # replayed micro-batch: txn already recorded -> manifest unchanged
+    replay = add_to_ivfpq_index(
+        spark,
+        d_stream,
+        spark.read.parquet(os.path.join(files, "b0.parquet")),
+        txn_id="stream-0",
+    )
+    assert replay["n_vectors"] == m_stream["n_vectors"]
+    assert replay["n_adds"] == m_stream["n_adds"]
+
+
+def test_vector_torn_add_invisible_and_retry_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Crash an add AFTER its segment renamed but BEFORE the manifest
+    commit (the widest torn window): the segment is on disk but
+    invisible to load/search, and the RETRY with the same txn_id
+    lands the batch exactly once — counts equal the clean path, no
+    duplicate neighbor_id rows."""
+    from utility_service_areas_spark.operators import vector_index
+
+    emb = _emb(spark)
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "idx")
+    build_ivfpq_index(train, d)
+    queries = emb.filter(F.col("vec_id").isin(2, 4)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    before = sorted(
+        map(tuple, search_ivfpq_index(spark, d, queries, train).collect())
+    )
+
+    real_commit = vector_index._commit_manifest
+
+    def crash(index_dir, manifest):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(vector_index, "_commit_manifest", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        add_to_ivfpq_index(spark, d, rest, txn_id="stream-0")
+    monkeypatch.setattr(vector_index, "_commit_manifest", real_commit)
+
+    seg_dirs = os.listdir(os.path.join(d, "segments"))
+    m, _c, codes = load_ivfpq_index(spark, d)
+    assert len(seg_dirs) == 2 and len(m["segments"]) == 1
+    assert m["n_vectors"] == train.count() == codes.count()
+    assert "stream-0" not in m["txn_ids"]
+    assert (
+        sorted(map(tuple, search_ivfpq_index(spark, d, queries, train).collect()))
+        == before
+    )
+
+    manifest = add_to_ivfpq_index(spark, d, rest, txn_id="stream-0")
+    assert manifest["n_vectors"] == emb.count()
+    _m, _c, codes = load_ivfpq_index(spark, d)
+    assert codes.groupBy("neighbor_id").count().filter("count > 1").count() == 0
+
+
+def test_vector_compaction_and_vacuum_preserve_search(spark, tmp_path):
+    """compact folds N segments to 1 with additive-count verification
+    and unchanged search; retired dirs stay for in-flight readers
+    until the age-gated vacuum sweeps them (fresh dirs spared)."""
+    from tests.conftest import backdate_tree
+    from utility_service_areas_spark.operators.vector_index import (
+        compact_ivfpq_index,
+        vacuum_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    d = str(tmp_path / "idx")
+    build_ivfpq_index(emb.filter("vec_id % 3 = 0"), d)
+    add_to_ivfpq_index(spark, d, emb.filter("vec_id % 3 = 1"))
+    add_to_ivfpq_index(spark, d, emb.filter("vec_id % 3 = 2"))
+    m = load_ivfpq_index(spark, d)[0]
+    assert len(m["segments"]) == 3 and m["n_vectors"] == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    before = sorted(
+        map(tuple, search_ivfpq_index(spark, d, queries, emb).collect())
+    )
+    m2 = compact_ivfpq_index(spark, d)
+    assert len(m2["segments"]) == 1 and m2["n_vectors"] == emb.count()
+    assert m2["n_compactions"] == 1
+    seg_root = os.path.join(d, "segments")
+    assert len(os.listdir(seg_root)) == 4  # 3 retired + 1 live, all kept
+    assert (
+        sorted(map(tuple, search_ivfpq_index(spark, d, queries, emb).collect()))
+        == before
+    )
+
+    plan = vacuum_ivfpq_index(d, grace_seconds=3600, dry_run=True)
+    assert plan["dirs"] == []  # everything younger than the grace
+    live = {s["name"] for s in m2["segments"]}
+    for name in os.listdir(seg_root):
+        if name not in live:
+            backdate_tree(os.path.join(seg_root, name))
+    real = vacuum_ivfpq_index(d, grace_seconds=3600)
+    assert real["dirs_removed"] == 3
+    assert set(os.listdir(seg_root)) == live
+    assert (
+        sorted(map(tuple, search_ivfpq_index(spark, d, queries, emb).collect()))
+        == before
+    )

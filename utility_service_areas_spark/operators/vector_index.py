@@ -6,17 +6,25 @@ serving path builds the index ONCE, persists it, and answers many
 query batches from the artifacts — FAISS's write_index/read_index/
 add() contract re-expressed as parquet + a manifest.
 
-Index layout under ``index_dir``::
+Index layout under ``index_dir`` (format v2, r15 — the BM25 v2
+atomic-segment posture ported to vectors)::
 
-    centroids/      parquet (cent_id, cent_vec, cent_n)   — IVF coarse cells
-    codes/          parquet (neighbor_id, cell, code_0..code_{m-1})
-    _MANIFEST.json  params + the m x k x sub_dim PQ codebooks + counts
+    centroids/            parquet (cent_id, cent_vec, cent_n) — IVF cells
+    segments/seg-<tok>/   parquet (neighbor_id, code_0..code_{m-1}, cell)
+    _MANIFEST.json        params + m x k x sub_dim PQ codebooks +
+                          the SEGMENT LIST + additive counts + txn ids
 
-Commit protocol: parquet artifacts first, manifest LAST — the manifest
-is the commit marker (the S31 posture: a crashed build never surfaces
-a readable index; ``load_ivfpq_index`` raises without it). JSON floats
-round-trip IEEE doubles exactly (repr shortest-decimal), so decode
-from the manifest is bit-identical to decode from the in-memory fit.
+Commit protocol: every mutation stages parquet under
+``segments/_tmp-seg-<tok>``, renames it whole (atomic), and becomes
+visible only when the manifest (the single commit marker, written
+temp + os.replace) lists it. A crash ANYWHERE inside an add leaves
+either an un-renamed staging dir or an unlisted segment — both
+invisible to readers, both reclaimed later by the age-gated
+``vacuum_ivfpq_index``. A RETRIED add with the same ``txn_id`` is a
+no-op (the S39 txn posture), so streaming maintenance (S42) is
+exactly-once across torn adds. JSON floats round-trip IEEE doubles
+exactly (repr shortest-decimal), so decode from the manifest is
+bit-identical to decode from the in-memory fit.
 
 The index is the RESIDUAL variant (ann_ivfpq_residual_topk, #172 —
 true-FAISS: codebooks quantize vector minus its coarse centroid);
@@ -40,17 +48,57 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 MANIFEST_NAME = "_MANIFEST.json"
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, MANIFEST_NAME)
+
+
+def _segments_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def _commit_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic manifest replace — readers see the old manifest or the
+    new one, never a torn file. The single commit point of every
+    index mutation (the text_index.py posture)."""
+    tmp = _manifest_path(index_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(index_dir))
+
+
+def _write_codes_segment(
+    spark: SparkSession, index_dir: str, codes: DataFrame, m: int
+) -> dict | None:
+    """Stage a codes frame as ONE immutable segment; atomic rename.
+    Returns {name, n_vectors} or None for an empty frame. Columns are
+    normalized to build order (neighbor_id, code_*, cell) so a
+    multi-segment read never sees mixed per-file orders. The segment
+    is INVISIBLE until the caller commits a manifest listing it."""
+    token = uuid.uuid4().hex[:12]
+    root = _segments_root(index_dir)
+    os.makedirs(root, exist_ok=True)
+    staged = os.path.join(root, f"_tmp-seg-{token}")
+    final = os.path.join(root, f"seg-{token}")
+    codes.select(
+        "neighbor_id", *[f"code_{s}" for s in range(m)], "cell"
+    ).write.mode("overwrite").parquet(staged)
+    n = spark.read.parquet(staged).count()
+    if not n:
+        shutil.rmtree(staged)
+        return None
+    os.rename(staged, final)  # atomic: the segment exists whole or not
+    return {"name": f"seg-{token}", "n_vectors": int(n)}
 
 
 def build_ivfpq_index(
@@ -107,10 +155,13 @@ def build_ivfpq_index(
     ).join(resid.select("neighbor_id", "cell"), "neighbor_id")
 
     os.makedirs(index_dir, exist_ok=True)
+    spark = emb.sparkSession
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    codes_with_cell.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "codes")
-    )
+    # counting the WRITTEN parquet, not the lineage — counting
+    # codes_with_cell re-ran the whole assign/residual/encode pipeline
+    # a second time (r13 code review #6); _write_codes_segment counts
+    # its staged parquet for the same reason
+    seg = _write_codes_segment(spark, index_dir, codes_with_cell, m)
     manifest = {
         "format_version": _FORMAT_VERSION,
         "kind": "ivfpq_residual",
@@ -121,16 +172,13 @@ def build_ivfpq_index(
         "n_centroids": n_centroids,
         "centroid_stride": centroid_stride,
         "codebooks": [[list(map(float, c)) for c in books[s]] for s in range(m)],
-        # count the WRITTEN parquet, not the lineage — counting
-        # codes_with_cell re-ran the whole assign/residual/encode
-        # pipeline a second time (r13 code review #6)
-        "n_vectors": emb.sparkSession.read.parquet(
-            os.path.join(index_dir, "codes")
-        ).count(),
+        "segments": [seg] if seg else [],
+        "n_vectors": seg["n_vectors"] if seg else 0,
         "n_adds": 0,
+        "n_compactions": 0,
+        "txn_ids": [],
     }
-    with open(_manifest_path(index_dir), "w") as f:  # commit marker, LAST
-        json.dump(manifest, f)
+    _commit_manifest(index_dir, manifest)  # commit marker, LAST
     return manifest
 
 
@@ -154,8 +202,25 @@ def load_ivfpq_index(
             f"{_FORMAT_VERSION}"
         )
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = _read_codes(spark, index_dir, manifest)
     return manifest, cents, codes
+
+
+def _read_codes(
+    spark: SparkSession, index_dir: str, manifest: dict
+) -> DataFrame:
+    """Union of the COMMITTED segments only (unlisted dirs are
+    invisible by contract); column order normalized to build order."""
+    m = manifest["m"]
+    cols = ["neighbor_id", *[f"code_{s}" for s in range(m)], "cell"]
+    segs = manifest["segments"]
+    if not segs:
+        schema = ", ".join(f"{c} bigint" for c in cols)
+        return spark.createDataFrame([], schema)
+    paths = [
+        os.path.join(_segments_root(index_dir), s["name"]) for s in segs
+    ]
+    return spark.read.parquet(*paths).select(*cols)
 
 
 def add_to_ivfpq_index(
@@ -164,12 +229,23 @@ def add_to_ivfpq_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    txn_id: str | None = None,
+    compact_every: int | None = None,
 ) -> dict:
     """FAISS ``add()``: encode a new vector batch against the FROZEN
     coarse centroids and codebooks (no refit — the codebooks' geometry
     is the index's identity; refitting would invalidate every existing
-    code), append the codes, bump the manifest. Returns the updated
-    manifest."""
+    code), commit the codes as ONE atomic segment, bump the manifest
+    additively (O(batch), never recounting the store). Returns the
+    updated manifest.
+
+    ``txn_id``: exactly-once across retries — an id already recorded
+    in the manifest makes the whole call a no-op (the S39 posture;
+    dedup horizon = manifest lifetime). A crash between the segment
+    rename and the manifest commit leaves an UNLISTED (invisible)
+    segment, so the retry lands the batch exactly once; the orphan is
+    reclaimed later by ``vacuum_ivfpq_index``. ``compact_every=N``
+    folds segments whenever their count reaches N."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -178,6 +254,8 @@ def add_to_ivfpq_index(
     from utility_service_areas_spark.operators.kmeans import _np_assign
 
     manifest, cents, _codes = load_ivfpq_index(spark, index_dir)
+    if txn_id is not None and txn_id in manifest.get("txn_ids", []):
+        return manifest  # replayed batch: already committed, no-op
     m, dim = manifest["m"], manifest["dim"]
     sub = dim // m
     books = manifest["codebooks"]
@@ -229,24 +307,91 @@ def add_to_ivfpq_index(
                 cols[f"code_{s}"] = cl
             yield pd.DataFrame(cols)
 
-    # Append in EXACTLY build's column order (neighbor_id, code_*,
-    # cell): a multi-file parquet read resolves its schema from an
-    # arbitrary file, so mixed per-file column orders make the frame's
-    # column order nondeterministic across sessions (latent flake
-    # surfaced by the r13 review's count-the-written-parquet fix).
-    new_codes = resid.mapInPandas(encode, schema).select(
-        "neighbor_id", *[f"code_{s}" for s in range(m)], "cell"
-    )
-    codes_path = os.path.join(index_dir, "codes")
-    new_codes.write.mode("append").parquet(codes_path)
-    # One batch pass only: count the committed store, not the batch
-    # (a crashed add that appended parquet but never reached the
-    # manifest is absorbed into the next add's delta — self-healing).
-    manifest["n_vectors"] = spark.read.parquet(codes_path).count()
+    new_codes = resid.mapInPandas(encode, schema)
+    seg = _write_codes_segment(spark, index_dir, new_codes, m)
+    if seg is not None:
+        manifest["segments"].append(seg)
+        manifest["n_vectors"] += seg["n_vectors"]  # additive, O(batch)
     manifest["n_adds"] += 1
-    with open(_manifest_path(index_dir), "w") as f:
-        json.dump(manifest, f)
+    if txn_id is not None:
+        manifest.setdefault("txn_ids", []).append(txn_id)
+    _commit_manifest(index_dir, manifest)
+    if compact_every and len(manifest["segments"]) >= compact_every:
+        manifest = compact_ivfpq_index(spark, index_dir)
     return manifest
+
+
+def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold every committed segment into ONE new segment and commit a
+    manifest listing only it. Retired segment dirs are NOT deleted —
+    a reader that loaded the pre-compaction manifest keeps reading
+    them (the Delta OPTIMIZE posture); ``vacuum_ivfpq_index`` reclaims
+    them behind the age gate. Codes are immutable rows, so union ==
+    concatenation and search results are unchanged (pinned)."""
+    manifest, _cents, codes = load_ivfpq_index(spark, index_dir)
+    if len(manifest["segments"]) <= 1:
+        return manifest
+    seg = _write_codes_segment(spark, index_dir, codes, manifest["m"])
+    if seg is None or seg["n_vectors"] != manifest["n_vectors"]:
+        raise RuntimeError(
+            "compaction lost vectors: "
+            f"{seg['n_vectors'] if seg else 0} != {manifest['n_vectors']}"
+        )
+    manifest["segments"] = [seg]
+    manifest["n_compactions"] = manifest.get("n_compactions", 0) + 1
+    _commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def vacuum_ivfpq_index(
+    index_dir: str,
+    grace_seconds: float = 600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Reclaim segment dirs the manifest no longer (or never) lists:
+    compaction-retired segments, torn-add leftovers, crashed staging
+    dirs. Age-gated off the NEWEST file in each segment TREE (ADVICE
+    r14 #4 discipline) so neither an in-flight reader's just-retired
+    segment nor a mid-write staging dir can be swept."""
+    import time
+
+    mpath = _manifest_path(index_dir)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    listed = {s["name"] for s in manifest["segments"]}
+    root = _segments_root(index_dir)
+    now = time.time()
+    drop = []
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            if name in listed:
+                continue
+            seg_path = os.path.join(root, name)
+            try:
+                latest = os.path.getmtime(seg_path)
+                for walk_root, dirs, files in os.walk(seg_path):
+                    for entry in dirs + files:
+                        try:
+                            latest = max(
+                                latest,
+                                os.path.getmtime(
+                                    os.path.join(walk_root, entry)
+                                ),
+                            )
+                        except FileNotFoundError:
+                            continue
+            except FileNotFoundError:
+                continue
+            if now - latest >= grace_seconds:
+                drop.append(name)
+    plan = {"dirs_removed": len(drop), "dirs": drop, "dry_run": dry_run}
+    if dry_run:
+        return plan
+    for name in drop:
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return plan
 
 
 def search_ivfpq_index(

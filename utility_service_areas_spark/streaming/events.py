@@ -1183,6 +1183,49 @@ def bm25_index_stream_writer(
     return stream.writeStream.foreachBatch(feed_batch)
 
 
+def vector_index_stream_writer(
+    stream: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """S42 (r15) — streaming VECTOR-INDEX maintenance: the S38 of the
+    persisted IVFPQ index (#237). Each embedding micro-batch is
+    encoded against the FROZEN centroids/codebooks and committed as
+    ONE atomic segment via add_to_ivfpq_index; exactly-once across
+    sink retries AND across a crash inside the add via
+    txn_id='stream-{batch_id}' (a retried batch whose txn is already
+    in the manifest no-ops; a torn add left its segment UNLISTED, so
+    the retry lands it exactly once — the BM25 v2 posture with the
+    S39 txn contract, since vector ids carry no first-writer-wins
+    dedup of their own). Because incremental add is EXACT (frozen-
+    geometry encode, pinned against a numpy replay), the stream-fed
+    index answers search_ivfpq_index row-identically to a single-
+    batch build over the same corpus (pinned). The index must be
+    BUILT (trained) before the stream starts — the FAISS train-
+    offline/add-online contract; there is no meaningful empty-index
+    bootstrap because codebook geometry requires a fit corpus.
+    ``compact_every=N`` bounds segment accrual on long feeds.
+    Returns a DataStreamWriter."""
+    from utility_service_areas_spark.operators.vector_index import (
+        add_to_ivfpq_index,
+    )
+
+    def feed_batch(df: DataFrame, batch_id: int) -> None:
+        add_to_ivfpq_index(
+            df.sparkSession,
+            index_dir,
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            txn_id=f"stream-{batch_id}",
+            compact_every=compact_every,
+        )
+
+    return stream.writeStream.foreachBatch(feed_batch)
+
+
 # ---------------------------------------------------------------------------
 # S40 (r14): STREAMING ONLINE UPDATES for the #259 quality classifier —
 # continual learning at the serving edge. Batch-train with
