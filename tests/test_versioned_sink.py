@@ -372,3 +372,177 @@ def test_table_cli_lifecycle(spark, tmp_path, capsys):
     assert list_versions(t) == [1]
     got = {(r.k, r.v) for r in read_version(spark, t, 1).collect()}
     assert got == {(k, f"v{k}") for k in range(12) if k not in (1, 2)} | {(1, "M")}
+
+
+# ---------------------------------------------------------------------------
+# r15: schema evolution (write_version merge_schema=True — VERDICT r14
+# task #4, the Delta mergeSchema posture on an append lineage)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_schema_adds_nullable_column_and_time_travels(spark, tmp_path):
+    """Additive evolution: v0 (k,v) -> v1 appends (k,v,extra) with
+    merge_schema. The evolved snapshot reads old rows with extra=NULL;
+    time travel to v0 is unchanged (two columns, original rows); a
+    later plain append matching the union schema needs no flag; and a
+    post-evolution append may OMIT the added column (reads NULL)."""
+    t = str(tmp_path / "tbl")
+    write_version(_kv(spark, [(1, "a"), (2, "b")]), t)
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_version(
+            spark.createDataFrame([(3, "c", "x")], "k long, v string, extra string"),
+            t,
+            mode="append",
+        )
+    v1 = write_version(
+        spark.createDataFrame([(3, "c", "x")], "k long, v string, extra string"),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    got = {
+        (r.k, r.v, r.extra)
+        for r in read_version(spark, t, v1).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", "x")}
+    # time travel BEFORE the boundary: original schema, original rows
+    v0_df = read_version(spark, t, 0)
+    assert sorted(v0_df.columns) == ["k", "v"]
+    assert {(r.k, r.v) for r in v0_df.collect()} == {(1, "a"), (2, "b")}
+
+    # plain append with the union schema: no flag needed
+    v2 = write_version(
+        spark.createDataFrame([(4, "d", "y")], "k long, v string, extra string"),
+        t,
+    )
+    assert read_version(spark, t, v2).count() == 4
+    # append OMITTING the evolved column still merges (rows read NULL)
+    v3 = write_version(
+        _kv(spark, [(5, "e")]), t, mode="append", merge_schema=True
+    )
+    rows = {
+        (r.k, r.extra)
+        for r in read_version(spark, t, v3).select("k", "extra").collect()
+    }
+    assert rows == {(1, None), (2, None), (3, "x"), (4, "y"), (5, None)}
+
+
+def test_merge_schema_type_change_stays_loud(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_version(_kv(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="cannot CHANGE column"):
+        write_version(
+            spark.createDataFrame([(2, 7)], "k long, v long"),
+            t,
+            mode="append",
+            merge_schema=True,
+        )
+    assert list_versions(t) == [0]  # nothing committed
+
+
+def test_merge_schema_datasource_reader_across_boundary(spark, tmp_path):
+    """S37 x evolution: the versioned_table DataSource announces the
+    manifest's union schema on an evolved lineage, fills NULL for
+    files predating the added column, and still time-travels to the
+    pre-evolution version with the old schema."""
+    t = str(tmp_path / "tbl")
+    write_version(_kv(spark, [(1, "a"), (2, "b")]), t)
+    write_version(
+        spark.createDataFrame([(3, "c", 30)], "k long, v string, w long"),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    latest = spark.read.format("versioned_table").load(t)
+    assert sorted(latest.columns) == ["k", "v", "w"]
+    got = {(r.k, r.v, r.w) for r in latest.collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 30)}
+    old = spark.read.format("versioned_table").option("version", 0).load(t)
+    assert sorted(old.columns) == ["k", "v"]
+    assert {(r.k, r.v) for r in old.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_merge_schema_full_rewrite_merge_on_evolved_lineage(spark, tmp_path):
+    """merge_version's plain-lineage fallback reads the evolved base
+    with the union schema — an upsert against a pre-evolution row
+    keeps its NULL-filled added column intact."""
+    t = str(tmp_path / "tbl")
+    write_version(_kv(spark, [(1, "a"), (2, "b")]), t)
+    write_version(
+        spark.createDataFrame([(3, "c", "x")], "k long, v string, extra string"),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    ch = spark.createDataFrame(
+        [(2, "B2", "y", "U"), (1, None, None, "D")],
+        "k long, v string, extra string, op string",
+    )
+    v = merge_version(spark, t, ch, key_cols=["k"])
+    got = {
+        (r.k, r.v, r.extra) for r in read_version(spark, t, v).collect()
+    }
+    assert got == {(2, "B2", "y"), (3, "c", "x")}
+
+
+# ---------------------------------------------------------------------------
+# r15: OPTIMIZE (Z-ORDER clustered rewrite — VERDICT r14 task #5)
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_zorder_row_identical_and_prunes(spark, tmp_path):
+    """optimize_version rewrites the latest snapshot Morton-ordered:
+    (a) the row MULTISET is byte-identical (#161 diff == 0/0), (b)
+    the base version still time-travels, (c) the zone-map audit shows
+    STRICTLY fewer files scanned for a range predicate on each
+    z-order key — the measurable point of clustering."""
+    from utility_service_areas_spark.sources.versioned import (
+        diff_versions,
+        files_scanned_for_range,
+        optimize_version,
+        zone_map_audit,
+    )
+
+    # a deliberately scattered layout: interleave two keys so neither
+    # is correlated with insertion order, 8 files of hash-ordered rows
+    rows = [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long").repartition(8)
+    t = str(tmp_path / "tbl")
+    base_v = write_version(df, t)
+
+    zones_a = zone_map_audit(spark, t, base_v, "a")
+    files_before, rows_before = files_scanned_for_range(zones_a, 100, 150)
+    assert files_before == 8  # scattered: every file overlaps
+
+    v = optimize_version(spark, t, ["a", "b"], n_files=8)
+    assert v == base_v + 1
+    man = _manifest(t, v)
+    assert man["optimized_from"] == base_v
+    assert man["zorder_by"] == ["a", "b"]
+
+    d = diff_versions(spark, t, base_v, v)
+    assert d["added"] == 0 and d["removed"] == 0  # byte-identical multiset
+    assert d["n_rows_old"] == d["n_rows_new"] == 4000
+    assert read_version(spark, t, base_v).count() == 4000  # time travel
+
+    for key in ("a", "b"):
+        zones = zone_map_audit(spark, t, v, key)
+        f_after, r_after = files_scanned_for_range(zones, 100, 150)
+        f_before, r_before = files_scanned_for_range(
+            zone_map_audit(spark, t, base_v, key), 100, 150
+        )
+        assert f_after < f_before, key  # the clustering win, measured
+        assert r_after < r_before, key
+
+
+def test_optimize_refuses_bucketed_and_missing_columns(spark, tmp_path):
+    from utility_service_areas_spark.sources.versioned import optimize_version
+
+    t = str(tmp_path / "btbl")
+    write_version_bucketed(_kv(spark, [(1, "a")]), t, ["k"], 4)
+    with pytest.raises(ValueError, match="bucket"):
+        optimize_version(spark, t, ["k"])
+    t2 = str(tmp_path / "ptbl")
+    write_version(_kv(spark, [(1, "a")]), t2)
+    with pytest.raises(ValueError, match="not in table schema"):
+        optimize_version(spark, t2, ["nope"])

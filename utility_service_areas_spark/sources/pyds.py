@@ -499,9 +499,10 @@ def _versioned_files(table_dir: str, manifest: dict) -> list[str]:
 
 
 class VersionedTableReader(DataSourceReader):
-    def __init__(self, options: dict, columns: list[str]):
+    def __init__(self, options: dict, schema: "StructType"):
         self._table_dir, self._manifest = _versioned_manifest(options)
-        self._columns = columns
+        self._columns = [f.name for f in schema.fields]
+        self._schema = schema
 
     def partitions(self):
         # one partition per parquet part file — data-parallel reads,
@@ -514,7 +515,9 @@ class VersionedTableReader(DataSourceReader):
     def read(self, partition: VersionedTablePartition):
         if partition is None:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         pf = pq.ParquetFile(partition.file_path)
         # Arrow batches bind to the announced schema POSITIONALLY, and
@@ -523,8 +526,29 @@ class VersionedTableReader(DataSourceReader):
         # batch is re-projected to the reader's schema order. Without
         # this, a reordered-append table crashed on type mismatch or
         # silently swapped same-typed columns (r13 code review #1).
+        file_cols = set(pf.schema_arrow.names)
+        missing = [c for c in self._columns if c not in file_cols]
+        if not missing:
+            for batch in pf.iter_batches():
+                yield batch.select(self._columns)
+            return
+        # evolved lineage (S33 merge_schema, r15): this file predates
+        # an added column — surface it as NULLs of the announced type,
+        # exactly like read_version's explicit-schema scan
+        arrow_schema = to_arrow_schema(self._schema)
         for batch in pf.iter_batches():
-            yield batch.select(self._columns)
+            arrays = []
+            for name in self._columns:
+                if name in file_cols:
+                    arrays.append(batch.column(name))
+                else:
+                    arrays.append(
+                        pa.nulls(
+                            batch.num_rows,
+                            type=arrow_schema.field(name).type,
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(arrays, names=self._columns)
 
 
 class VersionedTableDataSource(DataSource):
@@ -547,13 +571,14 @@ class VersionedTableDataSource(DataSource):
 
         table_dir, manifest = _versioned_manifest(self.options)
         files = _versioned_files(table_dir, manifest)
-        if files:
+        if files and not manifest.get("schema_evolved"):
             return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
-        # empty snapshot: reconstruct from the manifest signature
-        fields = ", ".join(f"{n} {t}" for n, t in manifest["schema"])
-        from pyspark.sql.types import _parse_datatype_string
-
-        return _parse_datatype_string(f"struct<{fields}>")
+        # empty snapshot OR evolved lineage (a single file's schema
+        # may predate added columns): the manifest signature is the
+        # source of truth. Returned as a DDL STRING — the DataSource
+        # API parses it JVM-side, which works in the session-less
+        # Python subprocess where _parse_datatype_string cannot.
+        return ", ".join(f"{n} {t}" for n, t in manifest["schema"])
 
     def reader(self, schema: StructType) -> VersionedTableReader:
-        return VersionedTableReader(self.options, [f.name for f in schema.fields])
+        return VersionedTableReader(self.options, schema)

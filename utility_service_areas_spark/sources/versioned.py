@@ -101,12 +101,36 @@ def txn_version(table_dir: str, txn_id: str) -> int | None:
     return None
 
 
+def _merged_schema_key(
+    old: list[list[str]], new: list[list[str]]
+) -> list[list[str]]:
+    """Delta's mergeSchema contract (r15, VERDICT r14 task #4):
+    columns present on BOTH sides must keep their exact type (a type
+    CHANGE stays loud — silent widening corrupts every old reader);
+    columns on either side alone join the union. Old files simply
+    lack the added columns and read as NULL, so additions are
+    nullable by construction."""
+    old_types = {n: t for n, t in old}
+    for n, t in new:
+        if n in old_types and old_types[n] != t:
+            raise ValueError(
+                f"merge_schema cannot CHANGE column {n!r}: "
+                f"{old_types[n]} -> {t} (type changes require an "
+                "overwrite, which starts a new lineage)"
+            )
+    merged = dict(old_types)
+    merged.update({n: t for n, t in new})
+    return sorted([n, t] for n, t in merged.items())
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     max_attempts: int = 20,
     txn_id: str | None = None,
+    merge_schema: bool = False,
+    extra_manifest: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
@@ -121,7 +145,16 @@ def write_version(
     a Structured Streaming foreachBatch sink that passes the batch id
     as txn_id is exactly-once across micro-batch retries. The check
     runs again INSIDE the claim loop, so two racing writers with the
-    same txn_id cannot both commit."""
+    same txn_id cannot both commit.
+
+    ``merge_schema=True`` (append only) allows ADDITIVE evolution on
+    the lineage — the Delta mergeSchema posture: new columns join the
+    manifest's union schema, rows in older data dirs read them as
+    NULL (the manifest schema is handed to the reader explicitly once
+    a lineage has evolved, so parquet's pick-a-file schema resolution
+    can never drop the added column); a commit may also OMIT evolved
+    columns (its rows read NULL there). Type CHANGES stay loud in
+    either direction."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn_id is not None:
@@ -139,14 +172,23 @@ def write_version(
     for _attempt in range(max_attempts):
         versions = list_versions(table_dir)
         nxt = (versions[-1] + 1) if versions else 0
+        evolved = False
+        schema_out = _schema_key(df)
         if mode == "append" and versions:
             prev = _read_manifest(table_dir, versions[-1])
-            if prev["schema"] != _schema_key(df):
-                raise ValueError(
-                    "append schema mismatch vs latest version: "
-                    f"{prev['schema']} != {_schema_key(df)} — overwrite "
-                    "to change schema"
-                )
+            evolved = bool(prev.get("schema_evolved"))
+            if prev["schema"] != schema_out:
+                if not merge_schema:
+                    raise ValueError(
+                        "append schema mismatch vs latest version: "
+                        f"{prev['schema']} != {_schema_key(df)} — pass "
+                        "merge_schema=True for additive columns, or "
+                        "overwrite to change schema"
+                    )
+                schema_out = _merged_schema_key(prev["schema"], schema_out)
+                evolved = True
+            else:
+                schema_out = prev["schema"]
             dirs = list(prev["data_dirs"]) + [rel_dir]
             total = prev["n_rows"] + n_rows
         else:
@@ -158,8 +200,15 @@ def write_version(
             "data_dirs": dirs,
             "n_rows": total,
             "n_rows_commit": n_rows,
-            "schema": _schema_key(df),
+            "schema": schema_out,
         }
+        if evolved:
+            # sticky per lineage: readers must take the schema from
+            # the manifest, not from an arbitrary parquet file
+            manifest["schema_evolved"] = True
+        if extra_manifest:
+            for k, v in extra_manifest.items():
+                manifest.setdefault(k, v)  # never clobber core fields
         if txn_id is not None:
             # re-check inside the loop: a racing writer with the SAME
             # txn may have won the claim since our entry check
@@ -213,9 +262,23 @@ def read_version(
         raise FileNotFoundError(f"no committed versions at {table_dir}")
     v = versions[-1] if version is None else version
     man = _read_manifest(table_dir, v)
+    return _read_snapshot(spark, table_dir, man)
+
+
+def _read_snapshot(
+    spark: SparkSession, table_dir: str, man: dict
+) -> DataFrame:
+    """Read one manifest's row set. An EVOLVED lineage (mergeSchema
+    additions) reads with the manifest's union schema handed to the
+    scan explicitly — rows from data dirs that predate an added
+    column surface NULL there; without this, parquet resolves the
+    schema from an arbitrary file and the added column can vanish."""
     if not man["data_dirs"]:
         return _empty_frame_from_manifest(spark, man)
     paths = [os.path.join(table_dir, d) for d in man["data_dirs"]]
+    if man.get("schema_evolved"):
+        fields = ", ".join(f"{n} {t}" for n, t in man["schema"])
+        return spark.read.schema(fields).parquet(*paths)
     return spark.read.parquet(*paths)
 
 
@@ -347,13 +410,7 @@ def _merge_full_rewrite(
     from pyspark.sql import functions as F
 
     data_cols = [c for c in changes.columns if c != op_col]
-    base = (
-        spark.read.parquet(
-            *[os.path.join(table_dir, d) for d in man["data_dirs"]]
-        )
-        if man["data_dirs"]
-        else _empty_frame_from_manifest(spark, man)
-    )
+    base = _read_snapshot(spark, table_dir, man)
     keys = changes.select(*merge_keys).distinct()
     survivors = base.join(keys, merge_keys, "left_anti")
     upserts = changes.filter(F.col(op_col) == "U").select(*data_cols)
@@ -741,3 +798,155 @@ def vacuum(
     for rel in empty_commit_dirs:  # husks whose every bucket was dropped
         shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
     return plan
+
+
+def optimize_version(
+    spark: SparkSession,
+    table_dir: str,
+    zorder_by: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+) -> int:
+    """Clustered rewrite — Delta ``OPTIMIZE ... ZORDER BY`` (VERDICT
+    r14 task #5): rewrite the LATEST version's rows ordered by the
+    Morton interleave of the key columns (#116's bit-plane expression,
+    plans/geo_queries.py:geo_morton_order, generalized to N numeric
+    keys) and commit the layout as a NEW version whose row multiset is
+    byte-identical (pinned via #161's diff semantics —
+    diff_versions(base, optimized) == 0/0). Old versions stay
+    readable; the rewrite is a new lineage exactly like any overwrite,
+    so concurrent readers of the base version are untouched and vacuum
+    reclaims the unclustered dirs once history expires.
+
+    Why it pays at 100 TB: parquet keeps per-file/rowgroup min-max
+    zone maps; Z-ordering makes every file's zone NARROW on each key,
+    so a range predicate prunes most files instead of overlapping all
+    of them (#213's zone-map audit measures exactly this — the pin
+    shows strictly fewer files scanned for the same predicate after
+    optimize). One number per (file, key) of driver state; the rewrite
+    itself is one range-shuffle + per-partition sort, never a global
+    single-reducer sort.
+
+    Keys must be numeric (quantized to 2^bits buckets over their
+    observed min-max — a 2-value aggregate per key, driver-bounded);
+    NULL keys collapse to bucket 0. Bucketed tables are refused: their
+    bucket layout IS their clustering contract."""
+    from pyspark.sql import functions as F
+
+    if not zorder_by:
+        raise ValueError("zorder_by needs at least one column")
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {table_dir}")
+    base_v = versions[-1]
+    man = _read_manifest(table_dir, base_v)
+    if "buckets" in man:
+        raise ValueError(
+            "optimize_version applies to plain lineages; a bucketed "
+            "table's bucket layout IS its clustering"
+        )
+    snap = _read_snapshot(spark, table_dir, man)
+    for c in zorder_by:
+        if c not in snap.columns:
+            raise ValueError(f"zorder_by column {c!r} not in table schema")
+
+    aggs = []
+    for c in zorder_by:
+        aggs += [
+            F.min(F.col(c).cast("long")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("long")).alias(f"mx_{c}"),
+        ]
+    stats = snap.agg(*aggs).collect()[0]  # 2 values per key — bounded
+
+    ncols = len(zorder_by)
+    qcols = []
+    for c in zorder_by:
+        mn = stats[f"mn_{c}"] or 0
+        mx = stats[f"mx_{c}"] if stats[f"mx_{c}"] is not None else mn
+        span = max(int(mx) - int(mn), 0) + 1
+        q = F.floor(
+            (F.coalesce(F.col(c).cast("long"), F.lit(int(mn))) - F.lit(int(mn)))
+            * F.lit(1 << bits)
+            / F.lit(span)
+        ).cast("long")
+        qcols.append(F.least(q, F.lit((1 << bits) - 1)))
+    z = None
+    for b in range(bits):
+        for i, q in enumerate(qcols):
+            term = F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
+            )
+            z = term if z is None else z.bitwiseOR(term)
+
+    laid = (
+        snap.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    v = write_version(
+        laid,
+        table_dir,
+        mode="overwrite",
+        extra_manifest={
+            "optimized_from": base_v,
+            "zorder_by": list(zorder_by),
+            "zorder_bits": bits,
+        },
+    )
+    new_man = _read_manifest(table_dir, v)
+    if new_man["n_rows"] != man["n_rows"]:  # trust-but-verify, O(1)
+        raise RuntimeError(
+            f"optimize changed the row count: {new_man['n_rows']} != "
+            f"{man['n_rows']} (version {v} is committed but suspect — "
+            "diff_versions it against the base before trusting either)"
+        )
+    return v
+
+
+def zone_map_audit(
+    spark: SparkSession, table_dir: str, version: int, column: str
+) -> list[dict]:
+    """Per-parquet-file (min, max, rows) zone map of ``column`` for
+    one committed version — the #213 data-skipping readout applied to
+    the table's PHYSICAL layout. Driver-side pyarrow over footers
+    only (statistics, no data pages); one dict per file."""
+    import pyarrow.parquet as pq
+
+    man = _read_manifest(table_dir, version)
+    out = []
+    for rel in man["data_dirs"]:
+        d = os.path.join(table_dir, rel)
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(d, name))
+            idx = pf.schema_arrow.names.index(column)
+            mn = mx = None
+            rows = 0
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                rows += pf.metadata.row_group(rg).num_rows
+                if st is None or not st.has_min_max:
+                    continue
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            out.append(
+                {"file": os.path.join(rel, name), "min": mn, "max": mx, "rows": rows}
+            )
+    return out
+
+
+def files_scanned_for_range(
+    zones: list[dict], lo, hi
+) -> tuple[int, int]:
+    """(files scanned, rows scanned) for a BETWEEN predicate under
+    zone-map pruning — a file is skipped iff its zone provably
+    excludes the range (NULL-zoned files are always scanned)."""
+    files = rows = 0
+    for z in zones:
+        if z["min"] is not None and (z["max"] < lo or z["min"] > hi):
+            continue
+        files += 1
+        rows += z["rows"]
+    return files, rows
