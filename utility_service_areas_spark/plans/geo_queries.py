@@ -1090,7 +1090,7 @@ def _vw_oracle_sql() -> str:
     counts AS (
       SELECT n_nationkey, CAST(count(*) AS BIGINT) AS n_r1
       FROM v1 GROUP BY 1),
-    shoe AS (
+    ring_sum AS (
       SELECT n_nationkey,
              CAST(count(*) AS BIGINT) AS n_out,
              CAST(abs(sum(CAST(round((x * lead_y - lead_x * y) * 4)
@@ -1107,7 +1107,7 @@ def _vw_oracle_sql() -> str:
            c.n_r1 AS n_after_round1,
            s.n_out + 1 AS n_points_out,
            s.sum4 * 125 AS area_milli
-    FROM shoe s JOIN counts c USING (n_nationkey)"""
+    FROM ring_sum s JOIN counts c USING (n_nationkey)"""
 
 
 @query(
@@ -1184,15 +1184,15 @@ def geo_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     v = verts
-    counts_round_one = None
+    survivor_counts = None
     for r in range(_VW_ROUNDS):
         v = vw_round(v)
         if r == 0:
-            counts_round_one = v.groupBy("n_nationkey").agg(
+            survivor_counts = v.groupBy("n_nationkey").agg(
                 F.count(F.lit(1)).cast("long").alias("n_after_round1")
             )
     wnd = Window.partitionBy("n_nationkey").orderBy("pos")
-    shoe = (
+    ring_sum = (
         v.withColumn("lead_x", F.lead("x").over(wnd))
         .withColumn("lead_y", F.lead("y").over(wnd))
         .filter(F.col("lead_x").isNotNull())
@@ -1214,7 +1214,7 @@ def geo_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum4"),
         )
     )
-    return shoe.join(counts_round_one, "n_nationkey").select(
+    return ring_sum.join(survivor_counts, "n_nationkey").select(
         "n_nationkey",
         F.lit(len(_VW_OFFSETS)).cast("long").alias("n_points_in"),
         "n_after_round1",
