@@ -154,3 +154,75 @@ def test_clf_funnel_raw_stage_matches_heuristic_funnel(spark):
         for r in q["curation_funnel_report"](spark, SMOKE_SF).collect()
     }
     assert clf[0] == heur[0]
+
+
+# ---------------------------------------------------------------------------
+# #264 Mann-Whitney / #265 CUSUM — cross-implementation replays
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_brute_force_pairs(spark):
+    """The banded-cumsum U equals the O(n^2) definition computed in
+    plain Python over the same pool: 2U_A = 2#(A>B) + #(A=B); the
+    doubled statistics partition 2*n_a*n_b exactly."""
+    import __spark_entry__ as entry
+
+    row = entry.queries()["abtest_mann_whitney"](spark, SMOKE_SF).collect()[0]
+    pool = (
+        spark.read.parquet(SMOKE_SF + "/orders.parquet")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            (F.col("o_orderpriority") == "1-URGENT").alias("ga"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    a_vals = sorted(r.v for r in pool if r.ga)
+    b_vals = sorted(r.v for r in pool if not r.ga)
+    import bisect
+
+    u2 = 0
+    for av in a_vals:  # 2#(A>B) + #(A=B) via two bisects per a-value
+        lo = bisect.bisect_left(b_vals, av)
+        hi = bisect.bisect_right(b_vals, av)
+        u2 += 2 * lo + (hi - lo)
+    assert (row.n_a, row.n_b) == (len(a_vals), len(b_vals))
+    assert row.u2_a == u2
+    assert row.u2_a + row.u2_b == 2 * row.n_a * row.n_b
+    assert row.mean2_u == row.n_a * row.n_b
+    from collections import Counter
+
+    ties = Counter(r.v for r in pool)
+    assert row.tie_cubic == sum(t**3 - t for t in ties.values())
+
+
+def test_cusum_matches_plain_python_replay(spark):
+    """max_abs_cusum_n and the changepoint day replay exactly from
+    the per-type daily counts by integer arithmetic alone."""
+    import __spark_entry__ as entry
+    from collections import defaultdict
+
+    got = {
+        r.event_type: (r.n_days, r.total, r.max_abs_cusum_n, r.changepoint_day)
+        for r in entry.queries()["events_cusum_changepoint"](
+            spark, SMOKE_SF
+        ).collect()
+    }
+    daily = defaultdict(dict)
+    rows = (
+        spark.read.parquet(SMOKE_SF + "/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .count()
+        .collect()
+    )
+    for r in rows:
+        daily[r.event_type][r.d] = r["count"]
+    for t, series in daily.items():
+        days = sorted(series)
+        n, s = len(days), sum(series.values())
+        run, best, best_day = 0, -1, None
+        for d in days:
+            run += n * series[d] - s
+            if abs(run) > best:
+                best, best_day = abs(run), d
+        assert got[t] == (n, s, best, best_day), t

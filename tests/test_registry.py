@@ -287,6 +287,8 @@ EXPECTED_KEYS = {
     # r15 additions
     "dedup_suffix_splice",
     "curation_funnel_classifier",
+    "abtest_mann_whitney",
+    "events_cusum_changepoint",
 }
 
 

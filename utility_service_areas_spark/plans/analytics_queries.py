@@ -3743,3 +3743,230 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("index_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r15: two scale-safe statistics kernels — rank-based A/B testing and
+# changepoint detection, both in the integer-exact oracle discipline.
+# ---------------------------------------------------------------------------
+
+_MW_BANDS = 64  # banded-cumsum fan-out (driver state <= 64 rows)
+
+
+@query(
+    "abtest_mann_whitney",
+    oracle="""
+    WITH pool AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    vals AS (
+      SELECT v, CAST(sum(ga) AS BIGINT) AS a,
+             CAST(sum(1 - ga) AS BIGINT) AS b
+      FROM pool GROUP BY v),
+    cum AS (
+      SELECT v, a, b,
+             CAST(coalesce(sum(b) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS b_below
+      FROM vals),
+    agg AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+             CAST(sum(a * (2 * b_below + b)) AS BIGINT) AS u2_a,
+             CAST(sum((a + b) * (a + b) * (a + b) - (a + b)) AS BIGINT)
+               AS tie_cubic
+      FROM cum)
+    SELECT n_a, n_b, u2_a,
+           CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+           CAST(n_a * n_b AS BIGINT) AS mean2_u,
+           tie_cubic
+    FROM agg
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) A/B test between URGENT "
+    "and LOW order priorities on order value — the NON-PARAMETRIC "
+    "leg beside the two-proportion z (#210) and CUPED (#241's "
+    "family): doubled U statistics stay exact integers (2U_A = "
+    "Σ_v a_v(2·cum_b<v + b_v), ties counted half), u2_a + u2_b == "
+    "2·n_a·n_b by construction, and the tie-correction term Σ(t³−t) "
+    "is emitted so any caller can finish the normal approximation "
+    "with one sqrt. NO pooled global ranking: the cumulative "
+    "below-count factorizes into per-band window cumsums over the "
+    "DISTINCT-VALUE frame (band key = value-range quantile, monotone "
+    "in the sort key) + a ≤64-row collected band-total offset table "
+    "— the suffix-rank banding device applied to a statistics "
+    "kernel; every shuffle is keyed, nothing data-sized hits one "
+    "reducer or the driver. DuckDB replays the identical arithmetic "
+    "over a plain window (its single node IS one band).",
+    tags=("analytics",),
+)
+def abtest_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    o = load_table(spark, sf_dir, "orders")
+    pool = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("ga"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    vals = pool.groupBy("v").agg(
+        F.sum("ga").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("ga")).cast("long").alias("b"),
+    )
+    vmax = vals.agg(F.max("v")).collect()[0][0]
+    if vmax is None:
+        return spark.createDataFrame(
+            [],
+            "n_a bigint, n_b bigint, u2_a bigint, u2_b bigint, "
+            "mean2_u bigint, tie_cubic bigint",
+        )
+    band = F.expr(f"CAST(v * {_MW_BANDS} AS BIGINT) div {int(vmax) + 1}")
+    local = lineage_cut(
+        vals.withColumn("_band", band).withColumn(
+            "_cb",
+            F.coalesce(
+                F.sum("b").over(
+                    Window.partitionBy("_band")
+                    .orderBy("v")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    totals = (
+        local.groupBy("_band").agg(F.sum("b").alias("_bt")).collect()
+    )
+    off = 0
+    offsets: dict[int, int] = {}
+    for row in sorted(totals, key=lambda r: r._band):
+        offsets[row._band] = off
+        off += int(row._bt)
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    cum = local.withColumn(
+        "b_below", (omap[F.col("_band")] + F.col("_cb")).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(
+            F.col("a") * (F.lit(2) * F.col("b_below") + F.col("b"))
+        )
+        .cast("long")
+        .alias("u2_a"),
+        F.sum(
+            (F.col("a") + F.col("b"))
+            * (F.col("a") + F.col("b"))
+            * (F.col("a") + F.col("b"))
+            - (F.col("a") + F.col("b"))
+        )
+        .cast("long")
+        .alias("tie_cubic"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        (F.lit(2) * F.col("n_a") * F.col("n_b") - F.col("u2_a"))
+        .cast("long")
+        .alias("u2_b"),
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("mean2_u"),
+        "tie_cubic",
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS total
+      FROM daily GROUP BY t),
+    cus AS (
+      SELECT daily.t, d,
+             CAST(abs(sum(n_days * c - total) OVER (
+                    PARTITION BY daily.t ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS BIGINT) AS abs_c
+      FROM daily JOIN tot USING (t)),
+    m AS (SELECT t, CAST(max(abs_c) AS BIGINT) AS max_abs_cusum_n
+          FROM cus GROUP BY t),
+    pick AS (
+      SELECT c.t, min(c.d) AS changepoint_day
+      FROM cus c JOIN m ON c.t = m.t AND c.abs_c = m.max_abs_cusum_n
+      GROUP BY c.t)
+    SELECT tot.t AS event_type, tot.n_days, tot.total,
+           m.max_abs_cusum_n, pick.changepoint_day
+    FROM tot JOIN m ON m.t = tot.t JOIN pick ON pick.t = tot.t
+    """,
+    doc="CUSUM changepoint scan per event type over the daily count "
+    "series — the drift alarm beside z-score anomalies (#76) and "
+    "burst detection (#194): the classic mean-shift statistic "
+    "max_k |Σ_{i<=k} (x_i − x̄)| located at its first argmax day. "
+    "Integer-exact WITHOUT dividing by n: each term is scaled by "
+    "n_days (n·x_i − S is integer, Σ telescopes to n·prefix − k·S), "
+    "so max_abs_cusum_n = n · max|CUSUM| and both engines replay it "
+    "by integer arithmetic alone; the argmax day resolves ties to "
+    "the EARLIEST day via an explicit max-join (never engine-"
+    "dependent arg_max tiebreaks). Scale: one keyed daily partial "
+    "agg collapses the stream; everything after is calendar-sized "
+    "per type (bounded window partitions), output = one row per "
+    "event type.",
+    tags=("analytics", "events"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("t"), F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = daily.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = (
+        daily.join(F.broadcast(tot), "t")
+        .withColumn(
+            "abs_c",
+            F.abs(
+                F.sum(
+                    F.col("n_days") * F.col("c") - F.col("total")
+                ).over(w)
+            ).cast("long"),
+        )
+        .select("t", "d", "abs_c")
+    )
+    m = cus.groupBy("t").agg(
+        F.max("abs_c").cast("long").alias("max_abs_cusum_n")
+    )
+    pick = (
+        cus.alias("c")
+        .join(
+            F.broadcast(m.alias("mm")),
+            (F.col("c.t") == F.col("mm.t"))
+            & (F.col("c.abs_c") == F.col("mm.max_abs_cusum_n")),
+        )
+        .groupBy(F.col("c.t").alias("t"))
+        .agg(F.min(F.col("c.d")).alias("changepoint_day"))
+    )
+    return (
+        tot.join(F.broadcast(m), "t")
+        .join(F.broadcast(pick), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "n_days",
+            "total",
+            "max_abs_cusum_n",
+            "changepoint_day",
+        )
+    )

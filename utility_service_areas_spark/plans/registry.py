@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = (
     # 1) never-attested keys — new this round
     "dedup_suffix_splice",          # new in r15 (#262)
     "curation_funnel_classifier",   # new in r15 (#263)
+    "abtest_mann_whitney",          # new in r15 (#264)
+    "events_cusum_changepoint",     # new in r15 (#265)
     # 2) the nine r8-stale keys (the entire remaining r8 tail — after
     #    this round no sql-oracled key's newest driver row is < r10)
     "supplier_balance_rank_dist",
@@ -96,9 +98,12 @@ _DRIVER_PRIORITY = (
     "unshipped_order_revenue",
     "user_first_last_event",
     "value_percentiles",
-    # 3) 39 of the 50 r10-stale keys, alphabetical. The 11-key
-    #    remainder heads the r16 rotation: kmeans_cluster_quality,
-    #    orders_daily_ewma, orders_daily_gapfill, orders_pareto_front,
+    # 3) 37 of the 50 r10-stale keys, alphabetical (two slots yielded
+    #    to the late r15 additions #264/#265 — never-attested beats
+    #    stale-green per slot). The 13-key remainder heads the r16
+    #    rotation: geo_viewport_query, histogram_value_quantiles,
+    #    kmeans_cluster_quality, orders_daily_ewma,
+    #    orders_daily_gapfill, orders_pareto_front,
     #    part_abc_classification, revenue_benford_audit,
     #    revenue_bootstrap_ci, simhash_hamming_histogram,
     #    source_length_drift, token_collocations,
@@ -140,8 +145,6 @@ _DRIVER_PRIORITY = (
     "geo_simplify",
     "geo_union_grid_area",
     "geo_union_overlap_area",
-    "geo_viewport_query",
-    "histogram_value_quantiles",
 )
 
 _PLAN_MODULES = (
