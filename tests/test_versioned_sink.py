@@ -546,3 +546,37 @@ def test_optimize_refuses_bucketed_and_missing_columns(spark, tmp_path):
     write_version(_kv(spark, [(1, "a")]), t2)
     with pytest.raises(ValueError, match="not in table schema"):
         optimize_version(spark, t2, ["nope"])
+
+
+def test_cli_table_optimize(spark, tmp_path, capsys):
+    from utility_service_areas_spark.__main__ import main
+    from utility_service_areas_spark.sources.versioned import (
+        diff_versions,
+        list_versions,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, (i * 7919) % 500) for i in range(2000)]
+    spark.createDataFrame(rows, "id long, a long").repartition(4).write.parquet(src)
+    t = str(tmp_path / "tbl")
+    assert main(["table", "write", "--table-dir", t, "--source", src]) == 0
+    assert (
+        main(
+            [
+                "table",
+                "optimize",
+                "--table-dir",
+                t,
+                "--zorder-by",
+                "a",
+                "--n-files",
+                "4",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "optimized -> v1" in out
+    assert list_versions(t) == [0, 1]
+    d = diff_versions(spark, t, 0, 1)
+    assert d["added"] == 0 and d["removed"] == 0

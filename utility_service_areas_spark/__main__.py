@@ -150,7 +150,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     tab.add_argument(
         "action",
-        choices=("write", "merge", "read", "versions", "diff", "vacuum"),
+        choices=(
+            "write",
+            "merge",
+            "read",
+            "versions",
+            "diff",
+            "vacuum",
+            "optimize",
+        ),
     )
     tab.add_argument("--table-dir", required=True)
     tab.add_argument("--source", help="parquet path (write: rows; merge: changeset with an 'op' column)")
@@ -167,6 +175,13 @@ def main(argv: list[str] | None = None) -> int:
     tab.add_argument("--v-new", type=int, default=None)
     tab.add_argument("--keep-last", type=int, default=2)
     tab.add_argument("--limit", type=int, default=20)
+    tab.add_argument(
+        "--zorder-by",
+        default="",
+        help="comma-separated numeric key columns for `table optimize` "
+        "(Z-ORDER clustered rewrite, committed as a new version)",
+    )
+    tab.add_argument("--n-files", type=int, default=8)
 
     args = ap.parse_args(argv)
 
@@ -220,6 +235,24 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.table_dir, spark.read.parquet(args.source)
             )
             print(f"merged -> v{v} at {args.table_dir}")
+        elif args.action == "optimize":
+            if not args.zorder_by:
+                ap.error("table optimize requires --zorder-by col[,col...]")
+            keys = args.zorder_by.split(",")
+            v = vt.optimize_version(
+                spark, args.table_dir, keys, n_files=args.n_files
+            )
+            for key in keys:
+                zones = vt.zone_map_audit(spark, args.table_dir, v, key)
+                widths = [
+                    z["max"] - z["min"]
+                    for z in zones
+                    if z["min"] is not None
+                ]
+                print(
+                    f"optimized -> v{v}: {len(zones)} files, {key} zone "
+                    f"width min/max = {min(widths)}/{max(widths)}"
+                )
         elif args.action == "read":
             df = (
                 spark.read.format("versioned_table")
