@@ -102,6 +102,28 @@ HEADLINE = {
         "reduce with scalar broadcast weights — no corpus-sized "
         "shuffle, no Python, rounds are tiny barrier jobs"
     ),
+    "dedup_suffix_splice": (
+        "shared suffix-rank build (banded dense ranks, keyed "
+        "shuffles); coverage = ONE per-document running-max window "
+        "(never an interval->token explode); kept-token reassembly is "
+        "one keyed join + one groupBy collect in position order"
+    ),
+    "curation_funnel_classifier": (
+        "training chain reuses the #259 localCheckpointed feature "
+        "frame; sweep/pick are 9-row/1-row broadcast crossJoins; the "
+        "deployed gate joins the funnel base by doc_id (keyed), then "
+        "the funnel's own survivor-bounded stages run unchanged"
+    ),
+    "abtest_mann_whitney": (
+        "pooled ranking WITHOUT a global sort: per-band window "
+        "cumsums over the distinct-value frame + a <=64-row collected "
+        "band-offset map; one partial-agg reduce to the 1-row result"
+    ),
+    "events_cusum_changepoint": (
+        "one keyed daily partial agg collapses the stream; CUSUM is a "
+        "calendar-sized per-type window; argmax day via broadcast "
+        "max-join, output one row per type"
+    ),
     "text_bm25_search_persisted": (
         "postings scan pruned to the query terms' pbucket partitions "
         "(PartitionFilters) then broadcast-joined by the query dim — "
