@@ -3921,10 +3921,18 @@ def abtest_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "events"),
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.col("event_type").alias("t"), F.col("ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # daily and cus are calendar×type-sized and each feed 2+ consumers
+    # — cut them so the event scan + groupBy run ONCE, not per branch
+    # (Catalyst does not reuse identical subtrees across joins)
+    daily = lineage_cut(
+        e.groupBy(
+            F.col("event_type").alias("t"),
+            F.col("ts").cast("date").alias("d"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
     tot = daily.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("c").cast("long").alias("total"),
@@ -3934,7 +3942,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cus = (
+    cus = lineage_cut(
         daily.join(F.broadcast(tot), "t")
         .withColumn(
             "abs_c",
