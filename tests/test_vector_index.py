@@ -238,7 +238,7 @@ def test_stream_vector_index_maintenance_equals_batch_add(spark, tmp_path):
         .parquet(files)
     )
     q = (
-        vector_index_stream_writer(stream, d_stream)
+        vector_index_stream_writer(stream, d_stream, app_id="stream")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()

@@ -249,10 +249,16 @@ def main(argv: list[str] | None = None) -> int:
                     for z in zones
                     if z["min"] is not None
                 ]
-                print(
-                    f"optimized -> v{v}: {len(zones)} files, {key} zone "
-                    f"width min/max = {min(widths)}/{max(widths)}"
-                )
+                if widths:
+                    print(
+                        f"optimized -> v{v}: {len(zones)} files, {key} "
+                        f"zone width min/max = {min(widths)}/{max(widths)}"
+                    )
+                else:  # e.g. an all-NULL key: no min/max stats to show
+                    print(
+                        f"optimized -> v{v}: {len(zones)} files, {key} "
+                        "has no zone stats (all-NULL column?)"
+                    )
         elif args.action == "read":
             df = (
                 spark.read.format("versioned_table")

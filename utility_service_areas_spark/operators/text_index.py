@@ -366,7 +366,9 @@ def vacuum_bm25_index(
     exact would-delete list without touching disk. Runs regardless of
     the live segment count (a 1-segment index can still carry orphans
     from a crash between a compaction's commit and an older vacuum)."""
-    import time
+    from utility_service_areas_spark.sources.fsutil import (
+        vacuum_unlisted_dirs,
+    )
 
     mpath = _manifest_path(index_dir)
     if not os.path.exists(mpath):
@@ -374,41 +376,13 @@ def vacuum_bm25_index(
     with open(mpath) as f:
         manifest = json.load(f)
     listed = {s["name"] for s in manifest["segments"]}
-    root = _segments_root(index_dir)
-    now = time.time()
-    drop = []
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            if name in listed:
-                continue
-            # Age off the NEWEST file in the segment tree, not the
-            # dir's top-level mtime — that goes stale once postings/
-            # and doclens/ exist, so a slow in-flight parquet write
-            # could otherwise be swept mid-add (ADVICE r14 #4).
-            seg_path = os.path.join(root, name)
-            try:
-                latest = os.path.getmtime(seg_path)
-                for walk_root, dirs, files in os.walk(seg_path):
-                    for entry in dirs + files:
-                        try:
-                            latest = max(
-                                latest,
-                                os.path.getmtime(
-                                    os.path.join(walk_root, entry)
-                                ),
-                            )
-                        except FileNotFoundError:
-                            continue
-            except FileNotFoundError:
-                continue
-            if now - latest >= grace_seconds:
-                drop.append(name)
-    plan = {"dirs_removed": len(drop), "dirs": drop, "dry_run": dry_run}
-    if dry_run:
-        return plan
-    for name in drop:
-        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-    return plan
+    # Age off the NEWEST file in each segment tree, not the dir's
+    # top-level mtime — that goes stale once postings/ and doclens/
+    # exist, so a slow in-flight parquet write could otherwise be
+    # swept mid-add (ADVICE r14 #4; shared discipline in fsutil).
+    return vacuum_unlisted_dirs(
+        _segments_root(index_dir), listed, grace_seconds, dry_run
+    )
 
 
 def repair_bm25_manifest(spark: SparkSession, index_dir: str) -> dict:

@@ -353,7 +353,9 @@ def vacuum_ivfpq_index(
     dirs. Age-gated off the NEWEST file in each segment TREE (ADVICE
     r14 #4 discipline) so neither an in-flight reader's just-retired
     segment nor a mid-write staging dir can be swept."""
-    import time
+    from utility_service_areas_spark.sources.fsutil import (
+        vacuum_unlisted_dirs,
+    )
 
     mpath = _manifest_path(index_dir)
     if not os.path.exists(mpath):
@@ -361,37 +363,9 @@ def vacuum_ivfpq_index(
     with open(mpath) as f:
         manifest = json.load(f)
     listed = {s["name"] for s in manifest["segments"]}
-    root = _segments_root(index_dir)
-    now = time.time()
-    drop = []
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            if name in listed:
-                continue
-            seg_path = os.path.join(root, name)
-            try:
-                latest = os.path.getmtime(seg_path)
-                for walk_root, dirs, files in os.walk(seg_path):
-                    for entry in dirs + files:
-                        try:
-                            latest = max(
-                                latest,
-                                os.path.getmtime(
-                                    os.path.join(walk_root, entry)
-                                ),
-                            )
-                        except FileNotFoundError:
-                            continue
-            except FileNotFoundError:
-                continue
-            if now - latest >= grace_seconds:
-                drop.append(name)
-    plan = {"dirs_removed": len(drop), "dirs": drop, "dry_run": dry_run}
-    if dry_run:
-        return plan
-    for name in drop:
-        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-    return plan
+    return vacuum_unlisted_dirs(
+        _segments_root(index_dir), listed, grace_seconds, dry_run
+    )
 
 
 def search_ivfpq_index(

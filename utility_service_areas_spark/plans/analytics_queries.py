@@ -3811,43 +3811,53 @@ def abtest_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ga"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
-    vals = pool.groupBy("v").agg(
-        F.sum("ga").cast("long").alias("a"),
-        F.sum(F.lit(1) - F.col("ga")).cast("long").alias("b"),
+    # cut FIRST: the distinct-value frame feeds the vmax probe, the
+    # band-total collect, and the final aggregation — without the cut
+    # the pool scan + groupBy would re-run per consumer (r15 review #6)
+    vals = lineage_cut(
+        pool.groupBy("v").agg(
+            F.sum("ga").cast("long").alias("a"),
+            F.sum(F.lit(1) - F.col("ga")).cast("long").alias("b"),
+        )
     )
     vmax = vals.agg(F.max("v")).collect()[0][0]
     if vmax is None:
-        return spark.createDataFrame(
-            [],
-            "n_a bigint, n_b bigint, u2_a bigint, u2_b bigint, "
-            "mean2_u bigint, tie_cubic bigint",
+        # empty pool: keep the ORACLE's shape — an aggregate without
+        # GROUP BY over zero rows still emits one all-NULL row in both
+        # engines (r15 review #3), so fall through with a trivial
+        # below-count instead of short-circuiting to zero rows
+        cum = vals.withColumn("b_below", F.lit(0).cast("long"))
+    else:
+        band = F.expr(
+            f"CAST(v * {_MW_BANDS} AS BIGINT) div {int(vmax) + 1}"
         )
-    band = F.expr(f"CAST(v * {_MW_BANDS} AS BIGINT) div {int(vmax) + 1}")
-    local = lineage_cut(
-        vals.withColumn("_band", band).withColumn(
-            "_cb",
-            F.coalesce(
-                F.sum("b").over(
-                    Window.partitionBy("_band")
-                    .orderBy("v")
-                    .rowsBetween(Window.unboundedPreceding, -1)
+        local = lineage_cut(
+            vals.withColumn("_band", band).withColumn(
+                "_cb",
+                F.coalesce(
+                    F.sum("b").over(
+                        Window.partitionBy("_band")
+                        .orderBy("v")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
                 ),
-                F.lit(0),
-            ),
+            )
         )
-    )
-    totals = (
-        local.groupBy("_band").agg(F.sum("b").alias("_bt")).collect()
-    )
-    off = 0
-    offsets: dict[int, int] = {}
-    for row in sorted(totals, key=lambda r: r._band):
-        offsets[row._band] = off
-        off += int(row._bt)
-    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    cum = local.withColumn(
-        "b_below", (omap[F.col("_band")] + F.col("_cb")).cast("long")
-    )
+        totals = (
+            local.groupBy("_band").agg(F.sum("b").alias("_bt")).collect()
+        )
+        off = 0
+        offsets: dict[int, int] = {}
+        for row in sorted(totals, key=lambda r: r._band):
+            offsets[row._band] = off
+            off += int(row._bt)
+        omap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        cum = local.withColumn(
+            "b_below", (omap[F.col("_band")] + F.col("_cb")).cast("long")
+        )
     agg = cum.agg(
         F.sum("a").cast("long").alias("n_a"),
         F.sum("b").cast("long").alias("n_b"),

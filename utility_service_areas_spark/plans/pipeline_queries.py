@@ -2100,7 +2100,10 @@ def curation_funnel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fp"),
         )
     )
-    pick = perthr.agg(
+    # 1-row operating point, consumed by the gate AND the final
+    # projection — cut it or each consumer re-runs the corpus-sized
+    # sweep aggregation (r15 review #7)
+    pick = lineage_cut(perthr.agg(
         F.coalesce(
             F.min(
                 F.when(
@@ -2116,7 +2119,7 @@ def curation_funnel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("th_star")
-    )
+    ))
     gate = sc.crossJoin(F.broadcast(pick)).select(
         "doc_id", (F.col("z") >= F.col("th_star")).alias("pass_clf")
     )

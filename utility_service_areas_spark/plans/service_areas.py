@@ -160,13 +160,30 @@ def build_service_areas(
     # R/functions.R:421-444 get_merge_geom).
     if merge_patches:
         patch_df = spark.createDataFrame(merge_patches, ["cert1", "cert2"])
+        # collect_list order is task-completion order — sort by cert2
+        # before flattening so a cert absorbing several others gets a
+        # run-stable polygon order (r15 review #4)
         acquired = (
             combined.join(
                 F.broadcast(patch_df),
                 combined.certificate_number == patch_df.cert2,
             )
             .groupBy(F.col("cert1").alias("certificate_number"))
-            .agg(F.flatten(F.collect_list("geometry")).alias("acq_geometry"))
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("cert2").alias("c2"),
+                                    F.col("geometry").alias("g"),
+                                )
+                            )
+                        ),
+                        lambda s: s["g"],
+                    )
+                ).alias("acq_geometry")
+            )
         )
         combined = (
             combined.join(F.broadcast(acquired), "certificate_number", "left")
@@ -303,7 +320,23 @@ def replay_service_areas_from_raw(
                 combined.certificate_number == patch_df.cert2,
             )
             .groupBy(F.col("cert1").alias("certificate_number"))
-            .agg(F.flatten(F.collect_list("geometry")).alias("acq_geometry"))
+            .agg(
+                # run-stable absorb order (sort by cert2) — the same
+                # determinism fix as build_service_areas (r15 review #4)
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("cert2").alias("c2"),
+                                    F.col("geometry").alias("g"),
+                                )
+                            )
+                        ),
+                        lambda s: s["g"],
+                    )
+                ).alias("acq_geometry")
+            )
         )
         combined = (
             combined.join(F.broadcast(acquired), "certificate_number", "left")
@@ -315,6 +348,14 @@ def replay_service_areas_from_raw(
                 ).otherwise(F.col("geometry")),
             )
             .drop("acq_geometry")
+        )
+        # absorbed certs must never survive as their own rows even if
+        # the CSV filter would keep them (build_service_areas applies
+        # the same drop — r15 review #5; on the real data every cert2
+        # is Inactive anyway, so this is robustness, not a result fix)
+        absorbed = [c2 for _, c2 in merge_patches]
+        combined = combined.filter(
+            ~F.col("certificate_number").isin(absorbed)
         )
     joined = combined.join(F.broadcast(certs), "certificate_number", "inner")
     return joined.select(

@@ -701,20 +701,12 @@ def vacuum(
         # moment its first child lands, so a single slow parquet write
         # could look "old" mid-flight. Age off the NEWEST entry in the
         # whole tree — the dir is only stale once every file in it is.
-        try:
-            latest = os.path.getmtime(path)
-            for walk_root, dirs, files in os.walk(path):
-                for name in dirs + files:
-                    try:
-                        latest = max(
-                            latest,
-                            os.path.getmtime(os.path.join(walk_root, name)),
-                        )
-                    except FileNotFoundError:
-                        continue
-            return now - latest >= tmp_grace_seconds
-        except FileNotFoundError:
+        from utility_service_areas_spark.sources.fsutil import newest_mtime
+
+        latest = newest_mtime(path)
+        if latest is None:
             return False  # its writer finished (or another vacuum won)
+        return now - latest >= tmp_grace_seconds
 
     drop_tmps = [
         name

@@ -1189,17 +1189,28 @@ def vector_index_stream_writer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = None,
+    app_id: str | None = None,
 ):
     """S42 (r15) — streaming VECTOR-INDEX maintenance: the S38 of the
     persisted IVFPQ index (#237). Each embedding micro-batch is
     encoded against the FROZEN centroids/codebooks and committed as
     ONE atomic segment via add_to_ivfpq_index; exactly-once across
     sink retries AND across a crash inside the add via
-    txn_id='stream-{batch_id}' (a retried batch whose txn is already
-    in the manifest no-ops; a torn add left its segment UNLISTED, so
-    the retry lands it exactly once — the BM25 v2 posture with the
-    S39 txn contract, since vector ids carry no first-writer-wins
-    dedup of their own). Because incremental add is EXACT (frozen-
+    txn_id='{app_id}-{batch_id}' (a retried batch whose txn is
+    already in the manifest no-ops; a torn add left its segment
+    UNLISTED, so the retry lands it exactly once — the BM25 v2
+    posture with the S39 txn contract, since vector ids carry no
+    first-writer-wins dedup of their own).
+
+    ``app_id`` is Delta's txnAppId leg of the contract: pass a STABLE
+    id to keep exactly-once across restarts FROM THE SAME CHECKPOINT
+    (batch ids resume monotonically there). Left None, a fresh random
+    id is minted per writer, which protects the other direction — a
+    RESET checkpoint (or a second stream into the same index) restarts
+    batch ids at 0, and reusing the old app id would make every new
+    batch look like a replay and silently drop it (r15 review #1).
+    Same caveat as Delta: never reuse an app_id with a fresh
+    checkpoint. Because incremental add is EXACT (frozen-
     geometry encode, pinned against a numpy replay), the stream-fed
     index answers search_ivfpq_index row-identically to a single-
     batch build over the same corpus (pinned). The index must be
@@ -1208,9 +1219,13 @@ def vector_index_stream_writer(
     bootstrap because codebook geometry requires a fit corpus.
     ``compact_every=N`` bounds segment accrual on long feeds.
     Returns a DataStreamWriter."""
+    import uuid as _uuid
+
     from utility_service_areas_spark.operators.vector_index import (
         add_to_ivfpq_index,
     )
+
+    txn_app = app_id if app_id is not None else _uuid.uuid4().hex[:8]
 
     def feed_batch(df: DataFrame, batch_id: int) -> None:
         add_to_ivfpq_index(
@@ -1219,7 +1234,7 @@ def vector_index_stream_writer(
             df,
             id_col=id_col,
             vec_col=vec_col,
-            txn_id=f"stream-{batch_id}",
+            txn_id=f"{txn_app}-{batch_id}",
             compact_every=compact_every,
         )
 
