@@ -226,3 +226,35 @@ def test_cusum_matches_plain_python_replay(spark):
             if abs(run) > best:
                 best, best_day = abs(run), d
         assert got[t] == (n, s, best, best_day), t
+
+
+def test_kruskal_wallis_partition_and_python_replay(spark):
+    """Σ 2R_g == N(N+1) (pooled ranks partition), and every group's
+    doubled rank sum replays from a plain-Python pooled average-rank
+    computation."""
+    import __spark_entry__ as entry
+    from collections import Counter, defaultdict
+
+    rows = entry.queries()["orders_kruskal_wallis"](spark, SMOKE_SF).collect()
+    n_total = rows[0].n_total
+    assert sum(r.rank2_sum for r in rows) == n_total * (n_total + 1)
+
+    pool = (
+        spark.read.parquet(SMOKE_SF + "/orders.parquet")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    t = Counter(r.v for r in pool)
+    below, run = {}, 0
+    for v in sorted(t):
+        below[v] = run
+        run += t[v]
+    want = defaultdict(int)
+    for r in pool:
+        want[r.g] += 2 * below[r.v] + t[r.v] + 1  # doubled average rank
+    got = {r.o_orderpriority: r.rank2_sum for r in rows}
+    assert got == dict(want)
+    assert rows[0].tie_cubic == sum(x**3 - x for x in t.values())

@@ -289,6 +289,7 @@ EXPECTED_KEYS = {
     "curation_funnel_classifier",
     "abtest_mann_whitney",
     "events_cusum_changepoint",
+    "orders_kruskal_wallis",
 }
 
 

@@ -119,6 +119,12 @@ HEADLINE = {
         "cumsums over the distinct-value frame + a <=64-row collected "
         "band-offset map; one partial-agg reduce to the 1-row result"
     ),
+    "orders_kruskal_wallis": (
+        "the #264 banded-cumsum device at k groups: distinct-value "
+        "frame checkpointed once, per-band window cumsums + <=64-row "
+        "offset map, per-(group,value) counts join the cum frame "
+        "keyed on v — no pooled global sort; output 5 rows"
+    ),
     "events_cusum_changepoint": (
         "one keyed daily partial agg collapses the stream; CUSUM is a "
         "calendar-sized per-type window; argmax day via broadcast "

@@ -3988,3 +3988,127 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changepoint_day",
         )
     )
+
+
+@query(
+    "orders_kruskal_wallis",
+    oracle="""
+    WITH pool AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    vals AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS t FROM pool GROUP BY v),
+    cum AS (
+      SELECT v, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS below
+      FROM vals),
+    pergv AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM pool GROUP BY 1, 2),
+    grp AS (
+      SELECT p.g,
+             CAST(sum(p.c) AS BIGINT) AS n_g,
+             CAST(sum(p.c * (2 * c2.below + c2.t + 1)) AS BIGINT)
+               AS rank2_sum
+      FROM pergv p JOIN cum c2 USING (v) GROUP BY p.g),
+    tot AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n_total,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_cubic
+      FROM vals)
+    SELECT g AS o_orderpriority, n_g, rank2_sum, n_total, tie_cubic
+    FROM grp, tot
+    """,
+    doc="Kruskal-Wallis rank components across ALL FIVE order "
+    "priorities — the k-group generalization of #264's two-group "
+    "Mann-Whitney, in the same exact-integer-components posture as "
+    "#121's covariance sums: per group the DOUBLED pooled rank sum "
+    "2R_g = Σ_v c_gv·(2·below(v) + t_v + 1) (average ranks for ties "
+    "are half-integers, so doubling keeps every term integer), plus "
+    "N and the tie term Σ(t³−t); the reader finishes H = "
+    "[12/(N(N+1))·Σ(R_g²/n_g) − 3(N+1)] / (1 − ties/(N³−N)) with one "
+    "division. Invariant by construction: Σ 2R_g == N(N+1) (the "
+    "pooled ranks partition), pinned. Scale: same banded-cumsum "
+    "device as #264 — the pooled below-count factorizes into "
+    "per-band window cumsums over the distinct-value frame + a "
+    "≤64-row collected offset table; the per-(group,value) frame "
+    "shuffles keyed on v for the cum join; output = 5 rows.",
+    tags=("analytics",),
+)
+def orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+
+    o = load_table(spark, sf_dir, "orders")
+    pool = lineage_cut(
+        o.select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    vals = lineage_cut(
+        pool.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    vmax = vals.agg(F.max("v")).collect()[0][0]
+    if vmax is None:
+        cum = vals.withColumn("below", F.lit(0).cast("long"))
+    else:
+        band = F.expr(
+            f"CAST(v * {_MW_BANDS} AS BIGINT) div {int(vmax) + 1}"
+        )
+        local = lineage_cut(
+            vals.withColumn("_band", band).withColumn(
+                "_cb",
+                F.coalesce(
+                    F.sum("t").over(
+                        Window.partitionBy("_band")
+                        .orderBy("v")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+        )
+        totals = (
+            local.groupBy("_band").agg(F.sum("t").alias("_tt")).collect()
+        )
+        off = 0
+        offsets: dict[int, int] = {}
+        for row in sorted(totals, key=lambda r: r._band):
+            offsets[row._band] = off
+            off += int(row._tt)
+        omap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        cum = local.withColumn(
+            "below", (omap[F.col("_band")] + F.col("_cb")).cast("long")
+        ).select("v", "t", "below")
+    pergv = pool.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grp = (
+        pergv.join(cum, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c")
+                * (F.lit(2) * F.col("below") + F.col("t") + F.lit(1))
+            )
+            .cast("long")
+            .alias("rank2_sum"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("t").cast("long").alias("n_total"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_cubic"),
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        F.col("g").alias("o_orderpriority"),
+        "n_g",
+        "rank2_sum",
+        "n_total",
+        "tie_cubic",
+    )

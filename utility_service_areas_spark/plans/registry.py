@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = (
     "curation_funnel_classifier",   # new in r15 (#263)
     "abtest_mann_whitney",          # new in r15 (#264)
     "events_cusum_changepoint",     # new in r15 (#265)
+    "orders_kruskal_wallis",        # new in r15 (#266)
     # 2) the nine r8-stale keys (the entire remaining r8 tail — after
     #    this round no sql-oracled key's newest driver row is < r10)
     "supplier_balance_rank_dist",
@@ -98,10 +99,11 @@ _DRIVER_PRIORITY = (
     "unshipped_order_revenue",
     "user_first_last_event",
     "value_percentiles",
-    # 3) 37 of the 50 r10-stale keys, alphabetical (two slots yielded
-    #    to the late r15 additions #264/#265 — never-attested beats
-    #    stale-green per slot). The 13-key remainder heads the r16
-    #    rotation: geo_viewport_query, histogram_value_quantiles,
+    # 3) 36 of the 50 r10-stale keys, alphabetical (three slots
+    #    yielded to the late r15 additions #264-#266 — never-attested
+    #    beats stale-green per slot). The 14-key remainder heads the
+    #    r16 rotation: geo_union_overlap_area, geo_viewport_query,
+    #    histogram_value_quantiles,
     #    kmeans_cluster_quality, orders_daily_ewma,
     #    orders_daily_gapfill, orders_pareto_front,
     #    part_abc_classification, revenue_benford_audit,
@@ -144,7 +146,6 @@ _DRIVER_PRIORITY = (
     "geo_shapefile_roundtrip",
     "geo_simplify",
     "geo_union_grid_area",
-    "geo_union_overlap_area",
 )
 
 _PLAN_MODULES = (
