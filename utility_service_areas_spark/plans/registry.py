@@ -75,77 +75,96 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-15 rotation (VERDICT r14 task #1: close the r8 tail for
-    # good): exactly 50 names = the driver's attestation budget.
-    # No red rows in r14 (50/50 green, sixth clean sample). Staleness
-    # computed from the union of CORRECTNESS_r01-r14 (never from
-    # comments). The three oracle-less rows-only sketches stay
-    # excluded (err:no_oracle burns a slot) but ARE re-attested in the
-    # local ritual gate each round (tools/check_oracle.py).
-    # 1) never-attested keys — new this round
-    "dedup_suffix_splice",          # new in r15 (#262)
-    "curation_funnel_classifier",   # new in r15 (#263)
-    "abtest_mann_whitney",          # new in r15 (#264)
-    "events_cusum_changepoint",     # new in r15 (#265)
-    "orders_kruskal_wallis",        # new in r15 (#266)
-    # 2) the nine r8-stale keys (the entire remaining r8 tail — after
-    #    this round no sql-oracled key's newest driver row is < r10)
-    "supplier_balance_rank_dist",
-    "supplier_daily_running_revenue",
-    "sync_status_case",
-    "top3_orders_per_customer",
-    "top_revenue_orders",
-    "two_digit_year_fix",
-    "unshipped_order_revenue",
-    "user_first_last_event",
-    "value_percentiles",
-    # 3) 36 of the 50 r10-stale keys, alphabetical (three slots
-    #    yielded to the late r15 additions #264-#266 — never-attested
-    #    beats stale-green per slot). The 14-key remainder heads the
-    #    r16 rotation: geo_union_overlap_area, geo_viewport_query,
-    #    histogram_value_quantiles,
-    #    kmeans_cluster_quality, orders_daily_ewma,
-    #    orders_daily_gapfill, orders_pareto_front,
-    #    part_abc_classification, revenue_benford_audit,
-    #    revenue_bootstrap_ci, simhash_hamming_histogram,
-    #    source_length_drift, token_collocations,
-    #    tokenizer_vocab_coverage.
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "cms_token_counts",
-    "curation_funnel_by_source",
-    "curation_funnel_report",
-    "data_quality_audit",
-    "dedup_cdc_clusters",
-    "dedup_cluster_density",
-    "dedup_clusters",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "docs_cdc_chunks",
-    "docs_shard_manifest",
-    "embedding_matryoshka_recall",
-    "embedding_pca_map",
-    "embedding_pca_project",
-    "event_audience_overlap",
-    "event_robust_outliers",
-    "events_asof_tolerance",
-    "events_burst_detection",
-    "geo_area_rank",
-    "geo_bbox_centroid",
-    "geo_combine_multipolygon",
-    "geo_dissolve_true_union",
-    "geo_knn_areas",
-    "geo_make_valid",
-    "geo_morton_order",
-    "geo_nearest_area",
-    "geo_plss_cells",
-    "geo_shapefile_pip",
-    "geo_shapefile_roundtrip",
-    "geo_simplify",
-    "geo_union_grid_area",
+    # Round-16 rotation (VERDICT r15 tasks #1 and #7): exactly 50
+    # names = the driver's attestation budget. No red rows in r15
+    # (50/50 green, seventh clean sample). Staleness computed from
+    # the union of CORRECTNESS_r01-r15 (never from comments) —
+    # newest-row histogram after r15: r10×14, r11×50, then r12+.
+    # The three oracle-less rows-only sketches stay excluded
+    # (err:no_oracle burns a slot) but ARE re-attested in the local
+    # ritual gate each round (tools/check_oracle.py). The boundary
+    # cohort (r11, 50 keys) is split alphabetically; the split is
+    # mechanically pinned against the CORRECTNESS union by
+    # tests/test_registry.py::test_rotation_matches_correctness_union
+    # via `_NEXT_ROUND_REMAINDER` below.
+    # 1) the entire 14-key r10-stale remainder (named in r15's
+    #    rotation comment; after this round's driver pass no
+    #    sql-oracled key's newest driver row is older than r11)
+    "geo_union_overlap_area",
+    "geo_viewport_query",
+    "histogram_value_quantiles",
+    "kmeans_cluster_quality",
+    "orders_daily_ewma",
+    "orders_daily_gapfill",
+    "orders_pareto_front",
+    "part_abc_classification",
+    "revenue_benford_audit",
+    "revenue_bootstrap_ci",
+    "simhash_hamming_histogram",
+    "source_length_drift",
+    "token_collocations",
+    "tokenizer_vocab_coverage",
+    # 2) 36 of the 50 r11-stale keys, alphabetical; the 14-key
+    #    remainder is `_NEXT_ROUND_REMAINDER` (r17's rotation head).
+    "ann_cosine_topk",
+    "ann_ivf_probe_recall",
+    "ann_ivf_topk",
+    "ann_lsh_plane_sweep",
+    "ann_lsh_topk",
+    "bpe_compression_sweep",
+    "customer_k_anonymity",
+    "customer_order_streaks",
+    "customer_rfm_segments",
+    "customers_all_quarters_1996",
+    "dataset_split_assign",
+    "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_sweep",
+    "docs_repetition_signals",
+    "domain_quota_sample",
+    "embedding_kmeans_assign",
+    "embedding_pair_histogram",
+    "event_anomaly_zscore",
+    "events_hourly_autocorr",
+    "events_variant_stats",
+    "geo_grid_density",
+    "geo_overlap_grid_cells",
+    "geo_overlap_pairs",
+    "geo_pip_grid_cells",
+    "geo_point_in_polygon",
+    "hll_audience_overlap",
+    "kmv_customer_overlap",
+    "kmv_distinct_customers",
+    "kmv_union_distinct",
+    "lang_id_confusion",
+    "multimodal_features",
+    "nation_supplier_hhi",
+    "orders_daily_ohlc",
+)
+
+# The stalest-attested keys that did NOT fit this round's 50-slot
+# prefix: they head the NEXT round's rotation. Kept as data (not a
+# comment) so tests/test_registry.py can recompute the stale pool from
+# the CORRECTNESS_r*.json union and assert prefix ∪ remainder equals
+# it exactly — a rotation note can never drift from the data again
+# (VERDICT r15 task #3).
+_NEXT_ROUND_REMAINDER = (
+    "orders_weekly_ohlc",
+    "orders_winsorized_stats",
+    "seq_len_packing_sweep",
+    "shard_zonemap_prune",
+    "signup_to_purchase_latency",
+    "stratified_sample",
+    "text_clean",
+    "text_lang_id",
+    "text_quality_score",
+    "text_tfidf_top_term",
+    "text_token_count",
+    "text_top_tokens",
+    "tokenizer_bpe_merges",
+    "user_daily_journey_match",
 )
 
 _PLAN_MODULES = (
