@@ -580,3 +580,177 @@ def test_cli_table_optimize(spark, tmp_path, capsys):
     assert list_versions(t) == [0, 1]
     d = diff_versions(spark, t, 0, 1)
     assert d["added"] == 0 and d["removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# r16: read-time zone-map data skipping via pushFilters (VERDICT r15 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_pushdown_prunes_planned_partitions(spark, tmp_path):
+    """On a Z-ORDERed table, a range predicate plans exactly the
+    partition count files_scanned_for_range predicts (a), results are
+    row-identical with pruning active (b), and the plan keeps the
+    Filter applied above the scan (c) — pruning is partial, so every
+    pushed filter is also returned for Spark to re-apply."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from utility_service_areas_spark.sources.pyds import VersionedTableReader
+    from utility_service_areas_spark.sources.versioned import (
+        files_scanned_for_range,
+        optimize_version,
+        zone_map_audit,
+    )
+
+    rows = [(i, (i * 7919) % 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, a long").repartition(8)
+    t = str(tmp_path / "tbl")
+    write_version(df, t)
+    v = optimize_version(spark, t, ["a"], n_files=8)
+
+    zones = zone_map_audit(spark, t, v, "a")
+    want_files, _ = files_scanned_for_range(zones, 100, 150)
+    assert 0 < want_files < 8  # the clustered layout actually prunes
+
+    # (a) partitions planned == the zone-map audit's prediction
+    schema = spark.read.format("versioned_table").load(t).schema
+    reader = VersionedTableReader({"path": t}, schema)
+    flt = [GreaterThanOrEqual(("a",), 100), LessThanOrEqual(("a",), 150)]
+    remaining = list(reader.pushFilters(flt))
+    assert remaining == flt  # ALL filters go back upstairs
+    assert len(reader.partitions()) == want_files
+
+    # (b) + (c) end-to-end through Spark's planner
+    pushed = (
+        spark.read.format("versioned_table")
+        .load(t)
+        .filter("a BETWEEN 100 AND 150")
+    )
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan  # re-applied above the scan
+    got = sorted((r.id, r.a) for r in pushed.collect())
+    want = sorted((i, a) for i, a in rows if 100 <= a <= 150)
+    assert got == want
+    assert pushed.rdd.getNumPartitions() == want_files
+
+
+def test_datasource_pushdown_equality_and_in_and_unsupported(spark, tmp_path):
+    """EqualTo/In prune; IsNull and non-top-level shapes are returned
+    un-pruned (still handled by Spark); a predicate excluding every
+    zone plans ZERO partitions and still answers correctly."""
+    from pyspark.sql.datasource import EqualTo, In, IsNull
+
+    from utility_service_areas_spark.sources.pyds import VersionedTableReader
+
+    t = str(tmp_path / "tbl")
+    # 4 files with disjoint k ranges: 0-9, 10-19, 20-29, 30-39
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k long, v string"
+    ).repartitionByRange(4, "k")
+    write_version(df, t)
+    schema = spark.read.format("versioned_table").load(t).schema
+
+    r1 = VersionedTableReader({"path": t}, schema)
+    assert list(r1.pushFilters([EqualTo(("k",), 25)])) == [EqualTo(("k",), 25)]
+    assert len(r1.partitions()) == 1
+
+    r2 = VersionedTableReader({"path": t}, schema)
+    r2_flt = [In(("k",), (5, 35))]
+    list(r2.pushFilters(r2_flt))
+    assert len(r2.partitions()) == 2
+
+    r3 = VersionedTableReader({"path": t}, schema)
+    kept = list(r3.pushFilters([IsNull(("v",))]))
+    assert kept == [IsNull(("v",))] and r3._pushed == []
+    assert len(r3.partitions()) == 4  # no pruning on unsupported shapes
+
+    # zone-excluded everywhere -> zero partitions, empty-but-correct
+    out = (
+        spark.read.format("versioned_table").load(t).filter("k = 999").collect()
+    )
+    assert out == []
+    got = {
+        (r.k, r.v)
+        for r in spark.read.format("versioned_table")
+        .load(t)
+        .filter("k = 25")
+        .collect()
+    }
+    assert got == {(25, "v25")}
+
+
+def test_datasource_pushdown_prunes_pre_evolution_files(spark, tmp_path):
+    """merge_schema lineage: a comparison filter on a column ADDED
+    after v0 prunes v0's files outright (their rows read NULL there,
+    and NULL fails every accepted comparison) — and the answer matches
+    the unpruned read filtered Spark-side."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from utility_service_areas_spark.sources.pyds import VersionedTableReader
+
+    t = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(k, f"v{k}") for k in range(8)], "k long, v string"),
+        t,
+    )
+    write_version(
+        spark.createDataFrame(
+            [(k, f"v{k}", k * 10) for k in range(8, 12)],
+            "k long, v string, extra long",
+        ),
+        t,
+        merge_schema=True,
+    )
+    base = spark.read.format("versioned_table").load(t)
+    schema = base.schema
+    n_all = VersionedTableReader({"path": t}, schema)
+    n_total = len(n_all.partitions())
+
+    pruned = VersionedTableReader({"path": t}, schema)
+    list(pruned.pushFilters([GreaterThan(("extra",), -1)]))
+    n_pruned = len(pruned.partitions())
+    assert 0 < n_pruned < n_total  # v0 files dropped at plan time
+
+    got = sorted(
+        (r.k, r.v, r.extra) for r in base.filter("extra > -1").collect()
+    )
+    assert got == [(k, f"v{k}", k * 10) for k in range(8, 12)]
+
+
+def test_row_group_pruning_and_zone_allows_conservatism(tmp_path):
+    """_prunable_row_groups selects only the row groups whose stats
+    admit the conjunction (None == all survive); _zone_allows answers
+    True on absent stats or incomparable literals."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, LessThan
+
+    from utility_service_areas_spark.sources.pyds import (
+        _prunable_row_groups,
+        _zone_allows,
+    )
+
+    path = str(tmp_path / "f.parquet")
+    # 4 row groups of 100 rows each: k in [0,99], [100,199], ...
+    tbl = pa.table({"k": list(range(400)), "s": [f"x{i:04d}" for i in range(400)]})
+    pq.write_table(tbl, path, row_group_size=100)
+    pf = pq.ParquetFile(path)
+    assert pf.num_row_groups == 4
+
+    assert _prunable_row_groups(pf, [EqualTo(("k",), 150)]) == [1]
+    assert _prunable_row_groups(pf, [GreaterThan(("k",), 299)]) == [3]
+    assert _prunable_row_groups(
+        pf, [GreaterThan(("k",), 99), LessThan(("k",), 201)]
+    ) == [1, 2]
+    assert _prunable_row_groups(pf, [In(("k",), (50, 350))]) == [0, 3]
+    assert _prunable_row_groups(pf, [GreaterThan(("k",), -1)]) is None  # all
+    assert _prunable_row_groups(pf, [EqualTo(("k",), 9999)]) == []  # none
+    # string zones prune too
+    assert _prunable_row_groups(pf, [EqualTo(("s",), "x0150")]) == [1]
+    # filter on a column the file lacks -> whole file prunes
+    assert _prunable_row_groups(pf, [EqualTo(("nope",), 1)]) == []
+
+    assert _zone_allows(None, None, EqualTo(("k",), 1))  # absent stats
+    assert _zone_allows(0, 10, EqualTo(("k",), "woops"))  # incomparable
+    assert _zone_allows(0, 10, In(("k",), (None, 5)))  # NULL literal
+    assert not _zone_allows(0, 10, EqualTo(("k",), 11))

@@ -40,6 +40,11 @@ def build_session(app_name: str = "usa-spark", master: str | None = None) -> Spa
         # Dim tables (region/nation/supplier/part) stay broadcastable
         # even at 100 TB fact scale; 64 MB is a safe executor budget.
         .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+        # The versioned_table DataSource implements pushFilters (zone-map
+        # file/row-group skipping); Spark 4.1 refuses to plan a reader
+        # that implements it unless this is on (DATA_SOURCE_PUSHDOWN_
+        # DISABLED) — deliberate loudness, so the conf lives here.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

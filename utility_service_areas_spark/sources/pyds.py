@@ -45,7 +45,14 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -472,8 +479,85 @@ class ShapefileWriter(DataSourceWriter):
 
 
 class VersionedTablePartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, row_groups: list[int] | None = None):
         self.file_path = file_path
+        # Surviving row-group indices under zone-map pruning (None →
+        # read the whole file; computed driver-side from the same
+        # footer that pruned at file level, so the executor re-parses
+        # no stats).
+        self.row_groups = row_groups
+
+
+# Filter shapes the zone map can prune on. EXACT comparison filters
+# only: each is false for NULL column values (parquet min/max stats
+# ignore nulls, so a zone-excluded file provably holds no passing
+# row). EqualNullSafe is deliberately absent — `a <=> NULL` is TRUE
+# for null rows, which min/max can never witness. Not/IsNull/string
+# matches are left for Spark to evaluate above the scan.
+_ZONE_PRUNABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+)
+
+
+def _zone_allows(mn, mx, filt: Filter) -> bool:
+    """Can any value in the closed zone [mn, mx] satisfy ``filt``?
+    Conservative: True on any doubt (absent stats, cross-type
+    comparison). A False verdict is a PROOF of emptiness, because the
+    accepted filter shapes are all false on NULL and parquet min/max
+    bound every non-null value."""
+    if mn is None or mx is None:
+        return True
+    try:
+        if isinstance(filt, EqualTo):
+            return mn <= filt.value <= mx
+        if isinstance(filt, GreaterThan):
+            return mx > filt.value
+        if isinstance(filt, GreaterThanOrEqual):
+            return mx >= filt.value
+        if isinstance(filt, LessThan):
+            return mn < filt.value
+        if isinstance(filt, LessThanOrEqual):
+            return mn <= filt.value
+        if isinstance(filt, In):
+            return any(mn <= v <= mx for v in filt.value)
+    except TypeError:
+        return True  # incomparable literal vs stats → cannot prune
+    return True
+
+
+def _prunable_row_groups(pf, filters: list[Filter]) -> list[int] | None:
+    """Row-group indices of ``pf`` (a pyarrow ParquetFile) that survive
+    zone pruning under the AND of ``filters`` — or None when every
+    group survives (read-whole-file fast path). A filter on a column
+    the file LACKS (pre-evolution file on a merge_schema lineage) is
+    false for every row — those rows read as NULL — so the whole file
+    prunes to []."""
+    names = pf.schema_arrow.names
+    col_idx: dict[str, int] = {}
+    for f in filters:
+        col = f.attribute[0]
+        if col not in names:
+            return []
+        col_idx[col] = names.index(col)
+    keep = []
+    for rg in range(pf.num_row_groups):
+        meta = pf.metadata.row_group(rg)
+        ok = True
+        for f in filters:
+            st = meta.column(col_idx[f.attribute[0]]).statistics
+            if st is None or not st.has_min_max:
+                continue
+            if not _zone_allows(st.min, st.max, f):
+                ok = False
+                break
+        if ok:
+            keep.append(rg)
+    return None if len(keep) == pf.num_row_groups else keep
 
 
 def _versioned_manifest(options: dict) -> tuple[str, dict]:
@@ -503,14 +587,50 @@ class VersionedTableReader(DataSourceReader):
         self._table_dir, self._manifest = _versioned_manifest(options)
         self._columns = [f.name for f in schema.fields]
         self._schema = schema
+        self._pushed: list[Filter] = []
+
+    def pushFilters(self, filters):
+        """Zone-map data skipping at plan time (VERDICT r15 task #2 —
+        what Delta's stats-based file skipping does at 100 TB, fed here
+        by the same parquet footer min/max that zone_map_audit reads;
+        a production manifest would carry these stats write-side, the
+        footer scan is the metadata-only equivalent). Spark 4.1 calls
+        this once during planning; retained filters prune files in
+        partitions() and row groups in read(). EVERY filter — accepted
+        or not — is yielded back: footer pruning is partial (a
+        surviving file still holds non-matching rows), so Spark must
+        re-apply the predicate above the scan. Requires
+        spark.sql.python.filterPushdown.enabled=true (session.py sets
+        it; Spark refuses loudly, not silently, when unset)."""
+        cols = set(self._columns)
+        for f in filters:
+            if (
+                type(f) in _ZONE_PRUNABLE
+                and len(f.attribute) == 1
+                and f.attribute[0] in cols
+            ):
+                self._pushed.append(f)
+            yield f
 
     def partitions(self):
         # one partition per parquet part file — data-parallel reads,
         # empty snapshots (all rows deleted) give zero partitions
-        return [
-            VersionedTablePartition(f)
-            for f in _versioned_files(self._table_dir, self._manifest)
-        ]
+        files = _versioned_files(self._table_dir, self._manifest)
+        if not self._pushed:
+            return [VersionedTablePartition(f) for f in files]
+        # Driver-side footer pass: skip files whose zones provably
+        # exclude the conjunction, and hand survivors their surviving
+        # row-group list. Metadata-only reads (statistics, no data
+        # pages) — the same cost zone_map_audit already pays.
+        import pyarrow.parquet as pq
+
+        out = []
+        for path in files:
+            groups = _prunable_row_groups(pq.ParquetFile(path), self._pushed)
+            if groups == []:
+                continue  # zone-excluded in full
+            out.append(VersionedTablePartition(path, groups))
+        return out
 
     def read(self, partition: VersionedTablePartition):
         if partition is None:
@@ -520,6 +640,10 @@ class VersionedTableReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         pf = pq.ParquetFile(partition.file_path)
+        # Zone-pruned partitions carry the row groups that survived
+        # planning; everything else reads the whole file.
+        rgs = getattr(partition, "row_groups", None)
+        row_groups = list(range(pf.num_row_groups)) if rgs is None else rgs
         # Arrow batches bind to the announced schema POSITIONALLY, and
         # append allows schema-valid column REORDERING across commits
         # (the _schema_key check is order-insensitive) — so every
@@ -529,14 +653,14 @@ class VersionedTableReader(DataSourceReader):
         file_cols = set(pf.schema_arrow.names)
         missing = [c for c in self._columns if c not in file_cols]
         if not missing:
-            for batch in pf.iter_batches():
+            for batch in pf.iter_batches(row_groups=row_groups):
                 yield batch.select(self._columns)
             return
         # evolved lineage (S33 merge_schema, r15): this file predates
         # an added column — surface it as NULLs of the announced type,
         # exactly like read_version's explicit-schema scan
         arrow_schema = to_arrow_schema(self._schema)
-        for batch in pf.iter_batches():
+        for batch in pf.iter_batches(row_groups=row_groups):
             arrays = []
             for name in self._columns:
                 if name in file_cols:
@@ -559,7 +683,16 @@ class VersionedTableDataSource(DataSource):
     everything deleted — falls back to the manifest's (name, type)
     signature). Crashed commits are invisible here for the same reason
     they are in read_version: only manifest-referenced dirs are ever
-    listed."""
+    listed.
+
+    Comparison predicates on the load are pushed into planning
+    (pushFilters) and prune whole files and row groups by parquet
+    footer min/max — on a Z-ORDERed table (optimize_version) a range
+    predicate reads the few files its zones allow instead of all of
+    them, automatically (VERDICT r15 task #2; files_scanned_for_range
+    predicts exactly the partition count planned). Spark re-applies
+    every predicate above the scan, so results are row-identical with
+    pruning on or off."""
 
     @classmethod
     def name(cls) -> str:
