@@ -754,3 +754,132 @@ def test_row_group_pruning_and_zone_allows_conservatism(tmp_path):
     assert _zone_allows(0, 10, EqualTo(("k",), "woops"))  # incomparable
     assert _zone_allows(0, 10, In(("k",), (None, 5)))  # NULL literal
     assert not _zone_allows(0, 10, EqualTo(("k",), 11))
+
+
+# ---------------------------------------------------------------------------
+# r16: MERGE claim-conflict auto-rebase on disjoint buckets (VERDICT r15 #4)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_of_key(spark, k: int, n: int = 8) -> int:
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame([(k,)], "k long")
+        .select(F.pmod(F.xxhash64("k"), F.lit(n)).cast("int"))
+        .collect()[0][0]
+    )
+
+
+def _race_merges(spark, tmp_path, monkeypatch, k_a: int, k_b: int):
+    """Run merge A (key k_a) and interleave merge B (key k_b) so B
+    wins the first claim A attempts — a REAL race: B's version is
+    fully committed through the normal path before A's claim fails."""
+    import utility_service_areas_spark.sources.versioned as vmod
+
+    t = str(tmp_path / "tbl")
+    write_version_bucketed(
+        _kv(spark, [(k, f"v{k}") for k in range(64)]), t, ["k"], 8
+    )
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst, *a, **kw):
+        if not state["raced"] and dst.endswith("_v1.json"):
+            state["raced"] = True
+            monkeypatch.setattr(vmod.os, "link", real_link)
+            merge_version(spark, t, _ch(spark, [(k_b, "FROM_B", "U")]))
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(vmod.os, "link", racing_link)
+    try:
+        return t, merge_version(spark, t, _ch(spark, [(k_a, "FROM_A", "U")]))
+    finally:
+        monkeypatch.setattr(vmod.os, "link", real_link)
+
+
+def test_merge_rebase_disjoint_buckets_both_commit(spark, tmp_path, monkeypatch):
+    """Two concurrent merges on keys hashing to DIFFERENT buckets BOTH
+    commit: the loser rebases its bucket overlay onto the winner, and
+    the final snapshot carries the union of effects (no lost update)."""
+    k_a = 1
+    b_a = _bucket_of_key(spark, k_a)
+    k_b = next(k for k in range(2, 64) if _bucket_of_key(spark, k) != b_a)
+
+    t, v = _race_merges(spark, tmp_path, monkeypatch, k_a, k_b)
+    assert v == 2  # B took v1; A rebased onto it and committed v2
+    man = _manifest(t, 2)
+    assert man["merge_base"] == 1 and man["rebased_from"] == 0
+
+    got = {(r.k, r.v) for r in read_version(spark, t, v).collect()}
+    want = {(k, f"v{k}") for k in range(64) if k not in (k_a, k_b)}
+    want |= {(k_a, "FROM_A"), (k_b, "FROM_B")}
+    assert got == want
+    assert man["n_rows"] == 64
+
+
+def test_merge_rebase_overlapping_buckets_still_aborts(spark, tmp_path, monkeypatch):
+    """Two concurrent merges whose keys hash to the SAME bucket: the
+    loser aborts loudly (rebasing would overlay a bucket rewrite that
+    never saw the winner's rows), and the winner's update survives."""
+    k_a = 1
+    b_a = _bucket_of_key(spark, k_a)
+    k_b = next(
+        k for k in range(2, 64) if k != k_a and _bucket_of_key(spark, k) == b_a
+    )
+
+    with pytest.raises(RuntimeError, match="overlapping buckets"):
+        _race_merges(spark, tmp_path, monkeypatch, k_a, k_b)
+    t = str(tmp_path / "tbl")
+    assert list_versions(t) == [0, 1]  # only B's commit exists
+    got = {(r.k, r.v) for r in read_version(spark, t, 1).collect()}
+    assert (k_b, "FROM_B") in got and (k_a, f"v{k_a}") in got
+
+
+def test_write_version_expect_rows_raises_before_commit(spark, tmp_path):
+    """ADVICE r15: a row-count verification failure must leave the
+    staged data an INVISIBLE orphan — no new version is ever the
+    readable latest with a suspect row count."""
+    t = str(tmp_path / "tbl")
+    write_version(_kv(spark, [(1, "a"), (2, "b")]), t)
+    with pytest.raises(RuntimeError, match="nothing was committed"):
+        write_version(
+            _kv(spark, [(3, "c")]), t, mode="overwrite", expect_rows=2
+        )
+    assert list_versions(t) == [0]  # the suspect rewrite never published
+    got = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # and the happy path still verifies-and-commits
+    v = write_version(
+        _kv(spark, [(9, "z"), (8, "y")]), t, mode="overwrite", expect_rows=2
+    )
+    assert v == 1
+
+
+def test_zone_map_audit_null_zone_for_pre_evolution_files(spark, tmp_path):
+    """ADVICE r15: auditing a column ADDED mid-lineage reports a NULL
+    zone (always-scanned) for files that predate it, instead of a bare
+    ValueError."""
+    from utility_service_areas_spark.sources.versioned import (
+        files_scanned_for_range,
+        zone_map_audit,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(k, f"v{k}") for k in range(4)], "k long, v string"),
+        t,
+    )
+    v1 = write_version(
+        spark.createDataFrame([(10, "x", 100)], "k long, v string, extra long"),
+        t,
+        merge_schema=True,
+    )
+    zones = zone_map_audit(spark, t, v1, "extra")
+    null_zones = [z for z in zones if z["min"] is None and z["max"] is None]
+    real_zones = [z for z in zones if z["min"] is not None]
+    assert null_zones and sum(z["rows"] for z in null_zones) == 4
+    assert [(z["min"], z["max"]) for z in real_zones] == [(100, 100)]
+    # NULL zones are always scanned, even for a range excluding them
+    files, rows = files_scanned_for_range(zones, 0, 1)
+    assert files == len(null_zones) and rows == 4

@@ -131,6 +131,7 @@ def write_version(
     txn_id: str | None = None,
     merge_schema: bool = False,
     extra_manifest: dict | None = None,
+    expect_rows: int | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
@@ -154,7 +155,13 @@ def write_version(
     a lineage has evolved, so parquet's pick-a-file schema resolution
     can never drop the added column); a commit may also OMIT evolved
     columns (its rows read NULL there). Type CHANGES stay loud in
-    either direction."""
+    either direction.
+
+    ``expect_rows`` verifies the STAGED parquet's row count BEFORE the
+    claim (ADVICE r15: a transform like optimize_version promises a
+    row-preserving rewrite — a mismatch must raise while the suspect
+    data is still an invisible orphan, never after it is the readable
+    latest)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn_id is not None:
@@ -168,6 +175,14 @@ def write_version(
     n_rows = df.sparkSession.read.parquet(
         os.path.join(table_dir, rel_dir)
     ).count()
+    if expect_rows is not None and n_rows != expect_rows:
+        # the staged dir is an unreferenced orphan (no manifest names
+        # it) — invisible to every reader, reclaimed by vacuum
+        raise RuntimeError(
+            f"staged commit wrote {n_rows} rows, expected {expect_rows}; "
+            "nothing was committed (the staged parquet is an invisible "
+            "orphan)"
+        )
 
     for _attempt in range(max_attempts):
         versions = list_versions(table_dir)
@@ -482,12 +497,19 @@ def merge_version(
     Pinned row-identical to the bucketed merge and to the relational
     replay in tests/test_r14_operators.py.
 
-    Concurrency: the merge is computed against the latest version at
-    read time; if another writer claims the next version number first,
-    this merge ABORTS (ConcurrentWriteError posture — retrying against
-    a stale base would silently lose the other writer's update; the
-    caller re-runs the merge against the new latest). A crash before
-    the claim leaves only invisible orphans, as everywhere else."""
+    Concurrency (VERDICT r15 task #4 — the Delta rebase posture): the
+    merge is computed against the latest version at read time; if
+    another writer claims the next version number first, the loser
+    re-reads the winner's manifest and — when the winner is the same
+    bucketed lineage and touched a DISJOINT bucket set (every bucket
+    this merge rewrote is byte-identical between its read-time base
+    and the winner) — REBASES its bucket overlay onto the winner and
+    retries, so both merges commit with the union of their effects
+    and no lost update. Overlapping buckets, a lineage change, or a
+    plain-table merge keep the loud abort (retrying those against a
+    stale base would silently lose the winner's update; the caller
+    re-runs against the new latest). A crash before the claim leaves
+    only invisible orphans, as everywhere else."""
     from pyspark.sql import functions as F
 
     versions = list_versions(table_dir)
@@ -564,8 +586,10 @@ def merge_version(
     token = uuid.uuid4().hex[:12]
     rel_base = os.path.join("data", f"commit-{token}")
 
-    new_buckets = dict(man["buckets"])
-    new_bucket_rows = dict(man.get("bucket_rows", {}))
+    # Our rewritten buckets only — the overlay is re-applied onto
+    # whichever base finally wins the claim (see the rebase loop).
+    ours_buckets: dict[str, list[str]] = {}
+    ours_rows: dict[str, int] = {}
     if touched:
         base_dirs = [
             os.path.join(table_dir, d)
@@ -596,49 +620,106 @@ def merge_version(
             bs = str(b)
             if bs in written:
                 rel = os.path.join(rel_base, f"{BUCKET_PREFIX}{bs}")
-                new_buckets[bs] = [rel]
-                new_bucket_rows[bs] = (
+                ours_buckets[bs] = [rel]
+                ours_rows[bs] = (
                     spark.read.parquet(os.path.join(table_dir, rel)).count()
                 )
             else:  # every row of the bucket was deleted
-                new_buckets[bs] = []
-                new_bucket_rows[bs] = 0
+                ours_buckets[bs] = []
+                ours_rows[bs] = 0
 
-    n_rows = sum(new_bucket_rows.values())
-    manifest = {
-        "version": base_v + 1,
-        "mode": "merge",
-        "merge_base": base_v,
-        "data_dirs": sorted(d for ds in new_buckets.values() for d in ds),
-        "n_rows": n_rows,
-        "n_rows_commit": n_rows,
-        "schema": man["schema"],
-        "bucket_cols": bucket_cols,
-        "n_buckets": n_buckets,
-        "buckets": new_buckets,
-        "bucket_rows": new_bucket_rows,
-    }
-    final = os.path.join(table_dir, _manifest_name(base_v + 1))
-    for _retry in range(5):  # FileNotFoundError = temp swept mid-claim
-        tmp = os.path.join(table_dir, f"_tmp-v{base_v + 1}-{token}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
+    # Claim-with-rebase loop (VERDICT r15 task #4 — the Delta
+    # ConcurrentWriteException rebase): on a claim conflict, re-read
+    # the winning latest manifest; if every bucket WE rewrote is
+    # byte-identical between our read-time base and the winner (the
+    # winner touched a DISJOINT bucket set on the same lineage), our
+    # rewrite is still a valid copy-on-write of those buckets — rebase
+    # the overlay onto the winner's manifest and retry. Overlapping
+    # buckets, a changed lineage (overwrite/schema/bucket-layout
+    # change), or a non-bucketed winner keep the loud abort: retrying
+    # those against a stale base would silently lose the winner's
+    # update.
+    cur_v, cur_man = base_v, man
+    for _rebase in range(10):
+        new_buckets = dict(cur_man["buckets"])
+        new_bucket_rows = dict(cur_man.get("bucket_rows", {}))
+        new_buckets.update(ours_buckets)
+        new_bucket_rows.update(ours_rows)
+        n_rows = sum(new_bucket_rows.values())
+        manifest = {
+            "version": cur_v + 1,
+            "mode": "merge",
+            "merge_base": cur_v,
+            "data_dirs": sorted(d for ds in new_buckets.values() for d in ds),
+            "n_rows": n_rows,
+            "n_rows_commit": n_rows,
+            "schema": man["schema"],
+            "bucket_cols": bucket_cols,
+            "n_buckets": n_buckets,
+            "buckets": new_buckets,
+            "bucket_rows": new_bucket_rows,
+        }
+        if _rebase:
+            manifest["rebased_from"] = base_v  # audit trail
+        final = os.path.join(table_dir, _manifest_name(cur_v + 1))
+        claimed = False
+        for _retry in range(5):  # FileNotFoundError = temp swept mid-claim
+            tmp = os.path.join(table_dir, f"_tmp-v{cur_v + 1}-{token}.json")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                os.unlink(tmp)
+                break  # lost the race — try to rebase below
+            except FileNotFoundError:
+                continue  # rewrite the temp and retry (ADVICE r13 #3)
             os.unlink(tmp)
+            claimed = True
+            break
+        else:
+            raise RuntimeError(
+                f"could not claim version {cur_v + 1} at {table_dir}: the "
+                "commit temp kept disappearing (a vacuum with no grace "
+                "window?)"
+            )
+        if claimed:
+            return cur_v + 1
+
+        latest_v = list_versions(table_dir)[-1]
+        if latest_v <= cur_v:
+            # claim failed yet no newer manifest is listable — an
+            # inconsistent view (races with an ungraced vacuum, a
+            # broken filesystem): never rebase on guesswork
             raise RuntimeError(
                 f"concurrent commit detected at {table_dir} (version "
-                f"{base_v + 1} claimed while merging against {base_v}) — "
-                "re-run the merge against the new latest version"
-            ) from None
-        except FileNotFoundError:
-            continue  # rewrite the temp and retry (ADVICE r13 #3)
-        os.unlink(tmp)
-        return base_v + 1
+                f"{cur_v + 1} claimed while merging against {base_v}) but "
+                "no newer manifest is listable — re-run the merge against "
+                "the new latest version"
+            )
+        latest = _read_manifest(table_dir, latest_v)
+        compatible = (
+            "buckets" in latest
+            and latest.get("bucket_cols") == bucket_cols
+            and latest.get("n_buckets") == n_buckets
+            and latest["schema"] == man["schema"]
+        )
+        overlap = not compatible or any(
+            latest["buckets"].get(str(b)) != man["buckets"].get(str(b))
+            for b in touched
+        )
+        if overlap:
+            raise RuntimeError(
+                f"concurrent commit detected at {table_dir} (version "
+                f"{cur_v + 1} claimed while merging against {base_v}) and "
+                "the winning commit touched overlapping buckets or changed "
+                "the lineage — re-run the merge against the new latest "
+                "version"
+            )
+        cur_v, cur_man = latest_v, latest
     raise RuntimeError(
-        f"could not claim version {base_v + 1} at {table_dir}: the "
-        "commit temp kept disappearing (a vacuum with no grace window?)"
+        f"merge at {table_dir} lost {10} successive claim races while "
+        "rebasing onto disjoint winners — extreme commit contention"
     )
 
 
@@ -876,7 +957,11 @@ def optimize_version(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    v = write_version(
+    # expect_rows verifies the STAGED rewrite against the base
+    # manifest BEFORE the claim (ADVICE r15): a mismatch raises while
+    # the rewrite is still an invisible orphan — readers racing the
+    # check can never see a suspect snapshot as latest.
+    return write_version(
         laid,
         table_dir,
         mode="overwrite",
@@ -885,15 +970,8 @@ def optimize_version(
             "zorder_by": list(zorder_by),
             "zorder_bits": bits,
         },
+        expect_rows=man["n_rows"],
     )
-    new_man = _read_manifest(table_dir, v)
-    if new_man["n_rows"] != man["n_rows"]:  # trust-but-verify, O(1)
-        raise RuntimeError(
-            f"optimize changed the row count: {new_man['n_rows']} != "
-            f"{man['n_rows']} (version {v} is committed but suspect — "
-            "diff_versions it against the base before trusting either)"
-        )
-    return v
 
 
 def zone_map_audit(
@@ -913,6 +991,24 @@ def zone_map_audit(
             if not name.endswith(".parquet"):
                 continue
             pf = pq.ParquetFile(os.path.join(d, name))
+            if column not in pf.schema_arrow.names:
+                # pre-evolution file on a merge_schema lineage: its
+                # rows read NULL for this column, so report a NULL
+                # zone — always-scanned, consistent with
+                # files_scanned_for_range (ADVICE r15)
+                rows = sum(
+                    pf.metadata.row_group(rg).num_rows
+                    for rg in range(pf.num_row_groups)
+                )
+                out.append(
+                    {
+                        "file": os.path.join(rel, name),
+                        "min": None,
+                        "max": None,
+                        "rows": rows,
+                    }
+                )
+                continue
             idx = pf.schema_arrow.names.index(column)
             mn = mx = None
             rows = 0
