@@ -883,3 +883,38 @@ def test_zone_map_audit_null_zone_for_pre_evolution_files(spark, tmp_path):
     # NULL zones are always scanned, even for a range excluding them
     files, rows = files_scanned_for_range(zones, 0, 1)
     assert files == len(null_zones) and rows == 4
+
+
+def test_optimize_hilbert_row_identical_and_prunes(spark, tmp_path):
+    """curve='hilbert' (the r16 default) commits a row-identical
+    multiset (#161 diff 0/0), records the curve in the manifest, and
+    prunes the two-key range battery at least as well as the scattered
+    base on BOTH keys; an unknown curve is refused."""
+    from utility_service_areas_spark.sources.versioned import (
+        diff_versions,
+        files_scanned_for_range,
+        optimize_version,
+        zone_map_audit,
+    )
+
+    rows = [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long").repartition(8)
+    t = str(tmp_path / "tbl")
+    base_v = write_version(df, t)
+
+    v = optimize_version(spark, t, ["a", "b"], n_files=8)  # default curve
+    assert _manifest(t, v)["zorder_curve"] == "hilbert"
+    d = diff_versions(spark, t, base_v, v)
+    assert d["added"] == 0 and d["removed"] == 0
+    for key in ("a", "b"):
+        f_after, r_after = files_scanned_for_range(
+            zone_map_audit(spark, t, v, key), 100, 150
+        )
+        f_before, r_before = files_scanned_for_range(
+            zone_map_audit(spark, t, base_v, key), 100, 150
+        )
+        assert f_after < f_before, key
+        assert r_after < r_before, key
+
+    with pytest.raises(ValueError, match="morton|hilbert"):
+        optimize_version(spark, t, ["a"], curve="peano")

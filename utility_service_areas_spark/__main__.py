@@ -182,6 +182,14 @@ def main(argv: list[str] | None = None) -> int:
         "(Z-ORDER clustered rewrite, committed as a new version)",
     )
     tab.add_argument("--n-files", type=int, default=8)
+    tab.add_argument(
+        "--curve",
+        choices=("hilbert", "morton"),
+        default="hilbert",
+        help="space-filling curve for `table optimize` (hilbert: "
+        "measured stronger multi-key pruner; morton: pure-expression "
+        "bit interleave)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -240,7 +248,8 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("table optimize requires --zorder-by col[,col...]")
             keys = args.zorder_by.split(",")
             v = vt.optimize_version(
-                spark, args.table_dir, keys, n_files=args.n_files
+                spark, args.table_dir, keys, n_files=args.n_files,
+                curve=args.curve,
             )
             for key in keys:
                 zones = vt.zone_map_audit(spark, args.table_dir, v, key)
