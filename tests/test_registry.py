@@ -290,6 +290,7 @@ EXPECTED_KEYS = {
     "abtest_mann_whitney",
     "events_cusum_changepoint",
     "orders_kruskal_wallis",
+    "logreg_online_sweep_refresh",
 }
 
 

@@ -1482,3 +1482,64 @@ def test_logreg_online_stream_matches_python_integer_fold(spark, tmp_path):
     )
     assert again["w"] == w and again["n_batches"] == 3
     assert load_logreg_online_state(sp)["w"] == w
+
+
+def test_online_sweep_refresh_zero_steps_equals_batch_sweep(spark, tmp_path):
+    """VERDICT r15 task #6 pin: the S40 operating-point refresh run
+    against a state with ZERO online steps reproduces the batch #260
+    sweep verbatim — the refresh provably degenerates to the batch
+    pick when nothing has drifted."""
+    from tests.conftest import SMOKE_SF
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        _LOGREG_LRD,
+        _logreg_fit,
+        docs_logreg_pr_sweep,
+    )
+    from utility_service_areas_spark.streaming.events import (
+        init_logreg_online_state,
+        logreg_online_pr_sweep,
+    )
+
+    fc, w, mu = _logreg_fit(spark, SMOKE_SF)
+    wrow, murow = w.collect()[0], mu.collect()[0]
+    sp = str(tmp_path / "state.json")
+    init_logreg_online_state(
+        sp,
+        mu=(murow.m1, murow.m2, murow.m3),
+        w=(wrow.w0, wrow.w1, wrow.w2, wrow.w3),
+        lr_den=_LOGREG_LRD,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    got = sorted(
+        tuple(r) for r in logreg_online_pr_sweep(docs, sp).collect()
+    )
+    want = sorted(
+        tuple(r) for r in docs_logreg_pr_sweep(spark, SMOKE_SF).collect()
+    )
+    assert got == want
+
+
+def test_online_sweep_refresh_moves_after_steps(spark, tmp_path):
+    """After real online steps the refreshed sweep differs from the
+    batch table (the weights moved), and the registry key's weight
+    columns equal the state the steps actually left behind."""
+    from tests.conftest import SMOKE_SF
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        docs_logreg_pr_sweep,
+        logreg_online_sweep_refresh,
+    )
+
+    refreshed = logreg_online_sweep_refresh(spark, SMOKE_SF).collect()
+    batch = {r.threshold: r for r in docs_logreg_pr_sweep(spark, SMOKE_SF).collect()}
+    assert len(refreshed) == len(batch) == 9
+    w_cols = {(r.w_bias, r.w_ntok, r.w_ndist, r.w_nstop) for r in refreshed}
+    assert len(w_cols) == 1  # one trajectory, stamped on every row
+    moved = any(
+        (r.tp, r.fp, r.fn, r.tn)
+        != (batch[r.threshold].tp, batch[r.threshold].fp,
+            batch[r.threshold].fn, batch[r.threshold].tn)
+        for r in refreshed
+    )
+    assert moved  # three gradient steps actually shifted the cut

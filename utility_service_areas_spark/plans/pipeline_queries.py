@@ -1862,6 +1862,13 @@ def docs_logreg_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = fc.crossJoin(F.broadcast(w)).select(
         F.expr(_LOGREG_Z).alias("z"), "y"
     )
+    return _pr_sweep(sc, th)
+
+
+def _pr_sweep(sc: DataFrame, th: DataFrame) -> DataFrame:
+    """#260's sweep tail over any scored (z, y) frame — shared with
+    the S40 online-state refresh readout (streaming/events.py:
+    logreg_online_pr_sweep) so 'same sweep' is by construction."""
     per = (
         sc.crossJoin(F.broadcast(th))
         .groupBy("threshold")
@@ -2128,4 +2135,142 @@ def curation_funnel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.crossJoin(F.broadcast(pick)).select(
         F.expr(_CLF_STACK), F.col("th_star").alias("threshold")
+    )
+
+
+# #267: the S40 -> #260 loop closed (VERDICT r15 task #6) — the online
+# updater keeps the WEIGHTS fresh, but the deployed threshold was
+# picked at batch-training time; this key deploys the batch model into
+# the real S40 state file, takes three deterministic online steps
+# (micro-batches = doc_id % 3 splits, exactly-once through
+# logreg_online_apply_batch), then re-runs the #260 sweep against the
+# CURRENT online weights through the shared _pr_sweep tail. The oracle
+# replays the whole loop in one WITH chain: the batch gradient chain,
+# three more unrolled integer steps each scoped to its split (its own
+# n in the step denominator — the online step's per-batch learning
+# rate), then #260's sweep tail verbatim over the stepped weights,
+# plus the weight columns so the online trajectory itself is
+# value-oracled.
+_ONLINE_STEPS = 3
+
+
+def _online_refresh_oracle() -> str:
+    steps = []
+    prev = f"wr{_LOGREG_ROUNDS}"
+    for k in range(_ONLINE_STEPS):
+        steps.append(
+            f""",
+    ob{k} AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM fc WHERE doc_id % 3 = {k}),
+    og{k} AS MATERIALIZED (
+      SELECT CAST(sum((p - y) * x0) AS BIGINT) AS g0,
+             CAST(sum((p - y) * x1) AS BIGINT) AS g1,
+             CAST(sum((p - y) * x2) AS BIGINT) AS g2,
+             CAST(sum((p - y) * x3) AS BIGINT) AS g3
+      FROM (SELECT least(1000000, greatest(0,
+                     500000 + (x0*w0 + x1*w1 + x2*w2 + x3*w3) // 4)) AS p,
+                   y, x0, x1, x2, x3
+            FROM fc, {prev} WHERE doc_id % 3 = {k})),
+    ow{k} AS MATERIALIZED (
+      SELECT w0 - CASE WHEN n = 0 THEN 0
+                       ELSE g0 // (n * {_LOGREG_LRD}) END AS w0,
+             w1 - CASE WHEN n = 0 THEN 0
+                       ELSE g1 // (n * {_LOGREG_LRD}) END AS w1,
+             w2 - CASE WHEN n = 0 THEN 0
+                       ELSE g2 // (n * {_LOGREG_LRD}) END AS w2,
+             w3 - CASE WHEN n = 0 THEN 0
+                       ELSE g3 // (n * {_LOGREG_LRD}) END AS w3
+      FROM {prev}, og{k}, ob{k})"""
+        )
+        prev = f"ow{k}"
+    thresholds = ", ".join(str(t) for t in _LOGREG_THRESHOLDS)
+    return (
+        _logreg_chain_sql()
+        + "".join(steps)
+        + f""",
+    th AS (SELECT CAST(unnest(ARRAY[{thresholds}]) AS BIGINT) AS threshold),
+    sc AS MATERIALIZED (
+      SELECT x0*w0 + x1*w1 + x2*w2 + x3*w3 AS z, y
+      FROM fc, {prev}),
+    per AS (
+      SELECT threshold,
+        CAST(sum(CASE WHEN z >= threshold AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN z >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN z < threshold AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN z < threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM sc, th GROUP BY threshold)
+    SELECT threshold, tp, fp, fn, tn,
+      CASE WHEN tp + fp > 0
+           THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+        AS precision_micros,
+      CASE WHEN tp + fn > 0
+           THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+        AS recall_micros,
+      (SELECT w0 FROM {prev}) AS w_bias,
+      (SELECT w1 FROM {prev}) AS w_ntok,
+      (SELECT w2 FROM {prev}) AS w_ndist,
+      (SELECT w3 FROM {prev}) AS w_nstop
+    FROM per
+    """
+    )
+
+
+@query(
+    "logreg_online_sweep_refresh",
+    oracle=_online_refresh_oracle(),
+    doc="Operating-point REFRESH from the S40 online state (VERDICT "
+    "r15 task #6): deploy #259's batch model into the real online "
+    "state file (init_logreg_online_state — frozen means, trained "
+    "weights), take three deterministic online gradient steps through "
+    "logreg_online_apply_batch (micro-batches = doc_id %% 3 splits, "
+    "each step's learning rate scoped to ITS batch size — the S40 "
+    "per-batch discipline, exactly-once via the recorded batch ids), "
+    "then re-run #260's threshold sweep against the CURRENT weights "
+    "via the shared _pr_sweep tail + the shared feature stage. The "
+    "weight columns value-oracle the 3-step online trajectory itself; "
+    "sweep(state after 0 steps) == batch #260 is pytest-pinned, so "
+    "the refresh provably degenerates to the batch pick when nothing "
+    "has drifted. Scale: the corpus tokenizes once for the batch "
+    "chain, once per micro-batch (streaming reality), once for the "
+    "refresh scoring; every reduce is a partial-agg to 1 or 9 rows — "
+    "nothing data-sized at the driver, state is a 4-int JSON file.",
+    tags=("pipeline", "text", "streaming"),
+)
+def logreg_online_sweep_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from utility_service_areas_spark.streaming.events import (
+        init_logreg_online_state,
+        load_logreg_online_state,
+        logreg_online_apply_batch,
+        logreg_online_pr_sweep,
+    )
+
+    fc, w, mu = _logreg_fit(spark, sf_dir)
+    wrow = w.collect()[0]  # 1 row — the deployable batch model
+    murow = mu.collect()[0]  # 1 row — the frozen means
+    state_path = os.path.join(
+        tempfile.mkdtemp(prefix="s40-refresh-"), "state.json"
+    )
+    init_logreg_online_state(
+        state_path,
+        mu=(murow.m1, murow.m2, murow.m3),
+        w=(wrow.w0, wrow.w1, wrow.w2, wrow.w3),
+        lr_den=_LOGREG_LRD,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    for k in range(_ONLINE_STEPS):
+        batch = docs.filter(F.expr(f"doc_id % 3 = {k}"))
+        logreg_online_apply_batch(batch, k, state_path)
+    sweep = logreg_online_pr_sweep(docs, state_path)
+    w0, w1, w2, w3 = (
+        int(x) for x in load_logreg_online_state(state_path)["w"]
+    )
+    return sweep.select(
+        "*",
+        F.lit(w0).cast("long").alias("w_bias"),
+        F.lit(w1).cast("long").alias("w_ntok"),
+        F.lit(w2).cast("long").alias("w_ndist"),
+        F.lit(w3).cast("long").alias("w_nstop"),
     )

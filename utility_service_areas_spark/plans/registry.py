@@ -87,7 +87,9 @@ _DRIVER_PRIORITY = (
     # mechanically pinned against the CORRECTNESS union by
     # tests/test_registry.py::test_rotation_matches_correctness_union
     # via `_NEXT_ROUND_REMAINDER` below.
-    # 1) the entire 14-key r10-stale remainder (named in r15's
+    # 1) never-attested keys — new this round
+    "logreg_online_sweep_refresh",  # new in r16 (#267)
+    # 2) the entire 14-key r10-stale remainder (named in r15's
     #    rotation comment; after this round's driver pass no
     #    sql-oracled key's newest driver row is older than r11)
     "geo_union_overlap_area",
@@ -104,8 +106,9 @@ _DRIVER_PRIORITY = (
     "source_length_drift",
     "token_collocations",
     "tokenizer_vocab_coverage",
-    # 2) 36 of the 50 r11-stale keys, alphabetical; the 14-key
-    #    remainder is `_NEXT_ROUND_REMAINDER` (r17's rotation head).
+    # 3) 35 of the 50 r11-stale keys, alphabetical (one slot yielded
+    #    to #267 — never-attested beats stale-green per slot); the
+    #    15-key remainder is `_NEXT_ROUND_REMAINDER` (r17's head).
     "ann_cosine_topk",
     "ann_ivf_probe_recall",
     "ann_ivf_topk",
@@ -141,7 +144,6 @@ _DRIVER_PRIORITY = (
     "lang_id_confusion",
     "multimodal_features",
     "nation_supplier_hhi",
-    "orders_daily_ohlc",
 )
 
 # The stalest-attested keys that did NOT fit this round's 50-slot
@@ -151,6 +153,7 @@ _DRIVER_PRIORITY = (
 # it exactly — a rotation note can never drift from the data again
 # (VERDICT r15 task #3).
 _NEXT_ROUND_REMAINDER = (
+    "orders_daily_ohlc",
     "orders_weekly_ohlc",
     "orders_winsorized_stats",
     "seq_len_packing_sweep",

@@ -1405,3 +1405,48 @@ def logreg_online_stream_writer(stream: DataFrame, state_path: str):
         logreg_online_apply_batch(df, batch_id, state_path)
 
     return stream.writeStream.foreachBatch(step_batch)
+
+
+def logreg_online_pr_sweep(docs: DataFrame, state_path: str) -> DataFrame:
+    """#260's precision/recall threshold sweep re-run against the
+    CURRENT online state (VERDICT r15 task #6 — closing the S40 loop:
+    online steps keep the weights fresh, but the deployed threshold
+    was picked at batch-training time; after enough drift the
+    purity-target operating point moves, and this readout is how a
+    curation run re-picks it without retraining).
+
+    Features are centered by the state's FROZEN means (the S40
+    contract — batch/stream feature parity by construction) and scored
+    by the state's current integer weights; the sweep tail is #260's
+    exactly (same thresholds, same exact-integer confusion counts and
+    divisions), so sweep(state after 0 online steps) equals the batch
+    #260 table verbatim — pytest-pinned. Scale: same shape as #260 —
+    one tokenize collapse to an n×2 (z, y) frame, a 9-row broadcast
+    crossJoin, one partial-agg groupBy."""
+    from utility_service_areas_spark.plans.pipeline_queries import (
+        _LOGREG_THRESHOLDS,
+        _logreg_features,
+        _pr_sweep,
+    )
+
+    state = load_logreg_online_state(state_path)
+    m1, m2, m3 = state["mu"]
+    w0, w1, w2, w3 = (int(x) for x in state["w"])
+    fc = _logreg_features(docs).select(
+        F.lit(1).cast("long").alias("x0"),
+        (F.col("r1") - F.lit(int(m1))).cast("long").alias("x1"),
+        (F.col("r2") - F.lit(int(m2))).cast("long").alias("x2"),
+        (F.col("r3") - F.lit(int(m3))).cast("long").alias("x3"),
+        "y",
+    )
+    sc = fc.select(
+        F.expr(
+            f"x0 * ({w0}L) + x1 * ({w1}L) + x2 * ({w2}L) + x3 * ({w3}L)"
+        ).alias("z"),
+        "y",
+    )
+    spark = docs.sparkSession
+    th = spark.createDataFrame(
+        [(t,) for t in _LOGREG_THRESHOLDS], "threshold long"
+    )
+    return _pr_sweep(sc, th)
