@@ -1543,3 +1543,29 @@ def test_online_sweep_refresh_moves_after_steps(spark, tmp_path):
         for r in refreshed
     )
     assert moved  # three gradient steps actually shifted the cut
+
+
+def test_vector_stream_writer_requires_explicit_app_id(spark):
+    """ADVICE r15 #1: exactly-once across restart-from-checkpoint (the
+    common failure) must not hinge on an optional argument — app_id is
+    required, and minting a fresh one is an explicit opt-in."""
+    import pytest as _pytest
+
+    from utility_service_areas_spark.streaming.events import (
+        vector_index_stream_writer,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with _pytest.raises(ValueError, match="stable app_id"):
+        vector_index_stream_writer(stream, "/tmp/nope-idx")
+    with _pytest.raises(ValueError, match="not both"):
+        vector_index_stream_writer(
+            stream, "/tmp/nope-idx", app_id="x", fresh_app_id=True
+        )
+    # explicit forms construct fine (no query started)
+    assert vector_index_stream_writer(stream, "/tmp/nope-idx", app_id="x")
+    assert vector_index_stream_writer(
+        stream, "/tmp/nope-idx", fresh_app_id=True
+    )

@@ -385,3 +385,135 @@ def test_vector_compaction_and_vacuum_preserve_search(spark, tmp_path):
         sorted(map(tuple, search_ivfpq_index(spark, d, queries, emb).collect()))
         == before
     )
+
+
+# ---------------------------------------------------------------------------
+# r16: manifest generation claim (ADVICE r15) — concurrent writers
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_adds_both_commit_no_lost_segment(spark, tmp_path, monkeypatch):
+    """Two adds racing on the manifest both land: the loser's claim
+    fails (O_EXCL generation marker), it re-reads the winner's
+    manifest and re-applies its delta — no last-replace-wins segment
+    drop (the ADVICE r15 lost-update)."""
+    import utility_service_areas_spark.operators.vector_index as vix
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 40)
+    add_a = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+    add_b = emb.filter(F.col("vec_id") >= 50)
+    d = str(tmp_path / "idx")
+    build_ivfpq_index(base, d)
+    n_total = emb.count()
+
+    real_commit = vix._commit_manifest
+    state = {"raced": False}
+
+    def racing_commit(index_dir, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(vix, "_commit_manifest", real_commit)
+            # B commits fully between A's manifest read and A's claim
+            add_to_ivfpq_index(
+                spark, d, add_b, id_col="vec_id", vec_col="embedding"
+            )
+        return real_commit(index_dir, manifest)
+
+    monkeypatch.setattr(vix, "_commit_manifest", racing_commit)
+    manifest = add_to_ivfpq_index(
+        spark, d, add_a, id_col="vec_id", vec_col="embedding"
+    )
+    assert manifest["n_vectors"] == n_total  # nothing lost
+    assert len(manifest["segments"]) == 3  # base + B + A all listed
+    assert manifest["n_adds"] == 2
+    # and every streamed-in vector is searchable
+    _m, _c, codes = load_ivfpq_index(spark, d)
+    assert codes.count() == n_total
+
+
+def test_stale_generation_marker_is_stolen(spark, tmp_path):
+    """A crashed claimer's marker older than the steal window must not
+    wedge the index: the next writer removes it and commits."""
+    emb = _emb(spark)
+    d = str(tmp_path / "idx")
+    manifest = build_ivfpq_index(emb.filter(F.col("vec_id") < 40), d)
+    gen = manifest["generation"]
+    marker = os.path.join(d, f"_gen-{gen + 1:09d}")
+    open(marker, "w").close()
+    os.utime(marker, (0, 0))  # ancient: a crashed writer's leftover
+    out = add_to_ivfpq_index(
+        spark, d, emb.filter(F.col("vec_id") >= 40),
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert out["generation"] == gen + 1
+    assert out["n_vectors"] == emb.count()
+
+
+def test_compaction_touches_retired_segments_for_vacuum_grace(spark, tmp_path):
+    """ADVICE r15 #3: a segment retired by compaction gets its
+    retirement moment stamped (os.utime), so a vacuum grace window
+    protects the pre-compaction manifest's reader even when the
+    segment's WRITE time is ancient."""
+    import time as _time
+
+    from tests.conftest import backdate_tree
+    from utility_service_areas_spark.operators.vector_index import (
+        compact_ivfpq_index,
+        vacuum_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    d = str(tmp_path / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 40), d)
+    add_to_ivfpq_index(
+        spark, d, emb.filter(F.col("vec_id") >= 40),
+        id_col="vec_id", vec_col="embedding",
+    )
+    manifest, _c, _codes = load_ivfpq_index(spark, d)
+    retired = [s["name"] for s in manifest["segments"]]
+    segroot = os.path.join(d, "segments")
+    for name in retired:  # make their write time ancient
+        backdate_tree(os.path.join(segroot, name))
+
+    t0 = _time.time()
+    compact_ivfpq_index(spark, d)
+    for name in retired:
+        assert os.path.getmtime(os.path.join(segroot, name)) >= t0 - 5
+
+    # within the grace window nothing is swept despite the ancient
+    # write times — the window now counts from retirement
+    plan = vacuum_ivfpq_index(d, grace_seconds=3600, dry_run=True)
+    assert plan["dirs"] == []
+    # past the window they go
+    plan0 = vacuum_ivfpq_index(d, grace_seconds=0, dry_run=True)
+    assert sorted(plan0["dirs"]) == sorted(retired)
+
+
+def test_bm25_compaction_touches_retired_segments(spark, tmp_path):
+    """Same retirement-stamp contract on the BM25 store."""
+    import time as _time
+
+    from tests.conftest import backdate_tree
+    from utility_service_areas_spark.operators.text_index import (
+        add_to_bm25_index,
+        build_bm25_index,
+        compact_bm25_index,
+        vacuum_bm25_index,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    d = str(tmp_path / "bm25")
+    build_bm25_index(docs.filter(F.col("doc_id") < 100), d)
+    add_to_bm25_index(spark, d, docs.filter(F.col("doc_id") >= 400))
+    with open(os.path.join(d, "_MANIFEST.json")) as f:
+        retired = [s["name"] for s in json.load(f)["segments"]]
+    segroot = os.path.join(d, "segments")
+    for name in retired:
+        backdate_tree(os.path.join(segroot, name))
+    t0 = _time.time()
+    compact_bm25_index(spark, d)
+    for name in retired:
+        assert os.path.getmtime(os.path.join(segroot, name)) >= t0 - 5
+    assert vacuum_bm25_index(d, grace_seconds=3600, dry_run=True)["dirs"] == []

@@ -348,6 +348,16 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
     manifest["segments"] = [seg]
     manifest["n_compactions"] += 1
     _commit_manifest(index_dir, manifest)
+    # ADVICE r15 #3: stamp RETIREMENT time on the replaced dirs so the
+    # vacuum grace window protects a pre-compaction manifest's reader
+    # for grace_seconds from NOW — an old segment's write-time mtime
+    # would make it sweepable the instant it was retired.
+    root = _segments_root(index_dir)
+    for entry in old:
+        try:
+            os.utime(os.path.join(root, entry["name"]))
+        except FileNotFoundError:
+            pass
     return manifest
 
 

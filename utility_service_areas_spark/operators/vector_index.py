@@ -22,7 +22,15 @@ either an un-renamed staging dir or an unlisted segment — both
 invisible to readers, both reclaimed later by the age-gated
 ``vacuum_ivfpq_index``. A RETRIED add with the same ``txn_id`` is a
 no-op (the S39 txn posture), so streaming maintenance (S42) is
-exactly-once across torn adds. JSON floats round-trip IEEE doubles
+exactly-once across torn adds.
+
+Writer concurrency (ADVICE r15): the manifest read-modify-write is
+guarded by an O_EXCL GENERATION claim (``_gen-N`` markers) — exactly
+one writer commits each generation; a loser re-reads the winner's
+manifest and re-applies its delta, so two concurrent adds BOTH land
+(neither's segment is dropped by a last-replace-wins overwrite) and a
+compaction racing an add refolds instead of losing the new segment.
+A crashed claimer's marker is stolen after ``_GEN_STEAL_SECONDS``. JSON floats round-trip IEEE doubles
 exactly (repr shortest-decimal), so decode from the manifest is
 bit-identical to decode from the in-memory fit.
 
@@ -49,6 +57,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,14 +76,63 @@ def _segments_root(index_dir: str) -> str:
     return os.path.join(index_dir, "segments")
 
 
-def _commit_manifest(index_dir: str, manifest: dict) -> None:
-    """Atomic manifest replace — readers see the old manifest or the
-    new one, never a torn file. The single commit point of every
-    index mutation (the text_index.py posture)."""
+# How long an unfinished generation claim blocks other writers before
+# they steal it (a crashed writer's marker must not wedge the index
+# forever; a LIVE writer finishes its replace in milliseconds).
+_GEN_STEAL_SECONDS = 60.0
+
+
+def _claim_generation(index_dir: str, gen: int) -> bool:
+    """O_CREAT|O_EXCL claim of manifest generation ``gen`` (ADVICE r15:
+    the unlocked manifest read-modify-write let two concurrent adds
+    both commit with the LAST replace silently dropping the other's
+    segment). Exactly one writer wins a generation number; a loser
+    re-reads the winner's manifest and re-applies its delta. A marker
+    older than the steal window with no committed manifest at that
+    generation is a crashed writer's leftover — removed so the next
+    attempt can claim."""
+    import time
+
+    marker = os.path.join(index_dir, f"_gen-{gen:09d}")
+    try:
+        os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        return True
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(marker)
+        except FileNotFoundError:
+            return False  # holder finished or another stealer won
+        if age >= _GEN_STEAL_SECONDS:
+            try:
+                os.remove(marker)  # crashed claimer: unwedge the index
+            except FileNotFoundError:
+                pass
+        return False
+
+
+def _commit_manifest(index_dir: str, manifest: dict) -> bool:
+    """Claim generation read+1, then atomic manifest replace — readers
+    see the old manifest or the new one, never a torn file. Returns
+    False when another writer committed first (the caller re-reads and
+    re-applies its delta — the optimistic-concurrency loop every
+    mutation here runs). The single commit point of every index
+    mutation."""
+    gen = int(manifest.get("generation", 0)) + 1
+    if not _claim_generation(index_dir, gen):
+        return False
+    manifest["generation"] = gen
     tmp = _manifest_path(index_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, _manifest_path(index_dir))
+    # markers below the committed generation are dead history
+    for name in os.listdir(index_dir):
+        if name.startswith("_gen-") and int(name[5:]) < gen:
+            try:
+                os.remove(os.path.join(index_dir, name))
+            except FileNotFoundError:
+                pass
+    return True
 
 
 def _write_codes_segment(
@@ -178,8 +236,36 @@ def build_ivfpq_index(
         "n_compactions": 0,
         "txn_ids": [],
     }
-    _commit_manifest(index_dir, manifest)  # commit marker, LAST
-    return manifest
+    # commit marker, LAST. A rebuild over a live index carries the
+    # current generation forward so the claim stays monotonic; losing
+    # the claim race re-reads and retries (a rebuild REPLACES whatever
+    # the racer committed — overwrite semantics, like every build).
+    for _attempt in range(20):
+        try:
+            with open(_manifest_path(index_dir)) as f:
+                manifest["generation"] = int(
+                    json.load(f).get("generation", 0)
+                )
+        except FileNotFoundError:
+            manifest.pop("generation", None)
+            # No committed manifest: any leftover marker is a crashed
+            # build's claim (there is no committed state a racer's
+            # delta could lose — first builds are whole-index
+            # overwrites, so last-wins is consistent); clear them
+            # rather than wedging the bootstrap behind the steal gate.
+            for name in os.listdir(index_dir):
+                if name.startswith("_gen-"):
+                    try:
+                        os.remove(os.path.join(index_dir, name))
+                    except FileNotFoundError:
+                        pass
+        if _commit_manifest(index_dir, manifest):
+            return manifest
+        time.sleep(0.05)
+    raise RuntimeError(
+        f"build could not claim a manifest generation at {index_dir} "
+        "(extreme commit contention)"
+    )
 
 
 def load_ivfpq_index(
@@ -309,13 +395,30 @@ def add_to_ivfpq_index(
 
     new_codes = resid.mapInPandas(encode, schema)
     seg = _write_codes_segment(spark, index_dir, new_codes, m)
-    if seg is not None:
-        manifest["segments"].append(seg)
-        manifest["n_vectors"] += seg["n_vectors"]  # additive, O(batch)
-    manifest["n_adds"] += 1
-    if txn_id is not None:
-        manifest.setdefault("txn_ids", []).append(txn_id)
-    _commit_manifest(index_dir, manifest)
+    # Optimistic-concurrency commit (ADVICE r15): the segment is
+    # staged once (codebooks are FROZEN, so a re-encode could never
+    # differ); the manifest delta re-applies onto whatever manifest
+    # wins each race, so two concurrent adds both land — neither's
+    # segment is dropped by a last-replace-wins overwrite.
+    for _attempt in range(20):
+        if txn_id is not None and txn_id in manifest.get("txn_ids", []):
+            return manifest  # a racer with the SAME txn landed it
+        if seg is not None:
+            manifest["segments"].append(seg)
+            manifest["n_vectors"] += seg["n_vectors"]  # additive, O(batch)
+        manifest["n_adds"] += 1
+        if txn_id is not None:
+            manifest.setdefault("txn_ids", []).append(txn_id)
+        if _commit_manifest(index_dir, manifest):
+            break
+        time.sleep(0.05)
+        with open(_manifest_path(index_dir)) as f:
+            manifest = json.load(f)  # fresh read: deltas never double
+    else:
+        raise RuntimeError(
+            f"add could not claim a manifest generation at {index_dir} "
+            "(extreme commit contention)"
+        )
     if compact_every and len(manifest["segments"]) >= compact_every:
         manifest = compact_ivfpq_index(spark, index_dir)
     return manifest
@@ -328,19 +431,38 @@ def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> dict:
     them (the Delta OPTIMIZE posture); ``vacuum_ivfpq_index`` reclaims
     them behind the age gate. Codes are immutable rows, so union ==
     concatenation and search results are unchanged (pinned)."""
-    manifest, _cents, codes = load_ivfpq_index(spark, index_dir)
-    if len(manifest["segments"]) <= 1:
-        return manifest
-    seg = _write_codes_segment(spark, index_dir, codes, manifest["m"])
-    if seg is None or seg["n_vectors"] != manifest["n_vectors"]:
-        raise RuntimeError(
-            "compaction lost vectors: "
-            f"{seg['n_vectors'] if seg else 0} != {manifest['n_vectors']}"
-        )
-    manifest["segments"] = [seg]
-    manifest["n_compactions"] = manifest.get("n_compactions", 0) + 1
-    _commit_manifest(index_dir, manifest)
-    return manifest
+    for _attempt in range(20):
+        manifest, _cents, codes = load_ivfpq_index(spark, index_dir)
+        if len(manifest["segments"]) <= 1:
+            return manifest
+        retired = [s["name"] for s in manifest["segments"]]
+        seg = _write_codes_segment(spark, index_dir, codes, manifest["m"])
+        if seg is None or seg["n_vectors"] != manifest["n_vectors"]:
+            raise RuntimeError(
+                "compaction lost vectors: "
+                f"{seg['n_vectors'] if seg else 0} != {manifest['n_vectors']}"
+            )
+        manifest["segments"] = [seg]
+        manifest["n_compactions"] = manifest.get("n_compactions", 0) + 1
+        if _commit_manifest(index_dir, manifest):
+            # ADVICE r15 #3: stamp RETIREMENT time on the replaced
+            # dirs so the vacuum grace window counts from when a
+            # pre-compaction reader could last have planned them —
+            # not from their (possibly ancient) write time.
+            root = _segments_root(index_dir)
+            for name in retired:
+                try:
+                    os.utime(os.path.join(root, name))
+                except FileNotFoundError:
+                    pass
+            return manifest
+        # lost to a concurrent add: the fold misses its segment — the
+        # staged fold stays an unlisted orphan (vacuumed later), refold
+        time.sleep(0.05)
+    raise RuntimeError(
+        f"compaction kept losing the manifest claim at {index_dir} "
+        "(extreme commit contention)"
+    )
 
 
 def vacuum_ivfpq_index(

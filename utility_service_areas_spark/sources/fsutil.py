@@ -43,8 +43,12 @@ def vacuum_unlisted_dirs(
     segment-store sweep (compaction-retired segments, torn-add
     leftovers, crashed staging dirs). Fresh dirs are spared: they may
     be an in-flight write or a segment a just-superseded manifest's
-    reader still holds. Deletions tolerate a concurrent sweeper
-    (ignore_errors)."""
+    reader still holds — which is why compactions ``os.utime`` each
+    dir they retire (ADVICE r15 #3): the age gate then counts from
+    RETIREMENT, not from the segment's possibly-ancient write time,
+    so a long-lived segment is protected for the full grace window
+    after it leaves the manifest. Deletions tolerate a concurrent
+    sweeper (ignore_errors)."""
     import time
 
     now = time.time()

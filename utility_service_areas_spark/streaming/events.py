@@ -1190,6 +1190,8 @@ def vector_index_stream_writer(
     vec_col: str = "embedding",
     compact_every: int | None = None,
     app_id: str | None = None,
+    *,
+    fresh_app_id: bool = False,
 ):
     """S42 (r15) — streaming VECTOR-INDEX maintenance: the S38 of the
     persisted IVFPQ index (#237). Each embedding micro-batch is
@@ -1202,15 +1204,19 @@ def vector_index_stream_writer(
     posture with the S39 txn contract, since vector ids carry no
     first-writer-wins dedup of their own).
 
-    ``app_id`` is Delta's txnAppId leg of the contract: pass a STABLE
-    id to keep exactly-once across restarts FROM THE SAME CHECKPOINT
-    (batch ids resume monotonically there). Left None, a fresh random
-    id is minted per writer, which protects the other direction — a
-    RESET checkpoint (or a second stream into the same index) restarts
-    batch ids at 0, and reusing the old app id would make every new
-    batch look like a replay and silently drop it (r15 review #1).
-    Same caveat as Delta: never reuse an app_id with a fresh
-    checkpoint. Because incremental add is EXACT (frozen-
+    ``app_id`` is Delta's txnAppId leg of the contract and is REQUIRED
+    (ADVICE r15 #1): pass the SAME stable id every time a stream runs
+    against the same checkpoint — batch ids resume monotonically
+    there, so a driver restart replaying the in-flight micro-batch
+    no-ops instead of double-adding its vectors. The common failure
+    mode is exactly that restart, so exactly-once across it must not
+    depend on an optional argument. The inverse caveat is Delta's too:
+    NEVER reuse an app_id with a fresh/reset checkpoint (batch ids
+    restart at 0 and every new batch would look like a replay and be
+    silently dropped — r15 review #1); for a reset checkpoint or a
+    second stream into the same index, pass a NEW id, or set
+    ``fresh_app_id=True`` to mint a random one explicitly. Because
+    incremental add is EXACT (frozen-
     geometry encode, pinned against a numpy replay), the stream-fed
     index answers search_ivfpq_index row-identically to a single-
     batch build over the same corpus (pinned). The index must be
@@ -1225,6 +1231,15 @@ def vector_index_stream_writer(
         add_to_ivfpq_index,
     )
 
+    if app_id is not None and fresh_app_id:
+        raise ValueError("pass app_id OR fresh_app_id=True, not both")
+    if app_id is None and not fresh_app_id:
+        raise ValueError(
+            "vector_index_stream_writer requires a stable app_id (reuse "
+            "it on every restart from the same checkpoint — that is what "
+            "makes the replayed micro-batch a no-op); for a fresh/reset "
+            "checkpoint pass a NEW app_id or fresh_app_id=True"
+        )
     txn_app = app_id if app_id is not None else _uuid.uuid4().hex[:8]
 
     def feed_batch(df: DataFrame, batch_id: int) -> None:
