@@ -349,3 +349,77 @@ def test_add_is_additive_and_repair_recounts(spark, tmp_path):
     m2 = repair_bm25_manifest(spark, d)
     assert m2["n_docs"] == docs.count()
     assert m2["segments"][0]["n_docs"] == true_first
+
+
+# ---------------------------------------------------------------------------
+# r16: manifest generation claims on the BM25 store (the vector_index
+# protocol shared via fsutil) — concurrent writers
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_disjoint_adds_both_commit(spark, tmp_path, monkeypatch):
+    """Two adds racing on the manifest with DISJOINT doc_ids both
+    land: the loser's claim fails, it re-reads the winner's manifest,
+    verifies disjointness against the winner's new doclens, and
+    re-applies its delta."""
+    import utility_service_areas_spark.operators.text_index as tix
+
+    docs = _docs(spark)
+    d = str(tmp_path / "idx")
+    build_bm25_index(docs.filter(F.col("doc_id") < 100), d)
+    add_a = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    add_b = docs.filter(F.col("doc_id") >= 400)
+    n_total = (
+        docs.filter(
+            (F.col("doc_id") < 200) | (F.col("doc_id") >= 400)
+        ).count()
+    )
+
+    real_commit = tix._commit_manifest
+    state = {"raced": False}
+
+    def racing_commit(index_dir, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(tix, "_commit_manifest", real_commit)
+            add_to_bm25_index(spark, d, add_b)  # B wins the claim
+        return real_commit(index_dir, manifest)
+
+    monkeypatch.setattr(tix, "_commit_manifest", racing_commit)
+    manifest = add_to_bm25_index(spark, d, add_a)
+    assert manifest["n_docs"] == n_total  # nothing lost
+    assert len(manifest["segments"]) == 3
+    _m, _p, doclens = load_bm25_index(spark, d)
+    assert doclens.count() == n_total
+
+
+def test_concurrent_overlapping_adds_abort_loudly(spark, tmp_path, monkeypatch):
+    """If the racing winner committed any of OUR doc_ids first, the
+    loser must abort (its anti-join ran against a stale committed set;
+    rebasing would double-count the doc) — and the store still answers
+    from the winner's consistent state."""
+    import utility_service_areas_spark.operators.text_index as tix
+
+    docs = _docs(spark)
+    d = str(tmp_path / "idx")
+    build_bm25_index(docs.filter(F.col("doc_id") < 100), d)
+    same = docs.filter(F.col("doc_id") >= 400)
+
+    real_commit = tix._commit_manifest
+    state = {"raced": False}
+
+    def racing_commit(index_dir, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(tix, "_commit_manifest", real_commit)
+            add_to_bm25_index(spark, d, same)  # B commits the SAME docs
+        return real_commit(index_dir, manifest)
+
+    monkeypatch.setattr(tix, "_commit_manifest", racing_commit)
+    with pytest.raises(RuntimeError, match="first-writer-wins"):
+        add_to_bm25_index(spark, d, same)
+    manifest, _p, doclens = load_bm25_index(spark, d)
+    assert doclens.count() == manifest["n_docs"]  # counts stay honest
+    # the documented recovery: re-running the add skips committed docs
+    again = add_to_bm25_index(spark, d, same)
+    assert again["n_docs"] == manifest["n_docs"]

@@ -58,18 +58,20 @@ search-from-artifacts is row-identical to the inline query over the
 same corpus (driver-oracled via text_bm25_search_persisted against
 the same SQL as #219).
 
-Concurrency contract (the Lucene IndexWriter posture): ONE mutating
-writer per index at a time — build/add/compact/repair perform a
-read-modify-write of the manifest with no claim loop, so two
-concurrent mutators can lose an update (the S38 stream writer IS that
-single writer; a multi-writer deployment coordinates externally,
-exactly as Lucene requires one IndexWriter). Readers are always safe
-against the writer: every mutation is an atomic manifest replace, a
-retried batch of the single writer is exactly-once, and compaction
-does NOT delete the retired segment dirs (an in-flight search over
-the old manifest keeps reading them) — ``vacuum_bm25_index`` reclaims
-unlisted dirs later, age-gated so it cannot yank a segment from under
-a live reader or a mid-stage add.
+Concurrency contract (r16 — upgraded from the documented single-writer
+posture): every manifest read-modify-write claims an O_EXCL GENERATION
+marker before its atomic replace (the shared fsutil protocol, ADVICE
+r15), so two concurrent mutators can no longer lose an update — a
+losing add re-applies its delta onto the winner's manifest when their
+doc_id sets are disjoint (first-writer-wins stays intact) and aborts
+loudly when they overlap; a losing compaction refolds; a losing repair
+recounts. Readers are always safe against writers: every mutation is
+an atomic manifest replace, a retried batch of the S38 stream writer
+is exactly-once, and compaction does NOT delete the retired segment
+dirs (an in-flight search over the old manifest keeps reading them;
+their retirement moment is stamped via os.utime) —
+``vacuum_bm25_index`` reclaims unlisted dirs later, age-gated so it
+cannot yank a segment from under a live reader or a mid-stage add.
 """
 
 from __future__ import annotations
@@ -163,14 +165,29 @@ def _write_segment(
     }
 
 
-def _commit_manifest(index_dir: str, manifest: dict) -> None:
-    """Atomic manifest replace (write temp + os.replace): readers see
-    the old manifest or the new one, never a torn file. This is the
-    single commit point of every index mutation."""
+def _commit_manifest(index_dir: str, manifest: dict) -> bool:
+    """Claim generation read+1 (r16 — the vector_index generation
+    protocol shared via fsutil), then atomic manifest replace (write
+    temp + os.replace): readers see the old manifest or the new one,
+    never a torn file. Returns False when another writer committed
+    first — the caller re-reads and re-applies its delta, or aborts
+    when the deltas conflict (overlapping doc_ids). This is the single
+    commit point of every index mutation."""
+    from utility_service_areas_spark.sources.fsutil import (
+        claim_generation,
+        clear_generation_markers,
+    )
+
+    gen = int(manifest.get("generation", 0)) + 1
+    if not claim_generation(index_dir, gen):
+        return False
+    manifest["generation"] = gen
     tmp = _manifest_path(index_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, _manifest_path(index_dir))
+    clear_generation_markers(index_dir, below=gen)
+    return True
 
 
 def _empty_store(
@@ -214,8 +231,29 @@ def build_bm25_index(
         "n_adds": 0,
         "n_compactions": 0,
     }
-    _commit_manifest(index_dir, manifest)
-    return manifest
+    # Carry a live index's generation forward (rebuild = overwrite);
+    # with no committed manifest, leftover markers are crashed-claim
+    # debris — clear them rather than wedge the bootstrap.
+    import time as _time
+
+    from utility_service_areas_spark.sources.fsutil import (
+        clear_generation_markers,
+    )
+
+    for _attempt in range(20):
+        try:
+            with open(_manifest_path(index_dir)) as f:
+                manifest["generation"] = int(json.load(f).get("generation", 0))
+        except FileNotFoundError:
+            manifest.pop("generation", None)
+            clear_generation_markers(index_dir)
+        if _commit_manifest(index_dir, manifest):
+            return manifest
+        _time.sleep(0.05)
+    raise RuntimeError(
+        f"build could not claim a manifest generation at {index_dir} "
+        "(extreme commit contention)"
+    )
 
 
 def load_bm25_index(
@@ -301,12 +339,54 @@ def add_to_bm25_index(
     seg = _write_segment(
         spark, index_dir, new_postings, new_doclens, manifest["n_buckets"]
     )
-    if seg:
-        manifest["segments"].append(seg)
-        manifest["n_docs"] += seg["n_docs"]
-        manifest["l_total"] += seg["l_total"]
-    manifest["n_adds"] += 1
-    _commit_manifest(index_dir, manifest)
+    # Optimistic-concurrency commit (r16, the vector_index generation
+    # protocol): the segment is staged once; on a lost claim the delta
+    # re-applies onto the winner's manifest — UNLESS the winner added
+    # any of OUR doc_ids, which would break first-writer-wins
+    # disjointness (the anti-join above ran against a stale committed
+    # set). That conflict aborts loudly; the staged segment stays an
+    # unlisted orphan for the age-gated vacuum.
+    import time as _time
+
+    seen_names = {s["name"] for s in manifest["segments"]}
+    root = _segments_root(index_dir)
+    for _attempt in range(20):
+        if seg:
+            manifest["segments"].append(seg)
+            manifest["n_docs"] += seg["n_docs"]
+            manifest["l_total"] += seg["l_total"]
+        manifest["n_adds"] += 1
+        if _commit_manifest(index_dir, manifest):
+            break
+        _time.sleep(0.05)
+        with open(_manifest_path(index_dir)) as f:
+            manifest = json.load(f)  # fresh read: deltas never double
+        winner_new = [
+            s["name"]
+            for s in manifest["segments"]
+            if s["name"] not in seen_names and (not seg or s["name"] != seg["name"])
+        ]
+        seen_names = {s["name"] for s in manifest["segments"]}
+        if seg and winner_new:
+            theirs = spark.read.parquet(
+                *[os.path.join(root, n, "doclens") for n in winner_new]
+            )
+            ours = spark.read.parquet(
+                os.path.join(root, seg["name"], "doclens")
+            )
+            n_dup = ours.join(theirs, "doc_id", "left_semi").count()
+            if n_dup:
+                raise RuntimeError(
+                    f"concurrent add committed {n_dup} of this batch's "
+                    f"doc_ids first at {index_dir} — first-writer-wins "
+                    "disjointness would break; re-run the add (the retry "
+                    "will skip the already-committed docs)"
+                )
+    else:
+        raise RuntimeError(
+            f"add could not claim a manifest generation at {index_dir} "
+            "(extreme commit contention)"
+        )
     if compact_every and len(manifest["segments"]) >= compact_every:
         manifest = compact_bm25_index(spark, index_dir)
     return manifest
@@ -324,41 +404,53 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
     across segments by first-writer-wins, so union == concatenation.
     Counts are carried additively from the retired entries, not
     recounted."""
-    manifest, postings, doclens = load_bm25_index(spark, index_dir)
-    old = list(manifest["segments"])
-    if len(old) <= 1:
-        return manifest
-    seg = _write_segment(
-        spark,
-        index_dir,
-        postings.drop("pbucket"),
-        doclens,
-        manifest["n_buckets"],
-    )
-    # seg's measured counts must equal the additive totals (disjoint
-    # union); trust-but-verify cheaply here since we just paid the read.
-    # seg is None when the committed doclens were EMPTY despite the
-    # manifest claiming docs (out-of-band corruption) — that's the same
-    # lost-docs diagnostic, not a TypeError (ADVICE r14 #2).
-    if seg is None or seg["n_docs"] != manifest["n_docs"]:
-        raise RuntimeError(
-            "compaction lost docs: "
-            f"{seg['n_docs'] if seg else 0} != {manifest['n_docs']}"
+    import time as _time
+
+    for _attempt in range(20):
+        manifest, postings, doclens = load_bm25_index(spark, index_dir)
+        old = list(manifest["segments"])
+        if len(old) <= 1:
+            return manifest
+        seg = _write_segment(
+            spark,
+            index_dir,
+            postings.drop("pbucket"),
+            doclens,
+            manifest["n_buckets"],
         )
-    manifest["segments"] = [seg]
-    manifest["n_compactions"] += 1
-    _commit_manifest(index_dir, manifest)
-    # ADVICE r15 #3: stamp RETIREMENT time on the replaced dirs so the
-    # vacuum grace window protects a pre-compaction manifest's reader
-    # for grace_seconds from NOW — an old segment's write-time mtime
-    # would make it sweepable the instant it was retired.
-    root = _segments_root(index_dir)
-    for entry in old:
-        try:
-            os.utime(os.path.join(root, entry["name"]))
-        except FileNotFoundError:
-            pass
-    return manifest
+        # seg's measured counts must equal the additive totals (disjoint
+        # union); trust-but-verify cheaply here since we just paid the
+        # read. seg is None when the committed doclens were EMPTY despite
+        # the manifest claiming docs (out-of-band corruption) — that's
+        # the same lost-docs diagnostic, not a TypeError (ADVICE r14 #2).
+        if seg is None or seg["n_docs"] != manifest["n_docs"]:
+            raise RuntimeError(
+                "compaction lost docs: "
+                f"{seg['n_docs'] if seg else 0} != {manifest['n_docs']}"
+            )
+        manifest["segments"] = [seg]
+        manifest["n_compactions"] += 1
+        if not _commit_manifest(index_dir, manifest):
+            # lost to a concurrent add: the fold misses its segment —
+            # the staged fold stays an unlisted orphan, refold (r16)
+            _time.sleep(0.05)
+            continue
+        # ADVICE r15 #3: stamp RETIREMENT time on the replaced dirs so
+        # the vacuum grace window protects a pre-compaction manifest's
+        # reader for grace_seconds from NOW — an old segment's
+        # write-time mtime would make it sweepable the instant it was
+        # retired.
+        root = _segments_root(index_dir)
+        for entry in old:
+            try:
+                os.utime(os.path.join(root, entry["name"]))
+            except FileNotFoundError:
+                pass
+        return manifest
+    raise RuntimeError(
+        f"compaction kept losing the manifest claim at {index_dir} "
+        "(extreme commit contention)"
+    )
 
 
 def vacuum_bm25_index(
@@ -400,24 +492,32 @@ def repair_bm25_manifest(spark: SparkSession, index_dir: str) -> dict:
     committed segment's (n_docs, l_total) from its parquet and rewrite
     the manifest. O(store) by design — run it on suspicion (a manifest
     edited out-of-band), not per add."""
-    manifest, _p, _d = load_bm25_index(spark, index_dir)
-    segs = []
-    for s in manifest["segments"]:
-        n_docs, l_total = (
-            spark.read.parquet(
-                os.path.join(_segments_root(index_dir), s["name"], "doclens")
+    import time as _time
+
+    for _attempt in range(20):
+        manifest, _p, _d = load_bm25_index(spark, index_dir)
+        segs = []
+        for s in manifest["segments"]:
+            n_docs, l_total = (
+                spark.read.parquet(
+                    os.path.join(_segments_root(index_dir), s["name"], "doclens")
+                )
+                .agg(F.count(F.lit(1)), F.sum("dl"))
+                .collect()[0]
             )
-            .agg(F.count(F.lit(1)), F.sum("dl"))
-            .collect()[0]
-        )
-        segs.append(
-            {"name": s["name"], "n_docs": int(n_docs), "l_total": int(l_total or 0)}
-        )
-    manifest["segments"] = segs
-    manifest["n_docs"] = sum(s["n_docs"] for s in segs)
-    manifest["l_total"] = sum(s["l_total"] for s in segs)
-    _commit_manifest(index_dir, manifest)
-    return manifest
+            segs.append(
+                {"name": s["name"], "n_docs": int(n_docs), "l_total": int(l_total or 0)}
+            )
+        manifest["segments"] = segs
+        manifest["n_docs"] = sum(s["n_docs"] for s in segs)
+        manifest["l_total"] = sum(s["l_total"] for s in segs)
+        if _commit_manifest(index_dir, manifest):
+            return manifest
+        _time.sleep(0.05)  # lost to a concurrent writer: recount fresh
+    raise RuntimeError(
+        f"repair kept losing the manifest claim at {index_dir} "
+        "(extreme commit contention)"
+    )
 
 
 def search_bm25_index(

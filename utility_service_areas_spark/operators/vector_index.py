@@ -30,7 +30,10 @@ one writer commits each generation; a loser re-reads the winner's
 manifest and re-applies its delta, so two concurrent adds BOTH land
 (neither's segment is dropped by a last-replace-wins overwrite) and a
 compaction racing an add refolds instead of losing the new segment.
-A crashed claimer's marker is stolen after ``_GEN_STEAL_SECONDS``. JSON floats round-trip IEEE doubles
+A crashed claimer's marker is stolen after
+``fsutil.GEN_STEAL_SECONDS``.
+
+JSON floats round-trip IEEE doubles
 exactly (repr shortest-decimal), so decode from the manifest is
 bit-identical to decode from the in-memory fit.
 
@@ -76,49 +79,22 @@ def _segments_root(index_dir: str) -> str:
     return os.path.join(index_dir, "segments")
 
 
-# How long an unfinished generation claim blocks other writers before
-# they steal it (a crashed writer's marker must not wedge the index
-# forever; a LIVE writer finishes its replace in milliseconds).
-_GEN_STEAL_SECONDS = 60.0
-
-
-def _claim_generation(index_dir: str, gen: int) -> bool:
-    """O_CREAT|O_EXCL claim of manifest generation ``gen`` (ADVICE r15:
-    the unlocked manifest read-modify-write let two concurrent adds
-    both commit with the LAST replace silently dropping the other's
-    segment). Exactly one writer wins a generation number; a loser
-    re-reads the winner's manifest and re-applies its delta. A marker
-    older than the steal window with no committed manifest at that
-    generation is a crashed writer's leftover — removed so the next
-    attempt can claim."""
-    import time
-
-    marker = os.path.join(index_dir, f"_gen-{gen:09d}")
-    try:
-        os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        return True
-    except FileExistsError:
-        try:
-            age = time.time() - os.path.getmtime(marker)
-        except FileNotFoundError:
-            return False  # holder finished or another stealer won
-        if age >= _GEN_STEAL_SECONDS:
-            try:
-                os.remove(marker)  # crashed claimer: unwedge the index
-            except FileNotFoundError:
-                pass
-        return False
-
-
 def _commit_manifest(index_dir: str, manifest: dict) -> bool:
-    """Claim generation read+1, then atomic manifest replace — readers
-    see the old manifest or the new one, never a torn file. Returns
-    False when another writer committed first (the caller re-reads and
-    re-applies its delta — the optimistic-concurrency loop every
-    mutation here runs). The single commit point of every index
-    mutation."""
+    """Claim generation read+1 (ADVICE r15: the unlocked manifest
+    read-modify-write let two concurrent adds both commit with the
+    LAST replace silently dropping the other's segment), then atomic
+    manifest replace — readers see the old manifest or the new one,
+    never a torn file. Returns False when another writer committed
+    first (the caller re-reads and re-applies its delta — the
+    optimistic-concurrency loop every mutation here runs). The single
+    commit point of every index mutation."""
+    from utility_service_areas_spark.sources.fsutil import (
+        claim_generation,
+        clear_generation_markers,
+    )
+
     gen = int(manifest.get("generation", 0)) + 1
-    if not _claim_generation(index_dir, gen):
+    if not claim_generation(index_dir, gen):
         return False
     manifest["generation"] = gen
     tmp = _manifest_path(index_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -126,12 +102,7 @@ def _commit_manifest(index_dir: str, manifest: dict) -> bool:
         json.dump(manifest, f)
     os.replace(tmp, _manifest_path(index_dir))
     # markers below the committed generation are dead history
-    for name in os.listdir(index_dir):
-        if name.startswith("_gen-") and int(name[5:]) < gen:
-            try:
-                os.remove(os.path.join(index_dir, name))
-            except FileNotFoundError:
-                pass
+    clear_generation_markers(index_dir, below=gen)
     return True
 
 
@@ -253,12 +224,11 @@ def build_ivfpq_index(
             # delta could lose — first builds are whole-index
             # overwrites, so last-wins is consistent); clear them
             # rather than wedging the bootstrap behind the steal gate.
-            for name in os.listdir(index_dir):
-                if name.startswith("_gen-"):
-                    try:
-                        os.remove(os.path.join(index_dir, name))
-                    except FileNotFoundError:
-                        pass
+            from utility_service_areas_spark.sources.fsutil import (
+                clear_generation_markers,
+            )
+
+            clear_generation_markers(index_dir)
         if _commit_manifest(index_dir, manifest):
             return manifest
         time.sleep(0.05)

@@ -66,3 +66,69 @@ def vacuum_unlisted_dirs(
     for name in drop:
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return plan
+
+
+# ---------------------------------------------------------------------------
+# Manifest generation claims (ADVICE r15): the shared optimistic-
+# concurrency primitive for the manifest-committed stores. A store's
+# manifest read-modify-write claims generation read+1 with an O_EXCL
+# marker before the atomic replace — exactly one writer commits each
+# generation; a loser re-reads the winner's manifest and re-applies
+# its delta (or aborts loudly when the deltas conflict).
+# ---------------------------------------------------------------------------
+
+# How long an unfinished claim blocks other writers before they steal
+# it (a crashed writer's marker must not wedge the store forever; a
+# LIVE writer finishes its replace in milliseconds).
+GEN_STEAL_SECONDS = 60.0
+
+
+def claim_generation(root: str, gen: int, steal_seconds: float | None = None) -> bool:
+    """O_CREAT|O_EXCL claim of manifest generation ``gen`` under
+    ``root``. Exactly one writer wins a generation number. A marker
+    older than the steal window is a crashed writer's leftover —
+    removed so the next attempt can claim (the remove itself tolerates
+    a racing stealer)."""
+    import time
+
+    if steal_seconds is None:
+        steal_seconds = GEN_STEAL_SECONDS
+    marker = os.path.join(root, f"_gen-{gen:09d}")
+    try:
+        os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        return True
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(marker)
+        except FileNotFoundError:
+            return False  # holder finished or another stealer won
+        if age >= steal_seconds:
+            try:
+                os.remove(marker)  # crashed claimer: unwedge the store
+            except FileNotFoundError:
+                pass
+        return False
+
+
+def clear_generation_markers(root: str, below: int | None = None) -> None:
+    """Remove claim markers under ``root`` — all of them (a fresh store
+    bootstrap over crashed-claim leftovers), or only those strictly
+    below ``below`` (committed history; the CURRENT generation's marker
+    must persist, it is what makes a stale-read racer's claim fail)."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if not name.startswith("_gen-"):
+            continue
+        try:
+            gen = int(name[5:])
+        except ValueError:
+            continue
+        if below is not None and gen >= below:
+            continue
+        try:
+            os.remove(os.path.join(root, name))
+        except FileNotFoundError:
+            pass
