@@ -1569,3 +1569,107 @@ def test_vector_stream_writer_requires_explicit_app_id(spark):
     assert vector_index_stream_writer(
         stream, "/tmp/nope-idx", fresh_app_id=True
     )
+
+
+# ---------------------------------------------------------------------------
+# S46 (r16): versioned-table STREAMING SOURCE — readStream over commits
+# ---------------------------------------------------------------------------
+
+
+def _drain_versioned_stream(spark, t, ckpt, opts=None):
+    """One availableNow pass of readStream.format('versioned_table');
+    returns the collected rows (set of tuples)."""
+    got = []
+
+    def sink(df, batch_id):
+        got.extend(tuple(r) for r in df.collect())
+
+    reader = spark.readStream.format("versioned_table")
+    for k, v in (opts or {}).items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return set(got)
+
+
+def test_versioned_stream_source_tails_appends(spark, tmp_path):
+    """The S46 headline: a readStream over a versioned table emits the
+    starting snapshot plus each append's OWN rows exactly once, and a
+    restart from the same checkpoint picks up only versions committed
+    since — the Delta streaming-source contract on this protocol."""
+    from utility_service_areas_spark.sources.versioned import write_version
+
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_version(mk([(1, "a"), (2, "b")]), t)
+    write_version(mk([(3, "c")]), t)
+
+    got = _drain_versioned_stream(spark, t, ckpt)
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    # new appends after the drain: a restart emits ONLY them
+    write_version(mk([(4, "d")]), t)
+    write_version(mk([(5, "e")]), t)
+    got2 = _drain_versioned_stream(spark, t, ckpt)
+    assert got2 == {(4, "d"), (5, "e")}
+
+    # nothing new -> empty drain, not a replay
+    assert _drain_versioned_stream(spark, t, ckpt) == set()
+
+
+def test_versioned_stream_source_rejects_rewrites_unless_opted_in(
+    spark, tmp_path
+):
+    """A non-append version mid-stream raises by default (a rewrite is
+    not new rows); ignore_changes emits its new files with the
+    documented reappearing-rows caveat."""
+    from utility_service_areas_spark.sources.versioned import write_version
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_version(mk([(1, "a")]), t)
+    write_version(mk([(2, "b")]), t)
+    write_version(mk([(9, "z"), (1, "a2")]), t, mode="overwrite")
+
+    import pytest
+
+    with pytest.raises(Exception, match="ignore_changes"):
+        _drain_versioned_stream(spark, t, str(tmp_path / "c1"))
+
+    got = _drain_versioned_stream(
+        spark, t, str(tmp_path / "c2"), opts={"ignore_changes": "true"}
+    )
+    # v0 snapshot + v1 append + v2's rewritten files (reappearance)
+    assert got == {(1, "a"), (2, "b"), (9, "z"), (1, "a2")}
+
+
+def test_versioned_stream_source_starting_version(spark, tmp_path):
+    """starting_version=n begins with version n's FULL snapshot (an
+    append manifest references all prior dirs), skipping older
+    history; an uncommitted starting version is loud."""
+    from utility_service_areas_spark.sources.versioned import write_version
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_version(mk([(1, "a")]), t)
+    write_version(mk([(2, "b")]), t)
+    write_version(mk([(3, "c")]), t)
+
+    got = _drain_versioned_stream(
+        spark, t, str(tmp_path / "c1"), opts={"starting_version": "1"}
+    )
+    assert got == {(1, "a"), (2, "b"), (3, "c")}  # v1 snapshot + v2
+
+    import pytest
+
+    with pytest.raises(Exception, match="not a committed version"):
+        _drain_versioned_stream(
+            spark, t, str(tmp_path / "c2"), opts={"starting_version": "99"}
+        )

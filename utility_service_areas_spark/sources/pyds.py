@@ -635,44 +635,160 @@ class VersionedTableReader(DataSourceReader):
     def read(self, partition: VersionedTablePartition):
         if partition is None:
             return
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
+        yield from _arrow_scan_file(partition, self._columns, self._schema)
 
-        pf = pq.ParquetFile(partition.file_path)
-        # Zone-pruned partitions carry the row groups that survived
-        # planning; everything else reads the whole file.
-        rgs = getattr(partition, "row_groups", None)
-        row_groups = list(range(pf.num_row_groups)) if rgs is None else rgs
-        # Arrow batches bind to the announced schema POSITIONALLY, and
-        # append allows schema-valid column REORDERING across commits
-        # (the _schema_key check is order-insensitive) — so every
-        # batch is re-projected to the reader's schema order. Without
-        # this, a reordered-append table crashed on type mismatch or
-        # silently swapped same-typed columns (r13 code review #1).
-        file_cols = set(pf.schema_arrow.names)
-        missing = [c for c in self._columns if c not in file_cols]
-        if not missing:
-            for batch in pf.iter_batches(row_groups=row_groups):
-                yield batch.select(self._columns)
-            return
-        # evolved lineage (S33 merge_schema, r15): this file predates
-        # an added column — surface it as NULLs of the announced type,
-        # exactly like read_version's explicit-schema scan
-        arrow_schema = to_arrow_schema(self._schema)
+
+def _arrow_scan_file(
+    partition: VersionedTablePartition,
+    columns: list[str],
+    schema: "StructType",
+):
+    """Executor-side Arrow scan of one committed parquet file — shared
+    by the batch and streaming versioned-table readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    pf = pq.ParquetFile(partition.file_path)
+    # Zone-pruned partitions carry the row groups that survived
+    # planning; everything else reads the whole file.
+    rgs = getattr(partition, "row_groups", None)
+    row_groups = list(range(pf.num_row_groups)) if rgs is None else rgs
+    # Arrow batches bind to the announced schema POSITIONALLY, and
+    # append allows schema-valid column REORDERING across commits
+    # (the _schema_key check is order-insensitive) — so every
+    # batch is re-projected to the reader's schema order. Without
+    # this, a reordered-append table crashed on type mismatch or
+    # silently swapped same-typed columns (r13 code review #1).
+    file_cols = set(pf.schema_arrow.names)
+    missing = [c for c in columns if c not in file_cols]
+    if not missing:
         for batch in pf.iter_batches(row_groups=row_groups):
-            arrays = []
-            for name in self._columns:
-                if name in file_cols:
-                    arrays.append(batch.column(name))
-                else:
-                    arrays.append(
-                        pa.nulls(
-                            batch.num_rows,
-                            type=arrow_schema.field(name).type,
-                        )
+            yield batch.select(columns)
+        return
+    # evolved lineage (S33 merge_schema, r15): this file predates
+    # an added column — surface it as NULLs of the announced type,
+    # exactly like read_version's explicit-schema scan
+    arrow_schema = to_arrow_schema(schema)
+    for batch in pf.iter_batches(row_groups=row_groups):
+        arrays = []
+        for name in columns:
+            if name in file_cols:
+                arrays.append(batch.column(name))
+            else:
+                arrays.append(
+                    pa.nulls(
+                        batch.num_rows,
+                        type=arrow_schema.field(name).type,
                     )
-            yield pa.RecordBatch.from_arrays(arrays, names=self._columns)
+                )
+        yield pa.RecordBatch.from_arrays(arrays, names=columns)
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    """S46 (r16): `spark.readStream.format("versioned_table")` — the
+    Delta STREAMING SOURCE posture for the versioned-table protocol.
+    Each micro-batch emits the rows of versions committed since the
+    last offset; the offset is simply the highest version consumed, so
+    exactly-once across restarts falls out of the engine's offset log
+    plus manifest immutability (a replayed range re-plans byte-
+    identical dirs).
+
+    Contract (Delta's): the stream tails APPEND commits — an append
+    version contributes exactly its own commit's data dirs (the
+    manifest diff vs its parent). The STARTING version contributes its
+    full snapshot (data_dirs as committed), like Delta's initial
+    snapshot; `.option("starting_version", n)` skips history (the
+    stream begins with version n's full snapshot; n must still be
+    committed — vacuumed history raises). A later OVERWRITE or MERGE
+    version is NOT an append — it raises by default (silently treating
+    a rewrite as new rows would double-count); pass
+    `.option("ignore_changes", "true")` to emit such versions' new
+    dirs anyway (Delta ignoreChanges: rewritten rows reappear,
+    downstream must dedup — documented caveat, same name semantics).
+
+    Schema is fixed at stream start (the latest manifest). Files from
+    later versions that EVOLVED extra columns project down to it;
+    pre-evolution files null-fill through the same Arrow path as the
+    batch reader."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self._table_dir = _path_option(options)
+        self._schema = schema
+        self._columns = [f.name for f in schema.fields]
+        self._ignore_changes = str(
+            options.get("ignore_changes", "false")
+        ).lower() in ("true", "1")
+        start = options.get("starting_version")
+        self._starting_version = None if start is None else int(start)
+
+    def initialOffset(self) -> dict:
+        from utility_service_areas_spark.sources import versioned as v
+
+        if self._starting_version is not None:
+            if self._starting_version not in v.list_versions(self._table_dir):
+                raise ValueError(
+                    f"starting_version {self._starting_version} is not a "
+                    f"committed version at {self._table_dir} (have "
+                    f"{v.list_versions(self._table_dir)})"
+                )
+            # the starting version itself is emitted as the first batch
+            return {"version": self._starting_version - 1}
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        from utility_service_areas_spark.sources import versioned as v
+
+        versions = v.list_versions(self._table_dir)
+        return {"version": versions[-1] if versions else -1}
+
+    def partitions(self, start: dict, end: dict):
+        from utility_service_areas_spark.sources import versioned as v
+
+        out = []
+        prev_dirs: set[str] = set()
+        for ver in range(start["version"] + 1, end["version"] + 1):
+            man = v._read_manifest(self._table_dir, ver)  # raises if vacuumed
+            if ver == start["version"] + 1:
+                if start["version"] >= 0:
+                    prev = v._read_manifest(self._table_dir, start["version"])
+                    prev_dirs = set(prev["data_dirs"])
+                else:
+                    prev_dirs = set()
+            is_first_emitted = ver == self._starting_version or (
+                self._starting_version is None and ver == 0
+            )
+            if man.get("mode") != "append" and not is_first_emitted:
+                if not self._ignore_changes:
+                    raise RuntimeError(
+                        f"version {ver} at {self._table_dir} is mode="
+                        f"{man.get('mode')!r}, not an append — a streaming "
+                        "read cannot treat a rewrite as new rows; set "
+                        ".option('ignore_changes', 'true') to emit its new "
+                        "files anyway (rewritten rows will reappear)"
+                    )
+            new_dirs = (
+                list(man["data_dirs"])
+                if is_first_emitted
+                else [d for d in man["data_dirs"] if d not in prev_dirs]
+            )
+            for rel in new_dirs:
+                d = os.path.join(self._table_dir, rel)
+                for name in sorted(os.listdir(d)):
+                    if name.endswith(".parquet"):
+                        out.append(
+                            VersionedTablePartition(os.path.join(d, name))
+                        )
+            prev_dirs = set(man["data_dirs"])
+        return out
+
+    def read(self, partition: VersionedTablePartition):
+        # same Arrow fast path (projection + null-fill) as the batch
+        # reader — one implementation of the file scan
+        yield from _arrow_scan_file(partition, self._columns, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are version numbers; manifests are immutable
 
 
 class VersionedTableDataSource(DataSource):
@@ -715,3 +831,6 @@ class VersionedTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> VersionedTableReader:
         return VersionedTableReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> VersionedTableStreamReader:
+        return VersionedTableStreamReader(self.options, schema)
