@@ -572,14 +572,18 @@ def _versioned_manifest(options: dict) -> tuple[str, dict]:
     return path, v._read_manifest(path, ver)
 
 
-def _versioned_files(table_dir: str, manifest: dict) -> list[str]:
+def _files_in_dirs(table_dir: str, rels: list[str]) -> list[str]:
     files = []
-    for rel in manifest["data_dirs"]:
+    for rel in rels:
         d = os.path.join(table_dir, rel)
         for name in sorted(os.listdir(d)):
             if name.endswith(".parquet"):
                 files.append(os.path.join(d, name))
     return files
+
+
+def _versioned_files(table_dir: str, manifest: dict) -> list[str]:
+    return _files_in_dirs(table_dir, manifest["data_dirs"])
 
 
 class VersionedTableReader(DataSourceReader):
@@ -612,10 +616,74 @@ class VersionedTableReader(DataSourceReader):
                 self._pushed.append(f)
             yield f
 
+    def _pruned_buckets(self) -> "set[int] | None":
+        """Bucket ids the pushed filters allow on a BUCKETED lineage,
+        or None when bucket pruning does not apply (not every bucket
+        key is pinned to a finite literal set, or a type the hash
+        replica does not cover). Evaluates the table's own
+        pmod(xxhash64(keys), n) driver-side — sparkhash.py is pinned
+        against F.xxhash64, so the planner computes the same bucket
+        the writer did."""
+        from itertools import product
+
+        from utility_service_areas_spark.functions.sparkhash import (
+            spark_hash_bucket,
+            supported_hash_type,
+        )
+
+        man = self._manifest
+        cols = man.get("bucket_cols")
+        if not cols:
+            return None
+        types = {f.name: f.dataType.simpleString() for f in self._schema.fields}
+        per_col = []
+        for c in cols:
+            t = types.get(c)
+            if t is None or not supported_hash_type(t):
+                return None
+            vals = None
+            for f in self._pushed:
+                if f.attribute[0] != c:
+                    continue
+                if isinstance(f, EqualTo):
+                    s = {f.value}
+                elif isinstance(f, In):
+                    # IN with a NULL literal never matches the NULL
+                    s = {v for v in f.value if v is not None}
+                else:
+                    continue  # range shapes don't pin a hash bucket
+                vals = s if vals is None else (vals & s)
+            if vals is None:
+                return None  # this key isn't pinned to a finite set
+            if not vals:
+                return set()  # contradictory conjunction: empty scan
+            if len(vals) > 64:
+                return None  # not worth a combinatorial hash sweep
+            per_col.append([(v, t) for v in sorted(vals, key=repr)])
+        out: set[int] = set()
+        for combo in product(*per_col):
+            try:
+                out.add(spark_hash_bucket(list(combo), man["n_buckets"]))
+            except (KeyError, TypeError, ValueError, OverflowError):
+                return None  # unexpected literal shape: cannot prune
+        return out
+
     def partitions(self):
         # one partition per parquet part file — data-parallel reads,
         # empty snapshots (all rows deleted) give zero partitions
-        files = _versioned_files(self._table_dir, self._manifest)
+        files = None
+        if self._pushed and "buckets" in self._manifest:
+            allowed = self._pruned_buckets()
+            if allowed is not None:
+                # the layout's own hash pins the scan to these buckets
+                dirs = [
+                    d
+                    for b in sorted(allowed)
+                    for d in self._manifest["buckets"].get(str(b), [])
+                ]
+                files = _files_in_dirs(self._table_dir, dirs)
+        if files is None:
+            files = _versioned_files(self._table_dir, self._manifest)
         if not self._pushed:
             return [VersionedTablePartition(f) for f in files]
         # Driver-side footer pass: skip files whose zones provably
@@ -806,9 +874,13 @@ class VersionedTableDataSource(DataSource):
     footer min/max — on a Z-ORDERed table (optimize_version) a range
     predicate reads the few files its zones allow instead of all of
     them, automatically (VERDICT r15 task #2; files_scanned_for_range
-    predicts exactly the partition count planned). Spark re-applies
-    every predicate above the scan, so results are row-identical with
-    pruning on or off."""
+    predicts exactly the partition count planned). On a BUCKETED
+    lineage (write_version_bucketed), EqualTo/In predicates covering
+    the bucket key additionally prune to the matching buckets' dirs —
+    the planner evaluates the layout's own pmod(xxhash64(keys), n)
+    via the pinned replica in functions/sparkhash.py (r16). Spark
+    re-applies every predicate above the scan, so results are
+    row-identical with pruning on or off."""
 
     @classmethod
     def name(cls) -> str:
