@@ -918,3 +918,48 @@ def test_optimize_hilbert_row_identical_and_prunes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="morton|hilbert"):
         optimize_version(spark, t, ["a"], curve="peano")
+
+
+def test_restore_version_rereferences_without_rewrite(spark, tmp_path):
+    """RESTORE (r16): commit a new version that IS an old snapshot by
+    dir reference — O(1), no parquet written, history intact, and the
+    restore keeps the referenced dirs alive through vacuum."""
+    from utility_service_areas_spark.sources.versioned import (
+        restore_version,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    v0 = write_version_bucketed(
+        _kv(spark, [(k, f"v{k}") for k in range(32)]), t, ["k"], 4
+    )
+    v1 = merge_version(spark, t, _ch(spark, [(3, "BAD", "U"), (7, None, "D")]))
+    want_v0 = {(r.k, r.v) for r in read_version(spark, t, v0).collect()}
+
+    def _data_dirs():
+        return sorted(os.listdir(os.path.join(t, "data")))
+
+    dirs_before = _data_dirs()
+    v2 = restore_version(t, v0)
+    assert v2 == v1 + 1
+    assert _data_dirs() == dirs_before  # nothing written: pure reference
+
+    man = _manifest(t, v2)
+    assert man["mode"] == "restore" and man["restored_from"] == v0
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == want_v0
+    # history intact: the bad version still reads
+    assert (3, "BAD") in {(r.k, r.v) for r in read_version(spark, t, v1).collect()}
+    # restoring to the latest is a no-op, not a new commit
+    assert restore_version(t, v2) == v2
+
+    # the restored lineage keeps its bucket map: merges still COW
+    v3 = merge_version(spark, t, _ch(spark, [(5, "NEW", "U")]))
+    got = {(r.k, r.v) for r in read_version(spark, t, v3).collect()}
+    assert got == (want_v0 - {(5, "v5")}) | {(5, "NEW")}
+
+    # vacuum keeping only the restore (and later) must keep v0's dirs
+    from tests.conftest import backdate_tree
+
+    backdate_tree(t)
+    vacuum(t, keep_last=2, tmp_grace_seconds=0)
+    assert {(r.k, r.v) for r in read_version(spark, t, v2).collect()} == want_v0

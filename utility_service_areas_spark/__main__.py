@@ -158,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
             "diff",
             "vacuum",
             "optimize",
+            "restore",
         ),
     )
     tab.add_argument("--table-dir", required=True)
@@ -268,6 +269,11 @@ def main(argv: list[str] | None = None) -> int:
                         f"optimized -> v{v}: {len(zones)} files, {key} "
                         "has no zone stats (all-NULL column?)"
                     )
+        elif args.action == "restore":
+            if args.version is None:
+                ap.error("table restore requires --version")
+            v = vt.restore_version(args.table_dir, args.version)
+            print(f"restored v{args.version} -> v{v} at {args.table_dir}")
         elif args.action == "read":
             df = (
                 spark.read.format("versioned_table")

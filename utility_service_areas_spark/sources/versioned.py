@@ -297,6 +297,59 @@ def _read_snapshot(
     return spark.read.parquet(*paths)
 
 
+def restore_version(table_dir: str, version: int, max_attempts: int = 20) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF n`` (r16): commit a
+    NEW version whose content is exactly ``version``'s — by REFERENCE
+    (the new manifest lists the old version's data dirs; no byte is
+    read or rewritten, an O(1) driver-side commit). History stays
+    intact: the bad versions remain readable for forensics until
+    vacuum, and the restore itself is one more auditable commit (the
+    manifest records ``restored_from``), never a rollback-by-deletion.
+    Works for every lineage shape — plain, evolved, bucketed (the
+    bucket map is carried verbatim so later merges keep their COW
+    scope) — and an empty snapshot restores to empty. Claim-loop
+    commit like every writer; pure stdlib (no SparkSession needed)."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {table_dir}")
+    src = _read_manifest(table_dir, version)  # raises if never committed
+    if version == versions[-1]:
+        return version  # restoring to latest is a no-op, not a new commit
+    token = uuid.uuid4().hex[:12]
+    for _attempt in range(max_attempts):
+        nxt = list_versions(table_dir)[-1] + 1
+        manifest = {
+            "version": nxt,
+            "mode": "restore",
+            "restored_from": version,
+            "data_dirs": list(src["data_dirs"]),
+            "n_rows": src["n_rows"],
+            "n_rows_commit": 0,  # nothing written: pure re-reference
+            "schema": src["schema"],
+        }
+        for key in ("schema_evolved", "bucket_cols", "n_buckets", "buckets",
+                    "bucket_rows"):
+            if key in src:
+                manifest[key] = src[key]
+        tmp = os.path.join(table_dir, f"_tmp-v{nxt}-{token}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = os.path.join(table_dir, _manifest_name(nxt))
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race: recompute against the winner
+        except FileNotFoundError:
+            continue  # temp swept mid-claim (ADVICE r13 #3) — retry
+        os.unlink(tmp)
+        return nxt
+    raise RuntimeError(
+        f"could not claim a version after {max_attempts} attempts "
+        f"(extreme commit contention on {table_dir})"
+    )
+
+
 def diff_versions(
     spark: SparkSession, table_dir: str, v_old: int, v_new: int
 ) -> dict[str, int]:
