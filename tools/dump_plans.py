@@ -130,6 +130,12 @@ HEADLINE = {
         "calendar-sized per-type window; argmax day via broadcast "
         "max-join, output one row per type"
     ),
+    "logreg_online_sweep_refresh": (
+        "batch chain reuses the localCheckpointed feature frame; each "
+        "online step is ONE partial-agg reduce over its doc_id%3 "
+        "split with scalar weight literals; the refresh sweep is the "
+        "#260 tail — a 9-row broadcast crossJoin + one keyed groupBy"
+    ),
     "text_bm25_search_persisted": (
         "postings scan pruned to the query terms' pbucket partitions "
         "(PartitionFilters) then broadcast-joined by the query dim — "
