@@ -1673,3 +1673,29 @@ def test_versioned_stream_source_starting_version(spark, tmp_path):
         _drain_versioned_stream(
             spark, t, str(tmp_path / "c2"), opts={"starting_version": "99"}
         )
+
+
+def test_versioned_stream_starting_version_survives_vacuumed_history(
+    spark, tmp_path
+):
+    """starting_version=n must not read manifests OLDER than n (the
+    first batch is a full snapshot, so pre-n history may already be
+    vacuumed)."""
+    from tests.conftest import backdate_tree
+    from utility_service_areas_spark.sources.versioned import (
+        vacuum,
+        write_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    write_version(mk([(1, "a")]), t)
+    write_version(mk([(2, "b")]), t)
+    write_version(mk([(3, "c")]), t)
+    backdate_tree(t)
+    vacuum(t, keep_last=2, tmp_grace_seconds=0)  # v0's manifest is gone
+
+    got = _drain_versioned_stream(
+        spark, t, str(tmp_path / "c1"), opts={"starting_version": "1"}
+    )
+    assert got == {(1, "a"), (2, "b"), (3, "c")}

@@ -817,15 +817,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         prev_dirs: set[str] = set()
         for ver in range(start["version"] + 1, end["version"] + 1):
             man = v._read_manifest(self._table_dir, ver)  # raises if vacuumed
-            if ver == start["version"] + 1:
-                if start["version"] >= 0:
-                    prev = v._read_manifest(self._table_dir, start["version"])
-                    prev_dirs = set(prev["data_dirs"])
-                else:
-                    prev_dirs = set()
             is_first_emitted = ver == self._starting_version or (
                 self._starting_version is None and ver == 0
             )
+            if ver == start["version"] + 1 and not is_first_emitted:
+                # a restart mid-stream needs the predecessor's dir set
+                # to diff against; the first-emitted version is a FULL
+                # snapshot, so history before it may be vacuumed freely
+                prev = v._read_manifest(self._table_dir, start["version"])
+                prev_dirs = set(prev["data_dirs"])
             if man.get("mode") != "append" and not is_first_emitted:
                 if not self._ignore_changes:
                     raise RuntimeError(
