@@ -963,3 +963,115 @@ def test_restore_version_rereferences_without_rewrite(spark, tmp_path):
     backdate_tree(t)
     vacuum(t, keep_last=2, tmp_grace_seconds=0)
     assert {(r.k, r.v) for r in read_version(spark, t, v2).collect()} == want_v0
+
+
+# ---------------------------------------------------------------------------
+# r16: write-time manifest file stats — zero-footer read planning
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_file_stats_plan_without_footers(spark, tmp_path, monkeypatch):
+    """stats_columns records per-file zones in the manifest at WRITE
+    time (the Delta commit-log posture); the reader then plans file
+    skipping from the manifest ALONE — pinned by making footer opens
+    impossible during partitions() — with the same partition count the
+    footer path produces, and row-identical answers (row-group pruning
+    moves executor-side)."""
+    import pyarrow.parquet as _pq
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from utility_service_areas_spark.sources.pyds import VersionedTableReader
+    from utility_service_areas_spark.sources.versioned import (
+        files_scanned_for_range,
+        optimize_version,
+        zone_map_audit,
+    )
+
+    rows = [(i, (i * 7919) % 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, a long").repartition(8)
+    t = str(tmp_path / "tbl")
+    write_version(df, t)
+    v = optimize_version(spark, t, ["a"], n_files=8)  # records stats for a
+    man = _manifest(t, v)
+    assert "file_stats" in man
+    stats = man["file_stats"]
+    assert sum(s["rows"] for s in stats.values()) == 4000
+    # manifest zones == footer zones (written FROM the footers)
+    for z in zone_map_audit(spark, t, v, "a"):
+        assert stats[z["file"]]["cols"]["a"] == [z["min"], z["max"]]
+
+    want_files, _ = files_scanned_for_range(
+        zone_map_audit(spark, t, v, "a"), 100, 150
+    )
+    schema = spark.read.format("versioned_table").load(t).schema
+    reader = VersionedTableReader({"path": t}, schema)
+    flt = [GreaterThanOrEqual(("a",), 100), LessThanOrEqual(("a",), 150)]
+    list(reader.pushFilters(flt))
+
+    def no_footers(*a, **kw):
+        raise AssertionError("partitions() opened a parquet footer")
+
+    import utility_service_areas_spark.sources.pyds as pyds_mod
+
+    monkeypatch.setattr(_pq, "ParquetFile", no_footers)
+    try:
+        parts = reader.partitions()
+    finally:
+        monkeypatch.undo()
+    assert len(parts) == want_files  # same plan as the footer path
+    assert all(p.row_groups is None for p in parts)  # executor prunes
+
+    got = sorted(
+        (r.id, r.a)
+        for r in spark.read.format("versioned_table")
+        .load(t)
+        .filter("a BETWEEN 100 AND 150")
+        .collect()
+    )
+    assert got == sorted((i, a) for i, a in rows if 100 <= a <= 150)
+
+
+def test_manifest_file_stats_carry_across_appends(spark, tmp_path):
+    """Appends carry the previous stats forward (immutable dirs) and
+    add their own; files without stats are simply scanned, never
+    mispruned."""
+    from pyspark.sql.datasource import EqualTo
+
+    from utility_service_areas_spark.sources.pyds import VersionedTableReader
+
+    t = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(k, "x") for k in range(10)], "k long, v string"),
+        t,
+    )  # v0: NO stats
+    write_version(
+        spark.createDataFrame(
+            [(k, "y") for k in range(100, 110)], "k long, v string"
+        ),
+        t,
+        stats_columns=["k"],
+    )  # v1: stats for its own file(s) only
+    man = _manifest(t, 1)
+    assert man.get("file_stats")  # v1's files
+    schema = spark.read.format("versioned_table").load(t).schema
+    r = VersionedTableReader({"path": t}, schema)
+    list(r.pushFilters([EqualTo(("k",), 5)]))
+    parts = r.partitions()
+    # v0 files (no stats) must all survive; every v1 file that HOLDS
+    # rows (stats say k>=100) must be skipped — empty part files carry
+    # a NULL zone and survive conservatively, which is correct
+    rels = {os.path.relpath(p.file_path, t) for p in parts}
+    assert any(rel not in man["file_stats"] for rel in rels)  # v0 kept
+    assert all(
+        man["file_stats"][rel]["rows"] == 0
+        for rel in rels
+        if rel in man["file_stats"]
+    )
+    got = {
+        (r2.k, r2.v)
+        for r2 in spark.read.format("versioned_table")
+        .load(t)
+        .filter("k = 5")
+        .collect()
+    }
+    assert got == {(5, "x")}

@@ -686,10 +686,29 @@ class VersionedTableReader(DataSourceReader):
             files = _versioned_files(self._table_dir, self._manifest)
         if not self._pushed:
             return [VersionedTablePartition(f) for f in files]
-        # Driver-side footer pass: skip files whose zones provably
-        # exclude the conjunction, and hand survivors their surviving
-        # row-group list. Metadata-only reads (statistics, no data
-        # pages) — the same cost zone_map_audit already pays.
+        file_stats = self._manifest.get("file_stats")
+        if file_stats:
+            # Write-time stats in the manifest (the Delta commit-log
+            # posture): plan file skipping with ZERO footer I/O; the
+            # survivors' row-group pruning happens executor-side in
+            # read() against each file's own footer (row_groups=None +
+            # pushed filters = prune locally).
+            out = []
+            for path in files:
+                rel = os.path.relpath(path, self._table_dir)
+                st = file_stats.get(rel)
+                if st is not None and not all(
+                    _zone_allows(*st["cols"].get(f.attribute[0], (None, None)), f)
+                    for f in self._pushed
+                ):
+                    continue  # manifest zone provably excludes the file
+                out.append(VersionedTablePartition(path, None))
+            return out
+        # No manifest stats: driver-side footer pass — skip files whose
+        # zones provably exclude the conjunction, and hand survivors
+        # their surviving row-group list. Metadata-only reads
+        # (statistics, no data pages) — the same cost zone_map_audit
+        # already pays.
         import pyarrow.parquet as pq
 
         out = []
@@ -703,6 +722,19 @@ class VersionedTableReader(DataSourceReader):
     def read(self, partition: VersionedTablePartition):
         if partition is None:
             return
+        if self._pushed and getattr(partition, "row_groups", None) is None:
+            # manifest-stats planning skipped the footer driver-side:
+            # prune row groups HERE, against the one footer this task
+            # opens anyway — per-file metadata work scales with the
+            # executors, not the driver
+            import pyarrow.parquet as pq
+
+            groups = _prunable_row_groups(
+                pq.ParquetFile(partition.file_path), self._pushed
+            )
+            if groups == []:
+                return
+            partition = VersionedTablePartition(partition.file_path, groups)
         yield from _arrow_scan_file(partition, self._columns, self._schema)
 
 

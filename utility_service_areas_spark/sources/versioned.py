@@ -123,6 +123,48 @@ def _merged_schema_key(
     return sorted([n, t] for n, t in merged.items())
 
 
+def _collect_file_stats(
+    table_dir: str, rel_dir: str, columns: list[str]
+) -> dict:
+    """Per-file (rows, per-column [min, max]) for the parquet under
+    ``rel_dir``, read once from the footers at WRITE time — the Delta
+    posture: stats live in the commit log, so read-time planning never
+    opens a footer. Values must survive JSON round-tripping exactly:
+    ints and strings are kept; floats/dates/timestamps are omitted
+    (the reader then simply cannot prune on them — an omission is
+    always safe, never wrong)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    d = os.path.join(table_dir, rel_dir)
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(d, name))
+        names = pf.schema_arrow.names
+        rows = 0
+        cols: dict[str, list] = {}
+        for c in columns:
+            if c in names:
+                cols[c] = [None, None]
+        for rg in range(pf.num_row_groups):
+            meta = pf.metadata.row_group(rg)
+            rows += meta.num_rows
+            for c in list(cols):
+                st = meta.column(names.index(c)).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, str)) or isinstance(mn, bool):
+                    del cols[c]  # not JSON-exact: never record, never prune
+                    continue
+                cur = cols[c]
+                cur[0] = mn if cur[0] is None else min(cur[0], mn)
+                cur[1] = mx if cur[1] is None else max(cur[1], mx)
+        out[os.path.join(rel_dir, name)] = {"rows": rows, "cols": cols}
+    return out
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
@@ -132,6 +174,7 @@ def write_version(
     merge_schema: bool = False,
     extra_manifest: dict | None = None,
     expect_rows: int | None = None,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
@@ -161,7 +204,15 @@ def write_version(
     claim (ADVICE r15: a transform like optimize_version promises a
     row-preserving rewrite — a mismatch must raise while the suspect
     data is still an invisible orphan, never after it is the readable
-    latest)."""
+    latest).
+
+    ``stats_columns`` records per-file [min, max] zone maps for the
+    named columns in the manifest (``file_stats``, read once from the
+    staged footers — the Delta commit-log-stats posture): the
+    versioned_table DataSource then plans its file skipping from the
+    manifest alone, zero read-time footer I/O, with row-group pruning
+    pushed to the executors. Appends carry the previous version's
+    stats forward (data dirs are immutable)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn_id is not None:
@@ -183,6 +234,11 @@ def write_version(
             "nothing was committed (the staged parquet is an invisible "
             "orphan)"
         )
+    new_stats = (
+        _collect_file_stats(table_dir, rel_dir, list(stats_columns))
+        if stats_columns
+        else {}
+    )
 
     for _attempt in range(max_attempts):
         versions = list_versions(table_dir)
@@ -217,6 +273,13 @@ def write_version(
             "n_rows_commit": n_rows,
             "schema": schema_out,
         }
+        file_stats = {}
+        if mode == "append" and versions:
+            # immutable dirs: carried stats stay valid verbatim
+            file_stats.update(prev.get("file_stats", {}))
+        file_stats.update(new_stats)
+        if file_stats:
+            manifest["file_stats"] = file_stats
         if evolved:
             # sticky per lineage: readers must take the schema from
             # the manifest, not from an arbitrary parquet file
@@ -1068,6 +1131,10 @@ def optimize_version(
             "zorder_curve": curve,
         },
         expect_rows=man["n_rows"],
+        # the clustered layout's whole point is zone pruning on these
+        # keys — record their zones in the manifest so the DataSource
+        # plans file skipping with zero read-time footer I/O
+        stats_columns=list(zorder_by),
     )
 
 
