@@ -473,8 +473,21 @@ def test_rotation_matches_correctness_union():
     assert not set(_DRIVER_PRIORITY) & set(_NEXT_ROUND_REMAINDER), (
         "a key cannot be both in this round's prefix and next round's head"
     )
-    assert got == want, (
-        f"rotation drift: prefix∪remainder is missing stale keys "
-        f"{sorted(want - got)} and carries fresher-than-necessary keys "
-        f"{sorted(got - want)}"
-    )
+    if got != want:
+        # Emit the expected tuples verbatim so the round-opening
+        # rotation edit is copy-paste mechanical (VERDICT r16 task #1).
+        n_prefix = len(_DRIVER_PRIORITY)
+        exp_prefix = pool[:n_prefix]
+        exp_rem = pool[n_prefix : n_prefix + len(_NEXT_ROUND_REMAINDER)]
+
+        def _tuple_src(names):
+            return "(\n" + "".join(f'    "{n}",\n' for n in names) + ")"
+
+        raise AssertionError(
+            "rotation drift: prefix∪remainder is missing stale keys "
+            f"{sorted(want - got)} and carries fresher-than-necessary keys "
+            f"{sorted(got - want)}.\n"
+            "Paste into plans/registry.py:\n"
+            f"_DRIVER_PRIORITY = {_tuple_src(exp_prefix)}\n"
+            f"_NEXT_ROUND_REMAINDER = {_tuple_src(exp_rem)}"
+        )

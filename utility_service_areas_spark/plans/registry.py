@@ -75,84 +75,19 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-16 rotation (VERDICT r15 tasks #1 and #7): exactly 50
-    # names = the driver's attestation budget. No red rows in r15
-    # (50/50 green, seventh clean sample). Staleness computed from
-    # the union of CORRECTNESS_r01-r15 (never from comments) —
-    # newest-row histogram after r15: r10×14, r11×50, then r12+.
-    # The three oracle-less rows-only sketches stay excluded
-    # (err:no_oracle burns a slot) but ARE re-attested in the local
-    # ritual gate each round (tools/check_oracle.py). The boundary
-    # cohort (r11, 50 keys) is split alphabetically; the split is
-    # mechanically pinned against the CORRECTNESS union by
+    # Round-17 rotation (VERDICT r16 task #1; round-opening ritual —
+    # this edit is the FIRST commit of the round so the rotation pin
     # tests/test_registry.py::test_rotation_matches_correctness_union
+    # is green the whole round). No red rows in r16 (50/50 green).
+    # Staleness computed from the union of CORRECTNESS_r01-r16 (never
+    # from comments) — newest-row histogram after r16: r11×15 (the
+    # promised r16 `_NEXT_ROUND_REMAINDER`), then r12×50. The three
+    # oracle-less rows-only sketches stay excluded (err:no_oracle
+    # burns a slot) but ARE re-attested in the local ritual gate each
+    # round (tools/check_oracle.py). The boundary cohort (r12, 50
+    # keys) is split alphabetically; the split is mechanically pinned
     # via `_NEXT_ROUND_REMAINDER` below.
-    # 1) never-attested keys — new this round
-    "logreg_online_sweep_refresh",  # new in r16 (#267)
-    # 2) the entire 14-key r10-stale remainder (named in r15's
-    #    rotation comment; after this round's driver pass no
-    #    sql-oracled key's newest driver row is older than r11)
-    "geo_union_overlap_area",
-    "geo_viewport_query",
-    "histogram_value_quantiles",
-    "kmeans_cluster_quality",
-    "orders_daily_ewma",
-    "orders_daily_gapfill",
-    "orders_pareto_front",
-    "part_abc_classification",
-    "revenue_benford_audit",
-    "revenue_bootstrap_ci",
-    "simhash_hamming_histogram",
-    "source_length_drift",
-    "token_collocations",
-    "tokenizer_vocab_coverage",
-    # 3) 35 of the 50 r11-stale keys, alphabetical (one slot yielded
-    #    to #267 — never-attested beats stale-green per slot); the
-    #    15-key remainder is `_NEXT_ROUND_REMAINDER` (r17's head).
-    "ann_cosine_topk",
-    "ann_ivf_probe_recall",
-    "ann_ivf_topk",
-    "ann_lsh_plane_sweep",
-    "ann_lsh_topk",
-    "bpe_compression_sweep",
-    "customer_k_anonymity",
-    "customer_order_streaks",
-    "customer_rfm_segments",
-    "customers_all_quarters_1996",
-    "dataset_split_assign",
-    "dedup_embedding_cosine",
-    "dedup_exact_substring",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_threshold_sweep",
-    "docs_repetition_signals",
-    "domain_quota_sample",
-    "embedding_kmeans_assign",
-    "embedding_pair_histogram",
-    "event_anomaly_zscore",
-    "events_hourly_autocorr",
-    "events_variant_stats",
-    "geo_grid_density",
-    "geo_overlap_grid_cells",
-    "geo_overlap_pairs",
-    "geo_pip_grid_cells",
-    "geo_point_in_polygon",
-    "hll_audience_overlap",
-    "kmv_customer_overlap",
-    "kmv_distinct_customers",
-    "kmv_union_distinct",
-    "lang_id_confusion",
-    "multimodal_features",
-    "nation_supplier_hhi",
-)
-
-# The stalest-attested keys that did NOT fit this round's 50-slot
-# prefix: they head the NEXT round's rotation. Kept as data (not a
-# comment) so tests/test_registry.py can recompute the stale pool from
-# the CORRECTNESS_r*.json union and assert prefix ∪ remainder equals
-# it exactly — a rotation note can never drift from the data again
-# (VERDICT r15 task #3).
-_NEXT_ROUND_REMAINDER = (
+    # 1) the entire 15-key r11-stale remainder (named as data in r16)
     "orders_daily_ohlc",
     "orders_weekly_ohlc",
     "orders_winsorized_stats",
@@ -168,6 +103,67 @@ _NEXT_ROUND_REMAINDER = (
     "text_top_tokens",
     "tokenizer_bpe_merges",
     "user_daily_journey_match",
+    # 2) 35 of the 50 r12-stale keys, alphabetical; the 15-key
+    #    remainder is `_NEXT_ROUND_REMAINDER` (r18's head).
+    "abtest_two_proportion",
+    "ann_ivf_quantized_topk",
+    "ann_mmr_rerank",
+    "cdc_latest_version_merge",
+    "corpus_zipf_fit",
+    "customer_order_distribution",
+    "customer_retention_setops",
+    "customers_above_avg_spend",
+    "dedup_incremental_ingest",
+    "dedup_minhash_verified",
+    "dedup_suffix_lrs",
+    "docs_benchmark_overlap",
+    "docs_bigram_surprisal",
+    "docs_block_dedup",
+    "docs_chunk_split",
+    "docs_novelty_profile",
+    "docs_pack_sequences",
+    "dormant_high_balance_customers",
+    "embedding_knn_graph",
+    "events_json_extract",
+    "events_latest_per_user",
+    "events_sessionize",
+    "events_tumbling_agg",
+    "events_value_quartiles",
+    "geo_quadkey_pyramid",
+    "geo_simplify_vw",
+    "hll_registers_users",
+    "max_size_parts_per_brand",
+    "minhash_bbit_tradeoff",
+    "multimodal_aspect_buckets",
+    "multimodal_decode_meta",
+    "multimodal_dedup_bytes",
+    "multimodal_frame_sample",
+    "nation_trade_volume",
+    "order_backlog_timeseries",
+)
+
+# The stalest-attested keys that did NOT fit this round's 50-slot
+# prefix: they head the NEXT round's rotation. Kept as data (not a
+# comment) so tests/test_registry.py can recompute the stale pool from
+# the CORRECTNESS_r*.json union and assert prefix ∪ remainder equals
+# it exactly — a rotation note can never drift from the data again
+# (VERDICT r15 task #3).
+_NEXT_ROUND_REMAINDER = (
+    "order_status_priority_cube",
+    "orders_ols_trend",
+    "orders_with_late_items",
+    "search_rrf_fusion",
+    "small_lot_revenue_by_brand",
+    "source_token_entropy",
+    "supplier_count_by_part_type",
+    "supplier_ship_gap_stats",
+    "text_bm25_topk",
+    "text_hashing_trick_features",
+    "text_rake_keyphrases",
+    "text_redact_pii",
+    "trade_graph_lpa",
+    "trade_graph_pagerank",
+    "user_session_stats",
 )
 
 _PLAN_MODULES = (
