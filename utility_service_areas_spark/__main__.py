@@ -184,6 +184,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     tab.add_argument("--n-files", type=int, default=8)
     tab.add_argument(
+        "--columns",
+        default="",
+        help="comma-separated projection for `table read`: the scan "
+        "decodes only these columns' parquet pages",
+    )
+    tab.add_argument(
         "--curve",
         choices=("hilbert", "morton"),
         default="hilbert",
@@ -275,15 +281,14 @@ def main(argv: list[str] | None = None) -> int:
             v = vt.restore_version(args.table_dir, args.version)
             print(f"restored v{args.version} -> v{v} at {args.table_dir}")
         elif args.action == "read":
+            opts = {}
+            if args.version is not None:
+                opts["version"] = str(args.version)
+            if args.columns:
+                opts["columns"] = args.columns
             df = (
                 spark.read.format("versioned_table")
-                .options(
-                    **(
-                        {"version": str(args.version)}
-                        if args.version is not None
-                        else {}
-                    )
-                )
+                .options(**opts)
                 .load(args.table_dir)
             )
             df.show(args.limit, truncate=False)

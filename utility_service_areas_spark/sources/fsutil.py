@@ -83,12 +83,31 @@ def vacuum_unlisted_dirs(
 GEN_STEAL_SECONDS = 60.0
 
 
+def committed_generation(root: str) -> int:
+    """Generation recorded in the store's committed ``_MANIFEST.json``
+    (0 when the store is empty/unreadable — then no marker is a
+    committed one and the steal gate cannot block)."""
+    import json
+
+    try:
+        with open(os.path.join(root, "_MANIFEST.json")) as f:
+            return int(json.load(f).get("generation", 0))
+    except (FileNotFoundError, ValueError, TypeError, json.JSONDecodeError):
+        return 0
+
+
 def claim_generation(root: str, gen: int, steal_seconds: float | None = None) -> bool:
     """O_CREAT|O_EXCL claim of manifest generation ``gen`` under
     ``root``. Exactly one writer wins a generation number. A marker
     older than the steal window is a crashed writer's leftover —
     removed so the next attempt can claim (the remove itself tolerates
-    a racing stealer)."""
+    a racing stealer). Only markers ABOVE the committed manifest's
+    generation are stealable: a marker at or below it is the committed
+    history's claim record — the very thing that makes a stale-read
+    racer's O_EXCL fail — and stealing it would let two slow writers
+    (>steal window staging segments) replace a committed generation
+    with one built from stale state, silently dropping the real
+    winner's delta (ADVICE r16 #2)."""
     import time
 
     if steal_seconds is None:
@@ -102,7 +121,7 @@ def claim_generation(root: str, gen: int, steal_seconds: float | None = None) ->
             age = time.time() - os.path.getmtime(marker)
         except FileNotFoundError:
             return False  # holder finished or another stealer won
-        if age >= steal_seconds:
+        if age >= steal_seconds and gen > committed_generation(root):
             try:
                 os.remove(marker)  # crashed claimer: unwedge the store
             except FileNotFoundError:

@@ -537,6 +537,8 @@ def _prunable_row_groups(pf, filters: list[Filter]) -> list[int] | None:
     the file LACKS (pre-evolution file on a merge_schema lineage) is
     false for every row — those rows read as NULL — so the whole file
     prunes to []."""
+    from utility_service_areas_spark.sources.versioned import exact_stat_bounds
+
     names = pf.schema_arrow.names
     col_idx: dict[str, int] = {}
     for f in filters:
@@ -550,14 +552,49 @@ def _prunable_row_groups(pf, filters: list[Filter]) -> list[int] | None:
         ok = True
         for f in filters:
             st = meta.column(col_idx[f.attribute[0]]).statistics
-            if st is None or not st.has_min_max:
-                continue
-            if not _zone_allows(st.min, st.max, f):
+            # exact_stat_bounds drops any bound the footer marks as
+            # truncated — a shortened max is a PREFIX of the real max,
+            # not a valid upper bound, and pruning on it could drop
+            # matching rows (VERDICT r16 task #7). _zone_allows is
+            # already conservative on a None bound.
+            mn, mx = exact_stat_bounds(st)
+            if not _zone_allows(mn, mx, f):
                 ok = False
                 break
         if ok:
             keep.append(rg)
     return None if len(keep) == pf.num_row_groups else keep
+
+
+def _columns_option(options: dict) -> list[str] | None:
+    """Parsed `.option("columns", "a,b,...")` — the versioned reader's
+    explicit projection (VERDICT r16 task #2). The Python DataSource
+    API has no pruneColumns hook, so `SELECT one_col` alone still
+    announces the full schema; this option narrows the ANNOUNCED
+    schema itself, and the Arrow scan then decodes only the named
+    columns' pages (pyarrow `columns=`) — at 100 TB width the
+    difference between full-row I/O and one column's."""
+    raw = options.get("columns")
+    if raw is None:
+        return None
+    cols = [c.strip() for c in str(raw).split(",") if c.strip()]
+    if not cols:
+        raise ValueError(
+            "versioned_table: the columns option must name at least one "
+            "column (omit the option to read all columns)"
+        )
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"versioned_table: duplicate name in columns={raw!r}")
+    return cols
+
+
+def _check_projection(want: list[str], available) -> None:
+    unknown = [c for c in want if c not in available]
+    if unknown:
+        raise ValueError(
+            f"versioned_table: columns option names unknown column(s) "
+            f"{unknown}; table has {sorted(available)}"
+        )
 
 
 def _versioned_manifest(options: dict) -> tuple[str, dict]:
@@ -713,9 +750,17 @@ class VersionedTableReader(DataSourceReader):
 
         out = []
         for path in files:
-            groups = _prunable_row_groups(pq.ParquetFile(path), self._pushed)
+            pf = pq.ParquetFile(path)
+            groups = _prunable_row_groups(pf, self._pushed)
             if groups == []:
                 continue  # zone-excluded in full
+            if groups is None:
+                # every group survives: store the explicit full list so
+                # read() knows pruning already happened — row_groups
+                # None there means "planned from manifest stats, prune
+                # executor-side", and leaving None here made read()
+                # re-open and re-prune the same footer (ADVICE r16 #5)
+                groups = list(range(pf.num_row_groups))
             out.append(VersionedTablePartition(path, groups))
         return out
 
@@ -762,15 +807,22 @@ def _arrow_scan_file(
     # silently swapped same-typed columns (r13 code review #1).
     file_cols = set(pf.schema_arrow.names)
     missing = [c for c in columns if c not in file_cols]
+    # Decode ONLY the announced columns' pages (VERDICT r16 task #2):
+    # `columns=` reaches the parquet column-chunk reader, so a
+    # projected read — schema narrowed by the `columns` option — pays
+    # one column's I/O, not full row width. (iter_batches returns
+    # file order; the .select re-projects to announced order, a
+    # zero-copy shuffle of array pointers.)
+    present = [c for c in columns if c in file_cols]
     if not missing:
-        for batch in pf.iter_batches(row_groups=row_groups):
+        for batch in pf.iter_batches(row_groups=row_groups, columns=present):
             yield batch.select(columns)
         return
     # evolved lineage (S33 merge_schema, r15): this file predates
     # an added column — surface it as NULLs of the announced type,
     # exactly like read_version's explicit-schema scan
     arrow_schema = to_arrow_schema(schema)
-    for batch in pf.iter_batches(row_groups=row_groups):
+    for batch in pf.iter_batches(row_groups=row_groups, columns=present):
         arrays = []
         for name in columns:
             if name in file_cols:
@@ -840,7 +892,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         from utility_service_areas_spark.sources import versioned as v
 
         versions = v.list_versions(self._table_dir)
-        return {"version": versions[-1] if versions else -1}
+        if not versions:
+            return {"version": -1}
+        ver = versions[-1]
+        # The offset carries its version's data-dir set (ADVICE r16
+        # #4): a restart diffs the next version against THIS set, so
+        # it never re-reads the historical manifest — which
+        # vacuum(keep_last=N) may legitimately have deleted even
+        # though every dir the stream still needs is retained.
+        man = v._read_manifest(self._table_dir, ver)
+        return {"version": ver, "dirs": sorted(man["data_dirs"])}
 
     def partitions(self, start: dict, end: dict):
         from utility_service_areas_spark.sources import versioned as v
@@ -855,9 +916,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if ver == start["version"] + 1 and not is_first_emitted:
                 # a restart mid-stream needs the predecessor's dir set
                 # to diff against; the first-emitted version is a FULL
-                # snapshot, so history before it may be vacuumed freely
-                prev = v._read_manifest(self._table_dir, start["version"])
-                prev_dirs = set(prev["data_dirs"])
+                # snapshot, so history before it may be vacuumed freely.
+                # Offsets written since r17 carry that set inline
+                # (ADVICE r16 #4) — a restart arbitrarily far behind
+                # never needs the possibly-vacuumed manifest; legacy
+                # checkpoints fall back to reading it.
+                if "dirs" in start:
+                    prev_dirs = set(start["dirs"])
+                else:
+                    prev = v._read_manifest(self._table_dir, start["version"])
+                    prev_dirs = set(prev["data_dirs"])
             if man.get("mode") != "append" and not is_first_emitted:
                 if not self._ignore_changes:
                     raise RuntimeError(
@@ -923,15 +991,28 @@ class VersionedTableDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         table_dir, manifest = _versioned_manifest(self.options)
+        want = _columns_option(self.options)
         files = _versioned_files(table_dir, manifest)
         if files and not manifest.get("schema_evolved"):
-            return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+            full = from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+            if want is None:
+                return full
+            by_name = {f.name: f for f in full.fields}
+            _check_projection(want, by_name)
+            # announced schema IS the projection: the reader scans
+            # only these columns' pages (VERDICT r16 task #2)
+            return StructType([by_name[c] for c in want])
         # empty snapshot OR evolved lineage (a single file's schema
         # may predate added columns): the manifest signature is the
         # source of truth. Returned as a DDL STRING — the DataSource
         # API parses it JVM-side, which works in the session-less
         # Python subprocess where _parse_datatype_string cannot.
-        return ", ".join(f"{n} {t}" for n, t in manifest["schema"])
+        pairs = manifest["schema"]
+        if want is not None:
+            by_type = {n: t for n, t in pairs}
+            _check_projection(want, by_type)
+            pairs = [[c, by_type[c]] for c in want]
+        return ", ".join(f"{n} {t}" for n, t in pairs)
 
     def reader(self, schema: StructType) -> VersionedTableReader:
         return VersionedTableReader(self.options, schema)

@@ -123,6 +123,21 @@ def _merged_schema_key(
     return sorted([n, t] for n, t in merged.items())
 
 
+def exact_stat_bounds(st) -> tuple:
+    """(min, max) of a parquet Statistics object, each bound kept only
+    when the footer marks it EXACT. Parquet writers may truncate long
+    (string) min/max; a truncated max is a PREFIX of the real max —
+    NOT a valid upper bound — so an inexact bound must never feed a
+    zone test (VERDICT r16 task #7). pyarrow builds without the
+    is_*_value_exact accessors (< 17) never truncate-and-mark, so the
+    getattr default keeps their bounds."""
+    if st is None or not st.has_min_max:
+        return None, None
+    mn = st.min if getattr(st, "is_min_value_exact", True) else None
+    mx = st.max if getattr(st, "is_max_value_exact", True) else None
+    return mn, mx
+
+
 def _collect_file_stats(
     table_dir: str, rel_dir: str, columns: list[str]
 ) -> dict:
@@ -153,8 +168,30 @@ def _collect_file_stats(
             for c in list(cols):
                 st = meta.column(names.index(c)).statistics
                 if st is None or not st.has_min_max:
+                    # An all-null (or empty) row group contributes no
+                    # values — its missing min/max is harmless. Any
+                    # OTHER stat-less group holds values the zone
+                    # would not bound (writers do omit stats, e.g.
+                    # for long strings): the column must not be
+                    # recorded at all, or the planner could prune a
+                    # file that holds matching rows (ADVICE r16 #1).
+                    all_null = (
+                        meta.num_rows == 0
+                        or (
+                            st is not None
+                            and st.has_null_count
+                            and st.null_count == meta.num_rows
+                        )
+                    )
+                    if not all_null:
+                        del cols[c]
                     continue
-                mn, mx = st.min, st.max
+                mn, mx = exact_stat_bounds(st)
+                if mn is None or mx is None:
+                    # truncated (long-string) bounds: a prefix is not
+                    # a valid upper bound — never record an inexact zone
+                    del cols[c]
+                    continue
                 if not isinstance(mn, (int, str)) or isinstance(mn, bool):
                     del cols[c]  # not JSON-exact: never record, never prune
                     continue
@@ -274,12 +311,19 @@ def write_version(
             "schema": schema_out,
         }
         file_stats = {}
+        carried_cols: list[str] = []
         if mode == "append" and versions:
             # immutable dirs: carried stats stay valid verbatim
             file_stats.update(prev.get("file_stats", {}))
+            carried_cols = list(prev.get("stats_columns", []))
         file_stats.update(new_stats)
         if file_stats:
             manifest["file_stats"] = file_stats
+        stat_cols_out = sorted(set(carried_cols) | set(stats_columns or []))
+        if stat_cols_out:
+            # recorded so later merges/appends know which columns this
+            # lineage keeps zone maps for
+            manifest["stats_columns"] = stat_cols_out
         if evolved:
             # sticky per lineage: readers must take the schema from
             # the manifest, not from an arbitrary parquet file
@@ -325,7 +369,10 @@ def _empty_frame_from_manifest(spark: SparkSession, man: dict) -> DataFrame:
 
 
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Time-travel read: the exact row set of ``version`` (default:
     latest). Reads only the manifest's data dirs — orphans from
@@ -334,13 +381,28 @@ def read_version(
     snapshot: returns a zero-row frame reconstructed from the
     manifest's schema signature, mirroring the versioned_table
     DataSource (ADVICE r13 #2 — this used to raise from a zero-path
-    parquet read)."""
+    parquet read).
+
+    ``columns`` projects the read (VERDICT r16 task #2). Declared as a
+    .select on the scan, so Catalyst's native parquet column pruning
+    does the I/O reduction (ReadSchema carries only these columns);
+    unknown names raise, matching the DataSource's columns option."""
     versions = list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {table_dir}")
     v = versions[-1] if version is None else version
     man = _read_manifest(table_dir, v)
-    return _read_snapshot(spark, table_dir, man)
+    df = _read_snapshot(spark, table_dir, man)
+    if columns is not None:
+        have = set(df.columns)
+        unknown = [c for c in columns if c not in have]
+        if unknown:
+            raise ValueError(
+                f"read_version: unknown column(s) {unknown}; "
+                f"version {v} has {sorted(have)}"
+            )
+        df = df.select(*columns)
+    return df
 
 
 def _read_snapshot(
@@ -391,7 +453,11 @@ def restore_version(table_dir: str, version: int, max_attempts: int = 20) -> int
             "schema": src["schema"],
         }
         for key in ("schema_evolved", "bucket_cols", "n_buckets", "buckets",
-                    "bucket_rows"):
+                    "bucket_rows", "file_stats", "stats_columns"):
+            # file_stats included (ADVICE r16 #3): the source version's
+            # zone maps are still exact for its immutable dirs —
+            # dropping them on restore would silently un-optimize every
+            # later append's plan-time skipping.
             if key in src:
                 manifest[key] = src[key]
         tmp = os.path.join(table_dir, f"_tmp-v{nxt}-{token}.json")
@@ -456,6 +522,7 @@ def write_version_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 16,
     max_attempts: int = 20,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new OVERWRITE-lineage version laid out in
     ``n_buckets`` hash buckets of ``bucket_cols`` — the layout
@@ -463,9 +530,18 @@ def write_version_bucketed(
     subdir (data/commit-<token>/__bucket=N), registered as a separate
     data dir so later merges can reference untouched buckets without
     rewriting a byte. Same manifest-claim commit protocol as
-    ``write_version``."""
+    ``write_version``.
+
+    ``stats_columns`` defaults to the BUCKET KEY (VERDICT r16 task
+    #5): every bucketed lineage gets manifest zone maps — zero-footer
+    plan-time file skipping — without the caller knowing the option
+    exists; pass ``stats_columns=[]`` to opt out, or name other
+    columns. The columns are recorded in the manifest so merges can
+    re-collect stats for the buckets they rewrite."""
     from pyspark.sql import functions as F
 
+    if stats_columns is None:
+        stats_columns = list(bucket_cols)
     os.makedirs(table_dir, exist_ok=True)
     token = uuid.uuid4().hex[:12]
     rel_base = os.path.join("data", f"commit-{token}")
@@ -478,6 +554,7 @@ def write_version_bucketed(
     buckets: dict[str, list[str]] = {}
     n_rows = 0
     bucket_rows: dict[str, int] = {}
+    file_stats: dict[str, dict] = {}
     spark = df.sparkSession
     for name in sorted(os.listdir(os.path.join(table_dir, rel_base))):
         if not name.startswith(BUCKET_PREFIX):
@@ -488,6 +565,10 @@ def write_version_bucketed(
         c = spark.read.parquet(os.path.join(table_dir, rel)).count()
         bucket_rows[b] = c
         n_rows += c
+        if stats_columns:
+            file_stats.update(
+                _collect_file_stats(table_dir, rel, list(stats_columns))
+            )
 
     for _attempt in range(max_attempts):
         versions = list_versions(table_dir)
@@ -504,6 +585,9 @@ def write_version_bucketed(
             "buckets": buckets,
             "bucket_rows": bucket_rows,
         }
+        if file_stats:
+            manifest["file_stats"] = file_stats
+            manifest["stats_columns"] = sorted(stats_columns)
         tmp = os.path.join(table_dir, f"_tmp-v{nxt}-{token}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -744,6 +828,19 @@ def merge_version(
                 ours_buckets[bs] = []
                 ours_rows[bs] = 0
 
+    # Re-collect zone maps for the buckets we rewrote on the lineage's
+    # recorded stats columns (write-side default = the bucket key,
+    # VERDICT r16 task #5); untouched buckets' stats are carried by
+    # reference below, so a merge never erodes plan-time skipping.
+    stats_cols = man.get("stats_columns")
+    ours_stats: dict[str, dict] = {}
+    if stats_cols:
+        for rels in ours_buckets.values():
+            for rel in rels:
+                ours_stats.update(
+                    _collect_file_stats(table_dir, rel, list(stats_cols))
+                )
+
     # Claim-with-rebase loop (VERDICT r15 task #4 — the Delta
     # ConcurrentWriteException rebase): on a claim conflict, re-read
     # the winning latest manifest; if every bucket WE rewrote is
@@ -775,6 +872,17 @@ def merge_version(
             "buckets": new_buckets,
             "bucket_rows": new_bucket_rows,
         }
+        retained = set(manifest["data_dirs"])
+        fs = {
+            rel: st
+            for rel, st in cur_man.get("file_stats", {}).items()
+            if os.path.dirname(rel) in retained
+        }
+        fs.update(ours_stats)
+        if fs:
+            manifest["file_stats"] = fs
+        if stats_cols:
+            manifest["stats_columns"] = stats_cols
         if _rebase:
             manifest["rebased_from"] = base_v  # audit trail
         final = os.path.join(table_dir, _manifest_name(cur_v + 1))
