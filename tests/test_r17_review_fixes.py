@@ -29,11 +29,6 @@ from utility_service_areas_spark.sources.versioned import (
 )
 
 
-def _manifest(table_dir: str, version: int) -> dict:
-    with open(os.path.join(table_dir, f"v{version:09d}.json")) as f:
-        return json.load(f)
-
-
 def _manifest_any(table_dir: str, version: int) -> dict:
     from utility_service_areas_spark.sources import versioned as vt
 
@@ -269,7 +264,7 @@ def test_stream_restart_survives_vacuumed_offset_manifest(spark, tmp_path):
     write_version(mk([(5, "e")]), t)  # v4
     backdate_tree(t)
     vacuum(t, keep_last=2, tmp_grace_seconds=0)  # v0-v2 manifests GONE
-    assert not os.path.exists(os.path.join(t, "v000000002.json"))
+    assert not os.path.exists(os.path.join(t, "_v2.json"))
 
     # restart is 2 versions behind — pre-fix this raised
     # FileNotFoundError re-reading v2's manifest to rebuild prev_dirs

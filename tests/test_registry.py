@@ -291,6 +291,7 @@ EXPECTED_KEYS = {
     "events_cusum_changepoint",
     "orders_kruskal_wallis",
     "logreg_online_sweep_refresh",
+    "medallion_stream_pipeline",
 }
 
 

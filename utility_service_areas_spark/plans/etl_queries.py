@@ -1012,3 +1012,119 @@ def versioned_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_bal_cents"),
         )
     )
+
+
+# Per-process cache of streamed medallion silver dirs (same posture as
+# _VERSIONED_TABLE_DIRS: the pipeline is deterministic per sf_dir, so
+# one build serves every call in the process; a fresh process rebuilds).
+_MEDALLION_DIRS: dict[str, str] = {}
+
+
+@query(
+    "medallion_stream_pipeline",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+    doc="S46->S39 MEDALLION composition (#268, VERDICT r16 task #3): "
+    "orders land in a BRONZE versioned table across three append "
+    "commits (o_orderkey%3 splits); a Structured Streaming job tails "
+    "bronze through the versioned-table STREAMING SOURCE (S46), "
+    "applies the silver transform per micro-batch (filter "
+    "o_totalprice>150000, project, derive exact cents), and commits "
+    "each batch EXACTLY-ONCE into a SILVER versioned table through "
+    "the idempotent txn_id sink (S39). The third bronze commit lands "
+    "AFTER the first drain, so the second drain is a checkpoint "
+    "RESTART mid-stream; a RESTORE of bronze to an already-consumed "
+    "version (S47) is then drained with ignore_changes and must emit "
+    "NOTHING (a restore references only already-emitted dirs). This "
+    "query reads the silver END STATE and aggregates per priority; "
+    "the oracle replays the whole bronze->silver pipeline "
+    "relationally from orders, so stream==batch — the standing "
+    "discipline — is what the driver value-verifies. Scale: the "
+    "stream moves only each commit's own files (manifest diff, no "
+    "re-scan of the table), the sink commit is one atomic hard-link "
+    "claim per batch, and a retried batch is a txn no-op — the "
+    "incremental bronze->silver story a 100 TB lakehouse needs. "
+    "Within a session the built dirs are cached; a fresh process "
+    "rebuilds.",
+    tags=("etl", "pipeline", "streaming"),
+)
+def medallion_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from utility_service_areas_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        restore_version,
+        write_version,
+    )
+    from utility_service_areas_spark.streaming.events import (
+        versioned_table_stream_writer,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+    def silver_transform(df: DataFrame) -> DataFrame:
+        # row-wise only: the silver row set must not depend on how the
+        # engine batched the bronze commits
+        return df.filter(F.col("o_totalprice") > 150000).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+
+    def drain(bronze: str, silver: str, ckpt: str, ignore_changes: bool):
+        reader = spark.readStream.format("versioned_table")
+        if ignore_changes:
+            reader = reader.option("ignore_changes", "true")
+        q = (
+            versioned_table_stream_writer(
+                silver_transform(reader.load(bronze)), silver
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    key = os.path.abspath(sf_dir)
+    silver_dir = _MEDALLION_DIRS.get(key)
+    if silver_dir is not None and not list_versions(silver_dir):
+        silver_dir = None
+    if silver_dir is None:
+        root = tempfile.mkdtemp(prefix="usa_medallion_")
+        bronze = os.path.join(root, "bronze")
+        silver = os.path.join(root, "silver")
+        ckpt = os.path.join(root, "ckpt")
+        for split in (0, 1):  # bronze v0, v1
+            write_version(
+                orders.filter(F.col("o_orderkey") % 3 == split), bronze
+            )
+        drain(bronze, silver, ckpt, ignore_changes=False)
+        # third bronze commit AFTER the first drain: the next drain is
+        # a checkpoint restart picking up only v2
+        write_version(orders.filter(F.col("o_orderkey") % 3 == 2), bronze)
+        drain(bronze, silver, ckpt, ignore_changes=False)
+        # S47 interplay: restore bronze to the already-consumed v1 —
+        # a pure re-reference commit; the drain must emit NOTHING
+        restore_version(bronze, 1)
+        drain(bronze, silver, ckpt, ignore_changes=True)
+        _MEDALLION_DIRS[key] = silver
+        silver_dir = silver
+    return (
+        read_version(spark, silver_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

@@ -87,7 +87,9 @@ _DRIVER_PRIORITY = (
     # round (tools/check_oracle.py). The boundary cohort (r12, 50
     # keys) is split alphabetically; the split is mechanically pinned
     # via `_NEXT_ROUND_REMAINDER` below.
-    # 1) the entire 15-key r11-stale remainder (named as data in r16)
+    # 1) never-attested keys — new this round
+    "medallion_stream_pipeline",  # new in r17 (#268)
+    # 2) the entire 15-key r11-stale remainder (named as data in r16)
     "orders_daily_ohlc",
     "orders_weekly_ohlc",
     "orders_winsorized_stats",
@@ -103,8 +105,9 @@ _DRIVER_PRIORITY = (
     "text_top_tokens",
     "tokenizer_bpe_merges",
     "user_daily_journey_match",
-    # 2) 35 of the 50 r12-stale keys, alphabetical; the 15-key
-    #    remainder is `_NEXT_ROUND_REMAINDER` (r18's head).
+    # 3) 34 of the 50 r12-stale keys, alphabetical (one slot yielded
+    #    to #268 — never-attested beats stale-green per slot); the
+    #    16-key remainder is `_NEXT_ROUND_REMAINDER` (r18's head).
     "abtest_two_proportion",
     "ann_ivf_quantized_topk",
     "ann_mmr_rerank",
@@ -139,7 +142,6 @@ _DRIVER_PRIORITY = (
     "multimodal_dedup_bytes",
     "multimodal_frame_sample",
     "nation_trade_volume",
-    "order_backlog_timeseries",
 )
 
 # The stalest-attested keys that did NOT fit this round's 50-slot
@@ -149,6 +151,7 @@ _DRIVER_PRIORITY = (
 # it exactly — a rotation note can never drift from the data again
 # (VERDICT r15 task #3).
 _NEXT_ROUND_REMAINDER = (
+    "order_backlog_timeseries",
     "order_status_priority_cube",
     "orders_ols_trend",
     "orders_with_late_items",
