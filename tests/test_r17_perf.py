@@ -1,0 +1,102 @@
+"""Round-17 optimization pins.
+
+The r17 round restructures hot operators WITHOUT changing what they
+compute; these tests pin both halves of that claim:
+
+- `minhash_signatures` now computes each signature component per ROW
+  (array_min over the shingle array) instead of explode + groupBy
+  min(string) — value-identical by construction, and the plan must
+  stay free of the SortAggregate the old string-min aggregation
+  forced.
+- `cpu_spread` derives the CPU-dense fan-out width from the input
+  size (one task per ~128 KiB of source bytes, capped at the core
+  count) instead of always using the core count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+
+
+def _explode_groupby_reference(docs, k=3, n_hashes=8):
+    """The pre-r17 signature shape, kept as the semantic reference."""
+    from utility_service_areas_spark.functions.textops import (
+        minhash_col,
+        shingles,
+        tokens,
+    )
+
+    ex = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(shingles(tokens(F.col("text")), k)).alias("s"),
+    )
+    return ex.groupBy("doc").agg(
+        *[minhash_col(F.col("s"), i).alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def test_minhash_signatures_match_explode_groupby_reference(spark):
+    from utility_service_areas_spark.operators.dedup import minhash_signatures
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    new = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    ref = _explode_groupby_reference(docs)
+    assert new.count() == ref.count()
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+
+
+def test_minhash_signatures_drop_short_docs_like_explode_did(spark):
+    from utility_service_areas_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "only two"),
+            (2, "exactly three tokens"),
+            (3, "   "),
+            (4, ""),
+            (5, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=2)
+    rows = {r["doc"] for r in sig.collect()}
+    # explode() dropped empty shingle arrays: docs with < 3 tokens are absent
+    assert rows == {2, 5}
+    ref = _explode_groupby_reference(docs, k=3, n_hashes=2)
+    assert sig.exceptAll(ref).count() == 0
+    assert ref.exceptAll(sig).count() == 0
+
+
+def test_minhash_signature_plan_has_no_sort_aggregate(spark):
+    from utility_service_areas_spark.operators.dedup import minhash_signatures
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "Generate" not in plan  # no explode on the signature path
+
+
+def test_cpu_spread_width_tracks_input_size(spark, monkeypatch):
+    from utility_service_areas_spark.operators.spread import (
+        cpu_spread_width,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    target = spark.sparkContext.defaultParallelism
+    # sf0.001 documents.parquet is a few tens of KiB: one 128 KiB task
+    assert cpu_spread_width(docs, target) == 1
+    # tiny per-task budget -> width caps at the core count
+    monkeypatch.setenv("SPARK_GRAFT_CPU_TASK_BYTES", "1")
+    assert cpu_spread_width(docs, target) == target
+    monkeypatch.delenv("SPARK_GRAFT_CPU_TASK_BYTES")
+    # no input files (in-memory frame) -> old behavior (core count)
+    mem = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert cpu_spread_width(mem, target) == target

@@ -15,11 +15,11 @@ from pyspark.sql import functions as F
 
 from utility_service_areas_spark.functions.hashing import hamming64, simhash64
 from utility_service_areas_spark.functions.textops import (
-    minhash_col,
     normalized_text,
     shingles,
     tokens,
 )
+from utility_service_areas_spark.operators.spread import cpu_spread
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -51,13 +51,19 @@ def shingle_exploded(
     ids = df.select(F.col(id_col).alias("doc"), F.col(text_col))
     # Small single-file sources arrive as a handful of input partitions,
     # which would serialize the heavy shingle projection. Hash-repartition
-    # on the (unique) doc id ONLY in that case: on a real cluster the
-    # scan is already wide and an unconditional repartition would be a
-    # full extra shuffle of the raw corpus text on every dedup call.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < max(2, target // 4):
-        ids = ids.repartition(target, F.col("doc"))
-    ex = ids.select("doc", F.explode(shingles(tokens(F.col(text_col)), k)).alias("s"))
+    # on the (unique) doc id ONLY in that case (cpu_spread: width from
+    # input size, capped at core count): on a real cluster the scan is
+    # already wide and an unconditional repartition would be a full
+    # extra shuffle of the raw corpus text on every dedup call.
+    ids = cpu_spread(ids, F.col("doc"))
+    # Tokenize ONCE per row in its own projection (r17): the shingle
+    # builder references the token array ~2(k-1)+2 times, and inlining
+    # tokens() into the explode re-evaluates split(trim(text)) at every
+    # reference — measured 6 evaluations per row per Generate at k=3.
+    # CollapseProject keeps this alias (non-cheap, multiply-referenced)
+    # so the split runs once and the generator sees a bound attribute.
+    toksed = ids.select("doc", tokens(F.col(text_col)).alias("__toks"))
+    ex = toksed.select("doc", F.explode(shingles(F.col("__toks"), k)).alias("s"))
     if df_cap is not None:
         # Count first, then ANTI-join away hot shingles — the filter
         # runs BEFORE any downstream collect_list can materialize a
@@ -230,11 +236,38 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 8
 ) -> DataFrame:
     """MinHash signatures (doc, h0..h{n-1}) — entirely JVM-side:
-    seeded md5 per shingle, min per doc. One shuffle.
+    seeded md5 per shingle, lexicographic min per doc.
+
+    r17: computed per ROW as array_min over the (already distinct)
+    shingle array — no explode, no sort, no aggregate, no extra
+    shuffle. The old explode+groupBy(min) form forced SortAggregate
+    (min(string) has no hash-agg fast path: the agg buffer is a
+    string), sorting the entire exploded shingle stream per partition
+    before 8 md5 evaluations per (doc, shingle) row. Value-identical:
+    min over exploded rows == array_min over the array (md5 of a
+    non-null shingle is never null), and docs with fewer than k
+    tokens have no shingles, so they were absent from the grouped
+    frame — the token-count filter reproduces exactly that.
     """
-    ex = shingle_exploded(df, id_col, text_col, k=k)
-    return ex.groupBy("doc").agg(
-        *[minhash_col(F.col("s"), i).alias(f"h{i}") for i in range(n_hashes)]
+    ids = df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ids = cpu_spread(ids, F.col("doc"))
+    toksed = ids.select("doc", tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    sh = toksed.select("doc", shingles(F.col("__toks"), k).alias("__sh"))
+
+    # One-arg lambda per seed (a two-arg lambda would be read by
+    # F.transform as an (element, index) function).
+    def _seeded_md5(seed: int):
+        prefix = F.lit(f"{seed}:")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    return sh.select(
+        "doc",
+        *[
+            F.array_min(F.transform(F.col("__sh"), _seeded_md5(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
     )
 
 

@@ -1,0 +1,69 @@
+"""Scale-adaptive fan-out for CPU-dense map stages (r17).
+
+Text kernels (shingling, per-shingle hashing, gram explodes) are far
+denser in CPU than in bytes, so the scan's byte-sized partitioning
+under-parallelizes them on small/medium inputs: a single-file corpus
+arrives as one input partition and the whole tokenize+hash pass runs
+on one core. The old fix was ``repartition(defaultParallelism, id)``,
+which at bench scale fans 0.6 MB of text into 32 near-empty tasks and
+makes every downstream stage (and every cached/checkpointed frame
+derived from it) 32 tasks wide — pure scheduling overhead.
+
+``cpu_spread`` keeps the repartition conditional (a wide cluster scan
+is left alone — no extra shuffle of the raw corpus at 100 TB) but
+derives the fan-out width from the INPUT SIZE instead of the core
+count: one task per ~``SPARK_GRAFT_CPU_TASK_BYTES`` (default 128 KiB)
+of source bytes, capped at ``defaultParallelism``. 128 KiB of raw
+text is roughly 0.5-1 s of shingle+md5 work per task — large enough
+to amortize task overhead, small enough to saturate the cores by the
+time the input reaches a few MiB. When the input size is unknowable
+(in-memory frames), the old defaultParallelism width is kept.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame
+
+_ENV = "SPARK_GRAFT_CPU_TASK_BYTES"
+_DEFAULT_BYTES_PER_TASK = 128 * 1024
+
+
+def cpu_spread_width(df: DataFrame, target: int) -> int:
+    """Partitions a CPU-dense projection over ``df`` should fan out
+    to: ceil(input_bytes / bytes_per_task), clamped to [1, target];
+    ``target`` when the input size cannot be determined."""
+    try:
+        per_task = int(os.environ.get(_ENV, _DEFAULT_BYTES_PER_TASK))
+    except ValueError:
+        per_task = _DEFAULT_BYTES_PER_TASK
+    per_task = max(1, per_task)
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        return target
+    if not files:
+        return target
+    nbytes = 0
+    for p in files:
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            nbytes += os.path.getsize(local)
+        except OSError:
+            return target
+    if nbytes <= 0:
+        return target
+    return max(1, min(target, math.ceil(nbytes / per_task)))
+
+
+def cpu_spread(df: DataFrame, key: Column) -> DataFrame:
+    """Hash-repartition ``df`` on ``key`` for a CPU-dense downstream
+    projection ONLY when the scan arrived too narrow to parallelize it
+    (single-file local sources); a real cluster's wide scan is
+    returned untouched — no extra shuffle of the raw input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 4):
+        return df
+    return df.repartition(cpu_spread_width(df, target), key)
