@@ -449,7 +449,7 @@ def lineage_cut(df: DataFrame) -> DataFrame:
     upstream pipeline."""
     spark = df.sparkSession
     reliable = spark.sparkContext.getCheckpointDir() is not None
-    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
 
 
 def minhash_verified_pairs(

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from utility_service_areas_spark.operators.spread import cpu_spread_width
+
 
 def connected_components(
     pairs: DataFrame,
@@ -24,6 +26,7 @@ def connected_components(
     max_iter: int = 20,
     symmetric: bool = False,
     pre_materialized: bool = False,
+    width: int | None = None,
 ) -> DataFrame:
     """Edge list → (node, component) where component = min node id of
     the connected component. Nodes only in no pair are absent (callers
@@ -71,11 +74,27 @@ def connected_components(
         except (TypeError, ValueError):
             n_shuffle = None
         if n_shuffle:
-            edges = edges.repartition(n_shuffle, "v")
+            # r17: bound the width by the source corpus size (one
+            # partition per ~128 KiB of leaf-scan bytes, capped at
+            # n_shuffle) — a bench-scale pair graph no longer fans
+            # every CC round into shuffle.partitions near-empty tasks,
+            # while an input big enough to need the full width still
+            # gets it. ``width`` lets a caller whose pair frame sits
+            # on a cached relation (no visible leaf files) pass the
+            # corpus-derived width instead; unknown sizes keep the
+            # old n_shuffle.
+            w = min(width, n_shuffle) if width else cpu_spread_width(pairs, n_shuffle)
+            edges = edges.repartition(w, "v")
+        # Local path: LAZY localCheckpoint (r17) — the cut is the
+        # LogicalRDD plan truncation plus persist-once semantics, both
+        # of which hold with eager=False; round 1's fingerprint action
+        # materializes it, saving one standalone job per CC call. The
+        # reliable path stays eager: RDD.checkpoint() recomputes the
+        # lineage when materialized lazily by a consuming job.
         edges = (
             edges.checkpoint(eager=True)
             if reliable
-            else edges.localCheckpoint(eager=True)
+            else edges.localCheckpoint(eager=False)
         )
     labels = (
         edges.select(F.col("u").alias("node"))
@@ -109,7 +128,7 @@ def connected_components(
         new_labels = (
             new_labels.checkpoint(eager=True)
             if reliable
-            else new_labels.localCheckpoint(eager=True)
+            else new_labels.localCheckpoint(eager=False)
         )
         # Convergence = labels identical to last round. Min-label
         # propagation is monotone (labels only decrease), so a 64-bit
@@ -117,7 +136,9 @@ def connected_components(
         # order-independent and can't overflow under ANSI mode). One
         # tiny partial-agg scan of the checkpointed frame — no join,
         # no extra shuffle (the old per-round join+count was a full
-        # driver action with a shuffle at cluster scale).
+        # driver action with a shuffle at cluster scale). r17: the
+        # local checkpoint above is lazy, so THIS action materializes
+        # it — one job per round instead of two.
         fp = new_labels.agg(
             F.expr("bit_xor(xxhash64(node, comp))").alias("fp")
         ).collect()[0][0]
@@ -141,7 +162,16 @@ def dedup_clusters(
     """
     from utility_service_areas_spark.operators.dedup import lineage_cut
 
-    comp = connected_components(pairs, a_col, b_col)
+    # The id frame is the file-backed corpus side, so it carries the
+    # size signal the (often cached) pair frame hides (r17).
+    comp = connected_components(
+        pairs,
+        a_col,
+        b_col,
+        width=cpu_spread_width(
+            all_ids, all_ids.sparkSession.sparkContext.defaultParallelism
+        ),
+    )
     joined = all_ids.select(F.col(id_col).alias("node")).join(
         comp, "node", "left"
     )
@@ -192,7 +222,7 @@ def pagerank_micros(
     reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
 
     def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
 
     # Materialize the loop-invariant frames ONCE: the edge list with
     # its out-degree fused in (saves a per-round join), and the node
@@ -281,7 +311,7 @@ def triangle_counts(
     reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
 
     und = _cut(und)
     tri = _oriented_triangles(und, _cut)
@@ -320,6 +350,7 @@ def cluster_density(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    width: int | None = None,
 ) -> DataFrame:
     """Per-CLUSTER density report over an undirected edge list: for
     every connected component, its size, edge count, triangle count,
@@ -347,7 +378,7 @@ def cluster_density(
     reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
 
     sym = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -366,7 +397,9 @@ def cluster_density(
     except (TypeError, ValueError):
         n_shuffle = None
     if n_shuffle:
-        sym = sym.repartition(n_shuffle, "v")
+        # Same source-size width bound as connected_components (r17).
+        w = min(width, n_shuffle) if width else cpu_spread_width(pairs, n_shuffle)
+        sym = sym.repartition(w, "v")
     und = _cut(sym)
     # Degree frame computed ONCE (node-sized, cut) and shared by the
     # orientation and the per-cluster stats; `und` is already
@@ -446,7 +479,7 @@ def connected_components_twostar(
 
     def _cut(df: DataFrame) -> DataFrame:
         return (
-            df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+            df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
         )
 
     def _sym(e: DataFrame) -> DataFrame:
@@ -567,7 +600,7 @@ def hits_micros(
 
     def _cut(df: DataFrame) -> DataFrame:
         return (
-            df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+            df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
         )
 
     e = _cut(e)

@@ -804,7 +804,12 @@ def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sig, n_hashes=8, band_size=2).filter(
         "n_matching_minhashes >= 6"
     )
-    return cluster_density(pairs)
+    from utility_service_areas_spark.operators.spread import cpu_spread_width
+
+    return cluster_density(
+        pairs,
+        width=cpu_spread_width(docs, spark.sparkContext.defaultParallelism),
+    )
 
 
 @query(

@@ -1163,7 +1163,12 @@ def _funnel_stage_frame(
     pairs = lsh_candidate_pairs(sig, n_hashes=8, band_size=2).filter(
         "n_matching_minhashes >= 6"
     )
-    comp = connected_components(pairs)
+    from utility_service_areas_spark.operators.spread import cpu_spread_width
+
+    comp = connected_components(
+        pairs,
+        width=cpu_spread_width(docs, spark.sparkContext.defaultParallelism),
+    )
     s3 = lineage_cut(
         s2.join(comp, s2.doc_id == comp.node, "left")
         .withColumn(
