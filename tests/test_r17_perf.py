@@ -83,6 +83,45 @@ def test_minhash_signature_plan_has_no_sort_aggregate(spark):
     assert "Generate" not in plan  # no explode on the signature path
 
 
+def test_pydaemon_preload_covers_heavy_modules():
+    from utility_service_areas_spark import pydaemon
+
+    loaded = pydaemon.preload()
+    assert list(loaded) == list(pydaemon.PRELOAD_MODULES)
+
+
+def test_session_wires_preloading_daemon(spark):
+    assert (
+        spark.conf.get("spark.python.daemon.module")
+        == "utility_service_areas_spark.pydaemon"
+    )
+
+
+def test_workers_run_and_see_preloaded_modules(spark):
+    """Workers forked from the preloading daemon must (a) work at all
+    and (b) inherit the heavy modules without importing them
+    per-worker. The probe lists which preload targets are visible in
+    the worker's sys.modules; a plain pickled UDF imports none of them
+    itself, so a fresh worker only sees them via the daemon fork.
+    (With spark.python.worker.reuse a recycled worker could carry them
+    from an earlier pandas-UDF task — the assertion is still the
+    invariant the daemon guarantees for EVERY worker, fresh or not.)"""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark import pydaemon
+
+    @F.udf("array<string>")
+    def probe():
+        import sys
+
+        from utility_service_areas_spark.pydaemon import PRELOAD_MODULES
+
+        return [m for m in PRELOAD_MODULES if m in sys.modules]
+
+    rows = spark.range(1).select(probe().alias("warm")).collect()
+    assert rows[0]["warm"] == list(pydaemon.PRELOAD_MODULES)
+
+
 def test_cpu_spread_width_tracks_input_size(spark, monkeypatch):
     from utility_service_areas_spark.operators.spread import (
         cpu_spread_width,

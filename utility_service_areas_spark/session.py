@@ -33,6 +33,18 @@ def build_session(app_name: str = "usa-spark", master: str | None = None) -> Spa
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Preloading worker daemon (pydaemon.py): numpy/pandas/pyarrow
+        # and the package's Arrow kernels import ONCE per daemon (= per
+        # executor) before the fork loop; forked workers inherit the
+        # warm modules copy-on-write instead of each paying the ~1 s
+        # import storm on the first Python-evaluation stage. Falls back
+        # to the stock daemon via SPARK_GRAFT_NO_PYDAEMON=1.
+        .config(
+            "spark.python.daemon.module",
+            "pyspark.daemon"
+            if os.environ.get("SPARK_GRAFT_NO_PYDAEMON")
+            else "utility_service_areas_spark.pydaemon",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS); Spark reads it as
         # long ns-since-epoch and sources/tables.py converts to µs.
