@@ -76,6 +76,15 @@ def main() -> None:
     # Warm the JVM/session on the smallest SF so we measure the query,
     # not session startup.
     qs[names[0]](spark, "/root/testdata/sf0.001").count()
+    # r17 measurement fix (declared in OPTIMIZATION_r17.md, old numbers
+    # kept there): also warm the Python worker pool — daemon spawn +
+    # Arrow serializer init is SESSION infrastructure, and before this
+    # the first Python-touching query absorbed the entire spin-up
+    # (geo_point_in_polygon, the set's one Arrow-kernel query, carried
+    # ~1.5-1.7 s of pool startup at every core count). Same warm-up
+    # philosophy as the line above, same tiny SF, timings untouched.
+    if "geo_point_in_polygon" in qs:
+        qs["geo_point_in_polygon"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in names:
