@@ -83,6 +83,92 @@ def test_minhash_signature_plan_has_no_sort_aggregate(spark):
     assert "Generate" not in plan  # no explode on the signature path
 
 
+def _join_shape_lsh_reference(sig, n_hashes=8, band_size=2, bucket_cap=100):
+    """The pre-r17 lsh_candidate_pairs shape (cache sigs, distinct the
+    bare pairs, join the signature frame back twice), kept as the
+    semantic reference for the in-struct rewrite."""
+    from utility_service_areas_spark.operators.dedup import minhash_bands
+
+    sig = sig.cache()
+    bands = minhash_bands(sig, n_hashes=n_hashes, band_size=band_size)
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pairs_expr = (
+        "flatten(transform(docs, (a, i) -> "
+        "transform(slice(docs, i + 2, size(docs) - i - 1), "
+        "b -> struct(a AS doc_a, b AS doc_b))))"
+    )
+    star_expr = (
+        "transform(slice(docs, 2, size(docs) - 1), "
+        "b -> struct(docs[0] AS doc_a, b AS doc_b))"
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.when(F.size("docs") <= bucket_cap, F.expr(pairs_expr)).otherwise(
+                    F.expr(star_expr)
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sigb = sig.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(n_hashes)
+    )
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_matching_minhashes"))
+    )
+
+
+def test_lsh_candidate_pairs_match_join_shape_reference(spark):
+    from utility_service_areas_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    new = lsh_candidate_pairs(sig)
+    ref = _join_shape_lsh_reference(sig)
+    assert new.count() == ref.count()
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+
+
+def test_lsh_candidate_pairs_plan_has_no_joins(spark):
+    """The in-struct shape must be join-free: one band shuffle + one
+    distinct, the signature frame never re-joined onto the pairs."""
+    from utility_service_areas_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    # The join-shape reference test above caches the sig frame; drop it
+    # so the cache manager can't substitute InMemoryTableScan here.
+    spark.catalog.clearCache()
+    docs = load_table(spark, SMOKE_SF, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    plan = lsh_candidate_pairs(sig)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "InMemoryTableScan" not in plan  # no sig cache either
+
+
 def test_pydaemon_preload_covers_heavy_modules():
     from utility_service_areas_spark import pydaemon
 

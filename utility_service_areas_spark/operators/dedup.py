@@ -299,6 +299,22 @@ def minhash_bands(
     ).select("doc", "b.band_idx", "b.band_hash")
 
 
+# Item-struct flavors of the pair expressions: each bucket member is
+# struct(doc, h0..h{n-1}), sorted by doc (the struct's first field), so
+# items[0] is the star keeper WITH its signature alongside — the same
+# ride-inside-the-bucket shape simhash_candidate_pairs uses.
+_ITEM_PAIRS_EXPR = """
+    flatten(transform(items, (a, i) ->
+        transform(slice(items, i + 2, size(items) - i - 1),
+                  b -> struct(a AS ia, b AS ib))))
+"""
+
+_STAR_ITEM_PAIRS_EXPR = """
+    transform(slice(items, 2, size(items) - 1),
+              b -> struct(items[0] AS ia, b AS ib))
+"""
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, n_hashes: int = 8, band_size: int = 2, bucket_cap: int = 100
 ) -> DataFrame:
@@ -309,57 +325,88 @@ def lsh_candidate_pairs(
     estimate similarity (n_matching_minhashes of n_hashes).
     Returns (doc_a, doc_b, n_matching_minhashes).
 
+    Plan shape (r17): the signature rides INSIDE the band struct —
+    the simhash_candidate_pairs shape — so the whole operator is one
+    shuffle on the band key plus one distinct on the 3-column output:
+    no sig cache, no second pass over the signature frame, and no
+    pair→sig joins (the old shape cached sigs and sort/broadcast-
+    joined them back onto the distinct pairs twice — at cluster scale
+    two extra corpus-wide shuffles, locally 4 extra jobs + 2 broadcast
+    builds). Carrying 8 md5 strings ×4 band rows per doc costs
+    ~1 KB/doc of shuffle width, bytes the join shape re-shuffled
+    anyway on the sig side; n_matching is computed BEFORE the
+    distinct, so the distinct dedups narrow (doc_a, doc_b, n) rows
+    (n is functionally determined by the pair — same multiplicity as
+    a distinct on the pair alone).
+
     Scale lever — ``bucket_cap``: a boilerplate-heavy corpus (thousands
     of near-identical docs surviving exact dedup) would otherwise
     expand O(B²) pairs from one hot bucket. Buckets aggregate ONCE
-    (groupBy band → sorted doc list); a bucket at or under the cap
+    (groupBy band → sorted item list); a bucket at or under the cap
     emits all pairs, an over-cap bucket emits STAR pairs instead
     (keeper = min doc, paired with every other member): O(B) pairs,
     deterministic, derived from the same aggregated row — no second
     pass over the band frame, no count-prefilter joins. The reducer
-    holds an O(B) doc array for a hot bucket (memory, not compute —
-    ~8 MB per million members); a corpus degenerate enough to overflow
-    that should raise the shingle df-cap, the analogous lever one
-    stage earlier. Connectivity note: star pairs preserve candidate
-    connectivity only at THIS stage — a downstream similarity filter
-    (e.g. n_matching_minhashes threshold) may drop a keeper–member
-    edge whose suppressed member–member edge would have passed, so an
-    over-cap bucket is an approximation relative to uncapped behavior
-    (oracle and impl share it).
+    holds an O(B) item array for a hot bucket (memory, not compute —
+    ~0.3 GB per million members with the in-struct signatures); a
+    corpus degenerate enough to overflow that should raise the shingle
+    df-cap, the analogous lever one stage earlier. Connectivity note:
+    star pairs preserve candidate connectivity only at THIS stage — a
+    downstream similarity filter (e.g. n_matching_minhashes threshold)
+    may drop a keeper–member edge whose suppressed member–member edge
+    would have passed, so an over-cap bucket is an approximation
+    relative to uncapped behavior (oracle and impl share it).
     """
     n_bands = n_hashes // band_size
-    # Signatures feed both the band buckets and the similarity
-    # estimate — materialize once (cluster-scale: write sigs to
-    # parquet between the two stages).
-    sig = sig.cache()
-    bands = minhash_bands(sig, n_hashes=n_hashes, band_size=band_size)
+    hcols = [f"h{i}" for i in range(n_hashes)]
+    bands = sig.select(
+        F.struct(F.col("doc"), *[F.col(h) for h in hcols]).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.col(f"h{i * band_size + j}")
+                                    for j in range(band_size)
+                                ]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("item", "b.band_idx", "b.band_hash")
+    # sort_array orders structs by their first field: doc is unique, so
+    # the item order equals the old sorted doc order and items[0] is
+    # the min-doc star keeper.
     buckets = (
         bands.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter(F.size("docs") >= 2)
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .filter(F.size("items") >= 2)
     )
     # One pipeline: the cap decision is a CASE over the aggregated row,
     # so hot and cold buckets flow through the same single shuffle+agg.
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.when(F.size("docs") <= bucket_cap, F.expr(_PAIRS_EXPR)).otherwise(
-                    F.expr(_STAR_PAIRS_EXPR)
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.when(
+                F.size("items") <= bucket_cap, F.expr(_ITEM_PAIRS_EXPR)
+            ).otherwise(F.expr(_STAR_ITEM_PAIRS_EXPR))
+        ).alias("p")
     )
-    siga = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)])
-    sigb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)])
     n_match = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(n_hashes)
+        (F.col(f"p.ia.{h}") == F.col(f"p.ib.{h}")).cast("long") for h in hcols
     )
     return (
-        pairs.join(siga, "doc_a")
-        .join(sigb, "doc_b")
-        .select("doc_a", "doc_b", n_match.alias("n_matching_minhashes"))
+        pairs.select(
+            F.col("p.ia.doc").alias("doc_a"),
+            F.col("p.ib.doc").alias("doc_b"),
+            n_match.alias("n_matching_minhashes"),
+        )
+        .distinct()
     )
 
 
