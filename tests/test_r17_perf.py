@@ -225,3 +225,119 @@ def test_cpu_spread_width_tracks_input_size(spark, monkeypatch):
     # no input files (in-memory frame) -> old behavior (core count)
     mem = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert cpu_spread_width(mem, target) == target
+
+
+def _repetition_explode_reference(docs):
+    """The pre-r17 docs_repetition_signals shape (explode tagged grams,
+    count per (doc, gram), re-aggregate per doc), kept as the semantic
+    reference for the in-row run-length fold."""
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
+    grams = F.concat(
+        F.expr("transform(toks, t -> struct(1 AS k, t AS g))"),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "  i -> struct(2 AS k, "
+            "       concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS g)) "
+            "ELSE array() END"
+        ),
+    )
+    cnt = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gr"))
+        .groupBy("doc_id", F.col("gr.k").alias("k"), F.col("gr.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 1, F.col("c"))).alias("mu"),
+        F.sum(F.when(F.col("k") == 1, F.col("c"))).alias("nt"),
+        F.coalesce(
+            F.sum(F.when((F.col("k") == 1) & (F.col("c") >= 2), F.col("c"))),
+            F.lit(0),
+        ).alias("du"),
+        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("mb"),
+        F.sum(F.when(F.col("k") == 2, F.col("c"))).alias("nb"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("nt").cast("long").alias("n_tok"),
+        F.round(F.lit(1000000.0) * F.col("mu") / F.col("nt"))
+        .cast("long")
+        .alias("top_tok_micros"),
+        F.round(F.lit(1000000.0) * F.col("du") / F.col("nt"))
+        .cast("long")
+        .alias("dup_tok_micros"),
+        F.coalesce(
+            F.round(F.lit(1000000.0) * F.col("mb") / F.col("nb")), F.lit(0.0)
+        )
+        .cast("long")
+        .alias("top_bigram_micros"),
+    )
+
+
+def test_repetition_signals_match_explode_reference(spark):
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    new = all_queries()["docs_repetition_signals"](spark, SMOKE_SF)
+    from utility_service_areas_spark.sources.tables import load_table
+
+    ref = _repetition_explode_reference(load_table(spark, SMOKE_SF, "documents"))
+    assert new.count() == ref.count()
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+
+
+def test_repetition_signals_edge_docs_match_explode_reference(spark):
+    """Single-token, all-identical, whitespace-only and chain-repeat
+    docs — the cases where run-length bookkeeping could drift from the
+    exploded counts (empty bigram arrays, runs ending at the array
+    tail, the [''] token from whitespace-only text)."""
+    from utility_service_areas_spark.plans.text_queries import (
+        docs_repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, "a a a a"),
+            (3, "   "),
+            (4, "a b a b a"),
+            (5, "x y z"),
+            (6, "t t"),
+        ],
+        "doc_id long, text string",
+    )
+    import utility_service_areas_spark.sources.tables as tables
+
+    ref = _repetition_explode_reference(docs).collect()
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf, name: docs
+        import utility_service_areas_spark.plans.text_queries as tq
+
+        orig_tq = tq.load_table
+        tq.load_table = lambda spark, sf, name: docs
+        try:
+            new = docs_repetition_signals(spark, "ignored").collect()
+        finally:
+            tq.load_table = orig_tq
+    finally:
+        tables.load_table = orig
+    assert sorted(map(tuple, new)) == sorted(map(tuple, ref))
+
+
+def test_repetition_signals_plan_is_map_only(spark):
+    """The in-row fold must keep the plan a pure map over the scan:
+    no Generate (explode), no aggregation, no shuffle besides the
+    cpu_spread repartition."""
+    from utility_service_areas_spark.plans.registry import all_queries
+
+    plan = (
+        all_queries()["docs_repetition_signals"](spark, SMOKE_SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
+    assert "SortAggregate" not in plan

@@ -620,40 +620,74 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens occurring >=2 times (counted with multiplicity), and the "
     "most-frequent-bigram share of all bigram slots — the standard "
     "repetitious-text filters an LLM curation pipeline runs before "
-    "training (cf. Gopher/MassiveText rep-frac rules). Unigrams and "
-    "bigrams ride ONE explode (tagged structs), so the whole signal "
-    "costs a single (doc_id, gram) partial-agg shuffle + a doc_id "
-    "agg — linear in corpus size, no joins, no UDF.",
+    "training (cf. Gopher/MassiveText rep-frac rules). All counts are "
+    "PER-DOCUMENT, so the whole signal computes IN-ROW (r17): sort "
+    "the token / adjacent-bigram arrays and fold run lengths with one "
+    "O(n) aggregate() lambda per array — no explode, no shuffle, no "
+    "joins, no UDF; the query is a pure map over the corpus scan "
+    "(the old shape shuffled the entire tagged gram stream — about "
+    "2x corpus bytes — just to count within doc_id groups).",
     tags=("text", "pipeline"),
 )
 def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from utility_service_areas_spark.operators.spread import cpu_spread
+
+    # The fold below is CPU-dense and shuffle-free; spread a
+    # too-narrow local scan so it parallelizes (wide cluster scans
+    # pass through untouched).
+    docs = cpu_spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        F.col("doc_id"),
+    )
     toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")
-    grams = F.concat(
-        F.expr("transform(toks, t -> struct(1 AS k, t AS g))"),
-        F.expr(
-            "CASE WHEN size(toks) >= 2 THEN "
-            "transform(sequence(1, size(toks) - 1), "
-            "  i -> struct(2 AS k, "
-            "       concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS g)) "
-            "ELSE array() END"
-        ),
+    # Run-length fold over an already-sorted gram array: one O(n) pass
+    # yielding (mx = max run length, dup = Σ run lengths >= 2) — the
+    # per-doc top-gram count and duplicated-gram mass.
+    _RUNS = (
+        "aggregate({a}, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+        "'mx', 0L, 'dup', 0L), "
+        "(ac, t) -> IF(t <=> ac.prev, "
+        "named_struct('prev', t, 'run', ac.run + 1L, "
+        "'mx', ac.mx, 'dup', ac.dup), "
+        "named_struct('prev', t, 'run', 1L, "
+        "'mx', greatest(ac.mx, ac.run), "
+        "'dup', ac.dup + IF(ac.run >= 2L, ac.run, 0L))), "
+        "ac -> named_struct("
+        "'mx', greatest(ac.mx, ac.run), "
+        "'dup', ac.dup + IF(ac.run >= 2L, ac.run, 0L)))"
     )
-    cnt = (
+    base = (
         docs.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.explode(grams).alias("gr"))
-        .groupBy("doc_id", F.col("gr.k").alias("k"), F.col("gr.g").alias("g"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        # explode() dropped NULL-token docs; keep that row contract.
+        .filter(F.col("toks").isNotNull())
+        .select(
+            "doc_id",
+            F.expr("size(toks)").cast("long").alias("n"),
+            F.expr(_RUNS.format(a="array_sort(toks)")).alias("u"),
+            F.expr(
+                _RUNS.format(
+                    a=(
+                        "array_sort(CASE WHEN size(toks) >= 2 THEN "
+                        "transform(sequence(1, size(toks) - 1), "
+                        "  i -> concat(element_at(toks, i), ' ', "
+                        "              element_at(toks, i + 1))) "
+                        "ELSE CAST(array() AS array<string>) END)"
+                    )
+                )
+            ).alias("b"),
+        )
     )
-    agg = cnt.groupBy("doc_id").agg(
-        F.max(F.when(F.col("k") == 1, F.col("c"))).alias("mu"),
-        F.sum(F.when(F.col("k") == 1, F.col("c"))).alias("nt"),
-        F.coalesce(
-            F.sum(F.when((F.col("k") == 1) & (F.col("c") >= 2), F.col("c"))),
-            F.lit(0),
-        ).alias("du"),
-        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("mb"),
-        F.sum(F.when(F.col("k") == 2, F.col("c"))).alias("nb"),
+    # Bigram stats are NULL (not 0) for single-token docs — the old
+    # aggregation's sum/max over zero k=2 rows — so the micros
+    # division stays NULL→coalesce(0), never 0/0.
+    agg = base.select(
+        "doc_id",
+        F.col("u.mx").alias("mu"),
+        F.col("n").alias("nt"),
+        F.col("u.dup").alias("du"),
+        F.when(F.col("n") >= 2, F.col("b.mx")).alias("mb"),
+        F.when(F.col("n") >= 2, F.col("n") - 1).alias("nb"),
     )
     return agg.select(
         "doc_id",
@@ -1474,9 +1508,15 @@ _COLLOC_MIN_SUPPORT = 5
 )
 def token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from utility_service_areas_spark.functions.textops import tokens
+    from utility_service_areas_spark.operators.spread import cpu_spread
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # Both tokenize passes (vocab count + doc-token sets) hang off this
+    # projection; a single-file local scan arrives 1 partition wide and
+    # would run them serially — spread it by input size (r17, same
+    # discipline as shingle_exploded; wide cluster scans untouched).
+    base = cpu_spread(docs.select("doc_id", "text"), F.col("doc_id"))
+    toks = base.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     vocab = (
