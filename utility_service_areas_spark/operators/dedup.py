@@ -255,17 +255,15 @@ def minhash_signatures(
         F.size("__toks") >= k
     )
     sh = toksed.select("doc", shingles(F.col("__toks"), k).alias("__sh"))
-
-    # One-arg lambda per seed (a two-arg lambda would be read by
-    # F.transform as an (element, index) function).
-    def _seeded_md5(seed: int):
-        prefix = F.lit(f"{seed}:")
-        return lambda s: F.md5(F.concat(prefix, s))
-
-    return sh.select(
+    # One selectExpr with pre-rendered strings instead of 8 Column
+    # trees (r17): the per-call py4j round-trips while BUILDING the
+    # query are real driver latency; the parsed expressions are
+    # identical to F.array_min(F.transform(__sh, s -> md5(concat(...))))
+    # (equivalence pinned against the explode+groupBy reference).
+    return sh.selectExpr(
         "doc",
         *[
-            F.array_min(F.transform(F.col("__sh"), _seeded_md5(i))).alias(f"h{i}")
+            f"array_min(transform(__sh, s -> md5(concat('{i}:', s)))) AS h{i}"
             for i in range(n_hashes)
         ],
     )
@@ -359,34 +357,28 @@ def lsh_candidate_pairs(
     """
     n_bands = n_hashes // band_size
     hcols = [f"h{i}" for i in range(n_hashes)]
-    bands = sig.select(
-        F.struct(F.col("doc"), *[F.col(h) for h in hcols]).alias("item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.md5(
-                            F.concat(
-                                *[
-                                    F.col(f"h{i * band_size + j}")
-                                    for j in range(band_size)
-                                ]
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("item", "b.band_idx", "b.band_hash")
+    # inline() explodes the band array straight into (band_idx,
+    # band_hash) columns — one projection, one analysis pass, and the
+    # whole select is pre-rendered strings (same py4j-thrift rationale
+    # as minhash_signatures).
+    band_structs = ", ".join(
+        "struct({i} AS band_idx, md5(concat({hs})) AS band_hash)".format(
+            i=i,
+            hs=", ".join(f"h{i * band_size + j}" for j in range(band_size)),
+        )
+        for i in range(n_bands)
+    )
+    bands = sig.selectExpr(
+        f"struct(doc, {', '.join(hcols)}) AS item",
+        f"inline(array({band_structs}))",
+    )
     # sort_array orders structs by their first field: doc is unique, so
     # the item order equals the old sorted doc order and items[0] is
     # the min-doc star keeper.
-    buckets = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("item")).alias("items"))
-        .filter(F.size("items") >= 2)
+    # (No size(items) >= 2 filter: both pair expressions are empty on a
+    # 1-item bucket, so the explode below drops those rows itself.)
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_list("item")).alias("items")
     )
     # One pipeline: the cap decision is a CASE over the aggregated row,
     # so hot and cold buckets flow through the same single shuffle+agg.
@@ -397,17 +389,14 @@ def lsh_candidate_pairs(
             ).otherwise(F.expr(_STAR_ITEM_PAIRS_EXPR))
         ).alias("p")
     )
-    n_match = sum(
-        (F.col(f"p.ia.{h}") == F.col(f"p.ib.{h}")).cast("long") for h in hcols
+    n_match = " + ".join(
+        f"CAST(p.ia.{h} = p.ib.{h} AS BIGINT)" for h in hcols
     )
-    return (
-        pairs.select(
-            F.col("p.ia.doc").alias("doc_a"),
-            F.col("p.ib.doc").alias("doc_b"),
-            n_match.alias("n_matching_minhashes"),
-        )
-        .distinct()
-    )
+    return pairs.selectExpr(
+        "p.ia.doc AS doc_a",
+        "p.ib.doc AS doc_b",
+        f"{n_match} AS n_matching_minhashes",
+    ).distinct()
 
 
 _SIG_PAIRS_EXPR = """

@@ -58,12 +58,44 @@ def cpu_spread_width(df: DataFrame, target: int) -> int:
     return max(1, min(target, math.ceil(nbytes / per_task)))
 
 
+def _scan_partitions_estimate(df: DataFrame) -> int | None:
+    """Rough count of the partitions a file-backed scan will produce
+    (Spark's split packing: bytes / maxPartitionBytes, each file
+    charged openCostInBytes) — WITHOUT touching ``df.rdd``, which
+    would run the whole analyze/optimize/plan pipeline just to read a
+    partition count (~50-90 ms per call, r17). None when the input
+    files aren't visible (in-memory frames, non-file sources)."""
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    conf = df.sparkSession.conf
+    try:
+        max_split = int(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        open_cost = int(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    except (TypeError, ValueError):
+        return None
+    nbytes = 0
+    for p in files:
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            nbytes += os.path.getsize(local) + open_cost
+        except OSError:
+            return None
+    return max(1, math.ceil(nbytes / max(1, max_split)))
+
+
 def cpu_spread(df: DataFrame, key: Column) -> DataFrame:
     """Hash-repartition ``df`` on ``key`` for a CPU-dense downstream
     projection ONLY when the scan arrived too narrow to parallelize it
     (single-file local sources); a real cluster's wide scan is
     returned untouched — no extra shuffle of the raw input."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 4):
+    est = _scan_partitions_estimate(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est >= max(2, target // 4):
         return df
     return df.repartition(cpu_spread_width(df, target), key)
