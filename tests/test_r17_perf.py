@@ -341,3 +341,100 @@ def test_repetition_signals_plan_is_map_only(spark):
     assert "Generate" not in plan
     assert "HashAggregate" not in plan
     assert "SortAggregate" not in plan
+
+
+def _cc_ref_pairs(spark):
+    # chain 1-2-3-4-5, clique 10-13, isolated edge 20-21, self-ish
+    # dense blob 30-33 with redundant edges
+    rows = (
+        [(i, i + 1) for i in range(1, 5)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        + [(20, 21), (30, 31), (31, 32), (32, 33), (30, 33), (30, 32)]
+    )
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_local_cc_fastpath_matches_distributed_loop(spark, monkeypatch):
+    from utility_service_areas_spark.operators import graph
+
+    pairs = _cc_ref_pairs(spark)
+    fast = {(r.node, r.comp) for r in graph.connected_components(pairs).collect()}
+    monkeypatch.setenv(graph._LOCAL_CC_ENV, "0")
+    loop = {(r.node, r.comp) for r in graph.connected_components(pairs).collect()}
+    assert fast == loop
+    assert fast  # non-empty sanity
+
+
+def test_local_cc_fastpath_matches_twostar_loop(spark, monkeypatch):
+    from utility_service_areas_spark.operators import graph
+
+    pairs = _cc_ref_pairs(spark)
+    fast = {
+        (r.node, r.comp)
+        for r in graph.connected_components_twostar(pairs).collect()
+    }
+    monkeypatch.setenv(graph._LOCAL_CC_ENV, "0")
+    loop = {
+        (r.node, r.comp)
+        for r in graph.connected_components_twostar(pairs).collect()
+    }
+    assert fast == loop
+
+
+def test_local_cc_fastpath_taken_for_small_graphs(spark, monkeypatch):
+    from utility_service_areas_spark.operators import graph
+
+    taken = []
+    orig = graph._local_cc_fastpath
+
+    def spy(edges):
+        out = orig(edges)
+        taken.append(out is not None)
+        return out
+
+    monkeypatch.setattr(graph, "_local_cc_fastpath", spy)
+    graph.connected_components(_cc_ref_pairs(spark)).collect()
+    assert taken == [True]
+
+
+def test_local_cc_cap_falls_back_to_loop(spark, monkeypatch):
+    from utility_service_areas_spark.operators import graph
+
+    pairs = _cc_ref_pairs(spark)
+    monkeypatch.setenv(graph._LOCAL_CC_ENV, "3")  # graph has more edges
+    taken = []
+    orig = graph._local_cc_fastpath
+
+    def spy(edges):
+        out = orig(edges)
+        taken.append(out is not None)
+        return out
+
+    monkeypatch.setattr(graph, "_local_cc_fastpath", spy)
+    out = graph.connected_components(pairs)
+    comp = {r.node: r.comp for r in out.collect()}
+    assert taken == [False]  # over the cap: the distributed loop ran
+    assert comp[5] == 1 and comp[13] == 10 and comp[21] == 20 and comp[33] == 30
+
+
+def test_local_cc_string_ids_take_the_loop(spark, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.operators import graph
+
+    pairs = _cc_ref_pairs(spark).select(
+        F.col("doc_a").cast("string").alias("doc_a"),
+        F.col("doc_b").cast("string").alias("doc_b"),
+    )
+    taken = []
+    orig = graph._local_cc_fastpath
+
+    def spy(edges):
+        out = orig(edges)
+        taken.append(out is not None)
+        return out
+
+    monkeypatch.setattr(graph, "_local_cc_fastpath", spy)
+    comp = {r.node: r.comp for r in graph.connected_components(pairs).collect()}
+    assert taken == [False]
+    assert comp["5"] == "1" and comp["33"] == "30"

@@ -13,10 +13,75 @@ standard Spark iterative-algorithm discipline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from utility_service_areas_spark.operators.spread import cpu_spread_width
+
+# Small-graph fast path (r17): a pair graph that fits comfortably on
+# the driver is solved there with union-find instead of running the
+# iterative join loop — the distributed rounds are pure scheduling
+# overhead when the edge list is KB-sized (each round costs an
+# analysis pass + an AQE job + a collect for the fingerprint; a
+# 5-round convergence is ~10 jobs for a graph union-find resolves in
+# microseconds). The labels are identical BY CONSTRUCTION: component =
+# min node id, the same fixpoint the propagation loop reaches
+# (equivalence pinned in tests). The cap is edge rows, parameterized
+# for deployments; above it — every at-scale corpus — the loop runs
+# exactly as before, having spent one O(cap)-row limit job to decide
+# (the partitions it materialized stay cached for round 1). Driver
+# memory is bounded: cap rows × 2 ids. Same sanctioned class of
+# driver-side fold as Lloyd's k-centroid collect (kmeans.py).
+_LOCAL_CC_ENV = "SPARK_GRAFT_LOCAL_CC_EDGES"
+_LOCAL_CC_DEFAULT = 100_000
+
+
+def _local_cc_cap() -> int:
+    try:
+        return int(os.environ.get(_LOCAL_CC_ENV, _LOCAL_CC_DEFAULT))
+    except ValueError:
+        return _LOCAL_CC_DEFAULT
+
+
+def _local_cc_fastpath(edges: DataFrame) -> DataFrame | None:
+    """Union-find labels for a small symmetric edge frame, or None when
+    the graph exceeds the cap (or node ids aren't plainly orderable
+    across engines — only numeric ids take the fast path; Python and
+    SQL string collation subtleties stay out of scope)."""
+    cap = _local_cc_cap()
+    if cap <= 0:
+        return None
+    u_type, v_type = (f.dataType.typeName() for f in edges.schema.fields[:2])
+    numeric = {"byte", "short", "integer", "long"}
+    if u_type not in numeric or u_type != v_type:
+        return None
+    rows = edges.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    labels = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        labels, f"node {u_type}, comp {u_type}"
+    )
 
 
 def connected_components(
@@ -96,6 +161,9 @@ def connected_components(
             if reliable
             else edges.localCheckpoint(eager=False)
         )
+    fast = _local_cc_fastpath(edges)
+    if fast is not None:
+        return fast
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -498,6 +566,13 @@ def connected_components_twostar(
     edges = _cut(
         _sym(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
     )
+    # Same size-bounded driver fast path as connected_components —
+    # two-star's labels are pinned identical to min-label propagation,
+    # so the union-find answer is identical to both.
+    fast = _local_cc_fastpath(edges)
+    if fast is not None:
+        return fast
+
     def _star_round(e: DataFrame) -> DataFrame:
         # LARGE-STAR: every neighbor LARGER than the center re-attaches
         # to the center's minimum (min over neighborhood + self).

@@ -482,13 +482,30 @@ def dedup_exact_substring(
             )
         )
     else:
-        ndocs = spans.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+        from utility_service_areas_spark.operators.dedup import lineage_cut
+
+        # The distinct span frame feeds BOTH the frequency count and
+        # the per-doc rollup; Catalyst does not reuse the subtree, so
+        # without the cut the span Generate AND its distinct shuffle
+        # ran twice (r17 — executed plan had 2 Generates + 2 full
+        # span-stream Exchanges). Joining against only the REPEATED
+        # spans (nd >= 2) instead of every distinct span's count also
+        # shrinks the build side ~10x (91% of spans are singletons on
+        # the base substrate): membership is the only thing the rollup
+        # needs, so nsh = count of spans with a match.
+        spans = lineage_cut(spans)
+        rep = (
+            spans.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("h", F.lit(1).alias("shared"))
+        )
         per = (
-            spans.join(ndocs, "h")
+            spans.join(rep, "h", "left")
             .groupBy("doc_id")
             .agg(
                 F.count(F.lit(1)).alias("ns"),
-                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("nsh"),
+                F.sum(F.coalesce(F.col("shared"), F.lit(0))).alias("nsh"),
             )
         )
     return (
