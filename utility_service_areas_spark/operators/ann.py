@@ -70,6 +70,12 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         norm2_expr(F.col(vec_col)).alias("q_n"),
     )
+    # (r17: cpu_spread on the corpus side was TRIED AND REJECTED —
+    # interleaved A/B at sf0.1: width-7 1.2-2.2 s vs width-1
+    # 0.7-1.6 s. Embedding rows are ~1 KB of doubles with only
+    # |Q|·dim mults of fold work each — far less CPU per byte than
+    # the text kernels the spread budget was tuned for, so the extra
+    # tasks cost more than the parallelism buys.)
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

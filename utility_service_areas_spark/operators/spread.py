@@ -31,14 +31,25 @@ _ENV = "SPARK_GRAFT_CPU_TASK_BYTES"
 _DEFAULT_BYTES_PER_TASK = 128 * 1024
 
 
-def cpu_spread_width(df: DataFrame, target: int) -> int:
+def cpu_spread_width(
+    df: DataFrame, target: int, bytes_per_task: int | None = None
+) -> int:
     """Partitions a CPU-dense projection over ``df`` should fan out
     to: ceil(input_bytes / bytes_per_task), clamped to [1, target];
-    ``target`` when the input size cannot be determined."""
-    try:
-        per_task = int(os.environ.get(_ENV, _DEFAULT_BYTES_PER_TASK))
-    except ValueError:
-        per_task = _DEFAULT_BYTES_PER_TASK
+    ``target`` when the input size cannot be determined.
+
+    ``bytes_per_task`` defaults to the env/128 KiB budget tuned for
+    the text kernels (md5/shingle storms — ~0.5-1 s of work per
+    128 KiB); callers with lighter per-byte work (e.g. relational
+    join+agg over numeric columns) pass a larger budget — measured
+    ~1.5 MiB/task optimal for the lineitem join shapes (r17; 32-way
+    over 11 MB was SLOWER than 8-way)."""
+    per_task = bytes_per_task
+    if per_task is None:
+        try:
+            per_task = int(os.environ.get(_ENV, _DEFAULT_BYTES_PER_TASK))
+        except ValueError:
+            per_task = _DEFAULT_BYTES_PER_TASK
     per_task = max(1, per_task)
     try:
         files = list(df.inputFiles())
@@ -87,7 +98,9 @@ def _scan_partitions_estimate(df: DataFrame) -> int | None:
     return max(1, math.ceil(nbytes / max(1, max_split)))
 
 
-def cpu_spread(df: DataFrame, key: Column) -> DataFrame:
+def cpu_spread(
+    df: DataFrame, key: Column, bytes_per_task: int | None = None
+) -> DataFrame:
     """Hash-repartition ``df`` on ``key`` for a CPU-dense downstream
     projection ONLY when the scan arrived too narrow to parallelize it
     (single-file local sources); a real cluster's wide scan is
@@ -98,4 +111,4 @@ def cpu_spread(df: DataFrame, key: Column) -> DataFrame:
         est = df.rdd.getNumPartitions()
     if est >= max(2, target // 4):
         return df
-    return df.repartition(cpu_spread_width(df, target), key)
+    return df.repartition(cpu_spread_width(df, target, bytes_per_task), key)

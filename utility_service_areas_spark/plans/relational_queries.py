@@ -66,8 +66,20 @@ _LATEST_ORDER_SQL = """
 
 
 def _latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"
+    from utility_service_areas_spark.operators.spread import cpu_spread
+
+    # Spreading a too-narrow local scan ON THE WINDOW KEY replaces the
+    # window's own ENSURE_REQUIREMENTS exchange (hash partitioning on
+    # o_custkey satisfies it at any width), so the partial
+    # WindowGroupLimit sort runs wide instead of on the single scan
+    # task (r17 A/B: 0.40-0.45 s vs 0.53-0.72 s at sf0.1); cluster
+    # scans pass through untouched.
+    orders = cpu_spread(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"
+        ),
+        F.col("o_custkey"),
+        bytes_per_task=1 << 19,
     )
     return latest_per_group(
         orders,
@@ -455,9 +467,20 @@ def agg_stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "bench"),
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.spread import cpu_spread
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    # A single-file local lineitem arrives 1 partition wide and runs
+    # the whole probe+agg serially; spread it by input size at the
+    # relational budget (~1.5 MiB/task — r17 A/B: 8-way 0.8 s vs
+    # 1-way 1.5 s vs 32-way 1.0 s at sf0.1). Wide cluster scans pass
+    # through untouched.
+    li = cpu_spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        F.col("l_orderkey"),
+        bytes_per_task=3 << 19,
     )
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)

@@ -36,9 +36,18 @@ from utility_service_areas_spark.sources.tables import load_table
     tags=("tpch", "bench"),
 )
 def regional_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from utility_service_areas_spark.operators.spread import cpu_spread
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # Relational-budget spread of a too-narrow local lineitem scan
+    # (r17 A/B: 0.82-1.18 s vs 1.08-1.43 s plain at sf0.1); wide
+    # cluster scans pass through untouched.
+    li = cpu_spread(
+        load_table(spark, sf_dir, "lineitem"),
+        F.col("l_orderkey"),
+        bytes_per_task=3 << 19,
+    )
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
