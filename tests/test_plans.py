@@ -229,11 +229,14 @@ def test_fuzzy_match_is_blocked_join(spark, queries):
 
 
 def test_repetition_signals_no_join_single_gram_shuffle(spark, queries):
-    """Unigrams+bigrams ride ONE tagged explode: no Join node at all,
-    and partial aggregation before the exchange."""
+    """r17 strengthened the r11 shape (one tagged explode + partial
+    agg) to a pure in-row run-length fold: still no Join — and now no
+    aggregation or explode at all (see also the map-only pin in
+    test_r17_perf.py)."""
     plan = plan_of(queries["docs_repetition_signals"](spark, SMOKE_SF))
     assert "Join" not in plan
-    assert "partial" in plan.lower()
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan
 
 
 def test_domain_quota_two_phase_windows(spark, queries):

@@ -1166,7 +1166,15 @@ def _funnel_stage_frame(
 
     docs = load_table(spark, sf_dir, "documents")
     ws, _ = token_counts(F.col("text"))
-    base = docs.select(
+    # The stage-1 gate expressions (tokenize + lang n-gram scan +
+    # quality regexes + normalized-text md5) are the funnel's heaviest
+    # map pass and ran on however many partitions the scan produced —
+    # one, for a single-file local source, serializing the whole pass
+    # BEFORE the h-window exchange fans out. Spread by input size
+    # (r17); wide cluster scans pass through untouched.
+    from utility_service_areas_spark.operators.spread import cpu_spread
+
+    base = cpu_spread(docs, F.col("doc_id")).select(
         "doc_id",
         "source",
         "text",
