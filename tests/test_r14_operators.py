@@ -219,17 +219,23 @@ def test_vacuum_spares_young_orphan_data_dirs(spark, tmp_path):
     assert _rows(spark, t) == {(2, "b")}
 
 
-def test_twostar_raises_on_exhaustion_instead_of_wrong_labels(spark):
+def test_twostar_raises_on_exhaustion_instead_of_wrong_labels(
+    spark, monkeypatch
+):
     """ADVICE r13 #4: exiting the large-star/small-star loop by
     exhaustion (fingerprint still moving) must raise, not silently
     return labels from a non-converged edge set; a sufficient
     max_iter on the same graph converges and matches the propagation
-    operator."""
+    operator. (r17: the driver union-find fast path solves a 40-edge
+    chain exactly without iterating — force the distributed loop via
+    the cap env so this still pins the LOOP's exhaustion contract.)"""
+    from utility_service_areas_spark.operators import graph
     from utility_service_areas_spark.operators.graph import (
         connected_components,
         connected_components_twostar,
     )
 
+    monkeypatch.setenv(graph._LOCAL_CC_ENV, "0")
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
     )
