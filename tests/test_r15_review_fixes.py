@@ -130,11 +130,16 @@ def test_twostar_converging_exactly_at_max_iter_returns_labels(spark):
     assert got == {(1, 1), (2, 1)}
 
 
-def test_twostar_still_raises_when_genuinely_unconverged(spark):
+def test_twostar_still_raises_when_genuinely_unconverged(spark, monkeypatch):
+    from utility_service_areas_spark.operators import graph
     from utility_service_areas_spark.operators.graph import (
         connected_components_twostar,
     )
 
+    # r17: the driver union-find fast path solves a 63-edge chain
+    # exactly without iterating — disable it so this still pins the
+    # LOOP's exhaustion contract.
+    monkeypatch.setenv(graph._LOCAL_CC_ENV, "0")
     # a 64-node path needs several rounds; max_iter=1 + one verify
     # round cannot reach the fixpoint -> loud failure, never wrong labels
     pairs = spark.createDataFrame(
