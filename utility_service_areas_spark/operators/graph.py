@@ -79,8 +79,30 @@ def _local_cc_fastpath(edges: DataFrame) -> DataFrame | None:
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
     labels = [(n, find(n)) for n in parent]
+    # Hand the labels back through pandas/Arrow: createDataFrame on a
+    # pandas frame plans as a LocalTableScan — no RDD, no job, and
+    # crucially no PythonRDD pickle stage (the list overload
+    # parallelizes to defaultParallelism pickle tasks, whose worker
+    # pool has its OWN PythonWorkerFactory key — measured in-bench as
+    # a fresh Python daemon + preload-import storm blocking all 32
+    # task slots for ~7 s the first time a query hit it).
+    import numpy as np
+    import pandas as pd
+
+    np_type = {
+        "byte": "int8",
+        "short": "int16",
+        "integer": "int32",
+        "long": "int64",
+    }[u_type]
+    pdf = pd.DataFrame(
+        {
+            "node": np.fromiter((n for n, _ in labels), dtype=np_type),
+            "comp": np.fromiter((c for _, c in labels), dtype=np_type),
+        }
+    )
     return edges.sparkSession.createDataFrame(
-        labels, f"node {u_type}, comp {u_type}"
+        pdf, f"node {u_type}, comp {u_type}"
     )
 
 

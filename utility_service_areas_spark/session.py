@@ -60,6 +60,28 @@ def build_session(app_name: str = "usa-spark", master: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if not os.environ.get("SPARK_GRAFT_NO_JIT_TUNING"):
+        # HotSpot permanently demotes a method to the interpreter after
+        # PerMethodRecompilationCutoff (default 400) deoptimizations.
+        # Every whole-stage-codegen class load invalidates CHA-based
+        # inlining in the SHARED Catalyst eval methods (Expression.eval,
+        # higher-order functions, Md5.nullSafeEval, ...), so a session
+        # that keeps compiling new queries trips the cutoff and those
+        # methods run interpreted — measured here as intermittent
+        # 10-20x CPU cliffs on whole stages (dedup_minhash_lsh warm
+        # repeat: 1.1 s normally, 21 s during a demotion window; all
+        # task time was Executor CPU in interpreted eval frames).
+        # Raising the cutoff keeps recompilation available for the life
+        # of the JVM. Applies to any long-lived codegen-heavy Spark JVM,
+        # driver or executor, local or cluster.
+        jit_flags = (
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:PerMethodRecompilationCutoff=10000 "
+            "-XX:PerBytecodeRecompilationCutoff=10000"
+        )
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", jit_flags
+        ).config("spark.executor.extraJavaOptions", jit_flags)
     spark = builder.getOrCreate()
     _register_python_datasources(spark)
     return spark
