@@ -438,3 +438,58 @@ def test_local_cc_string_ids_take_the_loop(spark, monkeypatch):
     comp = {r.node: r.comp for r in graph.connected_components(pairs).collect()}
     assert taken == [False]
     assert comp["5"] == "1" and comp["33"] == "30"
+
+
+# --- r17 second session: literal frames as local relations ----------
+
+
+def test_local_df_plans_local_table_scan(spark):
+    """local_df must plan literal rows as a LocalTableScan — the list
+    overload of createDataFrame plans a parallelized PythonRDD pickle
+    stage whose worker pool has its own PythonWorkerFactory key (a
+    fresh daemon + preload import storm the first time a query hits
+    it mid-session)."""
+    from utility_service_areas_spark.operators.localrel import local_df
+
+    df = local_df(spark, [(1, "a"), (2, None)], "k long, v string")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+    assert {(r.k, r.v) for r in df.collect()} == {(1, "a"), (2, None)}
+
+
+def test_local_df_empty_has_no_rdd_scan(spark):
+    from utility_service_areas_spark.operators.localrel import local_df
+
+    df = local_df(spark, [], "k long, v string")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    assert [f.dataType.typeName() for f in df.schema.fields] == [
+        "long",
+        "string",
+    ]
+
+
+def test_local_df_name_list_matches_list_path_inference(spark):
+    from utility_service_areas_spark.operators.localrel import local_df
+
+    rows = [(100, "p1"), (200, "p2")]
+    a = local_df(spark, rows, ["p_partkey", "patch_name"])
+    b = spark.createDataFrame(rows, ["p_partkey", "patch_name"])
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cc_fastpath_labels_are_local_relation(spark):
+    """The fast path's label frame must not re-enter Spark through the
+    pickle path (measured as a 32-task PythonRDD stage + a ~7 s
+    daemon start blocking every task slot mid-bench)."""
+    from utility_service_areas_spark.operators import graph
+
+    pairs = _cc_ref_pairs(spark)
+    labels = graph.connected_components(pairs)
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from utility_service_areas_spark.operators.localrel import local_df
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -417,7 +418,7 @@ def main(argv: list[str] | None = None) -> int:
         else:  # search
             if not args.terms:
                 ap.error("textindex search requires --terms")
-            qterms = spark.createDataFrame(
+            qterms = local_df(spark, 
                 [("q0", t) for t in args.terms.split()],
                 "query_id string, t string",
             )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from utility_service_areas_spark.operators.localrel import local_df
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -687,7 +688,7 @@ def nn_descent_graph(
         F.min("vid").alias("lo"), F.max("vid").alias("hi")
     ).first()
     if bounds.lo is None:  # empty corpus -> empty graph, typed
-        return emb.sparkSession.createDataFrame(
+        return local_df(emb.sparkSession, 
             [],
             f"{id_col} long, neighbor_id long, rank long, sim_micros long",
         )

@@ -78,6 +78,7 @@ from __future__ import annotations
 
 import json
 import os
+from utility_service_areas_spark.operators.localrel import local_df
 import shutil
 import uuid
 from functools import reduce
@@ -194,10 +195,10 @@ def _empty_store(
     spark: SparkSession, manifest: dict
 ) -> tuple[DataFrame, DataFrame]:
     idt = manifest["doc_id_type"]
-    postings = spark.createDataFrame(
+    postings = local_df(spark, 
         [], f"t string, doc_id {idt}, tf bigint, pbucket int"
     )
-    doclens = spark.createDataFrame([], f"doc_id {idt}, dl bigint")
+    doclens = local_df(spark, [], f"doc_id {idt}, dl bigint")
     return postings, doclens
 
 

@@ -66,6 +66,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from utility_service_areas_spark.operators.localrel import local_df
 
 MANIFEST_NAME = "_MANIFEST.json"
 _FORMAT_VERSION = 2
@@ -272,7 +273,7 @@ def _read_codes(
     segs = manifest["segments"]
     if not segs:
         schema = ", ".join(f"{c} bigint" for c in cols)
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     paths = [
         os.path.join(_segments_root(index_dir), s["name"]) for s in segs
     ]

@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 from utility_service_areas_spark.operators.temporal import asof_join, range_join
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 PROMO_WINDOWS = [
     (1, "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
@@ -69,7 +70,7 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    wins = spark.createDataFrame(
+    wins = local_df(spark, 
         PROMO_WINDOWS, ["promo_id", "start_ts", "end_ts"]
     ).select(
         "promo_id",
@@ -1324,7 +1325,7 @@ def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.expr("bit_or(bit)").alias("mask"))
     )
-    pairs = spark.createDataFrame(
+    pairs = local_df(spark, 
         _TYPE_PAIRS, "type_a string, bit_a int, type_b string, bit_b int"
     )
     joined = masks.crossJoin(F.broadcast(pairs))
@@ -2214,7 +2215,7 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests = regs.groupBy("event_type").agg(n_used, z_present).select(
         "event_type", est.alias("est")
     )
-    pairs = spark.createDataFrame(
+    pairs = local_df(spark, 
         [(a, b) for a, _, b, _ in _TYPE_PAIRS], "type_a string, type_b string"
     )
     uregs = (

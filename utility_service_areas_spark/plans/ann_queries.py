@@ -17,6 +17,7 @@ from utility_service_areas_spark.operators.ann import (
 )
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 N_QUERIES = 5  # vec_id < 5 are the probe queries
 TOP_K = 10
@@ -1923,7 +1924,7 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             if best is None or m < best:
                 best = m
         sep_rows.append((ci, best))
-    sep = spark.createDataFrame(
+    sep = local_df(spark, 
         sep_rows, "cluster long, nearest_centroid_d2_micros long"
     )
     return per.join(F.broadcast(sep), "cluster")
@@ -2058,7 +2059,7 @@ def ann_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_rank",
         )
     )
-    probes = spark.createDataFrame([(p,) for p in _SWEEP_PROBES], "probe int")
+    probes = local_df(spark, [(p,) for p in _SWEEP_PROBES], "probe int")
     cand = (
         q_cells.join(c_assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -22,6 +22,7 @@ from utility_service_areas_spark.operators.dedup import (
 )
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 # Shared SQL fragments (DuckDB) mirroring functions/textops.py.
 _TOKS_SQL = r"string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')"
@@ -1029,7 +1030,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lineage_cut(
         ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2, df_cap=100)
     )
-    t = spark.createDataFrame(
+    t = local_df(spark, 
         [(x,) for x in _SWEEP_THRESHOLDS_MICROS], "threshold_micros long"
     )
     return (

@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 
 def merge_upsert(
@@ -782,7 +783,7 @@ def revenue_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus digit agg runs once, not twice.
     digits = lineage_cut(digits)
     tot = digits.agg(F.sum("n_obs").cast("long").alias("n"))
-    ben = spark.createDataFrame(
+    ben = local_df(spark, 
         sorted(_BENFORD_MICROS.items()), "digit int, expected_micros long"
     )
     return (

@@ -41,6 +41,7 @@ from utility_service_areas_spark.operators.geo import (
 )
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 _RECT_SQL = """
     SELECT n_nationkey, n_regionkey,
@@ -689,7 +690,7 @@ def geo_nearest_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
     cands = _rect_distance_structs(spark, sf_dir)
     if not cands:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "c_custkey long, nearest_nationkey int, dist2_micros long"
         )
     best = F.array_min(F.array(*cands))
@@ -1009,7 +1010,7 @@ def geo_knn_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
     cands = _rect_distance_structs(spark, sf_dir)
     if not cands:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "c_custkey long, rank int, n_nationkey int, dist2_micros long"
         )
     top3 = F.slice(F.sort_array(F.array(*cands)), 1, 3)

@@ -17,6 +17,7 @@ from utility_service_areas_spark.operators.multimodal import (
 )
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 _META_SQL = """
     SELECT doc_id,
@@ -197,7 +198,7 @@ def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").cast("long").alias("width"),
         F.col("meta.height").cast("long").alias("height"),
     )
-    buckets = spark.createDataFrame(
+    buckets = local_df(spark, 
         [
             (i, name, bw, bh, _ASPECT_LCM // bh)
             for i, (name, bw, bh) in enumerate(_ASPECT_BUCKETS)

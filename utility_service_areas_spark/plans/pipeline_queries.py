@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from utility_service_areas_spark.plans import ORACLE_POS_CAP
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 _TOKS = r"string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')"
 
@@ -871,7 +872,7 @@ def seq_len_packing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", shard.alias("shard"), n_tok.cast("long").alias("n_tok")
         )
     )  # consumed by the per-doc AND per-shard branches
-    lens = spark.createDataFrame(
+    lens = local_df(spark, 
         [(x,) for x in _PACK_SWEEP_LENS], "seq_len int"
     )
     per_doc = (
@@ -1017,7 +1018,7 @@ def shard_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("zmax"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    preds = spark.createDataFrame(
+    preds = local_df(spark, 
         list(_ZM_PREDS), "pred_id long, lo long, hi long"
     )
     pruned = F.when(
@@ -1873,7 +1874,7 @@ _LOGREG_THRESHOLDS = (
 )
 def docs_logreg_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc, w, mu = _logreg_fit(spark, sf_dir)
-    th = spark.createDataFrame(
+    th = local_df(spark, 
         [(t,) for t in _LOGREG_THRESHOLDS], "threshold long"
     )
     sc = fc.crossJoin(F.broadcast(w)).select(
@@ -2101,7 +2102,7 @@ def curation_funnel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.expr(_LOGREG_Z).alias("z"), "y"
         )
     )
-    th = spark.createDataFrame(
+    th = local_df(spark, 
         [(t,) for t in _LOGREG_THRESHOLDS], "threshold long"
     )
     perthr = (

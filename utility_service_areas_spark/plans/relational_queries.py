@@ -22,6 +22,7 @@ from utility_service_areas_spark.operators.relational import (
 )
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 # Curated key lists, mirroring the reference's explicit operator_ids /
 # inactive_ids (_targets.R:65-156). Keys < 150 exist at every SF.
@@ -327,7 +328,7 @@ _PATCH_VALUES_SQL = ", ".join(f"({k}, '{v}')" for k, v in PART_PATCHES)
 )
 def patch_override_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
-    patches = spark.createDataFrame(PART_PATCHES, ["p_partkey", "patch_name"])
+    patches = local_df(spark, PART_PATCHES, ["p_partkey", "patch_name"])
     out = patch_override(
         part,
         patches,

@@ -26,6 +26,7 @@ from utility_service_areas_spark.operators.relational import (
     tag_entities,
 )
 from utility_service_areas_spark.sources.kml import read_kml
+from utility_service_areas_spark.operators.localrel import local_df
 
 CERT_NUM_RE = r"(\d+(\.\d+)?)"  # matches CPCN '18.1' too (R/functions.R:180)
 
@@ -159,7 +160,7 @@ def build_service_areas(
     # MultiPolygon (disjoint service areas: union == combine,
     # R/functions.R:421-444 get_merge_geom).
     if merge_patches:
-        patch_df = spark.createDataFrame(merge_patches, ["cert1", "cert2"])
+        patch_df = local_df(spark, merge_patches, ["cert1", "cert2"])
         # collect_list order is task-completion order — sort by cert2
         # before flattening so a cert absorbing several others gets a
         # run-stable polygon order (r15 review #4)
@@ -313,7 +314,7 @@ def replay_service_areas_from_raw(
     combined = raw_layer
     if merge_patches:
         spark = raw_layer.sparkSession
-        patch_df = spark.createDataFrame(merge_patches, ["cert1", "cert2"])
+        patch_df = local_df(spark, merge_patches, ["cert1", "cert2"])
         acquired = (
             combined.join(
                 F.broadcast(patch_df),

@@ -18,6 +18,7 @@ from utility_service_areas_spark.operators.text import (
 from utility_service_areas_spark.plans import ORACLE_POS_CAP
 from utility_service_areas_spark.plans.registry import query
 from utility_service_areas_spark.sources.tables import load_table
+from utility_service_areas_spark.operators.localrel import local_df
 
 _TOKS = r"string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')"
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1807,7 +1808,7 @@ def _bpe_train(
 )
 def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_df(spark, 
         merges,
         "merge_round long, left_sym string, right_sym string, "
         "merged_sym string, pair_count long",
@@ -1837,7 +1838,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_compression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, stats = _bpe_train(spark, sf_dir, want_stats=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         stats,
         "merge_round long, total_symbols long, n_symbol_types long",
     )
@@ -1942,7 +1943,7 @@ _BM25_CTES = rf"""
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
+    qterms = local_df(spark, 
         [(qid, t) for qid, qs in _BM25_QUERIES for t in qs.split()],
         "query_id string, t string",
     )
@@ -2538,7 +2539,7 @@ def text_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_dir = tempfile.mkdtemp(prefix="usa_bm25_")
         build_bm25_index(docs, index_dir)
         _PERSISTED_BM25_DIRS[key] = index_dir
-    qterms = spark.createDataFrame(
+    qterms = local_df(spark, 
         [(qid, t) for qid, qs in _BM25_QUERIES for t in qs.split()],
         "query_id string, t string",
     )
@@ -3098,7 +3099,7 @@ def vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("m")).alias("total"),
         F.sum("m").alias("n_types"),
     )
-    ks = spark.createDataFrame([(k,) for k in _VOCAB_KS], "vocab_k long")
+    ks = local_df(spark, [(k,) for k in _VOCAB_KS], "vocab_k long")
     covered = F.sum(
         F.when(
             F.col("s") + F.col("m") <= F.col("vocab_k"),

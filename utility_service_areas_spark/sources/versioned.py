@@ -48,6 +48,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from utility_service_areas_spark.operators.localrel import local_df
 
 _MANIFEST_RE = "_v{n}.json"
 
@@ -365,7 +366,7 @@ def _empty_frame_from_manifest(spark: SparkSession, man: dict) -> DataFrame:
     the same fallback VersionedTableDataSource.schema() uses for an
     all-deleted snapshot."""
     fields = ", ".join(f"{n} {t}" for n, t in man["schema"])
-    return spark.createDataFrame([], fields)
+    return local_df(spark, [], fields)
 
 
 def read_version(

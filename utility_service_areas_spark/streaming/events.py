@@ -30,6 +30,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from utility_service_areas_spark.operators.localrel import local_df
+
 SESSION_GAP_MIN = 30
 
 
@@ -1461,7 +1463,7 @@ def logreg_online_pr_sweep(docs: DataFrame, state_path: str) -> DataFrame:
         "y",
     )
     spark = docs.sparkSession
-    th = spark.createDataFrame(
+    th = local_df(spark, 
         [(t,) for t in _LOGREG_THRESHOLDS], "threshold long"
     )
     return _pr_sweep(sc, th)
