@@ -493,3 +493,18 @@ def test_cc_fastpath_labels_are_local_relation(spark):
     plan = labels._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan
     assert "ExistingRDD" not in plan
+
+
+def test_lineage_cut_is_noop_on_local_relations(spark):
+    """Checkpointing a LocalRelation adds a job and replaces its
+    exact-size stats with defaultSizeInBytes — lineage_cut must pass
+    it through untouched."""
+    from utility_service_areas_spark.operators.dedup import lineage_cut
+    from utility_service_areas_spark.operators.localrel import local_df
+
+    df = local_df(spark, [(1, 2)], "a long, b long")
+    assert lineage_cut(df) is df
+    # and a real lineage still gets cut
+    real = spark.range(10).selectExpr("id", "id * 2 AS y")
+    cut = lineage_cut(real)
+    assert cut is not real

@@ -482,7 +482,16 @@ def lineage_cut(df: DataFrame) -> DataFrame:
     cut, no HDFS round-trip). Catalyst does NOT reuse identical
     subtrees consumed by several joins of one plan (0 ReusedExchange,
     measured r8) — without the cut each consumer re-runs the whole
-    upstream pipeline."""
+    upstream pipeline.
+
+    A frame whose optimized plan is already a LocalRelation (e.g. the
+    r17 CC driver fast path's label frame) is returned as-is: there is
+    no lineage to re-run, and the checkpoint would only add a job and
+    replace exact-size LocalTableScan statistics with an RDD scan's
+    defaultSizeInBytes (killing downstream auto-broadcast)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    if plan.getClass().getSimpleName() == "LocalRelation":
+        return df
     spark = df.sparkSession
     reliable = spark.sparkContext.getCheckpointDir() is not None
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
