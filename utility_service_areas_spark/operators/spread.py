@@ -51,20 +51,8 @@ def cpu_spread_width(
         except ValueError:
             per_task = _DEFAULT_BYTES_PER_TASK
     per_task = max(1, per_task)
-    try:
-        files = list(df.inputFiles())
-    except Exception:
-        return target
-    if not files:
-        return target
-    nbytes = 0
-    for p in files:
-        local = p[5:] if p.startswith("file:") else p
-        try:
-            nbytes += os.path.getsize(local)
-        except OSError:
-            return target
-    if nbytes <= 0:
+    nbytes = _input_bytes(df)
+    if nbytes is None or nbytes <= 0:
         return target
     return max(1, min(target, math.ceil(nbytes / per_task)))
 
@@ -98,17 +86,60 @@ def _scan_partitions_estimate(df: DataFrame) -> int | None:
     return max(1, math.ceil(nbytes / max(1, max_split)))
 
 
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind a file-backed scan; None when the
+    input files aren't visible (in-memory frames, non-file sources)."""
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    nbytes = 0
+    for p in files:
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            nbytes += os.path.getsize(local)
+        except OSError:
+            return None
+    return nbytes
+
+
 def cpu_spread(
-    df: DataFrame, key: Column, bytes_per_task: int | None = None
+    df: DataFrame,
+    key: Column,
+    bytes_per_task: int | None = None,
+    skip_if_broadcastable: bool = False,
 ) -> DataFrame:
     """Hash-repartition ``df`` on ``key`` for a CPU-dense downstream
     projection ONLY when the scan arrived too narrow to parallelize it
     (single-file local sources); a real cluster's wide scan is
-    returned untouched — no extra shuffle of the raw input."""
+    returned untouched — no extra shuffle of the raw input.
+
+    ``skip_if_broadcastable``: pass True when ``df`` feeds a join whose
+    OTHER side is at least as large, so the engine may pick ``df`` as
+    the broadcast build side. A repartition Exchange feeding a
+    BroadcastExchange is pure overhead (the probe side gains nothing
+    from the build side's partitioning — r17 regional_order_volume
+    −22%), so the spread is skipped while the frame's input bytes are
+    under ``spark.sql.autoBroadcastJoinThreshold``. Above the
+    threshold (any at-scale input) the spread applies as usual."""
     target = df.sparkSession.sparkContext.defaultParallelism
     est = _scan_partitions_estimate(df)
     if est is None:
         est = df.rdd.getNumPartitions()
     if est >= max(2, target // 4):
         return df
+    if skip_if_broadcastable:
+        try:
+            thresh = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+            )
+        except (TypeError, ValueError):
+            thresh = 10 * 1024 * 1024
+        nbytes = _input_bytes(df)
+        if thresh > 0 and nbytes is not None and nbytes < thresh:
+            return df
     return df.repartition(cpu_spread_width(df, target, bytes_per_task), key)

@@ -1070,6 +1070,17 @@ def medallion_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         versioned_table_stream_writer,
     )
 
+    # The driver harness supplies its own SparkSession (not
+    # build_session), where the Spark-4 Python DataSource behind
+    # format("versioned_table") is unregistered — .load() then fails at
+    # analysis with DATA_SOURCE_NOT_FOUND. Register idempotently here;
+    # this query is the only registry entry that streams through it.
+    from utility_service_areas_spark.session import (
+        _register_python_datasources,
+    )
+
+    _register_python_datasources(spark)
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
@@ -1095,7 +1106,15 @@ def medallion_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        done = q.awaitTermination(300)
+        if not done:
+            # Never proceed to read a half-written silver: surface the
+            # hang as the error instead of a downstream empty-read.
+            q.stop()
+            raise RuntimeError(
+                "medallion drain did not terminate within 300s "
+                f"(bronze={bronze})"
+            )
 
     key = os.path.abspath(sf_dir)
     silver_dir = _MEDALLION_DIRS.get(key)

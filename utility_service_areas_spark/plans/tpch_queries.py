@@ -40,13 +40,18 @@ def regional_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    # Relational-budget spread of a too-narrow local lineitem scan
-    # (r17 A/B: 0.82-1.18 s vs 1.08-1.43 s plain at sf0.1); wide
-    # cluster scans pass through untouched.
+    # Relational-budget spread of a too-narrow local lineitem scan;
+    # wide cluster scans pass through untouched. Here lineitem is the
+    # LARGEST join input, so when it is under the broadcast threshold
+    # the engine builds the broadcast from it and the spread Exchange
+    # fed a BroadcastExchange — pure overhead (r17 driver −22%);
+    # skip_if_broadcastable suppresses the spread in exactly that
+    # regime and keeps it for at-scale scans.
     li = cpu_spread(
         load_table(spark, sf_dir, "lineitem"),
         F.col("l_orderkey"),
         bytes_per_task=3 << 19,
+        skip_if_broadcastable=True,
     )
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")

@@ -88,12 +88,22 @@ def build_session(app_name: str = "usa-spark", master: str | None = None) -> Spa
 
 
 def _register_python_datasources(spark: SparkSession) -> None:
-    """Engine-register the repo's Spark 4 Python DataSource connectors
-    (idempotent — re-registering overwrites with the same class)."""
+    """Engine-register the repo's Spark 4 Python DataSource connectors.
+
+    Re-registering in the SAME session overwrites silently; a SECOND
+    session in one JVM raises DATA_SOURCE_ALREADY_EXISTS (Spark 4.1's
+    uniqueness check is JVM-global while lookup is per-session), which
+    is tolerated here — the caller's lookup will still fail with
+    DATA_SOURCE_NOT_FOUND if the source is genuinely unusable, which is
+    the clearer error."""
     from utility_service_areas_spark.sources.pyds import (
         ShapefileDataSource,
         VersionedTableDataSource,
     )
 
-    spark.dataSource.register(ShapefileDataSource)
-    spark.dataSource.register(VersionedTableDataSource)
+    for cls in (ShapefileDataSource, VersionedTableDataSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception as exc:  # pragma: no cover - cross-session only
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+                raise
