@@ -56,6 +56,91 @@ def test_cpu_spread_skip_if_broadcastable(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thresh))
 
 
+def test_local_df_name_list_nullable_int_parity(spark):
+    """ADVICE r17 (medium): a None in an integer column must not make
+    the name-list path coerce the column to double — the stock list
+    path infers bigint with nulls, and local_df must match it."""
+    from utility_service_areas_spark.operators.localrel import local_df
+
+    rows = [(1, 2), (3, None)]
+    got = local_df(spark, rows, ["a", "b"])
+    ref = spark.createDataFrame(rows, ["a", "b"])
+    assert dict(got.dtypes) == dict(ref.dtypes)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    # Float columns must stay float (2.5 is not integral).
+    got_f = local_df(spark, [(1, 2.5), (3, None)], ["a", "b"])
+    assert dict(got_f.dtypes)["b"] == "double"
+
+
+def test_empty_local_preserves_non_nullable_fields(spark):
+    """ADVICE r17 (low): an empty frame with nullable=false fields must
+    keep the declared nullability (unionByName/write-schema checks key
+    off it)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from utility_service_areas_spark.operators.localrel import local_df
+
+    st = StructType(
+        [
+            StructField("k", LongType(), nullable=False),
+            StructField("v", StringType(), nullable=True),
+        ]
+    )
+    df = local_df(spark, [], st)
+    assert df.count() == 0
+    assert [f.nullable for f in df.schema.fields] == [False, True]
+    # All-nullable empty frames keep the LocalRelation-style fast path
+    # (no RDD in the plan).
+    st2 = StructType([StructField("k", LongType(), nullable=True)])
+    df2 = local_df(spark, [], st2)
+    assert "range" in df2._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_shingle_sql_matches_column_builders(spark):
+    """r18 batch-F treatment of the ngram path: the pre-rendered
+    tokens_sql/shingles_sql strings must be value-identical to the
+    tokens()/shingles() Column builders they replace."""
+    from pyspark.sql import functions as F
+
+    from utility_service_areas_spark.functions.textops import (
+        shingles,
+        shingles_sql,
+        tokens,
+        tokens_sql,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    # Edge rows the builders guard: empty, 1-token, k-1 tokens, tabs.
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "one"), (9003, "two words"),
+         (9004, "a\tb\nc  d"), (9005, "  padded   text here  ")],
+        "doc_id long, text string",
+    )
+    frame = docs.unionByName(edge)
+
+    for k in (2, 3, 5):
+        col_form = frame.select(
+            "doc_id",
+            tokens(F.col("text")).alias("tk"),
+            shingles(tokens(F.col("text")), k).alias("sh"),
+        )
+        sql_form = frame.selectExpr(
+            "doc_id",
+            f"{tokens_sql('text')} AS tk",
+            f"{shingles_sql(tokens_sql('text'), k)} AS sh",
+        )
+        assert col_form.exceptAll(sql_form).isEmpty()
+        assert sql_form.exceptAll(col_form).isEmpty()
+
+
 _DRIVER_SIM = """
 import sys
 sys.path.insert(0, {repo!r})

@@ -27,6 +27,35 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), TOKEN_SPLIT_RE)
 
 
+# SQL-literal form of TOKEN_SPLIT_RE: backslashes doubled so the SQL
+# parser hands the regex engine the same raw `[ \t\n\x0b\f\r]+` pattern
+# the Column form passes (equivalence pinned in tests).
+_TOKEN_SPLIT_SQL = r"'[ \\t\\n\\x0b\\f\\r]+'"
+
+
+def tokens_sql(col: str) -> str:
+    """Pre-rendered SQL string form of :func:`tokens` for hot
+    construction paths (r17 batch F: building the query is real driver
+    latency — one selectExpr parse beats a py4j round-trip per Column
+    node). Value-identical to ``tokens(F.col(col))``."""
+    return f"split(trim({col}), {_TOKEN_SPLIT_SQL})"
+
+
+def shingles_sql(tok: str, k: int = 3) -> str:
+    """Pre-rendered SQL string form of :func:`shingles` over an
+    already-materialized token-array column named ``tok``.
+    Value-identical to ``shingles(F.col(tok), k)`` (pinned in tests)."""
+    grams = tok
+    for j in range(1, k):
+        shifted = f"slice({tok}, {j + 1}, size({tok}))"
+        grams = f"zip_with({grams}, {shifted}, (x, y) -> concat_ws(' ', x, y))"
+    full = f"slice({grams}, 1, greatest(size({tok}) - {k - 1}, 0))"
+    return (
+        f"CASE WHEN size({tok}) >= {k} THEN array_distinct({full}) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
 def shingles(tok: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles (space-joined), 1-based like SQL.
 

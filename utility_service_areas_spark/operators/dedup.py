@@ -16,8 +16,8 @@ from pyspark.sql import functions as F
 from utility_service_areas_spark.functions.hashing import hamming64, simhash64
 from utility_service_areas_spark.functions.textops import (
     normalized_text,
-    shingles,
-    tokens,
+    shingles_sql,
+    tokens_sql,
 )
 from utility_service_areas_spark.operators.spread import cpu_spread
 
@@ -62,8 +62,13 @@ def shingle_exploded(
     # reference — measured 6 evaluations per row per Generate at k=3.
     # CollapseProject keeps this alias (non-cheap, multiply-referenced)
     # so the split runs once and the generator sees a bound attribute.
-    toksed = ids.select("doc", tokens(F.col(text_col)).alias("__toks"))
-    ex = toksed.select("doc", F.explode(shingles(F.col("__toks"), k)).alias("s"))
+    # Both projections are pre-rendered selectExpr strings (r18 batch-F
+    # treatment: every Dataset transformation is an eager analyzer
+    # pass and every Column node a py4j round-trip — the expressions
+    # are identical to the tokens()/shingles() Column builders, pinned
+    # by test_shingle_sql_matches_column_builders).
+    toksed = ids.selectExpr("doc", f"{tokens_sql(text_col)} AS __toks")
+    ex = toksed.selectExpr("doc", f"explode({shingles_sql('__toks', k)}) AS s")
     if df_cap is not None:
         # Count first, then ANTI-join away hot shingles — the filter
         # runs BEFORE any downstream collect_list can materialize a
@@ -73,8 +78,11 @@ def shingle_exploded(
         # into a broadcast anti-join: the exploded corpus never
         # shuffles or sorts for the filter. (A semi-join against the
         # non-hot set would sort-merge the whole exploded frame.)
-        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        hot = freq.filter(F.col("df") > df_cap).select("s")
+        # The extra `df` column on the build side is pruned by the
+        # anti-join (output = left columns), so no trimming select.
+        hot = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") > df_cap
+        )
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
     return ex
 
@@ -151,20 +159,26 @@ def ngram_jaccard_pairs(
         F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("items")
     )
     common = (
-        lists.select(
-            F.explode(F.expr(_SIZED_PAIRS_EXPR.format(t=float(threshold)))).alias("p")
+        # inline() explodes the pair array straight into the four
+        # columns — one projection and one analyzer pass instead of
+        # explode-then-unpack (r18 batch-F treatment; same shape as
+        # lsh_candidate_pairs' band inline).
+        lists.selectExpr(
+            f"inline({_SIZED_PAIRS_EXPR.format(t=float(threshold))})"
         )
-        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
         # n_a/n_b are functionally determined by the doc ids, so the
         # widened grouping key makes the same groups as (doc_a, doc_b).
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # Same double-division expression as before (the acceptance
+    # boundary must stay bit-identical to the oracle's); the filter
+    # moves ahead of the projection, which the optimizer did anyway.
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.withColumn("jaccard_micros", F.round(jac * 1_000_000).cast("long"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", "jaccard_micros")
+    return common.filter(jac >= threshold).select(
+        "doc_a",
+        "doc_b",
+        F.round(jac * 1_000_000).cast("long").alias("jaccard_micros"),
     )
 
 
@@ -251,10 +265,10 @@ def minhash_signatures(
     """
     ids = df.select(F.col(id_col).alias("doc"), F.col(text_col))
     ids = cpu_spread(ids, F.col("doc"))
-    toksed = ids.select("doc", tokens(F.col(text_col)).alias("__toks")).filter(
+    toksed = ids.selectExpr("doc", f"{tokens_sql(text_col)} AS __toks").filter(
         F.size("__toks") >= k
     )
-    sh = toksed.select("doc", shingles(F.col("__toks"), k).alias("__sh"))
+    sh = toksed.selectExpr("doc", f"{shingles_sql('__toks', k)} AS __sh")
     # One selectExpr with pre-rendered strings instead of 8 Column
     # trees (r17): the per-call py4j round-trips while BUILDING the
     # query are real driver latency; the parsed expressions are

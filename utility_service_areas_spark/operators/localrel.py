@@ -46,6 +46,18 @@ def local_df(
             return spark.createDataFrame(pdf, schema=schema)
         if isinstance(schema, (list, tuple)):
             pdf = pd.DataFrame.from_records(rows, columns=list(schema))
+            # Parity with the stock list path (ADVICE r17): a None in
+            # an integer column makes pandas infer float64 (b=2.0,
+            # type double) where createDataFrame(list) infers bigint
+            # with nulls. Re-type such columns as nullable Int64 —
+            # Arrow maps that to int64 + validity, i.e. bigint.
+            for i, col in enumerate(pdf.columns):
+                if pdf[col].dtype == "float64" and all(
+                    v is None
+                    or (isinstance(v, int) and not isinstance(v, bool))
+                    for v in (r[i] for r in rows)
+                ):
+                    pdf[col] = pdf[col].astype("Int64")
             return spark.createDataFrame(pdf)
         if not rows:
             return _empty_local(spark, schema)
@@ -59,9 +71,16 @@ def local_df(
 def _empty_local(spark: SparkSession, st) -> DataFrame:
     """Zero-row frame of the given StructType without an RDD: pyspark
     routes an EMPTY pandas frame back to the pickle path, so build it
-    as typed null projections over range(0) (pure JVM, zero rows)."""
+    as typed null projections over range(0) (pure JVM, zero rows).
+
+    The null-cast projection is inherently nullable, so a declared
+    nullable=false field would silently widen (ADVICE r17) — those
+    rare frames take the stock path instead, which preserves the exact
+    schema (zero rows: the pickle stage costs nothing to execute)."""
     from pyspark.sql import functions as F
 
+    if any(not f.nullable for f in st.fields):
+        return spark.createDataFrame([], st)
     return spark.range(0).select(
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
     )

@@ -31,6 +31,50 @@ _ENV = "SPARK_GRAFT_CPU_TASK_BYTES"
 _DEFAULT_BYTES_PER_TASK = 128 * 1024
 
 
+def _resolve_bytes_per_task(bytes_per_task: int | None) -> int:
+    per_task = bytes_per_task
+    if per_task is None:
+        try:
+            per_task = int(os.environ.get(_ENV, _DEFAULT_BYTES_PER_TASK))
+        except ValueError:
+            per_task = _DEFAULT_BYTES_PER_TASK
+    return max(1, per_task)
+
+
+def _bytes_of(files: list[str]) -> int | None:
+    if not files:
+        return None
+    nbytes = 0
+    for p in files:
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            nbytes += os.path.getsize(local)
+        except OSError:
+            return None
+    return nbytes
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind a file-backed scan; None when the
+    input files aren't visible (in-memory frames, non-file sources).
+    NOTE: ``df.inputFiles()`` forces analysis + file-index resolution —
+    call it once per spread decision, not per helper."""
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        return None
+    return _bytes_of(files)
+
+
+def _width_from_bytes(
+    nbytes: int | None, target: int, bytes_per_task: int | None
+) -> int:
+    per_task = _resolve_bytes_per_task(bytes_per_task)
+    if nbytes is None or nbytes <= 0:
+        return target
+    return max(1, min(target, math.ceil(nbytes / per_task)))
+
+
 def cpu_spread_width(
     df: DataFrame, target: int, bytes_per_task: int | None = None
 ) -> int:
@@ -44,31 +88,18 @@ def cpu_spread_width(
     join+agg over numeric columns) pass a larger budget — measured
     ~1.5 MiB/task optimal for the lineitem join shapes (r17; 32-way
     over 11 MB was SLOWER than 8-way)."""
-    per_task = bytes_per_task
-    if per_task is None:
-        try:
-            per_task = int(os.environ.get(_ENV, _DEFAULT_BYTES_PER_TASK))
-        except ValueError:
-            per_task = _DEFAULT_BYTES_PER_TASK
-    per_task = max(1, per_task)
-    nbytes = _input_bytes(df)
-    if nbytes is None or nbytes <= 0:
-        return target
-    return max(1, min(target, math.ceil(nbytes / per_task)))
+    return _width_from_bytes(_input_bytes(df), target, bytes_per_task)
 
 
-def _scan_partitions_estimate(df: DataFrame) -> int | None:
+def _scan_partitions_from_bytes(
+    df: DataFrame, nbytes: int | None, n_files: int
+) -> int | None:
     """Rough count of the partitions a file-backed scan will produce
     (Spark's split packing: bytes / maxPartitionBytes, each file
     charged openCostInBytes) — WITHOUT touching ``df.rdd``, which
     would run the whole analyze/optimize/plan pipeline just to read a
-    partition count (~50-90 ms per call, r17). None when the input
-    files aren't visible (in-memory frames, non-file sources)."""
-    try:
-        files = list(df.inputFiles())
-    except Exception:
-        return None
-    if not files:
+    partition count (~50-90 ms per call, r17)."""
+    if nbytes is None:
         return None
     conf = df.sparkSession.conf
     try:
@@ -76,33 +107,18 @@ def _scan_partitions_estimate(df: DataFrame) -> int | None:
         open_cost = int(conf.get("spark.sql.files.openCostInBytes", "4194304"))
     except (TypeError, ValueError):
         return None
-    nbytes = 0
-    for p in files:
-        local = p[5:] if p.startswith("file:") else p
-        try:
-            nbytes += os.path.getsize(local) + open_cost
-        except OSError:
-            return None
-    return max(1, math.ceil(nbytes / max(1, max_split)))
+    return max(1, math.ceil((nbytes + n_files * open_cost) / max(1, max_split)))
 
 
-def _input_bytes(df: DataFrame) -> int | None:
-    """Total on-disk bytes behind a file-backed scan; None when the
-    input files aren't visible (in-memory frames, non-file sources)."""
+def _scan_partitions_estimate(df: DataFrame) -> int | None:
+    """Back-compat wrapper: scan-partition estimate with its own
+    ``inputFiles`` pass. Prefer ``cpu_spread``, which shares one pass
+    across the estimate, broadcast guard, and width."""
     try:
         files = list(df.inputFiles())
     except Exception:
         return None
-    if not files:
-        return None
-    nbytes = 0
-    for p in files:
-        local = p[5:] if p.startswith("file:") else p
-        try:
-            nbytes += os.path.getsize(local)
-        except OSError:
-            return None
-    return nbytes
+    return _scan_partitions_from_bytes(df, _bytes_of(files), len(files))
 
 
 def cpu_spread(
@@ -125,7 +141,16 @@ def cpu_spread(
     under ``spark.sql.autoBroadcastJoinThreshold``. Above the
     threshold (any at-scale input) the spread applies as usual."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    est = _scan_partitions_estimate(df)
+    # One inputFiles() pass feeds the narrowness estimate, the
+    # broadcast guard, and the width (each inputFiles call re-analyzes
+    # the plan and re-resolves the file index — real driver latency on
+    # hot construction paths).
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        files = []
+    nbytes = _bytes_of(files)
+    est = _scan_partitions_from_bytes(df, nbytes, len(files))
     if est is None:
         est = df.rdd.getNumPartitions()
     if est >= max(2, target // 4):
@@ -139,7 +164,6 @@ def cpu_spread(
             )
         except (TypeError, ValueError):
             thresh = 10 * 1024 * 1024
-        nbytes = _input_bytes(df)
         if thresh > 0 and nbytes is not None and nbytes < thresh:
             return df
-    return df.repartition(cpu_spread_width(df, target, bytes_per_task), key)
+    return df.repartition(_width_from_bytes(nbytes, target, bytes_per_task), key)

@@ -79,9 +79,23 @@ def build_session(app_name: str = "usa-spark", master: str | None = None) -> Spa
             "-XX:PerMethodRecompilationCutoff=10000 "
             "-XX:PerBytecodeRecompilationCutoff=10000"
         )
-        builder = builder.config(
-            "spark.driver.extraJavaOptions", jit_flags
-        ).config("spark.executor.extraJavaOptions", jit_flags)
+        # APPEND to any extraJavaOptions already supplied via
+        # spark-defaults.conf / the environment instead of overwriting
+        # them (ADVICE r17): SparkConf() picks up spark.* properties
+        # from the standard config chain.
+        try:
+            from pyspark import SparkConf
+
+            base = SparkConf()
+        except Exception:  # pragma: no cover - gateway bootstrap quirk
+            base = None
+        for key in (
+            "spark.driver.extraJavaOptions",
+            "spark.executor.extraJavaOptions",
+        ):
+            existing = (base.get(key, "") if base is not None else "") or ""
+            merged = f"{existing} {jit_flags}".strip()
+            builder = builder.config(key, merged)
     spark = builder.getOrCreate()
     _register_python_datasources(spark)
     return spark
