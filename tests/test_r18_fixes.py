@@ -141,6 +141,70 @@ def test_shingle_sql_matches_column_builders(spark):
         assert sql_form.exceptAll(col_form).isEmpty()
 
 
+def test_suffix_lead_matches_join_reference(spark):
+    """r18 suffix-rank reshape: the doubling round's shifted rank is
+    now a lead() over dense positions instead of a shifted self-join.
+    Pin value-equality of the full rank build against the old join
+    form on real corpus tokens."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from utility_service_areas_spark.operators.suffix import (
+        LRS_K,
+        _BANDS,
+        _dense_rank_banded,
+        _tok_frame,
+        build_suffix_ranks,
+    )
+    from utility_service_areas_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF, "documents").limit(60)
+    tok = _tok_frame(docs, "text", "doc_id")
+    pos = tok.withColumn(
+        "dl",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long"),
+    ).select("doc_id", "i", "dl", F.md5("t").alias("h"))
+
+    k_levels = 4  # enough rounds to exercise the lead at 1, 2, 4, 8
+
+    # Reference: the pre-r18 shifted self-join loop, verbatim.
+    band0 = F.conv(F.substring("h", 1, 2), 16, 10).cast("long")
+    r0, total = _dense_rank_banded(pos, ["h"], band0)
+    ref_ranks = [r0.select("doc_id", "i", "dl", "rk")]
+    for k in range(1, k_levels + 1):
+        half = 1 << (k - 1)
+        prev = ref_ranks[k - 1]
+        shifted = prev.select(
+            F.col("doc_id").alias("_sd"),
+            (F.col("i") - half).alias("_si"),
+            F.col("rk").alias("_r2"),
+        )
+        paired = prev.join(
+            shifted,
+            (F.col("doc_id") == F.col("_sd"))
+            & (F.col("i") == F.col("_si")),
+            "left",
+        ).select(
+            "doc_id",
+            "i",
+            "dl",
+            F.col("rk").alias("r1"),
+            F.coalesce("_r2", F.lit(0)).cast("long").alias("r2"),
+        )
+        band = F.expr(f"CAST(r1 * {_BANDS} AS BIGINT) div {total + 1}")
+        ranked, total = _dense_rank_banded(paired, ["r1", "r2"], band)
+        ref_ranks.append(ranked.select("doc_id", "i", "dl", "rk"))
+
+    got_ranks = build_suffix_ranks(pos, k_levels)
+    for lvl in (0, 1, k_levels):
+        got = got_ranks[lvl]
+        ref = ref_ranks[lvl]
+        assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty(), (
+            f"rank level {lvl} diverged from the join reference"
+        )
+    assert LRS_K >= k_levels
+
+
 _DRIVER_SIM = """
 import sys
 sys.path.insert(0, {repo!r})

@@ -462,8 +462,20 @@ def test_rotation_matches_correctness_union():
     newest: dict[str, int] = {}
     for path in files:
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        for key in json.load(open(path, encoding="utf-8")):
-            newest[key] = max(newest.get(key, 0), rnd)
+        for key, row in json.load(open(path, encoding="utf-8")).items():
+            # Only a GREEN attestation counts (r18): a red row (err
+            # set / rows_match not true, e.g. medallion_stream_pipeline
+            # in r17) keeps its old staleness so it re-enters the next
+            # round's sample immediately — the documented "red rows
+            # first" half of the rotation discipline, previously
+            # unreachable because no sampled row had ever been red.
+            green = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is True
+            )
+            if green:
+                newest[key] = max(newest.get(key, 0), rnd)
 
     pool = sorted(
         (name for name, spec in REGISTRY.items() if spec.oracle is not None),

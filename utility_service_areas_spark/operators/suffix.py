@@ -91,11 +91,13 @@ def _dense_rank_banded(
         return local.withColumn("rk", F.lit(0).cast("long")).drop(
             "_band", "_lrk"
         ), 0
-    omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
+    # One pre-rendered map literal instead of <= 512 F.lit() py4j
+    # round-trips per round (r18 batch-F treatment; <= _BANDS entries,
+    # values are plain longs).
+    entries = ", ".join(f"{b}L, {o}L" for b, o in offsets.items())
     out = local.withColumn(
-        "rk", (omap[F.col("_band")] + F.col("_lrk")).cast("long")
+        "rk",
+        F.expr(f"CAST(map({entries})[_band] + _lrk AS BIGINT)"),
     ).drop("_band", "_lrk")
     return out, off
 
@@ -108,9 +110,12 @@ dense_rank_banded = _dense_rank_banded
 def build_suffix_ranks(
     positions: DataFrame, k_levels: int = LRS_K
 ) -> list[DataFrame]:
-    """``positions``: (doc_id, i, dl, h) with i 1-based token index,
-    dl the document token count, h an order-key string for the single
-    token (md5 hex here — ASCII orders identically in every engine).
+    """``positions``: (doc_id, i, dl, h) with i the 1-based token
+    index, DENSE per document (every i in 1..dl present exactly once —
+    the _tok_frame contract; the doubling rounds read the shifted rank
+    as a lead() over position order, which requires it), dl the
+    document token count, h an order-key string for the single token
+    (md5 hex here — ASCII orders identically in every engine).
     Returns rank tables [rank_0 .. rank_K], each (doc_id, i, dl, rk),
     lineage_cut (each level feeds the next round AND the LCP descent).
     """
@@ -119,24 +124,29 @@ def build_suffix_ranks(
     # projection over the cached cut — no second materialization needed
     r0, total = _dense_rank_banded(positions, ["h"], band0)
     ranks = [r0.select("doc_id", "i", "dl", "rk")]
+    shift_w = Window.partitionBy("doc_id").orderBy("i")
     for k in range(1, k_levels + 1):
         half = 1 << (k - 1)
         prev = ranks[k - 1]
-        shifted = prev.select(
-            F.col("doc_id").alias("_sd"),
-            (F.col("i") - half).alias("_si"),
-            F.col("rk").alias("_r2"),
-        )
-        paired = prev.join(
-            shifted,
-            (F.col("doc_id") == F.col("_sd")) & (F.col("i") == F.col("_si")),
-            "left",
-        ).select(
+        # rank_{k-1}(p + 2^{k-1}) is a LEAD over the position order:
+        # positions are dense 1..dl per document (the _tok_frame
+        # contract), so the row `half` steps later in (doc_id, i)
+        # order IS position i+half, and lead() returns NULL past the
+        # document end — exactly the old shifted self-join's
+        # left-join + coalesce(0) semantics, minus one corpus-wide
+        # Exchange+Sort per doubling round (the join shuffled BOTH
+        # sides on the position key; the window shuffles once on
+        # doc_id — guide §2.4, the same treatment batch B gave the CC
+        # loop). Equivalence pinned by
+        # test_suffix_lead_matches_join_reference.
+        paired = prev.select(
             "doc_id",
             "i",
             "dl",
             F.col("rk").alias("r1"),
-            F.coalesce("_r2", F.lit(0)).cast("long").alias("r2"),
+            F.coalesce(F.lead("rk", half).over(shift_w), F.lit(0))
+            .cast("long")
+            .alias("r2"),
         )
         # monotone in r1 (the leading sort key), constant on equal keys
         band = F.expr(f"CAST(r1 * {_BANDS} AS BIGINT) div {total + 1}")

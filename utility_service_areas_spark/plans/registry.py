@@ -75,82 +75,14 @@ _LOADED = False
 # attestation budget: red rows first, then the stalest-attested keys,
 # then keys whose definitions were edited this round.
 _DRIVER_PRIORITY = (
-    # Round-17 rotation (VERDICT r16 task #1; round-opening ritual —
-    # this edit is the FIRST commit of the round so the rotation pin
-    # tests/test_registry.py::test_rotation_matches_correctness_union
-    # is green the whole round). No red rows in r16 (50/50 green).
-    # Staleness computed from the union of CORRECTNESS_r01-r16 (never
-    # from comments) — newest-row histogram after r16: r11×15 (the
-    # promised r16 `_NEXT_ROUND_REMAINDER`), then r12×50. The three
-    # oracle-less rows-only sketches stay excluded (err:no_oracle
-    # burns a slot) but ARE re-attested in the local ritual gate each
-    # round (tools/check_oracle.py). The boundary cohort (r12, 50
-    # keys) is split alphabetically; the split is mechanically pinned
-    # via `_NEXT_ROUND_REMAINDER` below.
-    # 1) never-attested keys — new this round
-    "medallion_stream_pipeline",  # new in r17 (#268)
-    # 2) the entire 15-key r11-stale remainder (named as data in r16)
-    "orders_daily_ohlc",
-    "orders_weekly_ohlc",
-    "orders_winsorized_stats",
-    "seq_len_packing_sweep",
-    "shard_zonemap_prune",
-    "signup_to_purchase_latency",
-    "stratified_sample",
-    "text_clean",
-    "text_lang_id",
-    "text_quality_score",
-    "text_tfidf_top_term",
-    "text_token_count",
-    "text_top_tokens",
-    "tokenizer_bpe_merges",
-    "user_daily_journey_match",
-    # 3) 34 of the 50 r12-stale keys, alphabetical (one slot yielded
-    #    to #268 — never-attested beats stale-green per slot); the
-    #    16-key remainder is `_NEXT_ROUND_REMAINDER` (r18's head).
-    "abtest_two_proportion",
-    "ann_ivf_quantized_topk",
-    "ann_mmr_rerank",
-    "cdc_latest_version_merge",
-    "corpus_zipf_fit",
-    "customer_order_distribution",
-    "customer_retention_setops",
-    "customers_above_avg_spend",
-    "dedup_incremental_ingest",
-    "dedup_minhash_verified",
-    "dedup_suffix_lrs",
-    "docs_benchmark_overlap",
-    "docs_bigram_surprisal",
-    "docs_block_dedup",
-    "docs_chunk_split",
-    "docs_novelty_profile",
-    "docs_pack_sequences",
-    "dormant_high_balance_customers",
-    "embedding_knn_graph",
-    "events_json_extract",
-    "events_latest_per_user",
-    "events_sessionize",
-    "events_tumbling_agg",
-    "events_value_quartiles",
-    "geo_quadkey_pyramid",
-    "geo_simplify_vw",
-    "hll_registers_users",
-    "max_size_parts_per_brand",
-    "minhash_bbit_tradeoff",
-    "multimodal_aspect_buckets",
-    "multimodal_decode_meta",
-    "multimodal_dedup_bytes",
-    "multimodal_frame_sample",
-    "nation_trade_volume",
-)
-
-# The stalest-attested keys that did NOT fit this round's 50-slot
-# prefix: they head the NEXT round's rotation. Kept as data (not a
-# comment) so tests/test_registry.py can recompute the stale pool from
-# the CORRECTNESS_r*.json union and assert prefix ∪ remainder equals
-# it exactly — a rotation note can never drift from the data again
-# (VERDICT r15 task #3).
-_NEXT_ROUND_REMAINDER = (
+    # Round-18 rotation (round-opening ritual; red rows first, then
+    # stalest — medallion_stream_pipeline was RED in r17 (the driver-
+    # session DATA_SOURCE_NOT_FOUND failure, fixed this round), so it
+    # re-enters the sample immediately: a red attestation no longer
+    # counts as 'attested' in the staleness computation (the pin test
+    # now counts GREEN rows only). Then the 16-key r12-stale remainder
+    # promised as r18's head, then the r13 cohort alphabetically.
+    "medallion_stream_pipeline",
     "order_backlog_timeseries",
     "order_status_priority_cube",
     "orders_ols_trend",
@@ -167,6 +99,64 @@ _NEXT_ROUND_REMAINDER = (
     "trade_graph_lpa",
     "trade_graph_pagerank",
     "user_session_stats",
+    "abtest_cuped_adjusted",
+    "abtest_srm_check",
+    "ann_ivfpq_search_persisted",
+    "bloom_new_customer_orders",
+    "corpus_heaps_fit",
+    "dedup_cc_twostar",
+    "dedup_first_per_key",
+    "disjunctive_bracket_revenue",
+    "docs_curriculum_rank",
+    "docs_dsir_importance",
+    "docs_gopher_quality_flags",
+    "docs_model_quality_scores",
+    "docs_training_filter",
+    "earliest_year_per_entity",
+    "events_exact_quartiles_nosort",
+    "events_poisson_rate_ci",
+    "excess_quantity_suppliers",
+    "filter_tag_entities",
+    "flagship_service_area_report",
+    "fuzzy_match_part_names",
+    "large_volume_orders",
+    "latest_update_per_entity",
+    "merge_upsert_customers",
+    "nation_market_share_inputs",
+    "order_fulfillment_latency",
+    "orders_seasonality_index",
+    "orders_theil_sen_trend",
+    "part_brand_type_chi2",
+    "part_revenue_concentration",
+    "pivot_status_by_year",
+    "profit_by_nation_year",
+    "promo_revenue_share_by_month",
+    "quality_pair_mining",
+)
+
+# The stalest-attested keys that did NOT fit this round's 50-slot
+# prefix: they head the NEXT round's rotation. Kept as data (not a
+# comment) so tests/test_registry.py can recompute the stale pool from
+# the CORRECTNESS_r*.json union and assert prefix ∪ remainder equals
+# it exactly — a rotation note can never drift from the data again
+# (VERDICT r15 task #3).
+_NEXT_ROUND_REMAINDER = (
+    "regex_extract_fields",
+    "reservoir_sample_docs",
+    "returned_item_report",
+    "salted_hot_key_join",
+    "scd2_customer_history",
+    "simple_revenue_delta",
+    "source_kl_drift",
+    "supplier_order_exclusivity",
+    "text_naive_bayes_source",
+    "top_revenue_supplier",
+    "trade_graph_hits",
+    "unpivot_part_metrics",
+    "user_activity_gini",
+    "versioned_merge_snapshot",
+    "vocab_coverage_sweep",
+    "weighted_sample_orders",
 )
 
 _PLAN_MODULES = (
