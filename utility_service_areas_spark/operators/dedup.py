@@ -78,6 +78,14 @@ def shingle_exploded(
         # into a broadcast anti-join: the exploded corpus never
         # shuffles or sorts for the filter. (A semi-join against the
         # non-hot set would sort-merge the whole exploded frame.)
+        # Catalyst re-derives the exploded subtree for this count pass
+        # (two tokenize+shingle passes in the executed plan); a
+        # lineage_cut of `ex` to share one materialization was A/B'd
+        # in r18 and REJECTED: warm 2.15 s median vs 1.8 s recompute at
+        # sf0.1 — persisting the exploded stream costs more than
+        # re-running the compiled shingle kernel, and at 100 TB the
+        # recompute is the documented posture anyway (never persist a
+        # corpus-exploded stream).
         # The extra `df` column on the build side is pruned by the
         # anti-join (output = left columns), so no trimming select.
         hot = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
